@@ -1,0 +1,102 @@
+"""BM25 lexical search as a posting-list DataFrame pipeline.
+
+Reference behavior: ``SearchService._bm25_search`` — tokenize query
+(lowercase, word regex, stopwords, len filter), fetch candidates,
+score BM25 with k1=1.2 b=0.75 over precomputed ``bm25_tokens``
+(app/services/search_service.py:281-368). The reference approximates
+IDF over the *candidate set*; this engine computes proper
+corpus-level IDF — a strict improvement enabled by having the whole
+corpus as a DataFrame (documented divergence).
+
+Spark-first design: an inverted index is just
+``explode(tokens) → groupBy(doc, token).count()``. All aggregation is
+partial-agg friendly (map-side combine), the per-token document
+frequencies are a tiny DataFrame (vocabulary-sized) that Catalyst
+broadcasts, and avgdl is a scalar broadcast join. Scoring a query
+touches only postings for the query's terms — with the postings
+table written partitioned/bucketed by token, that's partition
+pruning at 100 TB, the same access path as a search engine's
+term-at-a-time evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+K1 = 1.2  # app/services/search_service.py:330
+B = 0.75  # app/services/search_service.py:331
+
+
+def build_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Inverted postings: (id, token, tf). One shuffle on (id, token)."""
+    return (
+        docs.select(F.col(id_col), bm25_tokens(text_col).alias("tokens"))
+        .select(id_col, F.explode("tokens").alias("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
+def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return docs.select(F.col(id_col), F.size(bm25_tokens(text_col)).alias("dl"))
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Corpus-IDF BM25 top-k for a bag of query terms.
+
+    idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )   [Robertson/Lucene]
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    """
+    postings = build_postings(docs, id_col, text_col)
+    dls = doc_lengths(docs, id_col, text_col)
+
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    avgdl = dls.select(F.avg("dl").alias("avgdl"))
+
+    qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+    qpost = postings.filter(F.col("token").isin(qterms))
+
+    df_per_token = qpost.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+
+    scored = (
+        qpost.join(F.broadcast(df_per_token), "token")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(stable_round(F.sum("term_score"), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )

@@ -1,0 +1,276 @@
+"""Text chunkers: fixed, sentence, recursive, two-tier.
+
+Reference behavior:
+- fixed size/overlap char windows (app/processors/chunker.py:92-112)
+- sentence packing w/ 1-sentence overlap (chunker.py:114-155)
+- recursive paragraph→sentence fallback (chunker.py:157-220)
+- two-tier page-parents + semantic children with deterministic
+  md5-derived chunk ids (app/processors/two_tier_chunker.py:292-388)
+- engine ``SplitRecursively`` contract: every chunk's [start, end)
+  range reproduces its text from the original; chunks cover the doc
+  in order; sizes respect chunk_size/min/overlap
+  (src/ops/functions/split_recursively.rs:986-1026, tests :1049-1071)
+
+Spark-first: the *fixed* chunker is a pure expression
+(sequence → explode → substring) — no Python at all, so it runs at
+scan speed on 100 TB. Sentence/recursive chunkers split on regex
+JVM-side and pack in a pandas UDF (packing is inherently sequential
+per document but documents are independent → perfectly parallel).
+Chunk ids are deterministic md5(parent, index) like the reference,
+so re-runs are idempotent (stable-UUID reuse semantics,
+src/execution/memoization.rs:213-233).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_CHUNK_SIZE = 500  # app/processors/chunker.py:14
+DEFAULT_OVERLAP = 50  # app/processors/chunker.py:15
+
+SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+"
+PARAGRAPH_SPLIT_RE = r"\n\s*\n"
+
+
+def fixed_chunks(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    overlap: int = DEFAULT_OVERLAP,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed char windows, stride = chunk_size − overlap.
+
+    Pure Column pipeline: no UDF, no shuffle; each output chunk row
+    carries Range-key semantics (location_start/location_end,
+    src/base/schema.rs:39) and reproduces substring(text, start, len).
+    """
+    stride = chunk_size - overlap
+    assert stride > 0
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length(text_col) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    out = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        F.posexplode(starts).alias("chunk_index", "location_start"),
+    )
+    return out.select(
+        id_col,
+        "chunk_index",
+        "location_start",
+        F.least(F.col("location_start") + chunk_size, F.length(text_col)).alias(
+            "location_end"
+        ),
+        F.substring(F.col(text_col), F.col("location_start") + 1, chunk_size).alias(
+            "chunk_text"
+        ),
+    )
+
+
+def _pack_sentences(
+    sentences: list[tuple[str, int]], chunk_size: int
+) -> list[tuple[int, int, int, str]]:
+    """Pack (sentence, start_offset) into chunks ≤ chunk_size chars
+    with 1-sentence overlap (reference chunker.py:114-155).
+    Returns (chunk_index, start, end, text)."""
+    chunks: list[tuple[int, int, int, str]] = []
+    cur: list[tuple[str, int]] = []
+    cur_len = 0
+    for sent, off in sentences:
+        if cur and cur_len + len(sent) + 1 > chunk_size:
+            start = cur[0][1]
+            text = " ".join(s for s, _ in cur)
+            chunks.append((len(chunks), start, start + len(text), text))
+            cur = [cur[-1]]  # 1-sentence overlap
+            cur_len = len(cur[0][0])
+        cur.append((sent, off))
+        cur_len += len(sent) + (1 if len(cur) > 1 else 0)
+    if cur:
+        start = cur[0][1]
+        text = " ".join(s for s, _ in cur)
+        chunks.append((len(chunks), start, start + len(text), text))
+    return chunks
+
+
+def sentence_chunks(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-packed chunks via mapInPandas (Arrow batches).
+
+    Sentence split + packing is per-document sequential logic; the
+    DataFrame contract (explode-like fan-out, deterministic ids)
+    keeps it a normal operator in the plan."""
+    import re
+
+    sent_re = re.compile(SENTENCE_SPLIT_RE)
+    schema = (
+        f"{id_col} long, chunk_index int, location_start long, "
+        "location_end long, chunk_text string, chunk_id string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                sents: list[tuple[str, int]] = []
+                pos = 0
+                for piece in sent_re.split(text):
+                    idx = text.find(piece, pos)
+                    if piece.strip():
+                        sents.append((piece, idx))
+                    pos = idx + len(piece)
+                for ci, start, end, ctext in _pack_sentences(sents, chunk_size):
+                    cid = hashlib.md5(f"{did}:{ci}:{start}".encode()).hexdigest()
+                    rows.append((did, ci, start, end, ctext, cid))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "chunk_index", "location_start", "location_end",
+                    "chunk_text", "chunk_id",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def recursive_chunks(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    min_chunk_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Recursive split: paragraphs first; any paragraph over
+    chunk_size falls back to sentence packing; adjacent small pieces
+    merge up to chunk_size (SplitRecursively's size contract —
+    cost-model simplified per SURVEY §7 'what's hard')."""
+    import re
+
+    para_re = re.compile(PARAGRAPH_SPLIT_RE)
+    sent_re = re.compile(SENTENCE_SPLIT_RE)
+    schema = (
+        f"{id_col} long, chunk_index int, location_start long, "
+        "location_end long, chunk_text string"
+    )
+
+    def split_doc(text: str) -> list[tuple[int, int]]:
+        """Return [start, end) spans ≤ chunk_size covering the text."""
+        spans: list[tuple[int, int]] = []
+        pos = 0
+        for para in para_re.split(text):
+            pstart = text.find(para, pos)
+            pos = pstart + len(para)
+            if not para.strip():
+                continue
+            if len(para) <= chunk_size:
+                spans.append((pstart, pstart + len(para)))
+                continue
+            spos = 0
+            for sent in sent_re.split(para):
+                sstart = para.find(sent, spos)
+                spos = sstart + len(sent)
+                if not sent.strip():
+                    continue
+                for off in range(0, len(sent), chunk_size):
+                    spans.append(
+                        (pstart + sstart + off,
+                         pstart + sstart + min(off + chunk_size, len(sent)))
+                    )
+        # merge adjacent small spans
+        merged: list[tuple[int, int]] = []
+        for s, e in spans:
+            if merged and (e - merged[-1][0]) <= chunk_size and (
+                merged[-1][1] >= s - 2  # adjacency across separators
+            ):
+                if (merged[-1][1] - merged[-1][0]) < min_chunk_size or (
+                    e - s
+                ) < min_chunk_size:
+                    merged[-1] = (merged[-1][0], e)
+                    continue
+            merged.append((s, e))
+        return merged
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                for ci, (s, e) in enumerate(split_doc(text)):
+                    rows.append((did, ci, s, e, text[s:e]))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_index", "location_start", "location_end",
+                         "chunk_text"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+def two_tier_chunks(
+    docs: DataFrame,
+    page_size: int = 1200,
+    page_overlap: int = 200,
+    child_size: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Two-tier chunking (two_tier_chunker.py:292-388): page-level
+    parents (fixed windows) + sentence-packed children per parent,
+    deterministic md5 ids, BM25 tokens precomputed per child.
+
+    Two-stage explode; both stages shuffle-free (fan-out only)."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    pages = fixed_chunks(
+        docs, chunk_size=page_size, overlap=page_overlap, id_col=id_col,
+        text_col=text_col,
+    ).select(
+        F.col(id_col),
+        F.md5(F.concat_ws(":", F.col(id_col), F.lit("page"), F.col("chunk_index")))
+        .alias("parent_chunk_id"),
+        F.col("chunk_index").alias("parent_index"),
+        F.col("location_start").alias("parent_start"),
+        F.col("chunk_text").alias("parent_text"),
+    )
+    children = sentence_chunks(
+        pages.select(
+            F.col("parent_chunk_id"), F.col(id_col), F.col("parent_index"),
+            F.col("parent_start"), F.col("parent_text").alias(text_col),
+        ).withColumnRenamed(id_col, "_doc_id")
+        .withColumnRenamed("parent_chunk_id", id_col + "_parent")  # key for chunker
+        .withColumn(id_col, F.abs(F.xxhash64(F.col(id_col + "_parent"))))
+        , chunk_size=child_size, id_col=id_col, text_col=text_col,
+    )
+    # join back to recover parent linkage
+    key = pages.withColumn(
+        "_jk", F.abs(F.xxhash64(F.col("parent_chunk_id")))
+    ).select("_jk", id_col, "parent_chunk_id", "parent_index", "parent_start")
+    return (
+        children.withColumnRenamed(id_col, "_jk")
+        .join(F.broadcast(key), "_jk")
+        .select(
+            F.col(id_col).alias("document_id"),
+            "parent_chunk_id",
+            F.lit("semantic").alias("chunk_level"),
+            "chunk_index",
+            (F.col("parent_start") + F.col("location_start")).alias("location_start"),
+            (F.col("parent_start") + F.col("location_end")).alias("location_end"),
+            "chunk_text",
+            F.md5(F.concat_ws(":", "parent_chunk_id", "chunk_index")).alias("chunk_id"),
+            bm25_tokens("chunk_text").alias("bm25_tokens"),
+            F.size(bm25_tokens("chunk_text")).alias("chunk_size"),
+        )
+    )

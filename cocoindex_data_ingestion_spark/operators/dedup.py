@@ -1,0 +1,237 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Reference behavior being generalized: exact/fuzzy entity dedup
+(app/utils/entity_deduplication.py:57-456 — normalize, similarity,
+find_duplicates >= 0.85) and graph duplicate-merge
+(app/services/neo4j_service.py:353-427). This module applies the
+same shapes to *documents* at corpus scale:
+
+- ``exact_dedup``     — md5 fingerprint groupBy. One shuffle on the
+  fingerprint; at 100 TB this is the cheapest pass and removes the
+  bulk of boilerplate dups.
+- ``ngram_jaccard_pairs`` — shingle-blocked pairwise Jaccard. The
+  candidate join is on shared shingles (an inverted-index join), so
+  cost is Σ_shingle df² instead of N² — the standard blocking trick.
+  Hot shingles are capped (df ceiling) to bound skew.
+- ``minhash_lsh_pairs`` — MinHash signatures + banded LSH buckets.
+  Candidate pairs share a band bucket; collision probability follows
+  the s-curve (b bands × r rows). Hashing uses md5 (engine-portable,
+  deterministic) — at scale swap for xxhash64 (cheaper, JVM-side).
+- ``embedding_cosine_pairs`` — near-dup by embedding similarity,
+  LSH-bucketed for scale.
+
+All emit candidate/duplicate *pairs* (id_a < id_b) so downstream can
+connected-component them into groups.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.text import bm25_tokens, tokenize
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the raw text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(c)
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Group by content fingerprint; canonical = min id per group."""
+    return (
+        docs.select(F.col(id_col), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles as strings 'w1 w2 w3' (distinct)."""
+    toks = tokenize(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-blocked candidate pairs.
+
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|); pairs sharing no shingle
+    (jaccard 0) are never materialized — that's the blocking.
+    ``max_shingle_df`` drops ubiquitous shingles to bound join fan-out
+    (skew guard; exactness holds for pairs that share any rare
+    shingle, which near-dups always do).
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
+        F.col("df") <= max_shingle_df
+    )
+    sh = sh.join(F.broadcast(rare.select("sh")), "sh")
+
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            stable_round(
+                F.col("n_shared")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                round_to,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 16) -> list[Column]:
+    """MinHash: per hash-seed i, min over tokens of md5(i || token).
+
+    md5-hex strings compare lexicographically — a valid uniform order,
+    identical in any engine. Returns one Column per hash."""
+    toks = F.array_distinct(bm25_tokens(col))
+
+    def _hash(prefix: str):
+        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+
+    return [
+        F.array_min(F.transform(toks, _hash(f"{i}:"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs: equal MinHash band in >=1 of b bands.
+
+    rows-per-band r = num_hashes/bands; P(candidate) = 1−(1−s^r)^b
+    for Jaccard s. The band-bucket join is an equi-join on
+    (band_id, bucket-hash): fully shuffle-partitionable, no N².
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(F.col(id_col).alias("id"), *minhash_signature(text_col, num_hashes))
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    buckets = banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash over tokens using xxhash64 bit votes.
+
+    For each bit position, sum(+1/−1) votes across token hashes; bit
+    set if the sum is positive. JVM-side only (xxhash64), used by the
+    streaming/bulk path; the oracle-checked variant is
+    ``simhash_sql``-free (rows-only check) since DuckDB lacks
+    xxhash64."""
+    toks = F.array_distinct(bm25_tokens(col))
+
+    def _vote(mask_col: Column):
+        return lambda acc, t: acc + F.when(
+            F.xxhash64(t).bitwiseAND(mask_col) != 0, 1
+        ).otherwise(-1)
+
+    bits = []
+    for i in range(64):
+        mask = F.lit(1 << i).cast("long")
+        vote = F.aggregate(toks, F.lit(0), _vote(mask))
+        bits.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out.bitwiseOR(bcol)
+    return out
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by embedding cosine >= threshold.
+
+    n_bits=0 → exact all-pairs (id_a < id_b) — O(N²), test scale
+    only. n_bits>0 → sign-LSH blocking: only pairs in the same
+    signature bucket are compared (the 100 TB path; near-identical
+    vectors share sign bits with high probability).
+    """
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+    from cocoindex_data_ingestion_spark.operators.vector_search import lsh_signature
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if n_bits > 0:
+        cols.append(lsh_signature(vec_col, n_bits).alias("sig"))
+    base = emb.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if n_bits > 0:
+        cond = cond & (F.col("a.sig") == F.col("b.sig"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            stable_round(cosine_sim(F.col("a.v"), F.col("b.v")), round_to).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,98 @@
+"""Result fusion: reciprocal-rank fusion + weighted score merge.
+
+Reference behavior:
+- RRF: per-source rank maps, score = Σ 1/(60 + rank), best payload
+  per id (app/services/search_service.py:370-423, k=60).
+- Weighted merge: w·vector + (1−w)·graph on duplicate ids
+  (app/services/search_service.py:502-542, w=0.7).
+- Multi-vector fusion: two top-k lists full-outer joined on id,
+  linear blend with coalesce(score, 0)
+  (app/services/qdrant_service.py:306-388, w=0.5).
+
+Spark-first design: ranks are ``row_number`` over a per-source window
+— the inputs are already top-k lists (tiny), so the window sort is
+over k·sources rows, never the corpus. Fusion itself is one groupBy
+on id. RRF scores are sums of 1/(60+rank) over integer ranks, which
+is exactly reproducible across engines (no precision hazard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import stable_round
+
+RRF_K = 60  # app/services/search_service.py:375
+
+
+def add_ranks(
+    results: DataFrame, source_col: str = "source", id_col: str = "id",
+    score_col: str = "score",
+) -> DataFrame:
+    """1-based rank within each source, deterministic tie-break on id."""
+    w = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    return results.withColumn("rank", F.row_number().over(w))
+
+
+def rrf_fuse(
+    results: DataFrame,
+    limit: int = 10,
+    rrf_k: int = RRF_K,
+    source_col: str = "source",
+    id_col: str = "id",
+    score_col: str = "score",
+    round_to: int = 4,
+) -> DataFrame:
+    """Fuse ranked lists from several sources into one ranking.
+
+    ``results``: union of per-source ranked lists
+    (source, id, score). Output: (id, rrf_score, n_sources).
+    """
+    ranked = add_ranks(results, source_col, id_col, score_col)
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            stable_round(
+                F.sum(1.0 / (F.lit(rrf_k) + F.col("rank"))), round_to
+            ).alias("rrf_score"),
+            F.countDistinct(source_col).alias("n_sources"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+        .limit(limit)
+    )
+
+
+def weighted_fuse(
+    left: DataFrame,
+    right: DataFrame,
+    weight: float = 0.7,
+    id_col: str = "id",
+    score_col: str = "score",
+    limit: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Linear blend of two score lists on shared ids.
+
+    full-outer join; missing side contributes 0 (reference multi-vector
+    fusion semantics, qdrant_service.py:327-362).
+    Output: (id, fused_score).
+    """
+    l = left.select(F.col(id_col), F.col(score_col).alias("_ls"))
+    r = right.select(F.col(id_col), F.col(score_col).alias("_rs"))
+    return (
+        l.join(r, id_col, "full_outer")
+        .withColumn(
+            "fused_score",
+            stable_round(
+                F.lit(weight) * F.coalesce(F.col("_ls"), F.lit(0.0))
+                + F.lit(1.0 - weight) * F.coalesce(F.col("_rs"), F.lit(0.0)),
+                round_to,
+            ),
+        )
+        .orderBy(F.col("fused_score").desc(), F.col(id_col).asc())
+        .limit(limit)
+        .select(id_col, "fused_score")
+    )

@@ -1,0 +1,133 @@
+"""Property-graph operators over node/edge DataFrames.
+
+Reference behavior: Neo4j/Kuzu graph export + traversal —
+1-hop entity search with relationship collection
+(app/services/search_service.py:119-179), variable-depth
+neighborhood ``[*0..depth]`` (app/services/neo4j_service.py:429-488),
+duplicate-entity merge (neo4j_service.py:353-427).
+
+Spark-first: a property graph is (nodes DF, edges DF). A k-hop
+traversal is k self-joins of the edge list — each one an equi-join
+on the frontier key that Catalyst plans as broadcast (small
+frontier) or shuffle hash join (large frontier). The iterative BFS
+keeps only (node_id, min_depth) — the frontier — between steps,
+so state is bounded by the reachable set, not the edge count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bipartite_edges(
+    df: DataFrame, src_col: str, dst_col: str
+) -> DataFrame:
+    """Distinct (src, dst) edge list from a fact table (e.g. supplier
+    →part from lineitem). One shuffle for the distinct."""
+    return (
+        df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    )
+
+
+def two_hop_neighbors(
+    edges: DataFrame, start_id, weighted: bool = True
+) -> DataFrame:
+    """Co-neighbors: nodes reachable in exactly 2 hops through the
+    bipartite edge list, with shared-neighbor counts.
+
+    (start → mid → other). The first hop filters to one source, so
+    the second join's left side is tiny → broadcast."""
+    hop1 = edges.filter(F.col("src") == start_id).select(F.col("dst").alias("mid"))
+    hop2 = (
+        F.broadcast(hop1)
+        .join(edges.withColumnRenamed("dst", "mid"), "mid")
+        .filter(F.col("src") != start_id)
+    )
+    return (
+        hop2.groupBy(F.col("src").alias("neighbor_id"))
+        .agg(F.countDistinct("mid").alias("n_shared"))
+    )
+
+
+def n_hop_frontier(
+    edges: DataFrame, start_id, depth: int
+) -> DataFrame:
+    """BFS frontier expansion: (node_id, hop) for all nodes within
+    ``depth`` hops of start (directed). Driver-side loop of
+    ``depth`` joins — depth is small (reference default 2), each
+    iteration one equi-join + distinct-min aggregation.
+    """
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(start_id, 0)], "node_id long, hop int")
+    seen = frontier
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(F.col("dst").alias("node_id"), F.lit(d).alias("hop"))
+            .join(seen.select("node_id"), "node_id", "left_anti")
+            .distinct()
+        )
+        nxt.persist()
+        if nxt.rdd.isEmpty():
+            nxt.unpersist()
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    return seen
+
+
+def entity_search(
+    nodes: DataFrame,
+    name_contains: str | None = None,
+    type_eq: str | None = None,
+    limit: int = 100,
+    name_col: str = "name",
+    type_col: str = "type",
+) -> DataFrame:
+    """Reference ``search_entities`` (neo4j_service.py:490-542):
+    CONTAINS/type filter, order by name, limit."""
+    out = nodes
+    if name_contains is not None:
+        out = out.filter(F.lower(F.col(name_col)).contains(name_contains.lower()))
+    if type_eq is not None:
+        out = out.filter(F.col(type_col) == type_eq)
+    return out.orderBy(F.col(name_col).asc()).limit(limit)
+
+
+def merge_duplicate_nodes(
+    nodes: DataFrame,
+    edges: DataFrame,
+    key_cols: list[str],
+    id_col: str = "id",
+) -> tuple[DataFrame, DataFrame]:
+    """Graph duplicate-merge (neo4j_service.py:353-427): nodes with
+    equal key columns collapse into the min-id survivor; edges are
+    re-pointed and deduplicated.
+
+    Returns (merged_nodes, merged_edges). Two joins re-point edge
+    endpoints via the (old_id → survivor_id) mapping, which is
+    dimension-sized → broadcast."""
+    survivors = nodes.groupBy(*key_cols).agg(F.min(id_col).alias("survivor_id"))
+    mapping = nodes.join(survivors, key_cols).select(
+        F.col(id_col).alias("old_id"), "survivor_id"
+    )
+    merged_nodes = nodes.join(
+        mapping.filter(F.col("old_id") == F.col("survivor_id")).select(
+            F.col("old_id").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    m = F.broadcast(mapping)
+    merged_edges = (
+        edges.join(m.withColumnRenamed("old_id", "src"), "src")
+        .withColumn("src", F.col("survivor_id"))
+        .drop("survivor_id")
+        .join(m.withColumnRenamed("old_id", "dst"), "dst")
+        .withColumn("dst", F.col("survivor_id"))
+        .drop("survivor_id")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return merged_nodes, merged_edges

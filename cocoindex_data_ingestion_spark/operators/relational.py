@@ -1,0 +1,96 @@
+"""General relational layer: the operators the reference's query
+programs decompose into (SURVEY §2.8), exposed as a thin typed facade
+over native DataFrame ops — Spark *is* this layer; the value added
+here is scale-aware composition (as-of, range join, sessionize,
+top-k per group) with documented physical strategies.
+
+Reference parity notes: the reference has no general join/agg/window
+operators; its fusion joins (qdrant_service.py:327-362), dedup
+self-joins (neo4j_service.py:369-375) and rank maps
+(search_service.py:381-383) are all instances of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    tiebreak_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Top-k rows per group via row_number window.
+
+    Physical plan: one shuffle on group_cols, per-partition sort.
+    At 100 TB with few groups this skews; pre-aggregate or use
+    AQE skew handling. With many groups it scales linearly.
+    """
+    order = F.col(order_col).asc() if ascending else F.col(order_col).desc()
+    keys = [order] + ([F.col(tiebreak_col).asc()] if tiebreak_col else [])
+    w = Window.partitionBy(*group_cols).orderBy(*keys)
+    return df.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    right_ts <= left_ts (backward) sharing the equi-key.
+
+    Strategy here: equi-join on key + inequality filter + window
+    row_number — correct and fully Catalyst-planned (sort-merge on
+    the key). At 100 TB, if one key has huge history, bucket both
+    sides by time range first (coarse time bucket added to the join
+    key) so each joined group is bounded; or per-group
+    ``applyInPandas`` + ``pd.merge_asof`` when history fits memory.
+    """
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
+        rt <= lt if direction == "backward" else rt >= lt
+    )
+    joined = left.alias("l").join(right.alias("r"), cond, "inner")
+    order = [rt.desc() if direction == "backward" else rt.asc()]
+    if tiebreak:
+        order.append(F.col(f"r.{tiebreak}").desc())
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
+    return joined.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    id_tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization: new session when the gap to the
+    previous event of the same key exceeds the threshold.
+
+    lag + running-sum over one (key, ts) window — a single shuffle
+    on key, then map-side session aggregation. Time arithmetic in
+    integer micros for cross-engine determinism.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_tiebreak).asc())
+    gap_us = gap_minutes * 60 * 1_000_000
+    with_flag = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag(us).over(w).isNull() | ((us - F.lag(us).over(w)) > gap_us), 1
+        ).otherwise(0),
+    )
+    return with_flag.withColumn(
+        "session_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("new_sess")

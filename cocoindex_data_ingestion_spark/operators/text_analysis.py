@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, fingerprinting.
+
+Reference behavior generalized: entity quality scoring
+(app/utils/entity_quality.py:94-267 — stopword/length/format
+heuristics → 0-1 score) and the BM25 tokenizer statistics
+(search_service.py:281-285). Everything here is a pure Column
+expression — JVM-side, whole-stage-codegen'd, no UDFs — so the
+per-document cost is a single scan pass regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.text import (
+    STOPWORDS,
+    bm25_tokens,
+    tokenize,
+)
+
+# Tiny per-language function-word lists for n-gram/stopword language
+# ID. Deliberately small + inlined so the DuckDB oracle can reproduce
+# them exactly.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "para"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "qui", "sur"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein"),
+}
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokenize(col))
+
+
+def stopword_ratio(col: Column | str) -> Column:
+    toks = tokenize(col)
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    return F.when(
+        F.size(toks) > 0,
+        F.size(F.filter(toks, lambda t: F.array_contains(stop, t)))
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def avg_token_len(col: Column | str) -> Column:
+    toks = tokenize(col)
+    return F.when(
+        F.size(toks) > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / F.size(toks).cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic 0-1 quality score (reference entity_quality shape):
+    rewards reasonable length, token diversity, and a sane
+    stopword share; penalizes degenerate repetition.
+    score = 0.4·len_score + 0.3·diversity + 0.3·stop_score.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokenize(c)
+    n = F.size(toks)
+    n_chars = F.length(c)
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    diversity = F.when(n > 0, F.size(F.array_distinct(toks)) / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    sr = stopword_ratio(c)
+    stop_score = F.lit(1.0) - F.abs(sr - F.lit(0.4))
+    return stable_round(
+        F.lit(0.4) * len_score + F.lit(0.3) * diversity + F.lit(0.3) * stop_score, 4
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts over the token bag."""
+    toks = tokenize(col)
+
+    def _contains(arr: Column):
+        # single-arg lambda: a second (defaulted) param would be
+        # interpreted by F.filter as the element-index form
+        return lambda t: F.array_contains(arr, t)
+
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, _contains(marr)))
+    return out
+
+
+def lang_id(col: Column | str) -> Column:
+    """argmax language by marker hits; 'und' when no marker hits.
+
+    Deterministic tie-break: language name ascending (via ordered
+    comparison chain)."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # deterministic iteration
+    best = F.lit("und")
+    best_score = F.lit(0)
+    # fold left: strictly-greater keeps earlier (alphabetical) winner on ties
+    for lang in langs:
+        s = scores[lang]
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+    return best
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Order-insensitive content fingerprint: md5 over the sorted
+    distinct filtered-token set (a set-similarity-stable signature,
+    the reference's content-hash skip generalized,
+    src/execution/row_indexer.rs:506-587)."""
+    toks = F.array_sort(F.array_distinct(bm25_tokens(col)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def text_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One-pass per-document text profile."""
+    return docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        token_count(text_col).alias("n_tokens"),
+        F.size(bm25_tokens(text_col)).alias("n_content_tokens"),
+        stable_round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
+        stable_round(avg_token_len(text_col), 4).alias("avg_token_len"),
+        quality_score(text_col).alias("quality_score"),
+        lang_id(text_col).alias("lang_pred"),
+        doc_fingerprint(text_col).alias("fingerprint"),
+    )

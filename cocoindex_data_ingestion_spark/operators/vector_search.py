@@ -1,0 +1,117 @@
+"""Vector similarity search over an embedding column.
+
+Reference behavior: ``SearchService.vector_search`` — embed query →
+cosine top-k with score threshold + metadata filters
+(app/services/search_service.py:56-117); multi-vector fusion
+(app/services/qdrant_service.py:306-388).
+
+Spark-first design:
+
+- **Brute-force exact top-k** is a single narrow pipeline:
+  scan → (pushed-down metadata filters) → project score →
+  ``TakeOrderedAndProject``. No shuffle of the full table — each
+  partition computes its local top-k and only k rows per partition
+  reach the driver-side merge. At 100 TB this is the correct exact
+  baseline: embarrassingly parallel, bounded result traffic.
+- **LSH-bucketed approximate top-k** (``knn_lsh``) is the scale
+  path: a deterministic bit-sampling signature (sign of the first m
+  components) buckets vectors; candidates = query's bucket only.
+  The bucket equi-join broadcasts the 1-row query side, so the probe
+  is a partition-pruned scan when the table is written partitioned
+  by signature — turning top-k from O(N) into O(N / 2^m) per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+
+def with_score(
+    df: DataFrame,
+    query_vec: Column,
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    return df.withColumn(score_col, cosine_sim(F.col(vec_col), query_vec))
+
+
+def knn(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    score_threshold: float | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k (reference default: limit=10, threshold=0.7).
+
+    Deterministic order: score desc, id asc — ties can't reorder
+    results between engines.
+    """
+    out = with_score(df, query_vec, vec_col)
+    if score_threshold is not None:
+        out = out.filter(F.col("score") >= F.lit(score_threshold))
+    if round_to is not None:
+        out = out.withColumn("score", stable_round(F.col("score"), round_to))
+    return (
+        out.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def lsh_signature(vec_col: Column | str, n_bits: int = 8) -> Column:
+    """Deterministic bit-sampling LSH signature: sign of dims 0..n-1.
+
+    A string of '0'/'1' so it doubles as a partition value. Cheap,
+    engine-agnostic, and reproducible in SQL for the oracle.
+    """
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat_ws(
+        "",
+        *[F.when(F.element_at(c, i + 1) > 0, "1").otherwise("0") for i in range(n_bits)],
+    )
+
+
+def knn_lsh(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    n_bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Approximate top-k: exact cosine within the query's LSH bucket.
+
+    At scale: write the table partitioned by ``lsh_sig`` and this
+    filter becomes partition pruning — only 1/2^n_bits of the data is
+    read. Recall can be tuned by probing Hamming-adjacent buckets.
+    """
+    sig = lsh_signature(vec_col, n_bits)
+    qsig = lsh_signature(query_vec, n_bits)
+    out = df.filter(sig == qsig)
+    return knn(out, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
+
+
+def knn_maxsim(
+    df: DataFrame,
+    query_vecs: Column,
+    k: int = 10,
+    vecs_col: str = "embeddings",
+    id_col: str = "id",
+) -> DataFrame:
+    """Multi-vector (ColPali-style) MaxSim top-k (SURVEY §2.6)."""
+    from cocoindex_data_ingestion_spark.functions.similarity import maxsim
+
+    return (
+        df.withColumn("score", stable_round(maxsim(query_vecs, F.col(vecs_col)), 4))
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` but every default here is chosen
+to also make sense on a large cluster (AQE on, skew-join handling on,
+UTC session time so results are oracle-comparable, Arrow enabled for
+the pandas-UDF slow path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "cocoindex_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    Config choices and why they matter at 100 TB:
+
+    - ``spark.sql.adaptive.enabled`` — AQE re-plans at runtime:
+      coalesces tiny post-shuffle partitions, converts sort-merge
+      joins to broadcast when the built side turns out small, and
+      splits skewed partitions (skew-join).
+    - ``spark.sql.shuffle.partitions`` — sized to cores locally; on a
+      real cluster AQE's coalescing makes the initial number less
+      critical, but we still avoid the 200 default.
+    - ``spark.sql.session.timeZone=UTC`` — deterministic timestamp
+      semantics (and required for DuckDB-oracle equality).
+    - Arrow on — every pandas UDF crosses JVM↔Python via Arrow
+      batches instead of pickled rows.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # the driver's events table is written with TIMESTAMP(NANOS);
+        # read as long nanos and convert in the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

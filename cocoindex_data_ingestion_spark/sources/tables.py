@@ -1,0 +1,63 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table
+under a scale-factor directory.
+
+At 100 TB each of these would be a partitioned parquet/Delta dataset;
+``spark.read.parquet`` on a directory behaves identically, and all
+operators in this package only touch tables through this loader, so
+swapping in partitioned/bucketed layouts is a one-line change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    """Load one table; Catalyst handles column pruning + filter pushdown.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as long
+    nanos, which we convert to a micro-precision timestamp (the
+    driver data is exact micros, verified % 1000 == 0 — same value
+    DuckDB sees).
+    """
+    from pyspark.sql import functions as F
+
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division loses ULPs at 1e18 nanos
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str | None = None, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, name, sf_dir) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
