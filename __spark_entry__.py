@@ -451,6 +451,678 @@ def _q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.5 sessionization (gap-based; Spark-native beyond reference) -----------
+
+_SESSION_GAP_MIN = 30
+
+_SESSIONIZE_SQL = f"""
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM o
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > {_SESSION_GAP_MIN * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM f
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       {_R("sum(value)", 2)} AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@_register("events_sessionize", _SESSIONIZE_SQL)
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = relational.sessionize(ev, gap_minutes=_SESSION_GAP_MIN)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("start_us"),
+        F.max(F.unix_micros("ts")).alias("end_us"),
+        stable_round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+# -- streaming-shape window aggs (Spark-native, FIXTURES.md §B) ---------------
+
+_TUMBLING_SQL = f"""
+SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_s, event_type,
+       count(*) AS n_events, {_R("sum(value)", 2)} AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@_register("events_tumbling_window", _TUMBLING_SQL)
+def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "window_start_s", F.expr("unix_micros(ts) div 300000000") * 300
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+_SLIDING_SQL = f"""
+SELECT ((epoch_us(ts) // 300000000) - k) * 300 AS window_start_s,
+       count(*) AS n_events, {_R("sum(value)", 2)} AS sum_value
+FROM events, unnest([0, 1]) AS t(k)
+GROUP BY 1
+"""
+
+
+@_register("events_sliding_window", _SLIDING_SQL)
+def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-min windows sliding every 5 min via F.window (each event in
+    exactly 2 windows; SQL mirrors the documented window alignment)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.window("ts", "10 minutes", "5 minutes").alias("w"), "value")
+        .groupBy(F.unix_micros("w.start").alias("window_start_us"))
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            (F.col("window_start_us") / F.lit(1000000)).cast("long").alias(
+                "window_start_s"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# -- as-of join (SURVEY §2.8 'no as-of in reference' → engine adds it) --------
+
+_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT user_id, purchase_event_id, view_event_id, gap_us
+FROM (
+  SELECT p.user_id, p.event_id AS purchase_event_id, v.event_id AS view_event_id,
+         epoch_us(p.ts) - epoch_us(v.ts) AS gap_us,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM p JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+WHERE rn = 1
+"""
+
+
+@_register("asof_purchase_view", _ASOF_SQL)
+def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    joined = relational.asof_join(
+        p, v, on="user_id", left_ts="ts", right_ts="ts", tiebreak="event_id"
+    )
+    return joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("purchase_event_id"),
+        F.col("r.event_id").alias("view_event_id"),
+        (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("gap_us"),
+    )
+
+
+# -- range self-join (pairs of events within 5 min) ---------------------------
+
+_RANGE_SQL = """
+SELECT a.user_id, count(*) AS n_pairs
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) > epoch_us(a.ts)
+ AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+GROUP BY a.user_id
+"""
+
+
+@_register("events_range_pairs", _RANGE_SQL)
+def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.us") > F.col("a.us"))
+            & (F.col("b.us") <= F.col("a.us") + 300000000),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# -- §2.6 graph 2-hop (neo4j_service.py:429-488 shape on supplier→part) -------
+
+_GRAPH_2HOP_SQL = """
+WITH edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst FROM lineitem),
+h1 AS (SELECT dst AS mid FROM edges WHERE src = 1)
+SELECT e.src AS neighbor_id, count(DISTINCT e.dst) AS n_shared
+FROM edges e JOIN h1 ON e.dst = h1.mid
+WHERE e.src <> 1
+GROUP BY e.src
+"""
+
+
+@_register("graph_2hop_suppliers", _GRAPH_2HOP_SQL)
+def _q_graph2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph_ops.bipartite_edges(li, "l_suppkey", "l_partkey")
+    return graph_ops.two_hop_neighbors(edges, 1)
+
+
+# -- §2.6 entity search w/ 1-hop collect (search_service.py:119-179) ----------
+
+_ENTITY_SEARCH_SQL = """
+SELECT c.c_custkey AS entity_id, c.c_name AS name, c.c_mktsegment AS type,
+       count(o.o_orderkey) AS n_edges,
+       coalesce(floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0, 0.0) AS total_value
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE contains(c.c_name, '00001')
+GROUP BY 1, 2, 3
+ORDER BY name ASC
+LIMIT 100
+"""
+
+
+@_register("graph_entity_search", _ENTITY_SEARCH_SQL)
+def _q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    filtered = c.filter(F.col("c_name").contains("00001"))
+    return (
+        filtered.join(o, o.o_custkey == filtered.c_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("entity_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("type"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_edges"),
+            F.coalesce(
+                stable_round(F.sum("o_totalprice"), 2), F.lit(0.0)
+            ).alias("total_value"),
+        )
+        .orderBy(F.col("name").asc())
+        .limit(100)
+    )
+
+
+# -- dedup suite (training-data ops) ------------------------------------------
+
+_MINHASH_HASHES, _MINHASH_BANDS = 16, 4
+
+
+def _minhash_sql() -> str:
+    n, bands = _MINHASH_HASHES, _MINHASH_BANDS
+    rpb = n // bands
+    mh_exprs = ",\n         ".join(
+        f"list_min(list_transform(ts, t -> md5('{i}:' || t))) AS mh_{i}"
+        for i in range(n)
+    )
+    band_exprs = ",\n         ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"mh_{b * rpb + r}" for r in range(rpb))
+        + f")) AS band_{b}"
+        for b in range(bands)
+    )
+    bucket_union = "\n  UNION ALL\n  ".join(
+        f"SELECT id, '{b}#' || band_{b} AS bucket FROM banded" for b in range(bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, list_distinct({_BM25_TOKS_SQL}) AS ts FROM documents
+),
+nonempty AS (SELECT * FROM toks WHERE len(ts) > 0),
+sig AS (
+  SELECT id,
+         {mh_exprs}
+  FROM nonempty
+),
+banded AS (
+  SELECT id,
+         {band_exprs}
+  FROM sig
+),
+buckets AS (
+  {bucket_union}
+)
+"""
+
+
+_MINHASH_EDGES_SQL = (
+    _minhash_sql()
+    + """,
+starred AS (
+  SELECT id, min(id) OVER (PARTITION BY bucket) AS id_a FROM buckets
+)
+SELECT DISTINCT id_a, id AS id_b FROM starred WHERE id_a <> id
+"""
+)
+
+
+@_register("dedup_minhash_lsh", _MINHASH_EDGES_SQL)
+def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star edges per LSH bucket (O(n), skew-proof; see
+    dedup.minhash_lsh_edges for why all-pairs is the wrong output
+    shape at scale)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    return dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+
+
+_MINHASH_COMPONENTS_SQL = (
+    _minhash_sql()
+    + """,
+starred AS (
+  SELECT id, min(id) OVER (PARTITION BY bucket) AS id_a FROM buckets
+),
+edges AS (SELECT DISTINCT id_a, id AS id_b FROM starred WHERE id_a <> id),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  -- transitive closure by iterating min-label to fixpoint
+  WITH RECURSIVE r(node_id, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.lbl FROM sym s JOIN r ON s.dst = r.node_id
+  )
+  SELECT node_id, min(lbl) AS component FROM r GROUP BY node_id
+)
+SELECT node_id, component FROM reach
+"""
+)
+
+
+@_register("dedup_minhash_components", _MINHASH_COMPONENTS_SQL)
+def _q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate groups: connected components over the LSH edge
+    graph (min-label propagation; component = min doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    edges = dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+    return dedup.connected_components(edges)
+
+
+_JACCARD_N, _JACCARD_THRESHOLD = 3, 0.2
+
+_SHINGLES_SQL = f"""
+CASE WHEN len(toks) >= {_JACCARD_N}
+     THEN list_distinct(list_transform(
+            generate_series(0, len(toks) - {_JACCARD_N}),
+            i -> array_to_string(toks[(i + 1):(i + {_JACCARD_N})], ' ')))
+     ELSE [array_to_string(toks, ' ')] END
+"""
+
+_NGRAM_JACCARD_SQL = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+sh AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM t),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, jaccard
+FROM (
+  SELECT id_a, id_b,
+         {_R("n_shared / (sa.sz + sb.sz - n_shared)", 4)} AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.id = id_a
+  JOIN sizes sb ON sb.id = id_b
+)
+WHERE jaccard >= {_JACCARD_THRESHOLD}
+"""
+
+
+@_register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
+def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, threshold=_JACCARD_THRESHOLD, n=_JACCARD_N, max_shingle_df=10**9
+    )
+
+
+_EMB_BITS, _EMB_THRESHOLD = 6, 0.5
+_COS_AB_SQL = cosine_sim_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+
+_EMB_PAIRS_SQL = f"""
+SELECT id_a, id_b, cos_sim
+FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {_R(_COS_AB_SQL, 4)} AS cos_sim
+  FROM embeddings a JOIN embeddings b
+    ON a.vec_id < b.vec_id
+   AND {_sig_sql("a.embedding", _EMB_BITS)} = {_sig_sql("b.embedding", _EMB_BITS)}
+)
+WHERE cos_sim >= {_EMB_THRESHOLD}
+"""
+
+
+@_register("dedup_embedding_cosine", _EMB_PAIRS_SQL)
+def _q_emb_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(
+        emb, threshold=_EMB_THRESHOLD, n_bits=_EMB_BITS
+    )
+
+
+# -- simhash (rows-only: xxhash64 has no DuckDB twin) -------------------------
+
+
+@_register("dedup_simhash", None)
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("simhash")
+    )
+
+
+# -- chunking: fixed windows (chunker.py:92-112; expression-only) -------------
+
+_CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+_CHUNK_FIXED_SQL = f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {_CHUNK_STRIDE})) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+       CAST(start AS BIGINT) AS location_start,
+       CAST(least(start + {_CHUNK_SIZE}, length(text)) AS BIGINT) AS location_end,
+       substr(text, CAST(start + 1 AS INTEGER), {_CHUNK_SIZE}) AS chunk_text
+FROM g
+"""
+
+
+@_register("chunk_fixed", _CHUNK_FIXED_SQL)
+def _q_chunk_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = chunking.fixed_chunks(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long"),
+        F.col("location_start").cast("long"),
+        F.col("location_end").cast("long"),
+        "chunk_text",
+    )
+
+
+# -- chunking: sentence-packed (rows-only; packing is UDF logic) --------------
+
+
+@_register("chunk_sentence", None)
+def _q_chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.sentence_chunks(docs, chunk_size=_CHUNK_SIZE)
+
+
+# -- §2.8 rollup aggregation --------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT r.r_name, n.n_name,
+       {_R("sum(c.c_acctbal)", 2)} AS total_acctbal,
+       count(*) AS n_customers
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
+
+@_register("rollup_customers", _ROLLUP_SQL)
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        F.count("*").alias("n_customers"),
+    )
+
+
+# -- §2.8 semi/anti joins -----------------------------------------------------
+
+_SEMI_ANTI_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+            THEN 'has_orders' ELSE 'no_orders' END AS order_status
+FROM customer c
+"""
+
+
+@_register("customers_semi_anti", _SEMI_ANTI_SQL)
+def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    has = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "order_status", F.lit("has_orders")
+    )
+    hasnt = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "order_status", F.lit("no_orders")
+    )
+    return has.unionByName(hasnt).select("c_custkey", "c_name", "order_status")
+
+
+# -- §2.8 multi-join pipeline (TPC-H Q3 shape) --------------------------------
+
+_Q3_SQL = f"""
+SELECT l.l_orderkey,
+       {_R("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+@_register("q3_shipping_priority", _Q3_SQL)
+def _q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "o_orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+# -- §2.8 star join w/ broadcast dims (TPC-H Q5 shape) ------------------------
+
+_Q5_SQL = f"""
+SELECT n.n_name,
+       {_R("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+"""
+
+
+@_register("q5_local_supplier_volume", _Q5_SQL)
+def _q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            stable_round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# -- §2.6 rerank via keyword overlap (reranker_service.py:17-62) --------------
+
+_RERANK_SQL = f"""
+WITH bm AS ({_BM25_SQL.format(k=LEG_K)}),
+toks AS (
+  SELECT doc_id, list_distinct({_BM25_TOKS_SQL}) AS dt FROM documents
+)
+SELECT bm.doc_id,
+       {_R(f"bm.score * (1.0 + 0.1 * len(list_intersect(t.dt, {_QTERMS_SQL.replace('(', '[').replace(')', ']')})))", 4)}
+         AS rerank_score
+FROM bm JOIN toks t ON t.doc_id = bm.doc_id
+ORDER BY rerank_score DESC, bm.doc_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("rerank_keyword_overlap", _RERANK_SQL)
+def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_ops.bm25_search(docs, QUERY_TERMS, k=LEG_K)
+    qarr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    toks = docs.select(
+        "doc_id", F.array_distinct(bm25_tokens("text")).alias("dt")
+    )
+    return (
+        bm.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            stable_round(
+                F.col("score")
+                * (1.0 + 0.1 * F.size(F.array_intersect(F.col("dt"), qarr))),
+                4,
+            ).alias("rerank_score"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(KNN_K)
+    )
+
+
+# -- §2.6 multi-collection fan-out (search_service.py:207-237) ----------------
+
+_FANOUT_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id, CAST(e.label % 3 AS BIGINT) AS collection,
+         {_R(_COS_SQL, 4)} AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY collection ORDER BY score DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT collection, vec_id, score FROM ranked WHERE rn <= 5
+"""
+
+
+@_register("multi_collection_fanout", _FANOUT_SQL)
+def _q_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            (F.col("label") % 3).cast("long").alias("collection"),
+            stable_round(cosine_sim(F.col("embedding"), F.col("qvec")), 4).alias(
+                "score"
+            ),
+        )
+    )
+    top = relational.topk_per_group(
+        scored, ["collection"], "score", 5, tiebreak_col="vec_id"
+    )
+    return top.select("collection", "vec_id", "score")
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -1,0 +1,87 @@
+"""Benchmark harness: runs headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line.
+
+Each query is a full plan execution (action = count or collect for
+top-k results); times are per-query wall clock, `value` is the sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from cocoindex_data_ingestion_spark.session import get_spark
+
+# Headline set: reference query surface + scale ops. Bounded-output
+# queries are collected; unbounded ones counted (the action still
+# executes the full plan; collect of millions of rows would bench
+# the driver pipe, not the engine).
+HEADLINE = [
+    "hybrid_rrf",
+    "vector_knn",
+    "vector_knn_lsh",
+    "bm25_search",
+    "rerank_keyword_overlap",
+    "multi_collection_fanout",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "top_customer_per_nation",
+    "ordinal_upsert_latest",
+    "events_sessionize",
+    "events_tumbling_window",
+    "asof_purchase_view",
+    "graph_2hop_suppliers",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "text_profile",
+    "chunk_fixed",
+]
+
+SMALL_RESULT = {
+    "hybrid_rrf", "vector_knn", "vector_knn_lsh", "bm25_search",
+    "rerank_keyword_overlap", "multi_collection_fanout",
+    "q1_pricing_summary", "q3_shipping_priority",
+    "q5_local_supplier_volume", "top_customer_per_nation",
+    "graph_2hop_suppliers",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+
+    qs = entrymod.queries()
+    # warm the JVM + parquet footers once (not timed per query)
+    spark.range(1).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        if name in SMALL_RESULT:
+            df.collect()
+        else:
+            df.count()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline query suite wall-clock",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -174,6 +174,120 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_buckets(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket) pairs: one row per document per band."""
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"), *minhash_signature(text_col, num_hashes)
+    )
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("#", F.lit(str(b)), F.col(f"band_{b}"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+
+def minhash_lsh_edges(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup *graph edges*: each bucket member linked to the
+    bucket's min id (star edges).
+
+    This is the 100 TB form of LSH output: all-pairs within a bucket
+    is O(|bucket|²) and explodes on skewed buckets (a 2.7k-doc
+    bucket alone yields 3.6M pairs); star edges are O(|bucket|),
+    preserve the connected components exactly, and keep the
+    downstream component computation shallow (star diameter ≤ 2).
+    One window aggregation per bucket — a single shuffle on bucket.
+    """
+    from pyspark.sql import Window
+
+    buckets = minhash_buckets(docs, num_hashes, bands, id_col, text_col)
+    w = Window.partitionBy("bucket")
+    return (
+        buckets.withColumn("id_a", F.min("id").over(w))
+        .filter(F.col("id_a") != F.col("id"))
+        .select("id_a", F.col("id").alias("id_b"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Min-label propagation to fixpoint: (node_id, component) where
+    component = min node id in the connected component.
+
+    Each iteration is one join + groupBy-min; star-shaped edge
+    inputs (minhash_lsh_edges) converge in O(log n) rounds. The loop
+    checkpoints by localCheckpoint to truncate lineage (otherwise
+    the plan doubles per iteration).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("node_id"))
+        .distinct()
+        .withColumn("component", F.col("node_id"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node_id)
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.min("component").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over tokens using xxhash64 bit votes.
 
@@ -191,9 +305,15 @@ def simhash64(col: Column | str) -> Column:
 
     bits = []
     for i in range(64):
-        mask = F.lit(1 << i).cast("long")
+        # signed two's-complement: bit 63 is the long's sign bit
+        mask_val = (1 << i) if i < 63 else -(1 << 63)
+        mask = F.lit(mask_val).cast("long")
         vote = F.aggregate(toks, F.lit(0), _vote(mask))
-        bits.append(F.when(vote > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long")))
+        bits.append(
+            F.when(vote > 0, F.lit(mask_val).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
     out = bits[0]
     for bcol in bits[1:]:
         out = out.bitwiseOR(bcol)
@@ -215,10 +335,16 @@ def embedding_cosine_pairs(
     signature bucket are compared (the 100 TB path; near-identical
     vectors share sign bits with high probability).
     """
-    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+    from cocoindex_data_ingestion_spark.functions.similarity import dot, l2_norm
     from cocoindex_data_ingestion_spark.operators.vector_search import lsh_signature
 
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    # precompute per-vector norms once (N ops) instead of inside the
+    # pairwise cosine (N² ops) — same arithmetic, factored
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(vec_col).alias("norm"),
+    ]
     if n_bits > 0:
         cols.append(lsh_signature(vec_col, n_bits).alias("sig"))
     base = emb.select(*cols)
@@ -226,12 +352,16 @@ def embedding_cosine_pairs(
     cond = F.col("a.id") < F.col("b.id")
     if n_bits > 0:
         cond = cond & (F.col("a.sig") == F.col("b.sig"))
+    cos = F.when(
+        (F.col("a.norm") > 0) & (F.col("b.norm") > 0),
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.norm") * F.col("b.norm")),
+    ).otherwise(F.lit(0.0))
     return (
         a.join(b, cond)
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            stable_round(cosine_sim(F.col("a.v"), F.col("b.v")), round_to).alias("cos_sim"),
+            stable_round(cos, round_to).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
