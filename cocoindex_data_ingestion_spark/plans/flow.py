@@ -1,0 +1,213 @@
+"""Declarative flow API compiled to DataFrame programs.
+
+Reference model (SURVEY §1.3, src/base/spec.rs:510-525): a flow is
+``import_ops`` (sources) → ``reactive_ops`` (Transform / ForEach /
+Collect DAG) → ``export_ops`` (targets). Fields are single-assignment
+per scope (src/base/spec.rs:33-37); ``ForEach`` opens a child scope
+per row of a table field; ``Collect`` appends struct rows to a named
+collector; exports sync collectors to targets by primary key.
+
+Spark mapping — the flow builder is a *thin* veneer: every operation
+appends to a lazy DataFrame, so "analysis" (schema resolution,
+src/builder/analyzer.rs:1015-1127) is Catalyst's analyzer and the
+"execution plan" is the optimized physical plan. What this class
+adds over raw DataFrames is the reference's *contract*:
+
+- named single-assignment fields (duplicate transform → error, like
+  the reference's field-name check)
+- KTable semantics: a declared key, enforced unique on export
+- ForEach as explode + child scope whose collects re-join to parents
+- collectors with unionByName accumulation and optional
+  deterministic auto-UUID (stable across re-runs, mirroring
+  src/execution/memoization.rs:213-233's fingerprint-keyed UUID
+  reuse — here a pure function of the collected fields)
+- a logic fingerprint: sha256 over the flow's operation specs, used
+  by the incremental runner to force reprocessing when the flow
+  definition changes (src/builder/analyzer.rs:1105-1108)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class FlowError(ValueError):
+    pass
+
+
+@dataclass
+class _OpSpec:
+    kind: str
+    name: str
+    detail: str
+
+
+class FlowScope:
+    """One op scope (root or a ForEach child): a DataFrame plus the
+    single-assignment field registry."""
+
+    def __init__(self, flow: "Flow", df: DataFrame, scope_name: str):
+        self._flow = flow
+        self._df = df
+        self._scope = scope_name
+        self._fields: set[str] = set(df.columns)
+
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def transform(
+        self, out_field: str, expr: Column | Callable[[DataFrame], Column]
+    ) -> "FlowScope":
+        """Bind a new field (reference Transform, src/base/spec.rs:305-324).
+
+        Single-assignment: rebinding an existing field raises, like
+        the reference's analyzer."""
+        if out_field in self._fields:
+            raise FlowError(
+                f"field '{out_field}' already assigned in scope '{self._scope}'"
+            )
+        col = expr(self._df) if callable(expr) else expr
+        self._df = self._df.withColumn(out_field, col)
+        self._fields.add(out_field)
+        self._flow._record("transform", f"{self._scope}.{out_field}")
+        return self
+
+    def for_each(
+        self,
+        table_field: str,
+        fn: Callable[["FlowScope"], "FlowScope"],
+        keep_parent_fields: list[str] | None = None,
+    ) -> "FlowScope":
+        """Open a child scope per row of an array-of-struct field
+        (reference ForEach, src/base/spec.rs:328-350).
+
+        The child table is exploded flat; ``fn`` transforms the child
+        scope; parent key fields are threaded through so child
+        collects can reference ancestors. Concurrency = partition
+        parallelism (the reference's try_join_all fan-out,
+        evaluator.rs:442-444, is free here)."""
+        parent_cols = keep_parent_fields or []
+        exploded = self._df.select(
+            *parent_cols, F.explode(F.col(table_field)).alias("_row")
+        ).select(*parent_cols, "_row.*")
+        child = FlowScope(self._flow, exploded, f"{self._scope}.{table_field}[]")
+        result = fn(child)
+        self._flow._record("for_each", f"{self._scope}.{table_field}")
+        return result
+
+    def collect(
+        self,
+        collector_name: str,
+        fields: dict[str, str | Column],
+        auto_uuid_field: str | None = None,
+    ) -> "FlowScope":
+        """Emit rows into a named collector (src/base/spec.rs:354-384).
+
+        auto_uuid_field: deterministic UUID derived from the collected
+        field values (sha256-based, stable across runs — the
+        reference reuses collector UUIDs keyed by content fingerprint,
+        memoization.rs:213-233)."""
+        cols = [
+            (c if isinstance(c, Column) else F.col(c)).alias(name)
+            for name, c in fields.items()
+        ]
+        out = self._df.select(*cols)
+        if auto_uuid_field:
+            fp = F.sha2(
+                F.to_json(F.struct(*[F.col(c) for c in sorted(out.columns)])), 256
+            )
+            uuid = F.concat_ws(
+                "-",
+                F.substring(fp, 1, 8),
+                F.substring(fp, 9, 4),
+                F.substring(fp, 13, 4),
+                F.substring(fp, 17, 4),
+                F.substring(fp, 21, 12),
+            )
+            out = out.select(uuid.alias(auto_uuid_field), "*")
+        self._flow._add_to_collector(collector_name, out)
+        self._flow._record("collect", f"{self._scope}->{collector_name}")
+        return self
+
+
+class Flow:
+    """A named dataflow: sources → scopes → collectors → exports."""
+
+    def __init__(self, name: str):
+        self.name = name
+        self._ops: list[_OpSpec] = []
+        self._collectors: dict[str, DataFrame] = {}
+        self._exports: dict[str, dict] = {}
+        self._sources: dict[str, FlowScope] = {}
+
+    # -- building ---------------------------------------------------------
+
+    def add_source(
+        self, name: str, df: DataFrame, key_cols: list[str]
+    ) -> FlowScope:
+        """Import op (src/base/spec.rs:280-301): a KTable keyed by
+        ``key_cols``. Key uniqueness is a contract checked on export/
+        validate (the reference's source list() yields unique keys)."""
+        scope = FlowScope(self, df, name)
+        scope._key_cols = key_cols  # type: ignore[attr-defined]
+        self._sources[name] = scope
+        self._record("import", f"{name} key={key_cols}")
+        return scope
+
+    def _add_to_collector(self, name: str, rows: DataFrame) -> None:
+        if name in self._collectors:
+            self._collectors[name] = self._collectors[name].unionByName(rows)
+        else:
+            self._collectors[name] = rows
+
+    def collector(self, name: str) -> DataFrame:
+        if name not in self._collectors:
+            raise FlowError(f"unknown collector '{name}'")
+        return self._collectors[name]
+
+    def export(
+        self, collector_name: str, target_name: str, primary_key: list[str]
+    ) -> None:
+        """Export op (src/base/spec.rs:452-471): declare a target fed
+        by a collector with PK semantics. Materialization happens in
+        the incremental runner (MERGE-style upsert/delete)."""
+        df = self.collector(collector_name)
+        missing = [c for c in primary_key if c not in df.columns]
+        if missing:
+            raise FlowError(f"export pk fields missing from collector: {missing}")
+        self._exports[target_name] = {
+            "collector": collector_name,
+            "primary_key": primary_key,
+        }
+        self._record("export", f"{collector_name}->{target_name} pk={primary_key}")
+
+    # -- introspection ----------------------------------------------------
+
+    def _record(self, kind: str, detail: str) -> None:
+        self._ops.append(_OpSpec(kind, f"op{len(self._ops)}", detail))
+
+    def logic_fingerprint(self) -> str:
+        """Hash of the flow's op specs (analyzer.rs:1105-1108): any
+        definition change ⇒ different fingerprint ⇒ incremental
+        runner reprocesses everything."""
+        spec = json.dumps(
+            [[o.kind, o.detail] for o in self._ops], separators=(",", ":")
+        )
+        return hashlib.sha256(spec.encode()).hexdigest()
+
+    def validate_ktable(self, scope: FlowScope) -> None:
+        """Assert the KTable key contract (unique key per row)."""
+        keys = scope._key_cols  # type: ignore[attr-defined]
+        dupes = scope.df.groupBy(*keys).count().filter("count > 1").limit(1).count()
+        if dupes:
+            raise FlowError(f"KTable key {keys} is not unique")
+
+    def exports(self) -> dict[str, dict]:
+        return dict(self._exports)

@@ -1,0 +1,158 @@
+"""Streaming operators over the events stream.
+
+Reference semantics: the engine's "streaming" is per-source change
+streams + ordinal-monotonic keyed upsert (last-writer-wins by
+ordinal, src/execution/row_indexer.rs:110-131) with ack-after-
+processing (live_updater.rs:23-64). It has NO event-time watermarks
+or windows — those are Spark-native capabilities this engine adds
+for the driver's ``events`` table (SURVEY §2.5 note).
+
+Operators:
+- ``read_events_stream``   — file-source stream over the events dir
+  (stand-in for Kafka/SQS; same DataFrame downstream).
+- ``windowed_counts``      — watermarked tumbling/sliding windows.
+- ``session_windows``      — native session_window aggregation.
+- ``ordinal_upsert_stream``— the reference-faithful keyed upsert as a
+  stateful stream: max-ordinal state per key via
+  ``applyInPandasWithState``; out-of-order/stale events dropped.
+- ``foreach_batch_upsert`` — exactly-once-style sink: per-batch MERGE
+  keyed by (key, ordinal) mirrored on the 2-phase commit
+  (row_indexer.rs:140-505); idempotent per batchId.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream (one micro-batch per file by default —
+    maxFilesPerTrigger is the reference's max_inflight backpressure,
+    src/base/spec.rs:247-262)."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "5 minutes",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window aggregation; late rows
+    beyond the watermark are dropped (the late-data policy the
+    reference lacks)."""
+    w = F.window("ts", window, slide) if slide else F.window("ts", window)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("window"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Native session windows per user (gap-close semantics)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("session"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_UPSERT_STATE_SCHEMA = "max_ordinal long"
+_UPSERT_OUT_SCHEMA = (
+    "user_id long, event_id long, ordinal long, event_type string, value double"
+)
+
+
+def _upsert_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Keep only rows with ordinal strictly newer than the state's
+    max (SourceVersion::should_skip, row_indexer.rs:110-131);
+    last-writer-wins within the batch."""
+    (max_ordinal,) = state.get if state.exists else (-1,)
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ordinal", "event_id"])
+    fresh = rows[rows["ordinal"] > max_ordinal]
+    if len(fresh):
+        last = fresh.iloc[[-1]]
+        state.update((int(fresh["ordinal"].max()),))
+        yield last[["user_id", "event_id", "ordinal", "event_type", "value"]]
+
+
+def ordinal_upsert_stream(events: DataFrame) -> DataFrame:
+    """Stateful ordinal-monotonic upsert: one surviving row per key
+    per batch, stale/out-of-order updates dropped.
+
+    State is (key → max ordinal); storage is Spark's state store —
+    bounded by key cardinality, partitioned by key hash (scales to
+    any key count across executors)."""
+    with_ord = events.withColumn("ordinal", F.unix_micros("ts"))
+    return with_ord.groupBy("user_id").applyInPandasWithState(
+        _upsert_fn,
+        outputStructType=_UPSERT_OUT_SCHEMA,
+        stateStructType=_UPSERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def foreach_batch_upsert(target_state, key_col: str = "user_id"):
+    """Exactly-once-style sink builder for ``writeStream.foreachBatch``.
+
+    Each batch MERGEs into the parquet state by key keeping the max
+    ordinal (idempotent: re-delivered batches can't regress state —
+    the reference's precommit/commit tolerance,
+    row_indexer.rs:140-505)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        cur = target_state.read()
+        merged = cur.unionByName(batch_df, allowMissingColumns=True)
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col("ordinal").desc(), F.col("event_id").desc())
+        )
+        latest = (
+            merged.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .drop("_rn")
+        )
+        target_state.overwrite(latest)
+
+    return _sink

@@ -1,0 +1,126 @@
+"""Incremental skip-logic matrix, ported from the reference's own
+tests (src/execution/row_indexer.rs:823-987; FIXTURES.md §C):
+(ordinal older/equal/newer) × (content same/different) × (logic
+same/changed) → skip / bump / process, plus deletion detection."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.plans.incremental import (
+    IncrementalRunner, MemoCache, ParquetState,
+)
+
+
+def _listing(spark, rows):
+    return spark.createDataFrame(rows, "key string, ordinal long, content string")
+
+
+@pytest.fixture()
+def runner(spark, tmp_path):
+    return IncrementalRunner(
+        spark, str(tmp_path / "state"), logic_fingerprint="logic-v1"
+    )
+
+
+def _actions(runner, listing):
+    plan = runner.plan(listing, content_cols=["content"])
+    return {r["_key"]: r["_action"] for r in plan.collect()}
+
+
+def _identity_transform(df):
+    return df.select(
+        F.col("key").alias("_key"), F.col("content").alias("result")
+    )
+
+
+def _target(spark, tmp_path):
+    return ParquetState(
+        spark, str(tmp_path / "target"), "_key string, result string"
+    )
+
+
+def test_new_key_processes(spark, runner, tmp_path):
+    stats = runner.update(
+        _listing(spark, [("a", 1, "x")]), ["content"],
+        _identity_transform, _target(spark, tmp_path),
+    )
+    assert stats == {"processed": 1, "bumped": 0, "skipped": 0, "deleted": 0}
+
+
+def test_matrix_after_initial_load(spark, runner, tmp_path):
+    target = _target(spark, tmp_path)
+    runner.update(
+        _listing(spark, [(k, 10, f"c-{k}") for k in "abcdef"]),
+        ["content"], _identity_transform, target,
+    )
+    # a: ordinal newer + content changed  -> process
+    # b: ordinal newer + content same     -> bump (tracking only)
+    # c: ordinal equal + logic same       -> skip
+    # d: ordinal older                    -> skip (stale)
+    # e: gone from listing                -> delete
+    # f: ordinal equal, logic same        -> skip
+    listing = _listing(
+        spark,
+        [
+            ("a", 11, "CHANGED"),
+            ("b", 11, "c-b"),
+            ("c", 10, "c-c"),
+            ("d", 9, "ignored"),
+            ("f", 10, "c-f"),
+        ],
+    )
+    actions = _actions(runner, listing)
+    assert actions == {
+        "a": "process", "b": "bump", "c": "skip", "d": "skip",
+        "e": "delete", "f": "skip",
+    }
+
+    stats = runner.update(listing, ["content"], _identity_transform, target)
+    assert stats == {"processed": 1, "bumped": 1, "skipped": 3, "deleted": 1}
+    result = {r["_key"]: r["result"] for r in target.read().collect()}
+    assert result["a"] == "CHANGED"
+    assert "e" not in result  # deletion propagated to target
+    assert result["b"] == "c-b"
+
+
+def test_logic_change_forces_reprocess(spark, tmp_path):
+    r1 = IncrementalRunner(spark, str(tmp_path / "s"), "logic-v1")
+    target = _target(spark, tmp_path)
+    listing = _listing(spark, [("a", 10, "x")])
+    r1.update(listing, ["content"], _identity_transform, target)
+
+    r2 = IncrementalRunner(spark, str(tmp_path / "s"), "logic-v2")
+    assert _actions(r2, listing) == {"a": "process"}
+    # same logic again: skip
+    assert _actions(r1, listing) == {"a": "skip"}
+
+
+def test_bump_skips_recompute_but_tracks_ordinal(spark, runner, tmp_path):
+    target = _target(spark, tmp_path)
+    runner.update(_listing(spark, [("a", 1, "x")]), ["content"],
+                  _identity_transform, target)
+    runner.update(_listing(spark, [("a", 2, "x")]), ["content"],
+                  _identity_transform, target)
+    trk = {r["_key"]: r["_ordinal"] for r in runner.tracking.read().collect()}
+    assert trk["a"] == 2
+    # a third run at ordinal 2 now skips entirely
+    assert _actions(runner, _listing(spark, [("a", 2, "x")])) == {"a": "skip"}
+
+
+def test_memo_cache_hits_skip_function(spark, tmp_path):
+    calls = {"n": 0}
+
+    def expensive(df):
+        calls["n"] += df.count()
+        return df.withColumn("out", F.upper("text"))
+
+    cache = MemoCache(spark, str(tmp_path / "memo"), "out string")
+    df = spark.createDataFrame([("a",), ("b",)], "text string")
+    r1 = cache.through(df, ["text"], expensive, ["out"])
+    assert sorted(r["out"] for r in r1.collect()) == ["A", "B"]
+    assert calls["n"] == 2
+
+    df2 = spark.createDataFrame([("a",), ("b",), ("c",)], "text string")
+    r2 = cache.through(df2, ["text"], expensive, ["out"])
+    assert sorted(r["out"] for r in r2.collect()) == ["A", "B", "C"]
+    assert calls["n"] == 3  # only the miss ('c') recomputed

@@ -1,0 +1,137 @@
+"""Structured Streaming tests: watermarked windows, session windows,
+and the reference-faithful ordinal-monotonic keyed upsert
+(row_indexer.rs:110-131 semantics) — driven synchronously with the
+file source + memory sink."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.plans.incremental import ParquetState
+from cocoindex_data_ingestion_spark.streaming import events as se
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path, sf_dir):
+    """Stage the driver's events parquet as a streaming source dir."""
+    src = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # reuse the loader's nanos conversion contract
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    df = load_table(spark, "events", sf_dir)
+    out = str(tmp_path / "stream_in")
+    df.coalesce(2).write.parquet(out)
+    return out
+
+
+def _run_to_completion(q):
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_windowed_counts_match_batch(spark, events_dir, sf_dir):
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    stream = se.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    agg = se.windowed_counts(stream, window="5 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("win_counts")
+        .start()
+    )
+    _run_to_completion(q)
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+
+    batch = load_table(spark, "events", sf_dir)
+    expected = {
+        (r.ws, r.event_type): (r.n, r.sv)
+        for r in batch.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "sv")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_session_window_stream_runs(spark, events_dir):
+    stream = se.read_events_stream(spark, events_dir, max_files_per_trigger=2)
+    agg = se.session_windows(stream, gap="30 minutes")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess_win")
+        .start()
+    )
+    _run_to_completion(q)
+    rows = spark.sql("SELECT * FROM sess_win").collect()
+    assert rows
+    assert all(r.session_start <= r.session_end for r in rows)
+
+
+def test_ordinal_upsert_stream_drops_stale(spark, tmp_path):
+    """Out-of-order delivery: the stateful upsert must keep the
+    max-ordinal row per key and drop stale updates arriving later."""
+    import pandas as pd
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    df1 = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+         (2, "2024-01-01 11:00:00", 7, "click", 2.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df1.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.mode("append").parquet(str(in_dir))
+    # stale row (earlier ts for same user) lands in a later file
+    df2 = spark.createDataFrame(
+        [(3, "2024-01-01 09:00:00", 7, "stale", 9.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    df2.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = se.read_events_stream(spark, str(in_dir), max_files_per_trigger=1)
+    upserted = se.ordinal_upsert_stream(stream)
+    q = (
+        upserted.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("upserts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _run_to_completion(q)
+    rows = spark.sql("SELECT * FROM upserts ORDER BY ordinal").collect()
+    # batch 1 emits the latest (click); the stale 'stale' event is dropped
+    assert [r.event_type for r in rows] == ["click"]
+    assert rows[-1].event_id == 2
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path):
+    state = ParquetState(
+        spark, str(tmp_path / "target"),
+        "user_id long, event_id long, ordinal long, event_type string, value double",
+    )
+    sink = se.foreach_batch_upsert(state)
+    batch = spark.createDataFrame(
+        [(7, 1, 100, "view", 1.0), (7, 2, 200, "click", 2.0), (8, 3, 50, "view", 3.0)],
+        "user_id long, event_id long, ordinal long, event_type string, value double",
+    )
+    sink(batch, 0)
+    sink(batch, 0)  # redelivery must not change state
+    rows = {r.user_id: (r.event_id, r.ordinal) for r in state.read().collect()}
+    assert rows == {7: (2, 200), 8: (3, 50)}
+
+    stale = spark.createDataFrame(
+        [(7, 9, 150, "stale", 0.0)],
+        "user_id long, event_id long, ordinal long, event_type string, value double",
+    )
+    sink(stale, 1)  # lower ordinal than current state: ignored
+    rows = {r.user_id: (r.event_id, r.ordinal) for r in state.read().collect()}
+    assert rows[7] == (2, 200)
