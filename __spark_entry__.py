@@ -86,7 +86,7 @@ WITH toks AS (
   SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token FROM documents
 ),
 post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
-dls AS (SELECT doc_id, len({_BM25_TOKS_SQL}) AS dl FROM documents),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
 stats AS (SELECT count(*) AS n_docs FROM documents),
 ad AS (SELECT avg(dl) AS avgdl FROM dls),
 qpost AS (SELECT * FROM post WHERE token IN {_QTERMS_SQL}),
@@ -1121,6 +1121,284 @@ def _q_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored, ["collection"], "score", 5, tiebreak_col="vec_id"
     )
     return top.select("collection", "vec_id", "score")
+
+
+# -- §2.3 ParseJson (parse_json.rs:31-63) over events.props -------------------
+
+_JSON_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("json_extract_agg", _JSON_SQL)
+def _q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.max(k).cast("long").alias("max_k"),
+    )
+
+
+# -- §2.6 n-hop neighborhood (neo4j_service.py:429-488) -----------------------
+
+# unified node-id space: supplier ids as-is, part ids offset by 1e6
+_NHOP_SQL = """
+WITH raw AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS p FROM lineitem),
+edges AS (
+  SELECT s AS src, p AS dst FROM raw
+  UNION ALL
+  SELECT p AS src, s AS dst FROM raw
+),
+h1 AS (SELECT DISTINCT dst AS node_id FROM edges WHERE src = 1),
+h2 AS (
+  SELECT DISTINCT e.dst AS node_id
+  FROM edges e JOIN h1 ON e.src = h1.node_id
+  WHERE e.dst <> 1 AND e.dst NOT IN (SELECT node_id FROM h1)
+)
+SELECT CAST(1 AS BIGINT) AS node_id, 0 AS hop
+UNION ALL
+SELECT node_id, 1 FROM h1
+UNION ALL
+SELECT node_id, 2 FROM h2
+"""
+
+
+@_register("graph_nhop_frontier", _NHOP_SQL)
+def _q_nhop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS frontier to depth 2 over the supplier↔part bipartite graph
+    (part ids offset by 1e6 into a unified node id space)."""
+    li = _t(spark, sf_dir, "lineitem")
+    raw = li.select(
+        F.col("l_suppkey").alias("s"), (F.col("l_partkey") + 1000000).alias("p")
+    ).distinct()
+    edges = raw.select(F.col("s").alias("src"), F.col("p").alias("dst")).unionByName(
+        raw.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    )
+    return graph_ops.n_hop_frontier(edges, 1, depth=2).select(
+        "node_id", F.col("hop").cast("int").alias("hop")
+    )
+
+
+# -- §2.6 graph duplicate-merge (neo4j_service.py:353-427) --------------------
+
+_GRAPH_MERGE_SQL = """
+WITH survivors AS (
+  SELECT c_nationkey, c_mktsegment, min(c_custkey) AS survivor_id
+  FROM customer GROUP BY 1, 2
+),
+mapping AS (
+  SELECT c.c_custkey AS old_id, s.survivor_id
+  FROM customer c
+  JOIN survivors s
+    ON c.c_nationkey = s.c_nationkey AND c.c_mktsegment = s.c_mktsegment
+),
+edges AS (SELECT o_custkey AS src, o_orderkey AS dst FROM orders),
+repointed AS (
+  SELECT DISTINCT m.survivor_id AS src, e.dst
+  FROM edges e JOIN mapping m ON e.src = m.old_id
+)
+SELECT src AS survivor_id, count(*) AS n_edges
+FROM repointed GROUP BY src
+"""
+
+
+@_register("graph_dup_merge", _GRAPH_MERGE_SQL)
+def _q_graph_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-node merge: customers collapse by (nation, segment)
+    into the min-id survivor; order edges re-pointed + deduped."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    survivors = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.min("c_custkey").alias("survivor_id")
+    )
+    mapping = c.join(survivors, ["c_nationkey", "c_mktsegment"]).select(
+        F.col("c_custkey").alias("old_id"), "survivor_id"
+    )
+    edges = o.select(F.col("o_custkey").alias("src"), F.col("o_orderkey").alias("dst"))
+    repointed = (
+        edges.join(F.broadcast(mapping), edges.src == mapping.old_id)
+        .select(F.col("survivor_id").alias("src"), "dst")
+        .distinct()
+    )
+    return repointed.groupBy(F.col("src").alias("survivor_id")).agg(
+        F.count("*").alias("n_edges")
+    )
+
+
+# -- §2.8 latency-stats percentiles (search_service.py:572-585) ---------------
+
+_PCTL_SQL = f"""
+SELECT event_type,
+       {_R("quantile_cont(value, 0.5)", 4)} AS p50,
+       {_R("quantile_cont(value, 0.95)", 4)} AS p95,
+       {_R("quantile_cont(value, 0.99)", 4)} AS p99,
+       {_R("avg(value)", 4)} AS mean
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("percentile_stats", _PCTL_SQL)
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines: linear
+    interpolation — Spark `percentile` ≡ DuckDB `quantile_cont`).
+    At 100 TB swap for approx_percentile with documented error."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        stable_round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        stable_round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+        stable_round(F.avg("value"), 4).alias("mean"),
+    )
+
+
+# -- §2.8 cube + pivot --------------------------------------------------------
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {_R("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@_register("cube_lineitem", _CUBE_SQL)
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+_PIVOT_SQL = """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@_register("pivot_order_status", _PIVOT_SQL)
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .count()
+        .na.fill(0, ["O", "F", "P"])
+    )
+    return out.select(
+        "o_orderpriority",
+        F.col("O").alias("n_open"),
+        F.col("F").alias("n_filled"),
+        F.col("P").alias("n_pending"),
+    )
+
+
+# -- §2.8 distinct aggregations ----------------------------------------------
+
+_DISTINCT_AGG_SQL = """
+SELECT l_returnflag,
+       count(DISTINCT l_orderkey) AS n_orders,
+       count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_suppliers
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@_register("distinct_aggs", _DISTINCT_AGG_SQL)
+def _q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+    )
+
+
+# -- §2.6 semantic search: knn(2k) → keyword-overlap rerank → k ---------------
+# (search_service.py:425-461, 544-567)
+
+
+def _semantic_sql() -> str:
+    vec = _VEC_KNN_SQL.format(k=2 * KNN_K)
+    return f"""
+WITH cand AS ({vec}),
+toks AS (
+  SELECT doc_id, list_distinct({_BM25_TOKS_SQL}) AS dt FROM documents
+)
+SELECT cand.vec_id AS doc_id,
+       {_R(f"cand.score * (1.0 + 0.1 * len(list_intersect(t.dt, {_QTERMS_SQL.replace('(', '[').replace(')', ']')})))", 4)}
+         AS rerank_score
+FROM cand JOIN toks t ON t.doc_id = cand.vec_id
+ORDER BY rerank_score DESC, doc_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("semantic_search", _semantic_sql())
+def _q_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    cand = vector_search.knn(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=2 * KNN_K,
+    )
+    qarr = F.array(*[F.lit(t) for t in QUERY_TERMS])
+    toks = docs.select("doc_id", F.array_distinct(bm25_tokens("text")).alias("dt"))
+    return (
+        cand.withColumnRenamed("vec_id", "doc_id")
+        .join(toks, "doc_id")
+        .select(
+            "doc_id",
+            stable_round(
+                F.col("score")
+                * (1.0 + 0.1 * F.size(F.array_intersect(F.col("dt"), qarr))),
+                4,
+            ).alias("rerank_score"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(KNN_K)
+    )
+
+
+# -- §3.2 transient flow eval (rows-only; evaluator.rs:561-603) ---------------
+
+
+@_register("transient_flow_eval", None)
+def _q_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-time transform sharing: the SAME embedder used at index
+    time applied to an ad-hoc 1-row input (docs/query.mdx transform
+    flow); returns the query text + its embedding dims."""
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        embed_documents, hash_embedder,
+    )
+
+    qdf = spark.createDataFrame(
+        [(0, " ".join(QUERY_TERMS))], "doc_id long, text string"
+    ).coalesce(1)
+    out = embed_documents(qdf, hash_embedder(dim=64))
+    return out.select(
+        "doc_id", "text", F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e0"),
+    )
 
 
 # ------------------------------------------------------------- driver surface

@@ -59,8 +59,10 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
-    # warm the JVM + parquet footers once (not timed per query)
-    spark.range(1).count()
+    # warm the JVM (codegen, parquet reader, arrow paths) with the
+    # same plans at the smallest SF — untimed
+    for warm in ("hybrid_rrf", "q1_pricing_summary", "events_sessionize"):
+        qs[warm](spark, "/root/testdata/sf0.001").collect()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

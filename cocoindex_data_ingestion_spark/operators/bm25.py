@@ -61,9 +61,16 @@ def bm25_search(
 
     idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )   [Robertson/Lucene]
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    Single tokenization pass: dl = Σ tf over the doc's postings
+    (identical to len(tokens)); avgdl over docs having ≥1 token
+    (zero-token docs can never match a query, so their exclusion
+    from avgdl is the only — documented — divergence from a
+    length-table over all docs). N = count(*) — a parquet
+    statistics read, no data scan.
     """
     postings = build_postings(docs, id_col, text_col)
-    dls = doc_lengths(docs, id_col, text_col)
+    dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
     n_docs = docs.select(F.count("*").alias("n_docs"))
     avgdl = dls.select(F.avg("dl").alias("avgdl"))

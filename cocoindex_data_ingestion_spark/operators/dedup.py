@@ -181,10 +181,24 @@ def minhash_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, bucket) pairs: one row per document per band."""
+    """(id, bucket) pairs: one row per document per band.
+
+    Signature computation: tokens exploded ONCE, all minhashes as
+    aggregates of one groupBy — avoids 16 re-evaluations of the
+    tokenization expression (Catalyst's CollapseProject would inline
+    the token array into every per-hash column) and needs no array
+    allocations. One shuffle on id; md5 work is identical.
+    """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"), *minhash_signature(text_col, num_hashes)
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(bm25_tokens(text_col))).alias("token"),
+    )
+    sig = toks.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
     )
     band_cols = [
         F.md5(

@@ -59,22 +59,27 @@ def n_hop_frontier(
     iteration one equi-join + distinct-min aggregation.
     """
     spark = edges.sparkSession
-    frontier = spark.createDataFrame([(start_id, 0)], "node_id long, hop int")
-    seen = frontier
-    for d in range(1, depth + 1):
-        nxt = (
-            frontier.join(edges, frontier.node_id == edges.src)
-            .select(F.col("dst").alias("node_id"), F.lit(d).alias("hop"))
-            .join(seen.select("node_id"), "node_id", "left_anti")
-            .distinct()
-        )
-        nxt.persist()
-        if nxt.rdd.isEmpty():
-            nxt.unpersist()
-            break
-        seen = seen.unionByName(nxt)
-        frontier = nxt
-    return seen
+    # the loop probes the edge list `depth` times — materialize it
+    # once instead of re-scanning (and re-distinct-ing) per hop
+    edges = edges.persist()
+    try:
+        frontier = spark.createDataFrame([(start_id, 0)], "node_id long, hop int")
+        seen = frontier
+        for d in range(1, depth + 1):
+            nxt = (
+                frontier.join(edges, frontier.node_id == edges.src)
+                .select(F.col("dst").alias("node_id"), F.lit(d).alias("hop"))
+                .join(seen.select("node_id"), "node_id", "left_anti")
+                .distinct()
+                .localCheckpoint(eager=True)  # truncate lineage per hop
+            )
+            if nxt.limit(1).count() == 0:
+                break
+            seen = seen.unionByName(nxt)
+            frontier = nxt
+        return seen.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()
 
 
 def entity_search(

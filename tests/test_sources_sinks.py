@@ -1,0 +1,105 @@
+"""LocalFile source, sinks (table/vector/graph MERGE semantics),
+golden-dump harness."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark import sinks
+from cocoindex_data_ingestion_spark.plans.dumper import compare_golden, dump_golden
+from cocoindex_data_ingestion_spark.sources.localfile import read_local_files
+
+
+@pytest.fixture()
+def files_dir(tmp_path):
+    d = tmp_path / "files"
+    d.mkdir()
+    (d / "a.md").write_text("# doc a")
+    (d / "b.md").write_text("# doc b")
+    (d / "skip.log").write_text("nope")
+    return str(d)
+
+
+def test_local_file_source_globs_and_ordinal(spark, files_dir):
+    df = read_local_files(spark, files_dir, include_glob="*.md", binary=False)
+    rows = {r.filename: r for r in df.collect()}
+    assert set(rows) == {"a.md", "b.md"}
+    assert rows["a.md"].content_text == "# doc a"
+    assert rows["a.md"].ordinal > 0  # mtime µs ordinal
+
+    excl = read_local_files(spark, files_dir, exclude_globs=["skip.*"])
+    assert {r.filename for r in excl.collect()} == {"a.md", "b.md"}
+
+
+def test_table_sink_merge_and_delete(spark, tmp_path):
+    sink = sinks.TableSink(
+        spark, str(tmp_path / "t"), ["id"], "id long, val string"
+    )
+    sink.merge(spark.createDataFrame([(1, "a"), (2, "b")], "id long, val string"))
+    sink.merge(spark.createDataFrame([(2, "B"), (3, "c")], "id long, val string"))
+    assert {(r.id, r.val) for r in sink.read().collect()} == {
+        (1, "a"), (2, "B"), (3, "c")
+    }
+    assert sink.delete_where("id = 1") == 1
+    assert {r.id for r in sink.read().collect()} == {2, 3}
+
+
+def test_vector_sink_dim_check(spark, tmp_path):
+    sink = sinks.VectorSink(
+        spark, str(tmp_path / "v"), ["id"],
+        "id long, embedding array<float>", {"embedding": 4},
+    )
+    ok = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])],
+                               "id long, embedding array<float>")
+    sink.merge(ok)
+    bad = spark.createDataFrame([(2, [1.0, 0.0])],
+                                "id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim=4"):
+        sink.merge(bad)
+
+
+def test_graph_sink_merge_stale_and_orphans(spark, tmp_path):
+    g = sinks.GraphSink(
+        spark, str(tmp_path / "g"),
+        "node_id string, label string, _auto boolean",
+        "src string, dst string, rel_type string",
+    )
+    g.merge_nodes(spark.createDataFrame(
+        [("e1", "Entity"), ("e2", "Entity")], "node_id string, label string"))
+    g.merge_nodes(spark.createDataFrame(
+        [("e3", "Entity")], "node_id string, label string"), auto_created=True)
+    g.merge_edges(spark.createDataFrame(
+        [("e1", "e3", "RELATES")], "src string, dst string, rel_type string"))
+
+    # re-export e1: stale edges dropped, fresh merged
+    g.delete_edges_from_sources(spark.createDataFrame([("e1",)], "src string"))
+    g.merge_edges(spark.createDataFrame(
+        [("e1", "e2", "RELATES")], "src string, dst string, rel_type string"))
+    edges = {(r.src, r.dst) for r in g.edges.read().collect()}
+    assert edges == {("e1", "e2")}
+
+    # e3 was auto-created and now unreferenced -> GC'd
+    assert g.gc_orphans() == 1
+    assert {r.node_id for r in g.nodes.read().collect()} == {"e1", "e2"}
+
+
+def test_golden_dump_stable_and_diffable(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", [0.1]), (2, "b", [0.2])],
+        "doc_id long, text string, vec array<double>",
+    )
+    c1 = dump_golden(str(tmp_path / "run1"), {"chunks": df})
+    c2 = dump_golden(str(tmp_path / "run2"), {"chunks": df})
+    assert c1 == c2 == {"chunks": 2}
+    assert compare_golden(str(tmp_path / "run2"), str(tmp_path / "run1")) == []
+
+    changed = df.withColumn("text", F.upper("text"))
+    dump_golden(str(tmp_path / "run3"), {"chunks": changed})
+    diffs = compare_golden(str(tmp_path / "run3"), str(tmp_path / "run1"))
+    assert diffs == ["differs: chunks.json"]
+
+    with open(tmp_path / "run1" / "chunks.json") as f:
+        data = json.load(f)
+    assert data[0]["doc_id"] == 1 and data[0]["vec"] == [0.1]
