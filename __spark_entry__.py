@@ -1401,6 +1401,162 @@ def _q_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.3 parse_duration (duration.rs:170) ------------------------------------
+
+_DURATION_SAMPLES = [
+    "1h 30m", "90s", "PT1H30M", "2 days 4 hours", "1.5h", "250ms",
+    "P1DT2H30M", "45 minutes", "1d 2h 3m 4s", "PT0.5S", "", "no units here",
+]
+
+
+def _duration_sql() -> str:
+    from cocoindex_data_ingestion_spark.functions.duration import (
+        parse_duration_us_sql,
+    )
+
+    values = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(_DURATION_SAMPLES)
+    )
+    return f"""
+SELECT id, s, {parse_duration_us_sql("s")} AS duration_us
+FROM (VALUES {values}) AS t(id, s)
+"""
+
+
+@_register("parse_duration", _duration_sql())
+def _q_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.duration import parse_duration_us
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_DURATION_SAMPLES)], "id long, s string"
+    ).coalesce(1)
+    return df.select(
+        F.col("id").cast("int").alias("id"),
+        "s",
+        parse_duration_us("s").alias("duration_us"),
+    )
+
+
+# -- skew-resistant salted aggregation (identical result contract) ------------
+
+_SALTED_AGG_SQL = f"""
+SELECT event_type,
+       count(*) AS n_events,
+       {_R("sum(value)", 2)} AS sum_value,
+       {_R("max(value)", 2)} AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@_register("salted_agg_events", _SALTED_AGG_SQL)
+def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events has 5 hot keys — the salted two-phase agg spreads each
+    over 16 reducers; results are provably identical to the plain
+    GROUP BY (which is the oracle)."""
+    ev = _t(spark, sf_dir, "events")
+    out = relational.salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n_events": ("count", "value"),
+            "sum_value": ("sum", "value"),
+            "max_value": ("max", "value"),
+        },
+        n_salts=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long"),
+        stable_round(F.col("sum_value"), 2).alias("sum_value"),
+        stable_round(F.col("max_value"), 2).alias("max_value"),
+    )
+
+
+# -- §2.6 MaxSim late interaction over a multi-vector table -------------------
+
+_MAXSIM_DOCS = 16  # patch vectors per label-document
+_MAXSIM_Q = 4  # query token vectors
+
+
+def _maxsim_sql() -> str:
+    dot = "list_dot_product(q::DOUBLE[], d::DOUBLE[])"
+    return f"""
+WITH ranked AS (
+  SELECT label, vec_id, embedding,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+  FROM embeddings
+),
+docs AS (
+  SELECT CAST(label AS BIGINT) AS doc_label,
+         list(embedding ORDER BY vec_id) AS dvecs
+  FROM ranked WHERE rn <= {_MAXSIM_DOCS}
+  GROUP BY label
+),
+q AS (
+  SELECT list(embedding ORDER BY vec_id) AS qvecs
+  FROM embeddings WHERE vec_id < {_MAXSIM_Q}
+)
+SELECT doc_label,
+       {_R(f"list_sum(list_transform(qvecs, q -> list_max(list_transform(dvecs, d -> {dot}))))", 4)}
+         AS maxsim_score
+FROM docs, q
+ORDER BY maxsim_score DESC, doc_label ASC
+"""
+
+
+@_register("knn_maxsim", _maxsim_sql())
+def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColPali-style MaxSim ranking: per label-'document' of 16 patch
+    vectors vs a 4-vector query (multi-vector comparator,
+    qdrant.rs:11). Pure nested higher-order functions — no UDF."""
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.functions.similarity import maxsim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    docs = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MAXSIM_DOCS)
+        .groupBy(F.col("label").cast("long").alias("doc_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda x: x["embedding"],
+            ).alias("dvecs")
+        )
+    )
+    q = (
+        emb.filter(F.col("vec_id") < _MAXSIM_Q)
+        .groupBy()
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda x: x["embedding"],
+            ).alias("qvecs")
+        )
+    )
+    return (
+        docs.crossJoin(F.broadcast(q))
+        .select(
+            "doc_label",
+            stable_round(maxsim(F.col("qvecs"), F.col("dvecs")), 4).alias(
+                "maxsim_score"
+            ),
+        )
+        .orderBy(F.col("maxsim_score").desc(), F.col("doc_label").asc())
+    )
+
+
+# -- semantic chunker (rows-only; boundary rule over hash embeddings) ---------
+
+
+@_register("chunk_semantic", None)
+def _q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunking.semantic_chunks(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- driver surface
 
 

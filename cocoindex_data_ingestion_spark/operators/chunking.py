@@ -219,6 +219,93 @@ def recursive_chunks(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def semantic_chunks(
+    docs: DataFrame,
+    boundary_threshold: float = 0.5,
+    min_tokens: int = 5,
+    max_tokens: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Semantic chunking (app/processors/semantic_chunker.py:15-143):
+    sentence embeddings; a boundary opens where consecutive-sentence
+    cosine < threshold; short chunks merge forward; token bounds
+    enforced.
+
+    Embedder: the engine's deterministic hash embedder (SURVEY §7 —
+    real models plug into the same per-batch shape). Per-document
+    sequential logic → mapInPandas over Arrow batches; docs are
+    independent so this parallelizes like any map."""
+    import re
+
+    import numpy as np
+
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        hash_embed_series,
+    )
+
+    sent_re = re.compile(SENTENCE_SPLIT_RE)
+    schema = (
+        f"{id_col} long, chunk_index int, location_start long, "
+        "location_end long, chunk_text string, n_sentences int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                text = text or ""
+                sents: list[tuple[str, int]] = []
+                pos = 0
+                for piece in sent_re.split(text):
+                    idx = text.find(piece, pos)
+                    if piece.strip():
+                        sents.append((piece, idx))
+                    pos = idx + len(piece)
+                if not sents:
+                    continue
+                embs = hash_embed_series(
+                    pd.Series([s for s, _ in sents]), dim=32
+                ).tolist()
+                groups: list[list[int]] = [[0]]
+                for i in range(1, len(sents)):
+                    a, b = np.array(embs[i - 1]), np.array(embs[i])
+                    denom = float(np.linalg.norm(a) * np.linalg.norm(b))
+                    cos = float(a @ b) / denom if denom > 0 else 0.0
+                    cur_tokens = sum(
+                        len(sents[j][0].split()) for j in groups[-1]
+                    )
+                    if cos < boundary_threshold or cur_tokens >= max_tokens:
+                        groups.append([i])
+                    else:
+                        groups[-1].append(i)
+                # merge short chunks forward (reference merges when
+                # cross-similarity is high; deterministic variant:
+                # merge any under-min chunk into its successor)
+                merged: list[list[int]] = []
+                for g in groups:
+                    toks = sum(len(sents[j][0].split()) for j in g)
+                    if merged and sum(
+                        len(sents[j][0].split()) for j in merged[-1]
+                    ) < min_tokens:
+                        merged[-1].extend(g)
+                    else:
+                        merged.append(g)
+                for ci, g in enumerate(merged):
+                    start = sents[g[0]][1]
+                    end = sents[g[-1]][1] + len(sents[g[-1]][0])
+                    rows.append(
+                        (did, ci, start, end, text[start:end], len(g))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_index", "location_start",
+                         "location_end", "chunk_text", "n_sentences"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def two_tier_chunks(
     docs: DataFrame,
     page_size: int = 1200,

@@ -67,6 +67,43 @@ def asof_join(
     return joined.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
 
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: two-phase groupBy with a random
+    salt — partial agg on (key, salt) spreads a hot key over
+    ``n_salts`` reducers, the final agg on key combines partials.
+
+    ``aggs``: out_col -> (fn, in_col) with fn in {sum, count, min,
+    max} (the decomposable aggregates; avg = sum/count composed by
+    the caller). Results are identical to a direct groupBy — the
+    salt only changes the physical distribution, which is why the
+    DuckDB oracle for a salted query is the plain GROUP BY.
+
+    At 100 TB this is the manual fallback when AQE skew handling
+    can't help (first-stage aggregation skew, not join skew).
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * n_salts).cast("int")
+    )
+    partial_aggs = []
+    for out, (fn, col) in aggs.items():
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(f"_p_{out}"))
+        else:
+            partial_aggs.append(getattr(F, fn)(col).alias(f"_p_{out}"))
+    partial = salted.groupBy(*group_cols, "_salt").agg(*partial_aggs)
+
+    final_aggs = []
+    for out, (fn, _col) in aggs.items():
+        refn = "sum" if fn == "count" else fn
+        final_aggs.append(getattr(F, refn)(f"_p_{out}").alias(out))
+    return partial.groupBy(*group_cols).agg(*final_aggs)
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",
