@@ -1557,6 +1557,57 @@ def _q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.semantic_chunks(_t(spark, sf_dir, "documents"))
 
 
+# -- prebuilt-index variants (production path; identical results/oracles) ----
+
+_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build the search index for this sf_dir once per process."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        build_search_index,
+    )
+
+    if sf_dir not in _INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="spark_graft_index_")
+        build_search_index(
+            _t(spark, sf_dir, "documents"),
+            _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
+            idx,
+            lsh_bits=_LSH_BITS,
+        )
+        _INDEX_CACHE[sf_dir] = idx
+    return _INDEX_CACHE[sf_dir]
+
+
+@_register("indexed_bm25_search", _BM25_SQL.format(k=KNN_K))
+def _q_indexed_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.operators.indexing import indexed_bm25
+
+    idx = _ensure_index(spark, sf_dir)
+    return indexed_bm25(spark, idx, QUERY_TERMS, k=KNN_K)
+
+
+@_register("indexed_vector_knn", _VEC_KNN_SQL.format(k=KNN_K))
+def _q_indexed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.operators.indexing import indexed_knn
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn(spark, idx, q, k=KNN_K, exact=True)
+
+
+@_register("indexed_vector_knn_lsh", _VEC_KNN_LSH_SQL)
+def _q_indexed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.operators.indexing import indexed_knn
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn(spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False)
+
+
 # ------------------------------------------------------------- driver surface
 
 
