@@ -1608,6 +1608,168 @@ def _q_indexed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed_knn(spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False)
 
 
+# -- §2.8 grouping sets -------------------------------------------------------
+
+_GROUPING_SETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n, {_R("sum(o_totalprice)", 2)} AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@_register("grouping_sets_orders", _GROUPING_SETS_SQL)
+def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               floor(sum(o_totalprice) * 1e2 + 0.5D) / 1e2 AS total
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# -- §2.8 window frames: running + moving aggregates --------------------------
+
+_RUNNING_SQL = f"""
+SELECT user_id, event_id,
+       {_R("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)", 2)} AS running_sum,
+       {_R("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 4)} AS moving_avg_3
+FROM events
+"""
+
+
+@_register("window_running_aggs", _RUNNING_SQL)
+def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        stable_round(
+            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_sum"),
+        stable_round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
+            "moving_avg_3"
+        ),
+    )
+
+
+# -- §2.8 set operations ------------------------------------------------------
+
+_SETOPS_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+"""
+
+
+@_register("setops_customers", _SETOPS_SQL)
+def _q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = c.filter("c_mktsegment = 'BUILDING'").select("c_custkey")
+    open_orders = o.filter("o_orderstatus = 'O'").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    big = o.filter("o_totalprice > 400000").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(open_orders).exceptAll(big.distinct())
+
+
+# -- §2.8 unpivot (stack) -----------------------------------------------------
+
+_UNPIVOT_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         sum(l_extendedprice) AS extended,
+         sum(l_extendedprice * (1 - l_discount)) AS discounted,
+         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charged
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, {_R("amount", 2)} AS amount
+FROM base
+UNPIVOT (amount FOR measure IN (extended, discounted, charged))
+"""
+
+
+@_register("unpivot_revenue", _UNPIVOT_SQL)
+def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_returnflag").agg(
+        F.sum("l_extendedprice").alias("extended"),
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "discounted"
+        ),
+        F.sum(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charged"),
+    )
+    return base.selectExpr(
+        "l_returnflag",
+        "stack(3, 'extended', extended, 'discounted', discounted, "
+        "'charged', charged) AS (measure, amount)",
+    ).select(
+        "l_returnflag", "measure", stable_round(F.col("amount"), 2).alias("amount")
+    )
+
+
+# -- multimodal: binary column metadata (content-addressed) -------------------
+
+_MEDIA_SQL = """
+SELECT doc_id,
+       CAST(octet_length(text::BLOB) AS BIGINT) AS media_size,
+       sha256(text) AS media_sha256
+FROM documents
+"""
+
+
+@_register("media_metadata", _MEDIA_SQL)
+def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing (operators/multimodal.py): docs' text
+    bytes treated as an opaque blob → size + content hash (the
+    incremental skip inputs for media pipelines)."""
+    from cocoindex_data_ingestion_spark.operators.multimodal import (
+        attach_media_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+    out = attach_media_metadata(docs, "content")
+    return out.select(
+        "doc_id",
+        F.col("media_size").cast("long").alias("media_size"),
+        "media_sha256",
+    )
+
+
+# -- approximate sketches (rows-only: engine-specific algorithms) -------------
+
+
+@_register("approx_sketches", None)
+def _q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx percentiles — the
+    documented approximate path for 100 TB aggregations; algorithms
+    differ per engine so the driver records a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
