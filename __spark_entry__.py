@@ -1770,6 +1770,92 @@ def _q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 quick search (search_service thin wrapper: prefix/contains) ---------
+
+_QUICK_SEARCH_SQL = """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE contains(lower(text), 'spark join')
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@_register("quick_search", _QUICK_SEARCH_SQL)
+def _q_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.lower(F.col("text")).contains("spark join"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# -- §2.6 RAG context assembly (app/api/query.py:26-171, minus the LLM) -------
+
+
+def _rag_context_sql() -> str:
+    hybrid = _hybrid_sql(limit=5)
+    return f"""
+WITH ranked AS ({hybrid}),
+cites AS (
+  SELECT r.id, r.rrf_score,
+         row_number() OVER (ORDER BY r.rrf_score DESC, r.id ASC) AS rank,
+         '[doc:' || CAST(r.id AS VARCHAR) || '] ' || substr(d.text, 1, 120)
+           AS citation
+  FROM ranked r JOIN documents d ON d.doc_id = r.id
+)
+SELECT string_agg(citation, CHR(10) ORDER BY rank) AS context,
+       count(*) AS n_chunks
+FROM cites
+"""
+
+
+@_register("rag_context_assembly", _rag_context_sql())
+def _q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG endpoint's retrieval + prompt-context assembly: top-5
+    hybrid results → '[doc:ID] prefix' citations joined in rank
+    order (the LLM call itself is an external-service UDF)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    ranked = hybrid.hybrid_search(
+        docs,
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        QUERY_TERMS,
+        k=5,
+        leg_k=LEG_K,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    cites = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(docs, ranked.id == docs.doc_id)
+        .select(
+            "rank",
+            F.concat(
+                F.lit("[doc:"),
+                F.col("id").cast("string"),
+                F.lit("] "),
+                F.substring("text", 1, 120),
+            ).alias("citation"),
+        )
+    )
+    return cites.groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "citation"))),
+                lambda x: x["citation"],
+            ),
+            "\n",
+        ).alias("context"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -25,8 +25,6 @@ turns O(corpus) per query into O(result).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
