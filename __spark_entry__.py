@@ -1856,6 +1856,102 @@ def _q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 named-vector (text+visual) fusion on one collection -----------------
+# (qdrant_service.py:306-388: two named vectors, linear blend)
+
+_MV_SQL = f"""
+WITH qt AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+qv AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 1)
+SELECT e.vec_id,
+       {_R(f"0.5 * ({cosine_sim_sql('e.embedding::DOUBLE[]', 'qt.qvec')}) + 0.5 * ({cosine_sim_sql('e.embedding::DOUBLE[]', 'qv.qvec')})", 4)}
+         AS fused_score
+FROM embeddings e, qt, qv
+WHERE e.vec_id > 1
+ORDER BY fused_score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("multivector_text_visual", _MV_SQL)
+def _q_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qt = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qt"))
+    qv = emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") > 1)
+        .crossJoin(F.broadcast(qt))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            stable_round(
+                0.5 * cosine_sim(F.col("embedding"), F.col("qt"))
+                + 0.5 * cosine_sim(F.col("embedding"), F.col("qv")),
+                4,
+            ).alias("fused_score"),
+        )
+        .orderBy(F.col("fused_score").desc(), F.col("vec_id").asc())
+        .limit(KNN_K)
+    )
+
+
+# -- §2.6 search suggestions (api/search.py:211-331 thin wrapper) -------------
+
+_SUGGEST_SQL = f"""
+WITH toks AS (
+  SELECT unnest({_BM25_TOKS_SQL}) AS token FROM documents
+)
+SELECT token, count(*) AS freq
+FROM toks
+WHERE token LIKE 'sp%'
+GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 10
+"""
+
+
+@_register("search_suggestions", _SUGGEST_SQL)
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(bm25_tokens("text")).alias("token"))
+        .filter(F.col("token").startswith("sp"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(10)
+    )
+
+
+# -- §2.6 corpus stats / health (api/search.py stats endpoint) ----------------
+
+_CORPUS_STATS_SQL = f"""
+SELECT count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT source) AS n_sources,
+       {_R("avg(n_chars)", 4)} AS avg_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars
+FROM documents
+"""
+
+
+@_register("corpus_stats", _CORPUS_STATS_SQL)
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        stable_round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

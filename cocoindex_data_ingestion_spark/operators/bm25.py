@@ -72,8 +72,10 @@ def bm25_search(
     postings = build_postings(docs, id_col, text_col)
     dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
 
-    n_docs = docs.select(F.count("*").alias("n_docs"))
-    avgdl = dls.select(F.avg("dl").alias("avgdl"))
+    # one broadcast scalar row instead of two separate ones
+    stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
+        dls.select(F.avg("dl").alias("avgdl"))
+    )
 
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
     qpost = postings.filter(F.col("token").isin(qterms))
@@ -85,8 +87,7 @@ def bm25_search(
     scored = (
         qpost.join(F.broadcast(df_per_token), "token")
         .join(dls, id_col)
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log(
