@@ -32,6 +32,16 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Defensive runtime confs for sessions we didn't build (the
+    driver constructs its own SparkSession): events.parquet is
+    TIMESTAMP(NANOS) (unreadable without nanosAsLong) and all oracle
+    comparisons assume UTC session time. Both are runtime-settable
+    SQL confs."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one table; Catalyst handles column pruning + filter pushdown.
 
@@ -43,6 +53,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     """
     from pyspark.sql import functions as F
 
+    ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
