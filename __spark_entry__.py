@@ -1952,6 +1952,97 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.7 entity pipeline over the documents corpus ---------------------------
+
+_GAZETTEER = {
+    "spark": "TECHNOLOGY",
+    "hash": "CONCEPT",
+    "join": "OPERATION",
+    "window": "OPERATION",
+    "stream": "CONCEPT",
+}
+
+
+def _entity_canon_sql() -> str:
+    # single-word, lowercase gazetteer on a punctuation-free corpus:
+    # word-boundary regex matching == token equality, so mentions per
+    # doc = token tf — which DuckDB can compute exactly
+    terms = "[" + ", ".join(f"'{t}'" for t in _GAZETTEER) + "]"
+    cases = " ".join(
+        f"WHEN name = '{t}' THEN '{ty}'" for t, ty in _GAZETTEER.items()
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+hits AS (
+  SELECT doc_id, token AS name, count(*) AS tf
+  FROM toks WHERE list_contains({terms}, token)
+  GROUP BY doc_id, token
+)
+SELECT name, CASE {cases} END AS type,
+       CAST(sum(tf) AS BIGINT) AS n_mentions,
+       count(DISTINCT doc_id) AS n_documents,
+       md5(name || chr(0) || (CASE {cases} END)) AS entity_id
+FROM hits
+GROUP BY name
+"""
+
+
+@_register("entity_canonicalize", _entity_canon_sql())
+def _q_entity_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gazetteer mention extraction (verbatim offsets, quality
+    filter) → canonicalization by normalized (name, type) — the
+    reference's _canonical_key groupBy (document_tasks.py:854)."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    mentions = ent.quality_filter(
+        ent.extract_mentions_gazetteer(docs, _GAZETTEER)
+    )
+    canon = ent.canonicalize(mentions)
+    return canon.select(
+        "name",
+        "type",
+        F.col("n_mentions").cast("long"),
+        F.col("n_documents").cast("long"),
+        "entity_id",
+    )
+
+
+@_register("entity_mentions", None)
+def _q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw mentions with verbatim [start, end) offsets (rows-only:
+    DuckDB has no all-match-positions primitive)."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    return ent.quality_filter(ent.extract_mentions_gazetteer(docs, _GAZETTEER))
+
+
+@_register("entity_cooccurrence", None)
+def _q_entity_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based relationship extraction: same-document entity
+    co-occurrence with evidence counts (rows-only)."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    mentions = ent.quality_filter(ent.extract_mentions_gazetteer(docs, _GAZETTEER))
+    return ent.cooccurrence_relationships(mentions)
+
+
 # ------------------------------------------------------------- driver surface
 
 
