@@ -113,19 +113,38 @@ def embed_documents(
 def batched_api_embedder(
     call_api: Callable[[list[str]], list[list[float]]],
     batch_size: int = 128,
+    max_concurrent: int = 4,
+    max_retries: int = 3,
 ) -> Callable[..., Column]:
     """Adapter for remote embedding APIs (EmbedText shape): the
     iterator form processes Arrow batches; ``call_api`` receives
-    bounded chunks (rate-limit friendly). Inject the real client at
-    deploy time; tests inject a fake."""
-
+    bounded chunks under a per-executor concurrency cap with
+    exponential-backoff retry (the reference's retryable + inflight
+    controls). Inject the real client at deploy time; tests inject a
+    fake."""
     @F.pandas_udf(T.ArrayType(T.FloatType()))
     def embed_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # imported + constructed in the executor worker (semaphores
+        # don't pickle into closures)
+        from cocoindex_data_ingestion_spark.functions.retry import (
+            executor_rate_limiter, with_retry,
+        )
+
+        limiter = executor_rate_limiter(max_concurrent)
         for texts in it:
             out: list[list[float]] = []
             vals = texts.fillna("").tolist()
             for i in range(0, len(vals), batch_size):
-                out.extend(call_api(vals[i : i + batch_size]))
+                chunk = vals[i : i + batch_size]
+                with limiter:
+                    out.extend(
+                        with_retry(
+                            lambda c=chunk: call_api(c),
+                            max_retries=max_retries,
+                            base_delay_s=0.05,
+                            max_delay_s=2.0,
+                        )
+                    )
             yield pd.Series(out)
 
     return embed_udf

@@ -64,3 +64,46 @@ def test_semantic_chunks_properties(spark):
         assert r.n_sentences >= 1
     idx = [r.chunk_index for r in sorted(rows, key=lambda r: r.location_start)]
     assert idx == sorted(idx)
+
+
+def test_with_retry_backoff_and_giveup():
+    from cocoindex_data_ingestion_spark.functions.retry import with_retry
+
+    calls = {"n": 0}
+    delays = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise IOError("transient")
+        return "ok"
+
+    assert with_retry(flaky, sleep=delays.append) == "ok"
+    assert calls["n"] == 3 and len(delays) == 2
+
+    def always_fails():
+        raise IOError("down")
+
+    import pytest as _pytest
+
+    with _pytest.raises(IOError):
+        with_retry(always_fails, max_retries=2, sleep=delays.append)
+
+
+def test_batched_api_embedder_retries(spark):
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        batched_api_embedder, embed_documents,
+    )
+
+    state = {"fails_left": 1}
+
+    def flaky_api(texts):
+        if state["fails_left"] > 0:
+            state["fails_left"] -= 1
+            raise IOError("rate limited")
+        return [[float(len(t)), 0.0] for t in texts]
+
+    docs = spark.createDataFrame([(1, "ab"), (2, "abcd")], "doc_id long, text string").coalesce(1)
+    out = embed_documents(docs, batched_api_embedder(flaky_api, batch_size=10))
+    rows = {r.doc_id: r.embedding for r in out.collect()}
+    assert rows[1][0] == 2.0 and rows[2][0] == 4.0
