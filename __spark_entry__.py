@@ -2136,6 +2136,104 @@ def _q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- text analysis: token-distribution entropy + repetition -------------------
+
+_ENTROPY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+per_doc AS (
+  SELECT doc_id, sum(c) AS n, max(c) AS max_c,
+         sum(c * ln(c)) AS sum_clnc, count(*) AS n_distinct
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id,
+       {_R("ln(n) - sum_clnc / n", 4)} AS token_entropy,
+       {_R("max_c / CAST(n AS DOUBLE)", 4)} AS max_tf_ratio,
+       {_R("n_distinct / CAST(n AS DOUBLE)", 4)} AS distinct_ratio
+FROM per_doc
+"""
+
+
+@_register("text_entropy", _ENTROPY_SQL)
+def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-doc token distribution
+    (H = ln n − Σc·ln c / n) + repetition ratios — degenerate/
+    boilerplate detection for training-data filtering."""
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.max("c").alias("max_c"),
+        F.sum(F.col("c") * F.log("c")).alias("sum_clnc"),
+        F.count("*").alias("n_distinct"),
+    )
+    return per_doc.select(
+        "doc_id",
+        stable_round(F.log("n") - F.col("sum_clnc") / F.col("n"), 4).alias(
+            "token_entropy"
+        ),
+        stable_round(F.col("max_c") / F.col("n").cast("double"), 4).alias(
+            "max_tf_ratio"
+        ),
+        stable_round(F.col("n_distinct") / F.col("n").cast("double"), 4).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+# -- corpus n-gram frequency table (LM-data analysis) -------------------------
+
+_BIGRAM_SQL = f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+bi AS (
+  SELECT unnest(
+    CASE WHEN len(toks) >= 2
+         THEN list_transform(generate_series(0, len(toks) - 2),
+                             i -> toks[i + 1] || ' ' || toks[i + 2])
+         ELSE [] END
+  ) AS bigram
+  FROM t
+)
+SELECT bigram, count(*) AS freq
+FROM bi
+GROUP BY bigram
+ORDER BY freq DESC, bigram ASC
+LIMIT 20
+"""
+
+
+@_register("corpus_bigrams", _BIGRAM_SQL)
+def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
