@@ -2234,6 +2234,73 @@ def _q_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- time-series similarity: user activity-profile cosine ---------------------
+
+_USER_SIM_SQL = f"""
+WITH hours AS (SELECT unnest(generate_series(0, 23)) AS h),
+users AS (SELECT DISTINCT user_id FROM events),
+counts AS (
+  SELECT user_id, CAST(extract(hour FROM ts) AS INTEGER) AS h, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+dense AS (
+  SELECT u.user_id, hh.h, CAST(coalesce(c.c, 0) AS DOUBLE) AS c
+  FROM users u CROSS JOIN hours hh
+  LEFT JOIN counts c ON c.user_id = u.user_id AND c.h = hh.h
+),
+prof AS (
+  SELECT user_id, list(c ORDER BY h) AS v FROM dense GROUP BY user_id
+)
+SELECT user_a, user_b, sim
+FROM (
+  SELECT a.user_id AS user_a, b.user_id AS user_b,
+         {_R(cosine_sim_sql("a.v", "b.v"), 4)} AS sim
+  FROM prof a JOIN prof b ON a.user_id < b.user_id
+)
+ORDER BY sim DESC, user_a ASC, user_b ASC
+LIMIT 20
+"""
+
+
+@_register("user_activity_similarity", _USER_SIM_SQL)
+def _q_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: 24-dim hour-of-day activity
+    profiles per user, cosine top-k most-similar pairs (the
+    embedding-similarity machinery applied to behavioral series).
+    At scale: LSH-block the profiles like any other vector column."""
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id", F.hour("ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    users = ev.select("user_id").distinct()
+    hours = spark.range(24).select(F.col("id").cast("int").alias("h"))
+    dense = (
+        users.crossJoin(F.broadcast(hours))
+        .join(counts, ["user_id", "h"], "left")
+        .select(
+            "user_id", "h", F.coalesce(F.col("c"), F.lit(0)).cast("double").alias("c")
+        )
+    )
+    prof = dense.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "c"))), lambda x: x["c"]
+        ).alias("v")
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    return (
+        a.join(b, F.col("a.user_id") < F.col("b.user_id"))
+        .select(
+            F.col("a.user_id").alias("user_a"),
+            F.col("b.user_id").alias("user_b"),
+            stable_round(cosine_sim(F.col("a.v"), F.col("b.v")), 4).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col("user_a").asc(), F.col("user_b").asc())
+        .limit(20)
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
