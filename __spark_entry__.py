@@ -2301,6 +2301,54 @@ def _q_user_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 vector search with metadata filters (payload filters,
+# qdrant_service.py:235-304: equality + IN-list) ------------------------------
+
+_KNN_FILTERED_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND e.label IN (1, 3, 5)
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("vector_knn_filtered", _KNN_FILTERED_SQL)
+def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered k-NN: the IN-list payload filter lands in
+    the parquet scan (PushedFilters: In(label, ...)) — at scale,
+    partitioning the collection by the filter column turns this into
+    partition pruning."""
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    return (
+        emb.filter((F.col("vec_id") != 0) & F.col("label").isin(1, 3, 5))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("label").cast("long").alias("label"),
+            stable_round(cosine_sim(F.col("embedding"), F.col("qvec")), 4).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(KNN_K)
+    )
+
+
+# -- two-tier chunker (two_tier_chunker.py:292-388; rows-only) ----------------
+
+
+@_register("chunk_two_tier", None)
+def _q_chunk_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return chunking.two_tier_chunks(docs, page_size=400, page_overlap=80,
+                                    child_size=150)
+
+
 # ------------------------------------------------------------- driver surface
 
 
