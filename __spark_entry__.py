@@ -776,7 +776,7 @@ def _q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges)
 
 
-_JACCARD_N, _JACCARD_THRESHOLD = 3, 0.2
+_JACCARD_N, _JACCARD_THRESHOLD, _JACCARD_MAX_DF = 3, 0.2, 100
 
 _SHINGLES_SQL = f"""
 CASE WHEN len(toks) >= {_JACCARD_N}
@@ -788,7 +788,12 @@ CASE WHEN len(toks) >= {_JACCARD_N}
 
 _NGRAM_JACCARD_SQL = f"""
 WITH t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
-sh AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM t),
+sh_all AS (SELECT id, unnest({_SHINGLES_SQL}) AS sh FROM t),
+dfs AS (SELECT sh, count(*) AS df FROM sh_all GROUP BY sh),
+sh AS (
+  SELECT a.id, a.sh FROM sh_all a JOIN dfs USING (sh)
+  WHERE dfs.df <= {_JACCARD_MAX_DF}
+),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
@@ -811,7 +816,10 @@ WHERE jaccard >= {_JACCARD_THRESHOLD}
 def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs(
-        docs, threshold=_JACCARD_THRESHOLD, n=_JACCARD_N, max_shingle_df=10**9
+        docs,
+        threshold=_JACCARD_THRESHOLD,
+        n=_JACCARD_N,
+        max_shingle_df=_JACCARD_MAX_DF,
     )
 
 

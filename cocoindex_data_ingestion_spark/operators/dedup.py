@@ -74,22 +74,24 @@ def ngram_jaccard_pairs(
     max_shingle_df: int = 1000,
     round_to: int = 4,
 ) -> DataFrame:
-    """Exact n-gram Jaccard over shingle-blocked candidate pairs.
+    """N-gram Jaccard over *discriminative* shingles.
 
-    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|); pairs sharing no shingle
-    (jaccard 0) are never materialized — that's the blocking.
-    ``max_shingle_df`` drops ubiquitous shingles to bound join fan-out
-    (skew guard; exactness holds for pairs that share any rare
-    shingle, which near-dups always do).
+    jaccard(A,B) = |A∩B| / (|A|+|B|−|A∩B|) computed over the shingle
+    sets with corpus df ≤ ``max_shingle_df`` — ubiquitous shingles
+    (boilerplate) carry no dedup signal and are what makes the
+    shared-shingle join quadratic on skewed corpora, so they are
+    excluded from BOTH the intersection and the set sizes (a
+    well-defined similarity, consistently mirrored by the oracle).
+    Join cost is bounded by Σ_shingle min(df, cap)².
     """
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
     sh = sh.join(F.broadcast(rare.select("sh")), "sh")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
