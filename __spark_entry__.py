@@ -1616,6 +1616,27 @@ def _q_indexed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed_knn(spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False)
 
 
+@_register("indexed_hybrid_rrf", _hybrid_sql())
+def _q_indexed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path flagship: both legs served from the prebuilt
+    index (pruned postings + norm-precomputed vectors) → RRF."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_bm25, indexed_knn,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    vec_leg = indexed_knn(spark, idx, q, k=LEG_K, exact=True).select(
+        F.lit("vector").alias("source"),
+        F.col("vec_id").alias("id"),
+        F.col("score"),
+    )
+    bm_leg = indexed_bm25(spark, idx, QUERY_TERMS, k=LEG_K).select(
+        F.lit("bm25").alias("source"), F.col("doc_id").alias("id"), F.col("score")
+    )
+    return fusion.rrf_fuse(vec_leg.unionByName(bm_leg), limit=KNN_K)
+
+
 # -- §2.8 grouping sets -------------------------------------------------------
 
 _GROUPING_SETS_SQL = f"""

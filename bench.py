@@ -29,6 +29,7 @@ HEADLINE = [
     "indexed_bm25_search",
     "indexed_vector_knn",
     "indexed_vector_knn_lsh",
+    "indexed_hybrid_rrf",
     "rerank_keyword_overlap",
     "multi_collection_fanout",
     "q1_pricing_summary",
@@ -58,7 +59,7 @@ SMALL_RESULT = {
     "q5_local_supplier_volume", "top_customer_per_nation",
     "graph_2hop_suppliers", "knn_maxsim", "salted_agg_events",
     "json_extract_agg", "indexed_bm25_search", "indexed_vector_knn",
-    "indexed_vector_knn_lsh",
+    "indexed_vector_knn_lsh", "indexed_hybrid_rrf",
 }
 
 

@@ -103,3 +103,36 @@ def test_golden_dump_stable_and_diffable(spark, tmp_path):
     with open(tmp_path / "run1" / "chunks.json") as f:
         data = json.load(f)
     assert data[0]["doc_id"] == 1 and data[0]["vec"] == [0.1]
+
+
+def test_indexed_operators_match_adhoc(spark, tmp_path, sf_dir):
+    """Prebuilt-index operators must return exactly the ad-hoc
+    operators' results (same math, same rounding)."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import bm25, indexing, vector_search
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    idx = str(tmp_path / "idx")
+    indexing.build_search_index(docs, emb, idx, lsh_bits=8)
+
+    terms = ["spark", "join", "window", "hash"]
+    adhoc = [tuple(r) for r in bm25.bm25_search(docs, terms, k=10).collect()]
+    indexed = [tuple(r) for r in indexing.indexed_bm25(spark, idx, terms, k=10).collect()]
+    assert adhoc == indexed
+
+    q = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0").select(
+        F.col("embedding").alias("qvec")
+    )
+    adhoc_knn = [
+        tuple(r)
+        for r in vector_search.knn(
+            emb.crossJoin(F.broadcast(q)), F.col("qvec"), k=10
+        ).collect()
+    ]
+    indexed_knn = [
+        tuple(r) for r in indexing.indexed_knn(spark, idx, q, k=10, exact=True).collect()
+    ]
+    assert adhoc_knn == indexed_knn

@@ -135,3 +135,42 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path):
     sink(stale, 1)  # lower ordinal than current state: ignored
     rows = {r.user_id: (r.event_id, r.ordinal) for r in state.read().collect()}
     assert rows[7] == (2, 200)
+
+
+def test_stream_foreach_batch_sink_end_to_end(spark, events_dir, tmp_path, sf_dir):
+    """writeStream.foreachBatch -> MERGE sink: streaming result equals
+    the batch last-writer-wins computation."""
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    state = ParquetState(
+        spark, str(tmp_path / "sink_state"),
+        "user_id long, event_id long, ordinal long, event_type string, value double",
+    )
+    stream = se.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    enriched = stream.withColumn("ordinal", F.unix_micros("ts")).select(
+        "user_id", "event_id", "ordinal", "event_type", "value"
+    )
+    q = (
+        enriched.writeStream.foreachBatch(se.foreach_batch_upsert(state))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {r.user_id: (r.event_id, r.ordinal) for r in state.read().collect()}
+    batch = load_table(spark, "events", sf_dir).withColumn(
+        "ordinal", F.unix_micros("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ordinal").desc(), F.col("event_id").desc()
+    )
+    expected = {
+        r.user_id: (r.event_id, r.ordinal)
+        for r in batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .collect()
+    }
+    assert got == expected
