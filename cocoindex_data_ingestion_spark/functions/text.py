@@ -39,12 +39,25 @@ def tokenize(col: Column | str) -> Column:
 
 
 def bm25_tokens(col: Column | str) -> Column:
-    """Reference BM25 tokens: lowercase words, len>=3, stopword-filtered."""
+    """Reference BM25 tokens: lowercase words, len>=3, stopword-filtered.
+
+    NOTE: array-returning form. In exploded pipelines prefer
+    ``explode(tokenize(x)).filter(is_content_token(token))`` — the
+    lambda here runs in Spark's *interpreted* higher-order-function
+    evaluator (no codegen), which costs ~100× at corpus scale; the
+    post-explode filter compiles to a codegen'd IN-list."""
     toks = tokenize(col)
     stop = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.filter(
         toks, lambda t: (F.length(t) >= MIN_TOKEN_LEN) & ~F.array_contains(stop, t)
     )
+
+
+def is_content_token(col: Column | str) -> Column:
+    """Row-level predicate equivalent of the bm25_tokens filter —
+    apply AFTER explode so it stays in whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.length(c) >= MIN_TOKEN_LEN) & ~c.isin(*STOPWORDS)
 
 
 def _sql_stoplist() -> str:

