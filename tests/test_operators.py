@@ -189,3 +189,23 @@ def test_minhash_edges_and_jaccard_blocking(spark):
     jp = dedup.ngram_jaccard_pairs(docs, threshold=0.3, n=2,
                                    max_shingle_df=10**9).collect()
     assert {(p.id_a, p.id_b) for p in jp} == {(1, 2)}
+
+
+def test_knn_numpy_matches_expression_variant(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qvec = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select("embedding").collect()[0][0]
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+
+    expr_rows = vector_search.knn(
+        emb.crossJoin(F.broadcast(qdf)), F.col("qvec"), k=10
+    ).collect()
+    np_rows = vector_search.knn_numpy(emb, list(qvec), k=10).collect()
+    assert [r.vec_id for r in expr_rows] == [r.vec_id for r in np_rows]
+    for a, b in zip(expr_rows, np_rows):
+        assert abs(a.score - b.score) < 1e-9
