@@ -2378,6 +2378,47 @@ def _q_chunk_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     child_size=150)
 
 
+# -- §2.8 window functions: lag/lead/first/ntile ------------------------------
+
+_LAG_LEAD_SQL = """
+SELECT user_id, event_id,
+       lag(event_id) OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id,
+       first_value(event_id) OVER w AS first_event_id,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@_register("window_lag_lead_ntile", _LAG_LEAD_SQL)
+def _q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        F.first("event_id").over(w).alias("first_event_id"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+# -- vectorized exact kNN (rows-only: BLAS summation order) -------------------
+
+
+@_register("vector_knn_numpy", None)
+def _q_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").collect()[0][0]
+    return vector_search.knn_numpy(
+        emb.filter("vec_id <> 0"), list(qvec), k=KNN_K
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
