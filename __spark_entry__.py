@@ -2419,6 +2419,62 @@ def _q_knn_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.5 incremental runner end-to-end (fresh state; deterministic) ----------
+
+_INCR_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS processed,
+       CAST(0 AS BIGINT) AS bumped,
+       CAST(0 AS BIGINT) AS skipped,
+       CAST(0 AS BIGINT) AS deleted,
+       CAST(count(*) AS BIGINT) AS skipped_second_run,
+       CAST(count(*) AS BIGINT) AS target_rows
+FROM documents
+"""
+
+
+@_register("incremental_update_stats", _INCR_SQL)
+def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordinal/content-hash incremental engine driven end-to-end
+    on a fresh state dir: run 1 processes every document, run 2 with
+    the same listing skips every one (row_indexer.rs:110-131
+    semantics). Counters returned as a 1-row DataFrame."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        IncrementalRunner, ParquetState,
+    )
+
+    state_dir = tempfile.mkdtemp(prefix="incr_query_")
+    runner = IncrementalRunner(
+        spark, state_dir, "entry-demo-v1", key_col="doc_id", ordinal_col="ordinal"
+    )
+    docs = _t(spark, sf_dir, "documents")
+    listing = docs.withColumn("ordinal", F.lit(1))
+    target = ParquetState(
+        spark, f"{state_dir}/target", "_key string, n_chars long"
+    )
+
+    def transform(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").cast("string").alias("_key"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+
+    first = runner.update(listing, ["text"], transform, target)
+    second = runner.update(listing, ["text"], transform, target)
+    n_target = target.read().count()
+    return spark.createDataFrame(
+        [
+            (
+                first["processed"], first["bumped"], first["skipped"],
+                first["deleted"], second["skipped"], n_target,
+            )
+        ],
+        "processed long, bumped long, skipped long, deleted long, "
+        "skipped_second_run long, target_rows long",
+    ).coalesce(1)
+
+
 # ------------------------------------------------------------- driver surface
 
 
