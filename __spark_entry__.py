@@ -21,8 +21,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cocoindex_data_ingestion_spark.functions.compare import (
+    stable_avg,
+    stable_avg_sql as _A,
     stable_round,
     stable_round_sql as _R,
+    stable_sum,
+    stable_sum_sql as _S,
 )
 from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim_sql
 from cocoindex_data_ingestion_spark.functions.text import (
@@ -92,7 +96,7 @@ ad AS (SELECT avg(dl) AS avgdl FROM dls),
 qpost AS (SELECT * FROM post WHERE token IN {_QTERMS_SQL}),
 dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qpost GROUP BY 1)
 SELECT doc_id,
-       {_R(f"sum(idf * tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl)))", 4)}
+       {_R(_S(f"idf * tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))", 6), 4)}
          AS score
 FROM (
   SELECT p.doc_id, p.tf, d.dl, s.n_docs, a.avgdl,
@@ -260,13 +264,13 @@ def _q_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       {_R("sum(l_quantity)", 2)} AS sum_qty,
-       {_R("sum(l_extendedprice)", 2)} AS sum_base_price,
-       {_R("sum(l_extendedprice * (1 - l_discount))", 2)} AS sum_disc_price,
-       {_R("sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2)} AS sum_charge,
-       {_R("avg(l_quantity)", 4)} AS avg_qty,
-       {_R("avg(l_extendedprice)", 4)} AS avg_price,
-       {_R("avg(l_discount)", 4)} AS avg_disc,
+       {_S("l_quantity", 2)} AS sum_qty,
+       {_S("l_extendedprice", 2)} AS sum_base_price,
+       {_S("l_extendedprice * (1 - l_discount)", 2)} AS sum_disc_price,
+       {_S("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS sum_charge,
+       {_A("l_quantity", 4)} AS avg_qty,
+       {_A("l_extendedprice", 4)} AS avg_price,
+       {_A("l_discount", 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -282,22 +286,20 @@ def _q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            stable_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("sum_disc_price"),
-            stable_round(
-                F.sum(
-                    F.col("l_extendedprice")
-                    * (1 - F.col("l_discount"))
-                    * (1 + F.col("l_tax"))
-                ),
+            stable_sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax")),
                 2,
             ).alias("sum_charge"),
-            stable_round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            stable_round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_avg(F.col("l_quantity"), 4).alias("avg_qty"),
+            stable_avg(F.col("l_extendedprice"), 4).alias("avg_price"),
+            stable_avg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -474,7 +476,7 @@ s AS (
 )
 SELECT user_id, session_id, count(*) AS n_events,
        min(us) AS start_us, max(us) AS end_us,
-       {_R("sum(value)", 2)} AS sum_value
+       {_S("value", 2)} AS sum_value
 FROM s
 GROUP BY user_id, session_id
 """
@@ -488,7 +490,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.min(F.unix_micros("ts")).alias("start_us"),
         F.max(F.unix_micros("ts")).alias("end_us"),
-        stable_round(F.sum("value"), 2).alias("sum_value"),
+        stable_sum(F.col("value"), 2).alias("sum_value"),
     )
 
 
@@ -496,7 +498,7 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TUMBLING_SQL = f"""
 SELECT (epoch_us(ts) // 300000000) * 300 AS window_start_s, event_type,
-       count(*) AS n_events, {_R("sum(value)", 2)} AS sum_value
+       count(*) AS n_events, {_S("value", 2)} AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -512,14 +514,14 @@ def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start_s", "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum(F.col("value"), 2).alias("sum_value"),
         )
     )
 
 
 _SLIDING_SQL = f"""
 SELECT ((epoch_us(ts) // 300000000) - k) * 300 AS window_start_s,
-       count(*) AS n_events, {_R("sum(value)", 2)} AS sum_value
+       count(*) AS n_events, {_S("value", 2)} AS sum_value
 FROM events, unnest([0, 1]) AS t(k)
 GROUP BY 1
 """
@@ -535,7 +537,7 @@ def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.unix_micros("w.start").alias("window_start_us"))
         .agg(
             F.count("*").alias("n_events"),
-            stable_round(F.sum("value"), 2).alias("sum_value"),
+            stable_sum(F.col("value"), 2).alias("sum_value"),
         )
         .select(
             (F.col("window_start_us") / F.lit(1000000)).cast("long").alias(
@@ -634,10 +636,10 @@ def _q_graph2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- §2.6 entity search w/ 1-hop collect (search_service.py:119-179) ----------
 
-_ENTITY_SEARCH_SQL = """
+_ENTITY_SEARCH_SQL = f"""
 SELECT c.c_custkey AS entity_id, c.c_name AS name, c.c_mktsegment AS type,
        count(o.o_orderkey) AS n_edges,
-       coalesce(floor(sum(o.o_totalprice) * 100.0 + 0.5) / 100.0, 0.0) AS total_value
+       coalesce({_S("o.o_totalprice", 2)}, 0.0) AS total_value
 FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
 WHERE contains(c.c_name, '00001')
 GROUP BY 1, 2, 3
@@ -661,7 +663,7 @@ def _q_entity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_edges"),
             F.coalesce(
-                stable_round(F.sum("o_totalprice"), 2), F.lit(0.0)
+                stable_sum(F.col("o_totalprice"), 2), F.lit(0.0)
             ).alias("total_value"),
         )
         .orderBy(F.col("name").asc())
@@ -907,7 +909,7 @@ def _q_chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ROLLUP_SQL = f"""
 SELECT r.r_name, n.n_name,
-       {_R("sum(c.c_acctbal)", 2)} AS total_acctbal,
+       {_S("c.c_acctbal", 2)} AS total_acctbal,
        count(*) AS n_customers
 FROM customer c
 JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -925,7 +927,7 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(r), n.n_regionkey == r.r_regionkey
     )
     return joined.rollup("r_name", "n_name").agg(
-        stable_round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        stable_sum(F.col("c_acctbal"), 2).alias("total_acctbal"),
         F.count("*").alias("n_customers"),
     )
 
@@ -957,7 +959,7 @@ def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_SQL = f"""
 SELECT l.l_orderkey,
-       {_R("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue,
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue,
        epoch_us(o.o_orderdate) AS o_orderdate_us, o.o_orderpriority
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -984,8 +986,8 @@ def _q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .select(
@@ -1005,7 +1007,7 @@ def _q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_SQL = f"""
 SELECT n.n_name,
-       {_R("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1041,8 +1043,8 @@ def _q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
     )
@@ -1249,7 +1251,7 @@ SELECT event_type,
        {_R("quantile_cont(value, 0.5)", 4)} AS p50,
        {_R("quantile_cont(value, 0.95)", 4)} AS p95,
        {_R("quantile_cont(value, 0.99)", 4)} AS p99,
-       {_R("avg(value)", 4)} AS mean
+       {_A("value", 4)} AS mean
 FROM events
 GROUP BY event_type
 """
@@ -1265,7 +1267,7 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         stable_round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
         stable_round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
         stable_round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
-        stable_round(F.avg("value"), 4).alias("mean"),
+        stable_avg(F.col("value"), 4).alias("mean"),
     )
 
 
@@ -1273,7 +1275,7 @@ def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUBE_SQL = f"""
 SELECT l_returnflag, l_linestatus,
-       {_R("sum(l_quantity)", 2)} AS sum_qty, count(*) AS n
+       {_S("l_quantity", 2)} AS sum_qty, count(*) AS n
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -1283,7 +1285,7 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
-        stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        stable_sum(F.col("l_quantity"), 2).alias("sum_qty"),
         F.count("*").alias("n"),
     )
 
@@ -1450,7 +1452,7 @@ def _q_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SALTED_AGG_SQL = f"""
 SELECT event_type,
        count(*) AS n_events,
-       {_R("sum(value)", 2)} AS sum_value,
+       {_S("value", 2)} AS sum_value,
        {_R("max(value)", 2)} AS max_value
 FROM events
 GROUP BY event_type
@@ -1462,13 +1464,18 @@ def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events has 5 hot keys — the salted two-phase agg spreads each
     over 16 reducers; results are provably identical to the plain
     GROUP BY (which is the oracle)."""
-    ev = _t(spark, sf_dir, "events")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        # fixed-point cents BEFORE the two-phase agg: long partials sum
+        # exactly, so salted == plain GROUP BY bit-for-bit (compare.py)
+        "value_c",
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long"),
+    )
     out = relational.salted_agg(
         ev,
         ["event_type"],
         {
             "n_events": ("count", "value"),
-            "sum_value": ("sum", "value"),
+            "sum_value_c": ("sum", "value_c"),
             "max_value": ("max", "value"),
         },
         n_salts=16,
@@ -1476,7 +1483,7 @@ def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         F.col("n_events").cast("long"),
-        stable_round(F.col("sum_value"), 2).alias("sum_value"),
+        (F.col("sum_value_c") / F.lit(100.0)).alias("sum_value"),
         stable_round(F.col("max_value"), 2).alias("max_value"),
     )
 
@@ -1641,7 +1648,7 @@ def _q_indexed_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _GROUPING_SETS_SQL = f"""
 SELECT o_orderstatus, o_orderpriority,
-       count(*) AS n, {_R("sum(o_totalprice)", 2)} AS total
+       count(*) AS n, {_S("o_totalprice", 2)} AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -1655,7 +1662,7 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               floor(sum(o_totalprice) * 1e2 + 0.5D) / 1e2 AS total
+               sum(cast(floor(o_totalprice * 1e2 + 0.5D) as bigint)) / 1e2 AS total
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -1666,9 +1673,12 @@ def _q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RUNNING_SQL = f"""
 SELECT user_id, event_id,
-       {_R("sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)", 2)} AS running_sum,
-       {_R("avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 4)} AS moving_avg_3
+       sum(cast(floor(value * 1e2 + 0.5) as bigint))
+         OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) / 1e2
+         AS running_sum,
+       {_R("(sum(cast(floor(value * 1e6 + 0.5) as bigint)) OVER f / 1e6) / count(value) OVER f", 4)} AS moving_avg_3
 FROM events
+WINDOW f AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
 """
 
 
@@ -1678,15 +1688,21 @@ def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # fixed-point per element so windowed sums are exact integer adds —
+    # immune to DuckDB's segment-tree association order (compare.py)
+    v2 = F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    v6 = F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    frame = w.rowsBetween(-2, 0)
     return ev.select(
         "user_id",
         "event_id",
-        stable_round(
-            F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2
+        (
+            F.sum(v2).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            / F.lit(100.0)
         ).alias("running_sum"),
-        stable_round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias(
-            "moving_avg_3"
-        ),
+        stable_round(
+            F.sum(v6).over(frame) / F.lit(1e6) / F.count("value").over(frame), 4
+        ).alias("moving_avg_3"),
     )
 
 
@@ -1720,12 +1736,12 @@ def _q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = f"""
 WITH base AS (
   SELECT l_returnflag,
-         sum(l_extendedprice) AS extended,
-         sum(l_extendedprice * (1 - l_discount)) AS discounted,
-         sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS charged
+         {_S("l_extendedprice", 2)} AS extended,
+         {_S("l_extendedprice * (1 - l_discount)", 2)} AS discounted,
+         {_S("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2)} AS charged
   FROM lineitem GROUP BY l_returnflag
 )
-SELECT l_returnflag, measure, {_R("amount", 2)} AS amount
+SELECT l_returnflag, measure, amount
 FROM base
 UNPIVOT (amount FOR measure IN (extended, discounted, charged))
 """
@@ -1735,23 +1751,22 @@ UNPIVOT (amount FOR measure IN (extended, discounted, charged))
 def _q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     base = li.groupBy("l_returnflag").agg(
-        F.sum("l_extendedprice").alias("extended"),
-        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-            "discounted"
-        ),
-        F.sum(
+        stable_sum(F.col("l_extendedprice"), 2).alias("extended"),
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("discounted"),
+        stable_sum(
             F.col("l_extendedprice")
             * (1 - F.col("l_discount"))
-            * (1 + F.col("l_tax"))
+            * (1 + F.col("l_tax")),
+            2,
         ).alias("charged"),
     )
     return base.selectExpr(
         "l_returnflag",
         "stack(3, 'extended', extended, 'discounted', discounted, "
         "'charged', charged) AS (measure, amount)",
-    ).select(
-        "l_returnflag", "measure", stable_round(F.col("amount"), 2).alias("amount")
-    )
+    ).select("l_returnflag", "measure", "amount")
 
 
 # -- multimodal: binary column metadata (content-addressed) -------------------
@@ -2076,7 +2091,7 @@ def _q_entity_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q10_SQL = f"""
 SELECT c.c_custkey, c.c_name, n.n_name,
-       {_R("sum(l.l_extendedprice * (1 - l.l_discount))", 2)} AS revenue
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -2101,8 +2116,8 @@ def _q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            stable_round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
@@ -2122,7 +2137,7 @@ WITH big_orders AS (
 SELECT c.c_name, c.c_custkey, o.o_orderkey,
        epoch_us(o.o_orderdate) AS o_orderdate_us,
        o.o_totalprice,
-       {_R("sum(l.l_quantity)", 2)} AS total_qty
+       {_S("l.l_quantity", 2)} AS total_qty
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -2149,7 +2164,7 @@ def _q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(stable_round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(stable_sum(F.col("l_quantity"), 2).alias("total_qty"))
         .select(
             "c_name",
             "c_custkey",
@@ -2174,7 +2189,8 @@ WITH toks AS (
 tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
 per_doc AS (
   SELECT doc_id, sum(c) AS n, max(c) AS max_c,
-         sum(c * ln(c)) AS sum_clnc, count(*) AS n_distinct
+         sum(cast(floor(c * ln(c) * 1e6 + 0.5) as bigint)) / 1e6 AS sum_clnc,
+         count(*) AS n_distinct
   FROM tf GROUP BY doc_id
 )
 SELECT doc_id,
@@ -2201,7 +2217,17 @@ def _q_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = tf.groupBy("doc_id").agg(
         F.sum("c").alias("n"),
         F.max("c").alias("max_c"),
-        F.sum(F.col("c") * F.log("c")).alias("sum_clnc"),
+        # fixed-point per term: c·ln c quantized at 1e-6 then summed
+        # exactly as longs — order-independent across partitions, and a
+        # 1-ULP libm ln() divergence can no longer flip the group sum
+        (
+            F.sum(
+                F.floor(
+                    F.col("c") * F.log("c") * F.lit(1e6) + F.lit(0.5)
+                ).cast("long")
+            )
+            / F.lit(1e6)
+        ).alias("sum_clnc"),
         F.count("*").alias("n_distinct"),
     )
     return per_doc.select(

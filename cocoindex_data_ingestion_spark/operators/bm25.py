@@ -24,7 +24,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.compare import (
+    stable_round,
+    stable_sum,
+)
 from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 
 K1 = 1.2  # app/services/search_service.py:330
@@ -110,7 +113,11 @@ def bm25_search(
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy(id_col)
-        .agg(stable_round(F.sum("term_score"), round_to).alias("score"))
+        # per-term scores quantized at 1e-6 then summed exactly as longs:
+        # the doc score is independent of partition/accumulation order
+        # (see compare.stable_sum) — the quantization error (≤5e-7/term)
+        # is invisible at round_to=4
+        .agg(stable_round(stable_sum(F.col("term_score"), 6), round_to).alias("score"))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -28,7 +28,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cocoindex_data_ingestion_spark.functions.compare import stable_round
+from cocoindex_data_ingestion_spark.functions.compare import (
+    stable_round,
+    stable_sum,
+)
 from cocoindex_data_ingestion_spark.functions.similarity import dot
 from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 from cocoindex_data_ingestion_spark.operators.bm25 import B, K1
@@ -121,7 +124,9 @@ def indexed_bm25(
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
         .groupBy(id_col)
-        .agg(stable_round(F.sum("term_score"), round_to).alias("score"))
+        # same order-independent fixed-point sum as bm25.bm25_search —
+        # keeps the shared DuckDB oracle bit-identical
+        .agg(stable_round(stable_sum(F.col("term_score"), 6), round_to).alias("score"))
     )
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
