@@ -34,18 +34,55 @@ def hybrid_search(
     text_col: str = "text",
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index_dir: str | None = None,
+    query_vec_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Vector leg + BM25 leg → RRF. Returns (id, rrf_score, n_sources)."""
-    vec_leg = knn(
-        embeddings, query_vec, k=leg_k, vec_col=vec_col, id_col=vec_id_col
-    ).select(
-        F.lit("vector").alias("source"),
-        F.col(vec_id_col).alias("id"),
-        F.col("score"),
-    )
-    bm25_leg = bm25_search(
-        docs, query_terms, k=leg_k, id_col=id_col, text_col=text_col
-    ).select(
-        F.lit("bm25").alias("source"), F.col(id_col).alias("id"), F.col("score")
-    )
+    """Vector leg + BM25 leg → RRF. Returns (id, rrf_score, n_sources).
+
+    ``index_dir`` is the production path: both legs are served from
+    the prebuilt layout (operators/indexing.py — token-partition-
+    pruned postings, norm-precomputed vectors) so nothing rescans or
+    re-tokenizes the corpus at query time. Requires ``query_vec_df``
+    (one row, column ``qvec``) because the indexed vector leg resolves
+    the query driver-side for static partition pruning. Results are
+    identical to the ad-hoc path (same math, same rounding) — the
+    ad-hoc legs remain the DuckDB-oracle twins."""
+    if index_dir is not None:
+        from cocoindex_data_ingestion_spark.operators.indexing import (
+            indexed_bm25, indexed_knn,
+        )
+
+        if query_vec_df is None:
+            raise ValueError("index_dir fast path requires query_vec_df")
+        spark = docs.sparkSession
+        vec_leg = indexed_knn(
+            spark, index_dir, query_vec_df, k=leg_k, id_col=vec_id_col,
+            exact=True,
+        ).select(
+            F.lit("vector").alias("source"),
+            F.col(vec_id_col).alias("id"),
+            F.col("score"),
+        )
+        bm25_leg = indexed_bm25(
+            spark, index_dir, query_terms, k=leg_k, id_col=id_col
+        ).select(
+            F.lit("bm25").alias("source"),
+            F.col(id_col).alias("id"),
+            F.col("score"),
+        )
+    else:
+        vec_leg = knn(
+            embeddings, query_vec, k=leg_k, vec_col=vec_col, id_col=vec_id_col
+        ).select(
+            F.lit("vector").alias("source"),
+            F.col(vec_id_col).alias("id"),
+            F.col("score"),
+        )
+        bm25_leg = bm25_search(
+            docs, query_terms, k=leg_k, id_col=id_col, text_col=text_col
+        ).select(
+            F.lit("bm25").alias("source"),
+            F.col(id_col).alias("id"),
+            F.col("score"),
+        )
     return rrf_fuse(vec_leg.unionByName(bm25_leg), limit=k)

@@ -38,6 +38,21 @@ from cocoindex_data_ingestion_spark.operators.bm25 import B, K1
 from cocoindex_data_ingestion_spark.operators.vector_search import lsh_signature
 
 
+POSTINGS_BUCKETS = 64  # token-hash partition count of the postings layout
+
+
+def _token_bucket(token: Column, n_buckets: int = POSTINGS_BUCKETS) -> Column:
+    # crc32 == zlib.crc32, so the query side can compute the same
+    # bucket driver-side (static partition pruning) without Spark
+    return F.pmod(F.crc32(token.cast("binary")), F.lit(n_buckets))
+
+
+def _token_buckets_py(terms: list[str], n_buckets: int = POSTINGS_BUCKETS) -> list[int]:
+    import zlib
+
+    return sorted({zlib.crc32(t.encode("utf-8")) % n_buckets for t in terms})
+
+
 def build_search_index(
     docs: DataFrame,
     embeddings: DataFrame,
@@ -47,8 +62,23 @@ def build_search_index(
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
     lsh_bits: int = 8,
+    n_buckets: int = POSTINGS_BUCKETS,
 ) -> None:
-    """One pass over the corpus → queryable index layout on disk."""
+    """One pass over the corpus → queryable index layout on disk.
+
+    Postings are DENORMALIZED (each row carries its doc's length and
+    its token's document frequency) and partitioned by
+    ``crc32(token) % n_buckets``:
+
+    - bounded partition count → directory listing stays O(n_buckets)
+      no matter the vocabulary size (per-token dirs would be millions
+      of object-store prefixes at 100 TB);
+    - a query reads only its terms' buckets (static pruning) and the
+      token equality predicate pushes into parquet row-group stats
+      (sorted within partitions by token);
+    - dl/df in-row → query-time scoring needs NO join against the
+      corpus-sized doclens table — one pruned read, one small groupBy.
+    """
     from cocoindex_data_ingestion_spark.functions.text import (
         is_content_token, tokenize,
     )
@@ -57,12 +87,23 @@ def build_search_index(
         F.col(id_col), F.explode(tokenize(text_col)).alias("token")
     ).filter(is_content_token("token"))
     postings = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    postings.write.mode("overwrite").partitionBy("token").parquet(
-        f"{index_dir}/postings"
-    )
 
     dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dls.write.mode("overwrite").parquet(f"{index_dir}/doclens")
+
+    dfs = postings.groupBy("token").agg(F.countDistinct(id_col).alias("df"))
+    denorm = (
+        postings.join(dls, id_col)
+        .join(dfs, "token")  # vocabulary-sized — let AQE pick the strategy
+        .withColumn("tbucket", _token_bucket(F.col("token"), n_buckets))
+    )
+    (
+        denorm.repartition("tbucket")
+        .sortWithinPartitions("token", id_col)
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{index_dir}/postings")
+    )
 
     n_docs = docs.count()
     spark = docs.sparkSession
@@ -97,22 +138,15 @@ def indexed_bm25(
     b: float = B,
     round_to: int = 4,
 ) -> DataFrame:
-    """BM25 from the prebuilt index: token-partition-pruned postings
-    read + two broadcast scalars. No corpus scan, no tokenization."""
+    """BM25 from the prebuilt index: one bucket-pruned postings read
+    (dl/df carried in-row — no joins) + one broadcast stats scalar.
+    No corpus scan, no tokenization."""
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
-    postings = spark.read.parquet(f"{index_dir}/postings").filter(
-        F.col("token").isin(qterms)  # → partition pruning
-    )
-    dls = spark.read.parquet(f"{index_dir}/doclens")
+    postings = _query_postings(spark, index_dir, qterms)
     stats = spark.read.parquet(f"{index_dir}/stats")
 
-    df_per_token = postings.groupBy("token").agg(
-        F.countDistinct(id_col).alias("df")
-    )
     scored = (
-        postings.join(F.broadcast(df_per_token), "token")
-        .join(dls, id_col)
-        .crossJoin(F.broadcast(stats))
+        postings.crossJoin(F.broadcast(stats))
         .withColumn(
             "idf",
             F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
@@ -132,6 +166,76 @@ def indexed_bm25(
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "score")
+    )
+
+
+def _query_postings(
+    spark: SparkSession,
+    index_dir: str,
+    qterms: list[str],
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> DataFrame:
+    """Pruned postings read for a term list: static partition pruning
+    on the crc32 token bucket + a token IN-list that parquet pushes
+    into row-group stats (postings are token-sorted per bucket)."""
+    return spark.read.parquet(f"{index_dir}/postings").filter(
+        F.col("tbucket").isin(_token_buckets_py(qterms, n_buckets))
+        & F.col("token").isin(qterms)
+    )
+
+
+def indexed_keyword_overlap(
+    spark: SparkSession,
+    index_dir: str,
+    candidates: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``|distinct_tokens(doc) ∩ query_terms|`` per candidate, answered
+    from the token-partition-pruned postings index.
+
+    The ad-hoc rerank re-tokenizes the *whole corpus* to build each
+    doc's distinct-token set (reranker_service.py:17-62 does the same
+    against a doc cache); at scale that's an O(corpus) pass per query.
+    Postings already ARE the distinct (doc, token) pairs, so the
+    overlap count is one pruned read of the query terms' partitions +
+    a count per doc — O(query-term postings), identical result
+    (postings and ``bm25_tokens`` share the tokenizer + content
+    filter, functions/text.py)."""
+    qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+    postings = _query_postings(spark, index_dir, qterms)
+    overlap = postings.groupBy(id_col).agg(F.count("*").alias("n_overlap"))
+    return candidates.join(overlap, id_col, "left").withColumn(
+        "n_overlap", F.coalesce(F.col("n_overlap"), F.lit(0))
+    )
+
+
+def indexed_rerank(
+    spark: SparkSession,
+    index_dir: str,
+    candidates: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    boost: float = 0.1,
+    round_to: int = 4,
+) -> DataFrame:
+    """Keyword-overlap rerank (reranker_service.py:17-62 fallback
+    scorer: ``score * (1 + 0.1 * overlap)``) served from the index.
+    Returns (id_col, rerank_score) top-k."""
+    with_ov = indexed_keyword_overlap(
+        spark, index_dir, candidates, query_terms, id_col=id_col
+    )
+    return (
+        with_ov.select(
+            id_col,
+            stable_round(
+                F.col(score_col) * (1.0 + boost * F.col("n_overlap")), round_to
+            ).alias("rerank_score"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col(id_col).asc())
+        .limit(k)
     )
 
 

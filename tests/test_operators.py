@@ -209,3 +209,59 @@ def test_knn_numpy_matches_expression_variant(spark, sf_dir):
     assert [r.vec_id for r in expr_rows] == [r.vec_id for r in np_rows]
     for a, b in zip(expr_rows, np_rows):
         assert abs(a.score - b.score) < 1e-9
+
+
+def test_hybrid_index_fast_path_matches_adhoc(spark, sf_dir, tmp_path):
+    """hybrid_search(index_dir=...) and the indexed rerank must return
+    exactly the ad-hoc results — the ad-hoc legs are the DuckDB-oracle
+    twins, so any divergence would silently break the oracle gate."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import bm25 as bm25_ops
+    from cocoindex_data_ingestion_spark.operators import hybrid
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        build_search_index, indexed_rerank,
+    )
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+    terms = ["data", "pipeline", "index"]
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, emb, idx)
+
+    adhoc = hybrid.hybrid_search(
+        docs, emb.crossJoin(F.broadcast(qdf)), F.col("qvec"), terms, k=10
+    ).collect()
+    fast = hybrid.hybrid_search(
+        docs, emb, F.col("qvec"), terms, k=10,
+        index_dir=idx, query_vec_df=qdf,
+    ).collect()
+    assert [(r.id, r.rrf_score, r.n_sources) for r in adhoc] == \
+           [(r.id, r.rrf_score, r.n_sources) for r in fast]
+
+    # indexed keyword-overlap rerank vs ad-hoc corpus re-tokenize
+    bm = bm25_ops.bm25_search(docs, terms, k=20)
+    qarr = F.array(*[F.lit(t) for t in terms])
+    toks = docs.select("doc_id", F.array_distinct(bm25_tokens("text")).alias("dt"))
+    from cocoindex_data_ingestion_spark.functions.compare import stable_round
+    adhoc_rr = (
+        bm.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            stable_round(
+                F.col("score")
+                * (1.0 + 0.1 * F.size(F.array_intersect(F.col("dt"), qarr))),
+                4,
+            ).alias("rerank_score"),
+        )
+        .orderBy(F.col("rerank_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .collect()
+    )
+    fast_rr = indexed_rerank(spark, idx, bm, terms, k=10).collect()
+    assert [(r.doc_id, r.rerank_score) for r in adhoc_rr] == \
+           [(r.doc_id, r.rerank_score) for r in fast_rr]
