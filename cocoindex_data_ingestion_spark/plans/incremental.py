@@ -59,29 +59,225 @@ def content_hash(*cols) -> F.Column:
 
 
 class ParquetState:
-    """Tiny parquet-backed state table (tracking / memo / target).
+    """Tiny parquet-backed state table (small states: stats, fixtures).
 
-    Read-modify-write with an atomic directory swap; a Delta MERGE
-    replaces this verbatim on a real deployment."""
+    Commits are versioned directories + an atomically-replaced pointer
+    file — a crash at any point leaves the previous version readable
+    (no rename window where the state dir doesn't exist). A Delta
+    MERGE replaces this verbatim on a real deployment. For keyed state
+    at scale use :class:`BucketedParquetState`, which rewrites only
+    the buckets containing changed keys."""
 
     def __init__(self, spark: SparkSession, path: str, schema_ddl: str):
         self.spark = spark
         self.path = path
         self.schema_ddl = schema_ddl
 
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "CURRENT")
+
+    def _current(self) -> str | None:
+        try:
+            with open(self._pointer()) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
     def read(self) -> DataFrame:
-        if os.path.exists(self.path):
-            return self.spark.read.parquet(self.path)
+        cur = self._current()
+        if cur is not None:
+            return self.spark.read.parquet(os.path.join(self.path, cur))
         return self.spark.createDataFrame([], self.schema_ddl)
 
     def overwrite(self, df: DataFrame) -> None:
-        tmp = self.path + ".tmp"
-        df.write.mode("overwrite").parquet(tmp)
-        old = self.path + ".old"
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(tmp, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        os.makedirs(self.path, exist_ok=True)
+        prev = self._current()
+        seq = int(prev.split("_")[1]) + 1 if prev else 0
+        vdir = f"v_{seq}"
+        df.write.mode("overwrite").parquet(os.path.join(self.path, vdir))
+        tmp = self._pointer() + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(vdir)
+        os.replace(tmp, self._pointer())  # single-rename commit
+        if prev:
+            shutil.rmtree(os.path.join(self.path, prev), ignore_errors=True)
+
+
+class BucketedParquetState:
+    """Key-hash-bucketed state with manifest-pointer commits — the
+    scale-correct Delta/Iceberg-MERGE stand-in.
+
+    Layout::
+
+        path/MANIFEST.json            {"seq": k, "buckets": {"5": "gen_3", ...}}
+        path/gen_3/_bucket=5/part-*.parquet
+
+    Rows are partitioned by ``crc32(key) % n_buckets``. A merge
+    rewrites ONLY the buckets containing changed keys into a fresh
+    generation directory, then commits by atomically replacing the
+    manifest (one ``os.replace``) — a crash at any point leaves the
+    previous manifest consistent. Replaced bucket dirs are GC'd after
+    commit. At 100 TB this is the difference between O(Δ) and
+    O(state) I/O per incremental update; a real deployment swaps this
+    class for ``MERGE INTO`` on a table bucketed by the same hash.
+
+    Single-writer (like the reference's per-flow source indexer,
+    src/execution/source_indexer.rs)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        schema_ddl: str,
+        key_col: str,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.path = path
+        self.schema_ddl = schema_ddl
+        self.key_col = key_col
+        self.n_buckets = n_buckets
+
+    # -- manifest ---------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.path, "MANIFEST.json")
+
+    def _manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                import json
+
+                return json.load(f)
+        except FileNotFoundError:
+            return {"seq": -1, "buckets": {}}
+
+    def _commit(self, manifest: dict) -> None:
+        import json
+
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path())  # single-rename commit
+
+    # -- read -------------------------------------------------------------
+
+    def _bucket_of(self, col) -> F.Column:
+        return F.pmod(
+            F.crc32(col.cast("string").cast("binary")), F.lit(self.n_buckets)
+        )
+
+    def _bucket_paths(self, buckets: list[int] | None = None) -> list[str]:
+        m = self._manifest()["buckets"]
+        items = m.items() if buckets is None else [
+            (str(b), m[str(b)]) for b in buckets if str(b) in m
+        ]
+        return [
+            os.path.join(self.path, gen, f"_bucket={b}") for b, gen in items
+        ]
+
+    def read(self, buckets: list[int] | None = None) -> DataFrame:
+        paths = self._bucket_paths(buckets)
+        if not paths:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.parquet(*paths)
+
+    def read_keys(self, keys: DataFrame) -> DataFrame:
+        """Current rows for the given keys: bucket-pruned read +
+        semi-join (O(touched buckets), not O(state))."""
+        buckets = [
+            r["b"]
+            for r in keys.select(
+                self._bucket_of(F.col(self.key_col)).alias("b")
+            ).distinct().collect()
+        ]
+        return self.read(buckets).join(
+            keys.select(self.key_col).distinct(), self.key_col, "left_semi"
+        )
+
+    # -- write ------------------------------------------------------------
+
+    def merge(
+        self, upserts: DataFrame, delete_keys: DataFrame | None = None
+    ) -> list[int]:
+        """Upsert rows (full replacement per key) + delete keys.
+        Rewrites only the touched buckets; returns their ids."""
+        key = self.key_col
+        changed_keys = upserts.select(key)
+        if delete_keys is not None:
+            changed_keys = changed_keys.unionByName(delete_keys.select(key))
+        touched = sorted(
+            r["b"]
+            for r in changed_keys.select(
+                self._bucket_of(F.col(key)).alias("b")
+            ).distinct().collect()
+        )
+        if not touched:
+            return []
+
+        cur = self.read(touched)
+        survivors = cur.join(changed_keys.distinct(), key, "left_anti")
+        out = survivors.unionByName(
+            upserts.select(*cur.columns), allowMissingColumns=True
+        ).withColumn("_bucket", self._bucket_of(F.col(key)))
+
+        manifest = self._manifest()
+        gen = f"gen_{manifest['seq'] + 1}"
+        gen_dir = os.path.join(self.path, gen)
+        (
+            out.repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(gen_dir)
+        )
+        # buckets that ended up empty (every key deleted) write no dir
+        written = {
+            int(d.split("=")[1])
+            for d in os.listdir(gen_dir)
+            if d.startswith("_bucket=")
+        }
+        old = dict(manifest["buckets"])
+        for b in touched:
+            if b in written:
+                manifest["buckets"][str(b)] = gen
+            else:
+                manifest["buckets"].pop(str(b), None)
+        manifest["seq"] += 1
+        self._commit(manifest)
+
+        # GC: replaced bucket dirs from older generations
+        for b in touched:
+            prev_gen = old.get(str(b))
+            if prev_gen and prev_gen != gen:
+                shutil.rmtree(
+                    os.path.join(self.path, prev_gen, f"_bucket={b}"),
+                    ignore_errors=True,
+                )
+        return touched
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Full rewrite (initial load / compaction)."""
+        manifest = self._manifest()
+        gen = f"gen_{manifest['seq'] + 1}"
+        gen_dir = os.path.join(self.path, gen)
+        (
+            df.withColumn("_bucket", self._bucket_of(F.col(self.key_col)))
+            .repartition("_bucket")
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(gen_dir)
+        )
+        written = {
+            int(d.split("=")[1])
+            for d in os.listdir(gen_dir)
+            if d.startswith("_bucket=")
+        }
+        old_gens = set(self._manifest()["buckets"].values())
+        manifest["buckets"] = {str(b): gen for b in sorted(written)}
+        manifest["seq"] += 1
+        self._commit(manifest)
+        for g in old_gens - {gen}:
+            shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
 
 
 class IncrementalRunner:
@@ -101,11 +297,14 @@ class IncrementalRunner:
         self.key_col = key_col
         self.ordinal_col = ordinal_col
         os.makedirs(state_dir, exist_ok=True)
-        self.tracking = ParquetState(
+        # bucketed: an update rewrites only buckets containing changed
+        # keys — O(Δ) tracking I/O per run instead of O(all tracked keys)
+        self.tracking = BucketedParquetState(
             spark,
             os.path.join(state_dir, "tracking"),
             "_key string, _ordinal long, _content_hash string, "
             "_logic_fp string, _process_ordinal long",
+            key_col="_key",
         )
 
     # -- skip/process/delete decision (one full-outer join) ---------------
@@ -176,22 +375,37 @@ class IncrementalRunner:
             to_bump = planned.filter("_action = 'bump'").drop("_action")
             deletes = planned.filter("_action = 'delete'").select("_key")
 
-            # 1. run the transform over changed rows only
-            new_rows = transform(to_process.drop("_key", "_src_hash"))
+            # 1. run the transform over changed rows only; checkpoint so
+            # the (possibly expensive) transform executes exactly once —
+            # the bucketed merge evaluates its input twice (bucket
+            # discovery + write)
+            new_rows = transform(
+                to_process.drop("_key", "_src_hash")
+            ).localCheckpoint(eager=True)
 
-            # 2. target MERGE: delete gone keys + upsert new results
-            cur = target.read()
-            changed_keys = planned.filter(
-                "_action in ('process','delete')"
-            ).select(F.col("_key").alias("_changed_key"))
-            survivors = cur.join(
-                changed_keys,
-                cur[target_key] == F.col("_changed_key"),
-                "left_anti",
-            )
-            target.overwrite(
-                survivors.unionByName(new_rows, allowMissingColumns=True)
-            )
+            # 2. target MERGE: delete gone keys + upsert new results.
+            # Bucketed targets rewrite only the touched buckets; the
+            # plain ParquetState path is kept for tiny states.
+            if isinstance(target, BucketedParquetState):
+                target.merge(
+                    new_rows,
+                    delete_keys=deletes.select(
+                        F.col("_key").alias(target.key_col)
+                    ),
+                )
+            else:
+                cur = target.read()
+                changed_keys = planned.filter(
+                    "_action in ('process','delete')"
+                ).select(F.col("_key").alias("_changed_key"))
+                survivors = cur.join(
+                    changed_keys,
+                    cur[target_key] == F.col("_changed_key"),
+                    "left_anti",
+                )
+                target.overwrite(
+                    survivors.unionByName(new_rows, allowMissingColumns=True)
+                )
 
             # 3. tracking MERGE (the reference's 2-phase commit collapses
             #    to one atomic state swap here)
@@ -212,15 +426,12 @@ class IncrementalRunner:
             ).withColumn("_logic_fp", F.lit(self.logic_fp)).withColumn(
                 "_process_ordinal", proc_ord
             )
-            old_trk = self.tracking.read()
-            keep = old_trk.join(
-                planned.filter("_action in ('process','bump','delete')").select(
-                    "_key"
-                ),
-                "_key",
-                "left_anti",
+            # bucketed MERGE: only buckets with processed/bumped/deleted
+            # keys are rewritten (the reference's 2-phase commit collapses
+            # to the manifest swap inside merge())
+            self.tracking.merge(
+                new_trk.unionByName(bump_trk), delete_keys=deletes
             )
-            self.tracking.overwrite(keep.unionByName(new_trk).unionByName(bump_trk))
             return {
                 "processed": counts.get("process", 0),
                 "bumped": counts.get("bump", 0),
@@ -249,8 +460,9 @@ class MemoCache:
         self, spark: SparkSession, path: str, value_schema_ddl: str,
         behavior_version: int = 1,
     ):
-        self.state = ParquetState(
-            spark, path, f"_memo_key string, {value_schema_ddl}"
+        self.state = BucketedParquetState(
+            spark, path, f"_memo_key string, {value_schema_ddl}",
+            key_col="_memo_key",
         )
         self.behavior_version = behavior_version
 
@@ -273,18 +485,24 @@ class MemoCache:
     ) -> DataFrame:
         """df + memo → (hits ∪ fn(misses)); cache updated with misses."""
         keyed = df.withColumn("_memo_key", self.memo_key(*arg_cols))
-        cache = self.state.read()
+        # bucket-pruned cache lookup: reads only the buckets the input
+        # keys hash into, not the whole cache
+        cache = self.state.read_keys(keyed.select("_memo_key"))
         hits = keyed.join(cache, "_memo_key")
         misses = keyed.join(cache.select("_memo_key"), "_memo_key", "left_anti")
-        computed = fn(misses)
-        # materialize BEFORE the cache swap: the lazy plan references
-        # the current cache files, which overwrite() replaces
+        # materialize the miss computation ONCE: both the returned rows
+        # and the cache write are built from this checkpoint, so the
+        # expensive fn never runs twice and a nondeterministic fn can't
+        # cache a different value than it returned
+        computed = fn(misses).localCheckpoint(eager=True)
+        # materialize BEFORE the merge: the hits plan references the
+        # current bucket files, which merge() replaces and GCs
         result = hits.unionByName(computed.select(*hits.columns)).localCheckpoint(
             eager=True
         )
-        self.state.overwrite(
-            cache.unionByName(
-                computed.select("_memo_key", *value_cols), allowMissingColumns=False
-            ).dropDuplicates(["_memo_key"])
+        self.state.merge(
+            computed.select("_memo_key", *value_cols).dropDuplicates(
+                ["_memo_key"]
+            )
         )
         return result.drop("_memo_key")

@@ -142,17 +142,30 @@ def foreach_batch_upsert(target_state, key_col: str = "user_id"):
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        cur = target_state.read()
-        merged = cur.unionByName(batch_df, allowMissingColumns=True)
         w = (
             Window.partitionBy(key_col)
             .orderBy(F.col("ordinal").desc(), F.col("event_id").desc())
         )
-        latest = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .filter("_rn = 1")
-            .drop("_rn")
-        )
-        target_state.overwrite(latest)
+        if hasattr(target_state, "read_keys"):
+            # BucketedParquetState: read ONLY the batch keys' buckets,
+            # resolve max-ordinal per key, rewrite only those buckets —
+            # O(batch) I/O per micro-batch instead of O(state)
+            cur = target_state.read_keys(batch_df.select(key_col))
+            merged = cur.unionByName(batch_df, allowMissingColumns=True)
+            latest = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+            target_state.merge(latest)
+        else:
+            cur = target_state.read()
+            merged = cur.unionByName(batch_df, allowMissingColumns=True)
+            latest = (
+                merged.withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+            target_state.overwrite(latest)
 
     return _sink
