@@ -2489,6 +2489,239 @@ def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).coalesce(1)
 
 
+# -- §2.7 entity type normalization (entity_extraction_runner_v2.py:361-567) --
+
+_ENTITY_TYPE_CASES = [
+    ("COMPONENT", "x"),            # allowed, direct
+    ("component", ""),             # case-normalized
+    ("Noun-Phrase", ""),           # dash → underscore → synonym
+    ("noun phrase", ""),           # space → underscore → synonym
+    ("symptom", ""),               # synonym → PROBLEM
+    ("EQUIPMENT", ""),             # synonym → TOOL
+    ("bogus", "isopropyl alcohol wipe"),   # keyword hint → MATERIAL
+    (None, "phillips screwdriver"),        # hint → TOOL
+    (None, "hdmi connector"),              # hint → COMPONENT
+    (None, "screen flicker"),      # COMPONENT wins over PROBLEM (dict order)
+    (None, "acid bath"),           # hint → CHEMICAL
+    (None, "nothing matches"),     # default CONCEPT
+    ("STATE", ""),                 # allowed
+    ("malfunction", ""),           # synonym → PROBLEM
+]
+
+
+def _entity_norm_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        normalize_entity_type_sql,
+    )
+
+    values = ", ".join(
+        f"({i}, {'NULL' if rt is None else repr(rt)}, {repr(mt)})"
+        for i, (rt, mt) in enumerate(_ENTITY_TYPE_CASES)
+    )
+    return f"""
+SELECT id, {normalize_entity_type_sql("raw_type", "mention")} AS entity_type
+FROM (VALUES {values}) AS t(id, raw_type, mention)
+"""
+
+
+@_register("entity_normalize_types", _entity_norm_sql())
+def _q_entity_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """19-type vocabulary + synonym table + keyword hints, ported
+    from the reference's normalize_entity_type — pure CASE/contains
+    expressions, shared tables with the SQL twin."""
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        normalize_entity_type,
+    )
+
+    df = spark.createDataFrame(
+        [(i, rt, mt) for i, (rt, mt) in enumerate(_ENTITY_TYPE_CASES)],
+        "id int, raw_type string, mention string",
+    ).coalesce(1)
+    return df.select(
+        "id", normalize_entity_type("raw_type", "mention").alias("entity_type")
+    )
+
+
+# -- §2.7 relationship type canonicalization (relationship_types.py:8-56) -----
+
+_REL_TYPE_CASES = [
+    "may cause", "Contains", "depends on", "component of", "Compatible-With",
+    "", None, "some nonsense", "supports", "located_in", "OWNED BY",
+    "measures", "reduces", "prevents removal of", "relates to",
+]
+
+
+def _rel_canon_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        canonicalize_relationship_type_sql,
+    )
+
+    values = ", ".join(
+        f"({i}, {'NULL' if s is None else repr(s)})"
+        for i, s in enumerate(_REL_TYPE_CASES)
+    )
+    return f"""
+SELECT id, {canonicalize_relationship_type_sql("label")} AS relationship_type
+FROM (VALUES {values}) AS t(id, label)
+"""
+
+
+@_register("relationship_canonicalize", _rel_canon_sql())
+def _q_rel_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-type relationship vocabulary with alias canonicalization
+    (RELATES_TO default), ported from the reference table."""
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        canonicalize_relationship_type,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(_REL_TYPE_CASES)], "id int, label string"
+    ).coalesce(1)
+    return df.select(
+        "id",
+        canonicalize_relationship_type("label").alias("relationship_type"),
+    )
+
+
+# -- §2.7 typed relationships from cue verbs over the corpus ------------------
+
+_REL_CUES = [
+    "causes", "prevents", "requires", "contains", "uses", "replaces",
+    "reduces", "supports", "monitors", "defines",
+]
+
+
+def _typed_rel_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        canonicalize_relationship_type_sql,
+    )
+
+    values = ", ".join(f"({repr(c)})" for c in _REL_CUES)
+    return f"""
+WITH hits AS (
+  SELECT {canonicalize_relationship_type_sql("c.cue")} AS relationship_type,
+         d.doc_id,
+         len(regexp_extract_all(lower(d.text), '\\b' || c.cue || '\\b')) AS n
+  FROM documents d, (VALUES {values}) AS c(cue)
+)
+SELECT relationship_type,
+       count(DISTINCT CASE WHEN n > 0 THEN doc_id END) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_matches
+FROM hits
+GROUP BY relationship_type
+"""
+
+
+@_register("entity_typed_relationships", _typed_rel_sql())
+def _q_typed_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based typed relationship evidence (relationship_extractor
+    .py:28-73 cue patterns, collapsed to cue-verb counts): every cue
+    hit is canonicalized through the 20-type vocabulary. 'requires'
+    deliberately lands on RELATES_TO (not in the canonical set)."""
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        canonicalize_relationship_type,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cues = spark.createDataFrame([(c,) for c in _REL_CUES], "cue string")
+    hits = docs.crossJoin(F.broadcast(cues)).select(
+        canonicalize_relationship_type("cue").alias("relationship_type"),
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.concat(F.lit("\\b"), F.col("cue"), F.lit("\\b"))
+            )
+        ).alias("n"),
+    )
+    return hits.groupBy("relationship_type").agg(
+        F.count_distinct(
+            F.when(F.col("n") > 0, F.col("doc_id"))
+        ).alias("n_docs"),
+        F.sum("n").cast("long").alias("n_matches"),
+    )
+
+
+# -- §2.7 mention offset realignment (runner_v2.py:1050-1080, 1880-1951) ------
+
+_REALIGN_SQL = """
+WITH m AS (
+  SELECT doc_id, text, mention, claimed_start, claimed_end FROM (
+    SELECT doc_id, text,
+           substring(text, 6, 12) AS mention, 0 AS claimed_start, 12 AS claimed_end
+    FROM documents WHERE length(text) >= 40
+    UNION ALL
+    SELECT doc_id, text, substring(text, 6, 12), 5, 17
+    FROM documents WHERE length(text) >= 40
+    UNION ALL
+    SELECT doc_id, text, upper(substring(text, 6, 12)), 5, 17
+    FROM documents WHERE length(text) >= 40
+  )
+),
+j AS (
+  SELECT doc_id, mention, claimed_start, claimed_end,
+         substring(text, claimed_start + 1, claimed_end - claimed_start) AS seg,
+         instr(text, mention) AS pos_exact,
+         instr(lower(text), lower(mention)) AS pos_ci
+  FROM m
+),
+a AS (
+  SELECT doc_id, mention, claimed_start, claimed_end, pos_exact, pos_ci,
+         CASE WHEN seg = mention THEN 'verbatim'
+              WHEN pos_exact > 0 THEN 'relocated'
+              WHEN pos_ci > 0 THEN 'relocated_ci'
+         END AS align
+  FROM j
+)
+SELECT doc_id, mention, align,
+       CAST(CASE WHEN align = 'verbatim' THEN claimed_start
+            WHEN align = 'relocated' THEN pos_exact - 1
+            ELSE pos_ci - 1 END AS INT) AS start_offset,
+       CAST(CASE WHEN align = 'verbatim' THEN claimed_start
+            WHEN align = 'relocated' THEN pos_exact - 1
+            ELSE pos_ci - 1 END + length(mention) AS INT) AS end_offset
+FROM a WHERE align IS NOT NULL
+"""
+
+
+@_register("entity_realign_offsets", _REALIGN_SQL)
+def _q_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset validation/repair for claimed mention spans: three
+    synthetic corruptions per document (wrong offsets → relocated;
+    correct offsets → verbatim; case-corrupted surface → relocated
+    case-insensitively). The dash/NBSP normalization path is
+    unit-tested (the synthetic corpus contains none)."""
+    from cocoindex_data_ingestion_spark.operators.entity_norm import (
+        realign_mentions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= 40)
+    base = docs.select("doc_id", "text", F.expr("substring(text, 6, 12)").alias("m"))
+    mentions = (
+        base.select(
+            "doc_id", "text", F.col("m").alias("mention"),
+            F.lit(0).alias("start_offset"), F.lit(12).alias("end_offset"),
+        )
+        .unionByName(
+            base.select(
+                "doc_id", "text", F.col("m").alias("mention"),
+                F.lit(5).alias("start_offset"), F.lit(17).alias("end_offset"),
+            )
+        )
+        .unionByName(
+            base.select(
+                "doc_id", "text", F.upper("m").alias("mention"),
+                F.lit(5).alias("start_offset"), F.lit(17).alias("end_offset"),
+            )
+        )
+    )
+    out = realign_mentions(mentions)
+    return out.select(
+        "doc_id", "mention", "align",
+        F.col("start_offset").cast("int").alias("start_offset"),
+        F.col("end_offset").cast("int").alias("end_offset"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
