@@ -745,6 +745,22 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("dedup_minhash_fast", None)
+def _q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production minhash: xxhash64 signatures (64-bit long compare,
+    ~10× cheaper per token than md5 hex strings; identical LSH
+    statistics). Rows-only — DuckDB has no xxhash64 twin; component
+    equivalence to the md5 variant is tested in test_operators."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    return dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS,
+        hash_fn="xxhash64",
+    )
+
+
 _MINHASH_COMPONENTS_SQL = (
     _minhash_sql()
     + """,
@@ -1546,6 +1562,39 @@ def _q_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy(F.col("maxsim_score").desc(), F.col("doc_label").asc())
+    )
+
+
+@_register("knn_maxsim_numpy", None)
+def _q_maxsim_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized MaxSim twin (BLAS Q@Pᵀ per doc, Arrow-batched) —
+    the scale path for real ColPali shapes (1030×128); equivalence to
+    the interpreted-HOF expression variant tested at small shape.
+    Rows-only: last-ulp summation-order differences."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy("vec_id")
+    docs = (
+        emb.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MAXSIM_DOCS)
+        .groupBy(F.col("label").cast("long").alias("doc_label"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+                lambda x: x["embedding"],
+            ).alias("dvecs")
+        )
+    )
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < _MAXSIM_Q)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    ]
+    return vector_search.knn_maxsim_numpy(
+        docs, qvecs, k=KNN_K, vecs_col="dvecs", id_col="doc_label"
     )
 
 

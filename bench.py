@@ -47,6 +47,7 @@ HEADLINE = [
     "knn_maxsim",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_minhash_fast",
     "dedup_embedding_cosine",
     "text_profile",
     "chunk_fixed",

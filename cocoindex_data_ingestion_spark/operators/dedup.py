@@ -182,6 +182,7 @@ def minhash_buckets(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, bucket) pairs: one row per document per band.
 
@@ -189,7 +190,16 @@ def minhash_buckets(
     aggregates of one groupBy — avoids 16 re-evaluations of the
     tokenization expression (Catalyst's CollapseProject would inline
     the token array into every per-hash column) and needs no array
-    allocations. One shuffle on id; md5 work is identical.
+    allocations. One shuffle on id.
+
+    ``hash_fn``:
+    - ``"md5"`` — hex strings; exists in DuckDB, so this is the
+      oracle-comparable variant.
+    - ``"xxhash64"`` — the production variant: 64-bit long compare
+      instead of 32-char string hashing/comparison, ~10× cheaper per
+      token at identical LSH statistics (any uniform hash family
+      works for minhash). No DuckDB twin — equivalence to md5 is
+      established on duplicate *components* (test_operators).
     """
     from cocoindex_data_ingestion_spark.functions.text import (
         is_content_token, tokenize,
@@ -201,6 +211,27 @@ def minhash_buckets(
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
     ).filter(is_content_token("token"))
+    if hash_fn == "xxhash64":
+        sig = toks.groupBy("id").agg(
+            *[
+                F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh_{i}")
+                for i in range(num_hashes)
+            ]
+        )
+        band_cols = [
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select("id", *band_cols)
+        return banded.select(
+            "id",
+            F.explode(
+                F.array(*[F.col(f"band_{b}") for b in range(bands)])
+            ).alias("bucket"),
+        )
     sig = toks.groupBy("id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh_{i}")
@@ -236,6 +267,7 @@ def minhash_lsh_edges(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup *graph edges*: each bucket member linked to the
     bucket's min id (star edges).
@@ -249,7 +281,7 @@ def minhash_lsh_edges(
     """
     from pyspark.sql import Window
 
-    buckets = minhash_buckets(docs, num_hashes, bands, id_col, text_col)
+    buckets = minhash_buckets(docs, num_hashes, bands, id_col, text_col, hash_fn)
     w = Window.partitionBy("bucket")
     return (
         buckets.withColumn("id_a", F.min("id").over(w))

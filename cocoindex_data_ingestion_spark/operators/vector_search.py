@@ -142,6 +142,49 @@ def knn_numpy(
     )
 
 
+def knn_maxsim_numpy(
+    df: DataFrame,
+    query_vecs: list[list[float]],
+    k: int = 10,
+    vecs_col: str = "embeddings",
+    id_col: str = "id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Vectorized MaxSim top-k: one numpy ``Q @ Pᵀ`` per document.
+
+    The expression-based :func:`knn_maxsim` runs nested lambdas in
+    Spark's *interpreted* HOF evaluator — fine at toy shapes (16
+    patches × 4 query tokens) but O(t·p·d) interpreted ops per doc
+    dominates at real ColPali shapes (1030 patches × 128-d, ~4e6
+    multiplies/doc). Here each Arrow batch does dense BLAS matmuls;
+    crossover is roughly t·p·d ≳ 10⁴ per doc. Scores may differ in
+    the last ulp (summation order) → rows-only checking; equivalence
+    to the expression variant is tested at small shape."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vecs, dtype=np.float64)  # t × d
+
+    schema = f"{id_col} long, score double"
+
+    def score(batches):
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.float64)
+            for i, vecs in enumerate(pdf[vecs_col].to_numpy()):
+                p = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+                out[i] = (q @ p.T).max(axis=1).sum()
+            yield pd.DataFrame({id_col: pdf[id_col], "score": out})
+
+    scored = df.select(id_col, vecs_col).mapInPandas(score, schema)
+    pw = float(10**round_to)
+    return (
+        scored.withColumn("score", F.floor(F.col("score") * pw + 0.5) / pw)
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
 def knn_maxsim(
     df: DataFrame,
     query_vecs: Column,

@@ -265,3 +265,76 @@ def test_hybrid_index_fast_path_matches_adhoc(spark, sf_dir, tmp_path):
     fast_rr = indexed_rerank(spark, idx, bm, terms, k=10).collect()
     assert [(r.doc_id, r.rerank_score) for r in adhoc_rr] == \
            [(r.doc_id, r.rerank_score) for r in fast_rr]
+
+
+def test_minhash_xxhash64_component_equivalence(spark, sf_dir):
+    """md5 (oracle) and xxhash64 (production) minhash variants must
+    find the SAME duplicate components on a corpus with unambiguous
+    near-dup clusters (the driver's template-generated documents are
+    unsuitable: most cross-pairs sit at Jaccard 0.2-0.5, exactly the
+    probabilistic band where different hash families legitimately
+    sample different candidates). Clear clusters (s >= 0.9) are caught
+    by ANY uniform hash family with P ≈ 1-(1-s^r)^b > 0.98, and both
+    families here are deterministic, so equality is stable."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"tok{i:03d}" for i in range(400)]
+    rows = []
+    doc_id = 0
+    truth = set()
+    for cluster in range(10):
+        base = rng.sample(vocab, 40)
+        members = []
+        for copy in range(3):  # 3 near-dup copies: 1 token changed
+            words = list(base)
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+            rows.append((doc_id, " ".join(words)))
+            members.append(doc_id)
+            doc_id += 1
+        truth.add(frozenset(members))
+    for _ in range(20):  # unrelated singletons
+        rows.append((doc_id, " ".join(rng.sample(vocab, 40))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def comps(hash_fn):
+        edges = dedup.minhash_lsh_edges(docs, hash_fn=hash_fn)
+        labels = dedup.connected_components(edges).collect()
+        by_comp = {}
+        for r in labels:
+            by_comp.setdefault(r.component, set()).add(r.node_id)
+        return {frozenset(v | {c}) for c, v in by_comp.items()}
+
+    md5_comps = comps("md5")
+    xx_comps = comps("xxhash64")
+    assert md5_comps == xx_comps == truth
+
+
+def test_maxsim_numpy_matches_expression_variant(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.functions.similarity import maxsim
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    docs = emb.groupBy(F.col("label").cast("long").alias("id")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("vec_id", "embedding"))),
+            lambda x: x["embedding"],
+        ).alias("vecs")
+    )
+    qvecs = [
+        list(r["embedding"])
+        for r in emb.filter("vec_id < 4").orderBy("vec_id").select("embedding").collect()
+    ]
+    qcol = F.array(*[
+        F.array(*[F.lit(float(x)) for x in v]) for v in qvecs
+    ])
+    expr_rows = vector_search.knn_maxsim(
+        docs, qcol, k=10, vecs_col="vecs", id_col="id"
+    ).collect()
+    np_rows = vector_search.knn_maxsim_numpy(
+        docs, qvecs, k=10, vecs_col="vecs", id_col="id"
+    ).collect()
+    assert [r.id for r in expr_rows] == [r.id for r in np_rows]
+    for a, b in zip(expr_rows, np_rows):
+        assert abs(a.score - b.score) < 1e-6
