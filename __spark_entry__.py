@@ -582,7 +582,8 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
     joined = relational.asof_join(
-        p, v, on="user_id", left_ts="ts", right_ts="ts", tiebreak="event_id"
+        p, v, on="user_id", left_ts="ts", right_ts="ts", tiebreak="event_id",
+        left_key="event_id",
     )
     return joined.select(
         F.col("l.user_id").alias("user_id"),

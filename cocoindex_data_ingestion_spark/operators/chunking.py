@@ -75,27 +75,32 @@ def fixed_chunks(
 
 
 def _pack_sentences(
-    sentences: list[tuple[str, int]], chunk_size: int
+    sentences: list[tuple[str, int]], chunk_size: int, text: str
 ) -> list[tuple[int, int, int, str]]:
     """Pack (sentence, start_offset) into chunks ≤ chunk_size chars
     with 1-sentence overlap (reference chunker.py:114-155).
-    Returns (chunk_index, start, end, text)."""
+    Returns (chunk_index, start, end, text).
+
+    Range contract: every chunk's [start, end) is measured in the
+    ORIGINAL text and chunk_text IS text[start:end] — offsets stay
+    correct whatever the inter-sentence separators were ('\\n\\n',
+    runs of spaces, ...), so downstream consumers (two-tier parent
+    offsets, mention realignment) can trust them verbatim."""
     chunks: list[tuple[int, int, int, str]] = []
     cur: list[tuple[str, int]] = []
-    cur_len = 0
-    for sent, off in sentences:
-        if cur and cur_len + len(sent) + 1 > chunk_size:
-            start = cur[0][1]
-            text = " ".join(s for s, _ in cur)
-            chunks.append((len(chunks), start, start + len(text), text))
-            cur = [cur[-1]]  # 1-sentence overlap
-            cur_len = len(cur[0][0])
-        cur.append((sent, off))
-        cur_len += len(sent) + (1 if len(cur) > 1 else 0)
-    if cur:
+
+    def emit() -> None:
         start = cur[0][1]
-        text = " ".join(s for s, _ in cur)
-        chunks.append((len(chunks), start, start + len(text), text))
+        end = cur[-1][1] + len(cur[-1][0])
+        chunks.append((len(chunks), start, end, text[start:end]))
+
+    for sent, off in sentences:
+        if cur and (off + len(sent) - cur[0][1]) > chunk_size:
+            emit()
+            cur = [cur[-1]]  # 1-sentence overlap
+        cur.append((sent, off))
+    if cur:
+        emit()
     return chunks
 
 
@@ -113,8 +118,11 @@ def sentence_chunks(
     import re
 
     sent_re = re.compile(SENTENCE_SPLIT_RE)
+    # id passes through with its source type (long doc ids, string
+    # parent-chunk md5 ids, ...)
+    id_type = dict(docs.dtypes)[id_col]
     schema = (
-        f"{id_col} long, chunk_index int, location_start long, "
+        f"{id_col} {id_type}, chunk_index int, location_start long, "
         "location_end long, chunk_text string, chunk_id string"
     )
 
@@ -132,7 +140,9 @@ def sentence_chunks(
                     if piece.strip():
                         sents.append((piece, idx))
                     pos = idx + len(piece)
-                for ci, start, end, ctext in _pack_sentences(sents, chunk_size):
+                for ci, start, end, ctext in _pack_sentences(
+                    sents, chunk_size, text
+                ):
                     cid = hashlib.md5(f"{did}:{ci}:{start}".encode()).hexdigest()
                     rows.append((did, ci, start, end, ctext, cid))
             yield pd.DataFrame(
@@ -332,22 +342,20 @@ def two_tier_chunks(
         F.col("location_start").alias("parent_start"),
         F.col("chunk_text").alias("parent_text"),
     )
+    # children keyed DIRECTLY by the md5 parent_chunk_id string —
+    # sentence_chunks passes any id type through, so no lossy
+    # hash-to-long round trip (a 63-bit collision would silently
+    # mis-parent a chunk at corpus scale)
     children = sentence_chunks(
-        pages.select(
-            F.col("parent_chunk_id"), F.col(id_col), F.col("parent_index"),
-            F.col("parent_start"), F.col("parent_text").alias(text_col),
-        ).withColumnRenamed(id_col, "_doc_id")
-        .withColumnRenamed("parent_chunk_id", id_col + "_parent")  # key for chunker
-        .withColumn(id_col, F.abs(F.xxhash64(F.col(id_col + "_parent"))))
-        , chunk_size=child_size, id_col=id_col, text_col=text_col,
+        pages.select("parent_chunk_id", F.col("parent_text").alias(text_col)),
+        chunk_size=child_size, id_col="parent_chunk_id", text_col=text_col,
     )
-    # join back to recover parent linkage
-    key = pages.withColumn(
-        "_jk", F.abs(F.xxhash64(F.col("parent_chunk_id")))
-    ).select("_jk", id_col, "parent_chunk_id", "parent_index", "parent_start")
+    key = pages.select(
+        "parent_chunk_id", F.col(id_col), "parent_index", "parent_start"
+    )
     return (
-        children.withColumnRenamed(id_col, "_jk")
-        .join(F.broadcast(key), "_jk")
+        children
+        .join(F.broadcast(key), "parent_chunk_id")
         .select(
             F.col(id_col).alias("document_id"),
             "parent_chunk_id",

@@ -44,27 +44,86 @@ def asof_join(
     right_ts: str,
     direction: str = "backward",
     tiebreak: str | None = None,
+    left_key: str | list[str] | None = None,
+    max_lookback_us: int | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     right_ts <= left_ts (backward) sharing the equi-key.
 
-    Strategy here: equi-join on key + inequality filter + window
+    Strategy: equi-join on key + inequality filter + window
     row_number — correct and fully Catalyst-planned (sort-merge on
-    the key). At 100 TB, if one key has huge history, bucket both
-    sides by time range first (coarse time bucket added to the join
-    key) so each joined group is bounded; or per-group
-    ``applyInPandas`` + ``pd.merge_asof`` when history fits memory.
+    the key).
+
+    ``left_key``: column(s) uniquely identifying a left row — the
+    window partitions on it (plus the equi-key). Without it a
+    synthetic per-row id is generated; partitioning on every left
+    column would silently collapse duplicate left rows and hash wide
+    rows for nothing.
+
+    ``max_lookback_us`` bounds the candidate blow-up for keys with
+    huge history: both sides get a coarse time bucket of that width
+    added to the join key (right rows are emitted into their own and
+    the following bucket), so each left row joins at most the
+    history inside its lookback window instead of ALL earlier rows —
+    the O(n·m)→O(n·w) rewrite that matters at 100 TB. Left rows with
+    no match inside the window are dropped (bounded-as-of contract).
     """
-    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
-    cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & (
-        rt <= lt if direction == "backward" else rt >= lt
+    lkeys = (
+        [left_key] if isinstance(left_key, str)
+        else list(left_key) if left_key
+        else None
     )
+    if lkeys is None:
+        left = left.withColumn("_asof_lid", F.monotonically_increasing_id())
+        lkeys = ["_asof_lid"]
+
+    lt, rt = F.col(f"l.{left_ts}"), F.col(f"r.{right_ts}")
+    backward = direction == "backward"
+    time_cond = rt <= lt if backward else rt >= lt
+
+    if max_lookback_us is not None:
+        bw = int(max_lookback_us)
+        shift = 1 if backward else -1
+        left = left.withColumn(
+            "_asof_b", F.floor(F.unix_micros(F.col(left_ts)) / bw)
+        )
+        right = right.withColumn(
+            "_asof_b0", F.floor(F.unix_micros(F.col(right_ts)) / bw)
+        ).withColumn(
+            "_asof_b",
+            F.explode(
+                F.array(F.col("_asof_b0"), F.col("_asof_b0") + shift)
+            ),
+        ).drop("_asof_b0")
+        win_cond = (
+            (F.unix_micros(lt) - F.unix_micros(rt) < bw)
+            if backward
+            else (F.unix_micros(rt) - F.unix_micros(lt) < bw)
+        )
+        cond = (
+            (F.col(f"l.{on}") == F.col(f"r.{on}"))
+            & (F.col("l._asof_b") == F.col("r._asof_b"))
+            & time_cond
+            & win_cond
+        )
+    else:
+        cond = (F.col(f"l.{on}") == F.col(f"r.{on}")) & time_cond
+
     joined = left.alias("l").join(right.alias("r"), cond, "inner")
-    order = [rt.desc() if direction == "backward" else rt.asc()]
+    order = [rt.desc() if backward else rt.asc()]
     if tiebreak:
         order.append(F.col(f"r.{tiebreak}").desc())
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
-    return joined.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    w = Window.partitionBy(
+        F.col(f"l.{on}"), *[F.col(f"l.{c}") for c in lkeys]
+    ).orderBy(*order)
+    out = joined.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+    for helper in ("_asof_lid", "_asof_b"):
+        for side in ("l", "r"):
+            try:
+                out = out.drop(F.col(f"{side}.{helper}"))
+            except Exception:
+                pass
+    return out
 
 
 def salted_agg(

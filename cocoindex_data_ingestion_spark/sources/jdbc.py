@@ -43,11 +43,25 @@ def read_jdbc_table(
     return reader.load()
 
 
+import re
+
+_SAFE_ID_RE = re.compile(r"^[A-Za-z0-9_-]+$")
+
+
 def single_document_source(
     spark: SparkSession, url: str, document_id: str, **options: str
 ) -> DataFrame:
     """Reference SingleDocumentSource (app/flows/sources.py:16-61):
-    one document row by id — a predicate-pushdown JDBC read."""
+    one document row by id — a predicate-pushdown JDBC read.
+
+    The id is validated against the reference's id shape (UUID/hash
+    charset) before interpolation — JDBC's dbtable option has no bind
+    parameters, so never splice arbitrary strings into it."""
+    if not _SAFE_ID_RE.match(document_id):
+        raise ValueError(
+            f"document_id {document_id!r} is not a valid id (expected "
+            "[A-Za-z0-9_-]+); refusing to build a JDBC predicate from it"
+        )
     return read_jdbc_table(
         spark, url, "documents", predicate=f"id = '{document_id}'", **options
     )

@@ -15,10 +15,37 @@ the AmazonS3/SQS change_stream() analogue (amazon_s3.rs:180-236).
 
 from __future__ import annotations
 
-from fnmatch import fnmatch
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _glob_to_regex(glob: str) -> str:
+    """Filename glob → anchored Java-compatible regex (driver-side,
+    once). Supports ``*``, ``?`` and ``[...]`` classes — the subset
+    the reference's exclude patterns use (local_file.rs:94-112)."""
+    out, i = [], 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            out.append("[^/]*")
+        elif c == "?":
+            out.append("[^/]")
+        elif c == "[":
+            j = glob.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                body = glob[i + 1:j]
+                if body.startswith("!"):
+                    body = "^" + body[1:]
+                out.append("[" + body + "]")
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "".join(out)
 
 
 def read_local_files(
@@ -42,12 +69,12 @@ def read_local_files(
     df = reader.load(path)
 
     if exclude_globs:
-        @F.udf("boolean")
-        def _excluded(p: str) -> bool:
-            name = p.rsplit("/", 1)[-1]
-            return any(fnmatch(name, g) for g in exclude_globs)
-
-        df = df.filter(~_excluded(F.col("path")))
+        # globs translate to one anchored regex on the driver; the
+        # filter stays in whole-stage codegen (a row-at-a-time Python
+        # UDF here would sit on the 100 TB file-listing path)
+        pattern = "^(" + "|".join(_glob_to_regex(g) for g in exclude_globs) + ")$"
+        filename = F.element_at(F.split("path", "/"), -1)
+        df = df.filter(~filename.rlike(pattern))
 
     out = df.select(
         F.col("path"),

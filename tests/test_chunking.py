@@ -54,6 +54,10 @@ def test_fixed_chunks_properties(spark, docs):
 
 def test_sentence_chunks_properties(spark, docs):
     rows = chunking.sentence_chunks(docs, chunk_size=120).collect()
+    # range consistency holds for sentence chunks too: offsets are
+    # measured in the original text and chunk_text IS text[start:end]
+    # even when inter-sentence separators are not single spaces
+    _check_range_consistency(rows, dict(FIXTURE_TEXTS))
     for r in rows:
         assert r.chunk_text  # no empty chunks
         assert len(r.chunk_id) == 32  # md5 deterministic id
@@ -84,8 +88,16 @@ def test_recursive_chunks_properties(spark, docs):
 def test_two_tier_chunks_schema_and_tokens(spark, docs):
     rows = chunking.two_tier_chunks(docs.filter("doc_id = 3")).collect()
     assert rows
+    texts = dict(FIXTURE_TEXTS)
     for r in rows:
         assert r.chunk_level == "semantic"
         assert len(r.chunk_id) == 32 and len(r.parent_chunk_id) == 32
         assert all(t == t.lower() and len(t) >= 3 for t in r.bm25_tokens)
         assert r.chunk_size == len(r.bm25_tokens)
+        # child offsets, rebased by the parent page, reproduce the
+        # child text from the ORIGINAL document (inherited range
+        # contract — valid because pages are verbatim windows)
+        assert (
+            texts[r.document_id][r.location_start:r.location_end]
+            == r.chunk_text
+        )

@@ -338,3 +338,44 @@ def test_maxsim_numpy_matches_expression_variant(spark, sf_dir):
     assert [r.id for r in expr_rows] == [r.id for r in np_rows]
     for a, b in zip(expr_rows, np_rows):
         assert abs(a.score - b.score) < 1e-6
+
+
+def test_asof_join_duplicate_left_rows_and_bounded_lookback(spark):
+    """Two identical left rows must EACH get their as-of match (the
+    old all-columns window collapsed them); bounded lookback drops
+    matches older than the window and keeps in-window results
+    identical to the unbounded join."""
+    from cocoindex_data_ingestion_spark.operators import relational
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100),
+         (1, "2024-01-01 10:00:00", 101),   # duplicate except key
+         (1, "2024-01-01 12:00:00", 102)],
+        "user_id long, ts_s string, event_id long",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 900),
+         (1, "2024-01-01 09:59:00", 901),
+         (1, "2024-01-01 11:00:00", 902)],
+        "user_id long, ts_s string, event_id long",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_id")
+
+    out = relational.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        tiebreak="event_id", left_key="event_id",
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    ).collect()
+    got = {r.lid: r.rid for r in out}
+    assert got == {100: 901, 101: 901, 102: 902}
+
+    # bounded: 30-minute lookback — 10:00 rows still match 09:59,
+    # and nothing matches from >30min before
+    bounded = relational.asof_join(
+        left, right, on="user_id", left_ts="ts", right_ts="ts",
+        tiebreak="event_id", left_key="event_id",
+        max_lookback_us=30 * 60 * 1_000_000,
+    ).select(
+        F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
+    ).collect()
+    assert {r.lid: r.rid for r in bounded} == {100: 901, 101: 901}

@@ -29,7 +29,8 @@ def test_pack_sentences_bounds_and_order(sentences, chunk_size):
     for s in sentences:
         offs.append((s, pos))
         pos += len(s) + 1
-    chunks = _pack_sentences(offs, chunk_size)
+    full_text = " ".join(sentences)
+    chunks = _pack_sentences(offs, chunk_size, full_text)
     assert chunks, "packing must always emit at least one chunk"
     idxs = [c[0] for c in chunks]
     assert idxs == list(range(len(chunks)))
@@ -38,6 +39,7 @@ def test_pack_sentences_bounds_and_order(sentences, chunk_size):
     longest = max(len(s) for s, _ in offs)
     for _, start, end, text in chunks:
         assert end - start == len(text)
+        assert full_text[start:end] == text  # range contract
         # 1-sentence overlap means a flush can hold (overlap + next),
         # so the sound bound is chunk_size + longest sentence + sep —
         # the same property the reference's overlap packing has

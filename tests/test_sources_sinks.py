@@ -136,3 +136,30 @@ def test_indexed_operators_match_adhoc(spark, tmp_path, sf_dir):
         tuple(r) for r in indexing.indexed_knn(spark, idx, q, k=10, exact=True).collect()
     ]
     assert adhoc_knn == indexed_knn
+
+
+def test_exclude_glob_regex_translation(spark, files_dir):
+    """exclude globs run as one codegen rlike, no Python UDF; ?, *
+    and [...] classes all translate."""
+    from cocoindex_data_ingestion_spark.sources.localfile import _glob_to_regex
+
+    assert _glob_to_regex("*.log") == "[^/]*\\.log"
+    assert _glob_to_regex("a?.md") == "a[^/]\\.md"
+    assert _glob_to_regex("[ab].md") == "[ab]\\.md"
+
+    excl = read_local_files(spark, files_dir, exclude_globs=["s?ip.log", "[xy].md"])
+    assert {r.filename for r in excl.collect()} == {"a.md", "b.md"}
+    # plan stays UDF-free
+    plan = excl._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "pythonUDF" not in plan
+
+
+def test_single_document_source_rejects_injection(spark):
+    from cocoindex_data_ingestion_spark.sources.jdbc import (
+        single_document_source,
+    )
+
+    with pytest.raises(ValueError):
+        single_document_source(
+            spark, "jdbc:postgresql://x/db", "1'; DROP TABLE documents; --"
+        )
