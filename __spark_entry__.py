@@ -1607,6 +1607,17 @@ def _q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.semantic_chunks(_t(spark, sf_dir, "documents"))
 
 
+@_register("chunk_recursive", None)
+def _q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference SplitRecursively cost-model port (merge DP with the
+    SYNTAX/LINE_BREAK/TOO_SMALL/OVERLAP costs, split_recursively.rs:
+    27-30,597-743). Rows-only: the DP is not SQL-expressible; the
+    reference's own test grid is ported in tests/test_split_dp.py."""
+    return chunking.chunk_recursive_dp(
+        _t(spark, sf_dir, "documents"), chunk_size=400, chunk_overlap=60
+    )
+
+
 # -- prebuilt-index variants (production path; identical results/oracles) ----
 
 _INDEX_CACHE: dict[str, str] = {}

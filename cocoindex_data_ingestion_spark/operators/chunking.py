@@ -316,6 +316,52 @@ def semantic_chunks(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def chunk_recursive_dp(
+    docs: DataFrame,
+    chunk_size: int = DEFAULT_CHUNK_SIZE,
+    min_chunk_size: int | None = None,
+    chunk_overlap: int = 0,
+    separators: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The reference SplitRecursively (cost-model merge DP over
+    separator-stack atoms, functions/split_recursively.py — faithful
+    port of split_recursively.rs:27-30,597-743) as a Spark operator.
+
+    Per-document sequential DP → mapInPandas (documents independent,
+    perfectly parallel; no shuffle). Custom language = custom
+    separator stack."""
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DEFAULT_SEPARATORS, RecursiveChunker,
+    )
+
+    seps = tuple(separators) if separators else DEFAULT_SEPARATORS
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_index int, location_start long, "
+        "location_end long, chunk_text string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                chunker = RecursiveChunker(
+                    text or "", chunk_size, min_chunk_size, chunk_overlap,
+                    seps,
+                )
+                for ci, (s, e, ctext) in enumerate(chunker.split()):
+                    rows.append((did, ci, s, e, ctext))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_index", "location_start",
+                         "location_end", "chunk_text"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def two_tier_chunks(
     docs: DataFrame,
     page_size: int = 1200,
