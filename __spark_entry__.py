@@ -2783,6 +2783,116 @@ def _q_realign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.7 document metadata extraction (DocumentMetadata, llm_service.py) -----
+
+
+def _docmeta_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        _CATEGORY_HINTS, _NEGATIVE_WORDS, _POSITIVE_WORDS,
+    )
+
+    def clean(expr: str, n: int) -> str:
+        c = f"trim(regexp_replace({expr}, '\\s+', ' ', 'g'))"
+        return (
+            f"CASE WHEN length({c}) > {n} "
+            f"THEN rtrim(substring({c}, 1, {n - 3})) || '...' ELSE {c} END"
+        )
+
+    cat_branches = " ".join(
+        "WHEN "
+        + " OR ".join(f"contains(lower(text), '{kw}')" for kw in kws)
+        + f" THEN '{cat}'"
+        for cat, kws in _CATEGORY_HINTS.items()
+    )
+    pos = " + ".join(
+        f"CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END"
+        for w in _POSITIVE_WORDS
+    )
+    neg = " + ".join(
+        f"CASE WHEN contains(lower(text), '{w}') THEN 1 ELSE 0 END"
+        for w in _NEGATIVE_WORDS
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS c FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT doc_id, token,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token ASC) AS rn
+  FROM tf
+),
+tags AS (
+  SELECT doc_id, list(token ORDER BY rn) AS tags FROM ranked
+  WHERE rn <= 3 GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id,
+         {clean("split_part(text, chr(10), 1)", 80)} AS title,
+         {clean("text", 220)} AS summary,
+         CASE {cat_branches} ELSE NULL END AS category,
+         CASE WHEN ({pos}) > ({neg}) THEN 'positive'
+              WHEN ({neg}) > ({pos}) THEN 'negative'
+              ELSE 'neutral' END AS sentiment
+  FROM documents
+)
+SELECT b.doc_id, b.title, b.summary, b.category, b.sentiment,
+       coalesce(t.tags, []) AS tags,
+       ((CASE WHEN length(b.title) > 0 THEN 1 ELSE 0 END
+         + CASE WHEN length(b.summary) > 0 THEN 1 ELSE 0 END
+         + CASE WHEN b.category IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN coalesce(len(t.tags), 0) > 0 THEN 1 ELSE 0 END)
+        / 4.0) AS confidence
+FROM base b LEFT JOIN tags t ON b.doc_id = t.doc_id
+"""
+
+
+@_register("document_metadata", _docmeta_sql())
+def _q_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentMetadata record per doc — deterministic heuristic
+    double of the reference's LLM extractor (title/summary/tags/
+    category/sentiment/confidence), pure expressions + one token agg.
+    The LLM path plugs in via docmeta.metadata_udf_hook."""
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        extract_document_metadata,
+    )
+
+    return extract_document_metadata(_t(spark, sf_dir, "documents"))
+
+
+@_register("canonical_entity_descriptions", None)
+def _q_canonical_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity descriptions from mention evidence
+    (canonical_description_service.py): deterministic evidence prep
+    (format → dedup → sort → cap at 6) + the pluggable describe hook
+    with its deterministic double. Rows-only: the per-entity evidence
+    aggregation is list-valued."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        canonical_descriptions,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    mentions = ent.quality_filter(
+        ent.extract_mentions_gazetteer(docs, _GAZETTEER)
+    )
+    # context = ±60 chars around the mention from the source text
+    with_ctx = mentions.join(
+        docs.select("chunk_id", "chunk_text"), "chunk_id"
+    ).select(
+        "text",
+        "type",
+        F.substring(
+            F.col("chunk_text"),
+            F.greatest(F.col("start_offset") - 59, F.lit(1)),
+            F.lit(120),
+        ).alias("context"),
+    )
+    return canonical_descriptions(with_ctx)
+
+
 # ------------------------------------------------------------- driver surface
 
 
