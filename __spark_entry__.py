@@ -2893,6 +2893,63 @@ def _q_canonical_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_descriptions(with_ctx)
 
 
+# -- §2.3 ExtractByLlm structured-output path (extract_by_llm.rs) -------------
+
+_EXTRACT_SQL = """
+SELECT doc_id,
+       nullif(regexp_extract(lower(text), '[a-z0-9]+', 0), '') AS name,
+       CASE WHEN nullif(regexp_extract(lower(text), '[a-z0-9]+', 0), '')
+            IS NOT NULL THEN 'CONCEPT' END AS type,
+       false AS extracted_error
+FROM documents
+"""
+
+
+@_register("extract_llm_structured", _EXTRACT_SQL)
+def _q_extract_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtractByLlm plumbing end-to-end: declared output type → JSON
+    Schema (json_schema.build_json_schema, ported from
+    src/base/json_schema.rs) → per-batch LLM hook (deterministic
+    first-token double here) → JVM-side from_json parse + per-row
+    error flag. The oracle reproduces the double in SQL, proving the
+    schema/parse path is lossless."""
+    import re as _re
+
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql import types as T
+
+    from cocoindex_data_ingestion_spark.operators.extract import extract_by_llm
+
+    out_type = T.StructType([
+        T.StructField("name", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+    ])
+    tok = _re.compile("[a-z0-9]+")
+
+    def fake_llm(texts: pd.Series, schema: dict) -> pd.Series:
+        import json as _json
+
+        assert schema["type"] == "object"
+        out = []
+        for t in texts:
+            m = tok.search((t or "").lower())
+            out.append(
+                _json.dumps({"name": m.group(0), "type": "CONCEPT"})
+                if m else "{}"
+            )
+        return pd.Series(out, dtype="object")
+
+    docs = _t(spark, sf_dir, "documents")
+    ext = extract_by_llm(docs, out_type, llm_fn=fake_llm)
+    return ext.select(
+        "doc_id",
+        F.col("extracted.name").alias("name"),
+        F.col("extracted.type").alias("type"),
+        "extracted_error",
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
