@@ -96,6 +96,68 @@ class GraphSink:
                  node_schema_ddl: str, edge_schema_ddl: str):
         self.nodes = ParquetState(spark, f"{base_path}/nodes", node_schema_ddl)
         self.edges = ParquetState(spark, f"{base_path}/edges", edge_schema_ddl)
+        # label → declaration (GraphDeclaration, property_graph.rs:47-52:
+        # a node label + index options declared WITHOUT being directly
+        # exported, so relationships may reference it and the target
+        # can set up key constraints/indexes up front)
+        self.declarations: dict[str, dict] = {}
+
+    # -- declarations (neo4j.rs:923-1000 DeclarationSpec) -----------------
+
+    def declare_label(
+        self, label: str, key_cols: list[str],
+        vector_index: tuple[str, int] | None = None,
+    ) -> None:
+        """Declare a node label with its primary key (+ optional
+        vector index) before any export references it."""
+        self.declarations[label] = {
+            "key_cols": list(key_cols), "vector_index": vector_index,
+        }
+
+    def setup_statements(self) -> list[str]:
+        """Deterministic DDL the declarations imply — the statements a
+        live Neo4j/Kuzu connection would run (KEY constraint per
+        declared label, vector index when declared); parquet state
+        needs none, but the contract is testable without a server."""
+        stmts = []
+        for label in sorted(self.declarations):
+            d = self.declarations[label]
+            keys = ", ".join(f"n.{k}" for k in d["key_cols"])
+            stmts.append(
+                f"CREATE CONSTRAINT IF NOT EXISTS FOR (n:{label}) "
+                f"REQUIRE ({keys}) IS UNIQUE"
+            )
+            if d["vector_index"]:
+                col, dim = d["vector_index"]
+                stmts.append(
+                    f"CREATE VECTOR INDEX IF NOT EXISTS FOR (n:{label}) "
+                    f"ON (n.{col}) OPTIONS {{dimension: {dim}}}"
+                )
+        return stmts
+
+    def ensure_declared_endpoints(
+        self, edges: DataFrame, endpoint_label: str,
+        key: str = "node_id", label_col: str = "label",
+    ) -> None:
+        """Auto-create placeholder nodes for edge endpoints of a
+        DECLARED label (the reference auto-creates relationship
+        endpoints and relies on the declaration for their key;
+        referencing an undeclared label is a setup error,
+        neo4j.rs:939-1000)."""
+        if endpoint_label not in self.declarations:
+            raise ValueError(
+                f"label {endpoint_label!r} referenced by relationship "
+                "export but never declared — declare_label() it first"
+            )
+        endpoints = (
+            edges.select(F.col("src").alias(key))
+            .unionByName(edges.select(F.col("dst").alias(key)))
+            .distinct()
+            .withColumn(label_col, F.lit(endpoint_label))
+        )
+        existing = self.nodes.read().select(key)
+        missing = endpoints.join(existing, key, "left_anti")
+        self.merge_nodes(missing, key=key, auto_created=True)
 
     def merge_nodes(self, nodes: DataFrame, key: str = "node_id",
                     auto_created: bool = False) -> None:

@@ -163,3 +163,43 @@ def test_single_document_source_rejects_injection(spark):
         single_document_source(
             spark, "jdbc:postgresql://x/db", "1'; DROP TABLE documents; --"
         )
+
+
+def test_graph_declarations_and_endpoint_autocreate(spark, tmp_path):
+    """Declaration semantics (property_graph.rs GraphDeclaration +
+    neo4j.rs declaration handling): declared labels produce key/index
+    DDL; relationship exports referencing a declared label auto-create
+    endpoint placeholder nodes; undeclared labels error."""
+    g = sinks.GraphSink(
+        spark, str(tmp_path / "g"),
+        "node_id string, label string, _auto boolean",
+        "src string, dst string, rel_type string",
+    )
+    g.declare_label("Entity", ["node_id"], vector_index=("embedding", 64))
+    g.declare_label("Document", ["node_id"])
+
+    stmts = g.setup_statements()
+    assert stmts == [
+        "CREATE CONSTRAINT IF NOT EXISTS FOR (n:Document) "
+        "REQUIRE (n.node_id) IS UNIQUE",
+        "CREATE CONSTRAINT IF NOT EXISTS FOR (n:Entity) "
+        "REQUIRE (n.node_id) IS UNIQUE",
+        "CREATE VECTOR INDEX IF NOT EXISTS FOR (n:Entity) "
+        "ON (n.embedding) OPTIONS {dimension: 64}",
+    ]
+
+    edges = spark.createDataFrame(
+        [("e1", "e2", "MENTIONS")], "src string, dst string, rel_type string"
+    )
+    g.merge_edges(edges)
+    g.ensure_declared_endpoints(edges, "Entity")
+    nodes = {r.node_id: r for r in g.nodes.read().collect()}
+    assert set(nodes) == {"e1", "e2"}
+    assert all(n._auto and n.label == "Entity" for n in nodes.values())
+
+    # re-running is idempotent (no duplicate placeholders)
+    g.ensure_declared_endpoints(edges, "Entity")
+    assert g.nodes.read().count() == 2
+
+    with pytest.raises(ValueError):
+        g.ensure_declared_endpoints(edges, "NeverDeclared")
