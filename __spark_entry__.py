@@ -2950,6 +2950,174 @@ def _q_extract_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- multimodal: video frame fan-out + audio metadata (rows-only) -------------
+
+
+@_register("media_frame_sample", None)
+def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing: opaque binary → uniform frame sample
+    fan-out (one row per frame with timestamp + content id) — the
+    stage a frame-embedding pipeline feeds from. Deterministic fake
+    decoder (no codecs in env); schema/batching/fan-out are real."""
+    from cocoindex_data_ingestion_spark.operators.multimodal import (
+        video_frame_sample_stage,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "content", F.col("text").cast("binary")
+    )
+    return video_frame_sample_stage(docs, n_frames=4, use_fake=True)
+
+
+# -- §2.8 EXISTS / correlated-subquery / conditional-agg shapes ---------------
+
+_Q4_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+)
+GROUP BY o.o_orderpriority
+"""
+
+
+@_register("q4_priority_exists", _Q4_SQL)
+def _q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS with a correlated inequality → left-semi
+    join (no fan-out, no dedup pass; Catalyst plans one shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_late_orders")
+    )
+
+
+_Q14_SQL = f"""
+SELECT {_R(
+    "100.0 * "
+    + _S("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END", 2)
+    + " / " + _S("l.l_extendedprice * (1 - l.l_discount)", 2), 4
+)} AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l.l_shipdate < TIMESTAMP '1995-10-01'
+"""
+
+
+@_register("q14_promo_revenue", _Q14_SQL)
+def _q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional revenue share over one month —
+    broadcast part dim, both sums in one aggregation pass
+    (order-independent fixed-point, compare.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            stable_sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)),
+                2,
+            ).alias("promo"),
+            stable_sum(rev, 2).alias("total"),
+        )
+    )
+    return agg.select(
+        stable_round(100.0 * F.col("promo") / F.col("total"), 4).alias(
+            "promo_revenue_pct"
+        )
+    )
+
+
+_Q17_SQL = f"""
+SELECT {_S("l.l_extendedprice", 2)} / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+@_register("q17_small_quantity", _Q17_SQL)
+def _q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average)
+    → pre-aggregate the per-part threshold once and broadcast-join it
+    back — the decorrelated plan Catalyst itself would pick, written
+    explicitly so the aggregation is reusable."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#4")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresholds, li.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (stable_sum(F.col("l_extendedprice"), 2) / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+
+@_register("q19_or_predicates", _Q19_SQL)
+def _q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive brand/size/quantity
+    clauses — Catalyst extracts the common sub-predicates for pushdown
+    and the rest evaluates post-join in codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        stable_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+        ).alias("revenue")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

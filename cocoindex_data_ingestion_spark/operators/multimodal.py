@@ -126,6 +126,98 @@ def image_features_stage(
     return df.mapInPandas(run, schema)
 
 
+AUDIO_META_SCHEMA = "sample_rate int, n_samples long, duration_ms long"
+VIDEO_FRAME_SCHEMA = (
+    "frame_index int, timestamp_ms long, frame_sha256 string"
+)
+
+
+def decode_audio(data: bytes) -> dict:
+    """Real audio decoder hook — requires an audio codec library.
+
+    STUB: soundfile/librosa/ffmpeg are not in this container; replace
+    at deploy time."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "inject a decoder or use the fake for tests"
+    )
+
+
+def fake_decode_audio(data: bytes) -> dict:
+    """Deterministic fake: sample rate / length derived from the
+    content hash — stable shape, no codec."""
+    h = hashlib.sha256(data or b"").digest()
+    sr = (8000, 16000, 22050, 44100)[h[0] % 4]
+    n = 1000 + int.from_bytes(h[1:4], "big") % 1_000_000
+    return {
+        "sample_rate": sr,
+        "n_samples": n,
+        "duration_ms": n * 1000 // sr,
+    }
+
+
+def audio_metadata_stage(
+    df: DataFrame, binary_col: str = "content", use_fake: bool = False
+) -> DataFrame:
+    """binary audio → (sample_rate, n_samples, duration_ms); same
+    Arrow-batched mapInPandas contract as the image stages."""
+    decoder = fake_decode_audio if use_fake else decode_audio
+    schema = (
+        ", ".join(f"{c.name} {c.dataType.simpleString()}" for c in df.schema)
+        + f", {AUDIO_META_SCHEMA}"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decoder(b) for b in pdf[binary_col]]
+            out = pdf.copy()
+            for k in ("sample_rate", "n_samples", "duration_ms"):
+                out[k] = [m[k] for m in metas]
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
+def video_frame_sample_stage(
+    df: DataFrame,
+    binary_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    use_fake: bool = False,
+) -> DataFrame:
+    """binary video → one row per sampled frame (uniform timestamps),
+    the fan-out stage a frame-embedding pipeline feeds from.
+
+    Fake decoder derives a per-video duration and per-frame content
+    hashes from the blob hash; the real body swaps in ffmpeg frame
+    extraction. Fan-out only — no shuffle; downstream feature stages
+    see (id, frame_index, timestamp_ms, frame bytes hash)."""
+    if not use_fake:
+        raise NotImplementedError(
+            "video codec not available in this environment; "
+            "inject a frame sampler or use the fake for tests"
+        )
+    id_type = dict(df.dtypes)[id_col]
+    schema = f"{id_col} {id_type}, {VIDEO_FRAME_SCHEMA}"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, b in zip(pdf[id_col], pdf[binary_col]):
+                h = hashlib.sha256(b or b"").digest()
+                duration_ms = 1000 + int.from_bytes(h[:3], "big") % 600_000
+                for i in range(n_frames):
+                    ts = duration_ms * i // n_frames
+                    fh = hashlib.sha256(h + i.to_bytes(4, "big")).hexdigest()
+                    rows.append((vid, i, ts, fh))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_index", "timestamp_ms", "frame_sha256"],
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, schema)
+
+
 def searchable_text(
     ocr_col: str = "ocr_text", caption_col: str = "caption", labels_col: str = "labels"
 ) -> F.Column:

@@ -379,3 +379,33 @@ def test_asof_join_duplicate_left_rows_and_bounded_lookback(spark):
         F.col("l.event_id").alias("lid"), F.col("r.event_id").alias("rid")
     ).collect()
     assert {r.lid: r.rid for r in bounded} == {100: 901, 101: 901}
+
+
+def test_audio_video_stages(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"fake-audio")), (2, bytearray(b""))],
+        "doc_id long, content binary",
+    )
+    audio = {r.doc_id: r for r in
+             multimodal.audio_metadata_stage(media, use_fake=True).collect()}
+    assert audio[1].sample_rate in (8000, 16000, 22050, 44100)
+    assert audio[1].duration_ms == audio[1].n_samples * 1000 // audio[1].sample_rate
+
+    frames = multimodal.video_frame_sample_stage(
+        media, n_frames=4, use_fake=True
+    ).collect()
+    assert len(frames) == 8  # 4 frames × 2 videos
+    by_vid = {}
+    for f in frames:
+        by_vid.setdefault(f.doc_id, []).append(f)
+    for fs in by_vid.values():
+        fs.sort(key=lambda f: f.frame_index)
+        ts = [f.timestamp_ms for f in fs]
+        assert ts == sorted(ts) and ts[0] == 0  # uniform sampling from t=0
+        assert len({f.frame_sha256 for f in fs}) == 4  # distinct frames
+
+    # real decoders are explicit stubs
+    with pytest.raises(Exception):
+        multimodal.audio_metadata_stage(media, use_fake=False).collect()
+    with pytest.raises(NotImplementedError):
+        multimodal.video_frame_sample_stage(media, use_fake=False)
