@@ -3118,6 +3118,559 @@ def _q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.8 full TPC-H-shape relational suite (q6-q22 adaptations) --------------
+# The driver schema is simplified TPC-H (no partsupp, no commit/receipt
+# dates, no phone/comment columns), so the classic queries that need those
+# columns are adapted to the closest same-plan shape: the join graph,
+# subquery structure (scalar / IN / EXISTS / NOT EXISTS), and aggregation
+# pattern of each original are preserved.
+
+_Q6_SQL = f"""
+SELECT {_S("l_extendedprice * l_discount", 2)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05::DOUBLE AND l_discount <= 0.07::DOUBLE
+  AND l_quantity < 24
+"""
+
+
+@_register("q6_forecast_revenue", _Q6_SQL)
+def _q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — every predicate reaches the
+    parquet scan (PushedFilters on shipdate/discount/quantity), zero
+    joins, one partial+final agg. The pushdown showcase query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            stable_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("q7_volume_shipping", _Q7_SQL)
+def _q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral nation-pair trade volume by year.
+    lineitem⋈orders is the only shuffle join; customer/supplier/nation
+    are broadcast, and the pair-disjunction filters after the cheap
+    broadcast joins (Catalyst pushes each nation equality into its
+    own build side where possible)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+_Q8_SQL = f"""
+WITH all_sales AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n2.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+)
+SELECT o_year,
+       {_R(_S("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0.0 END", 2) + " / " + _S("volume", 2), 4)}
+         AS mkt_share
+FROM all_sales
+GROUP BY o_year
+"""
+
+
+@_register("q8_market_share", _Q8_SQL)
+def _q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of regional sales per year.
+    Seven-table join graph with every dimension broadcast — the fact
+    table shuffles once (orders join); both sums come from a single
+    aggregation pass (conditional + total), then the ratio."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_rkey")
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), c.c_nationkey == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+    )
+    agg = j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        stable_sum(
+            F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)),
+            2,
+        ).alias("nation_vol"),
+        stable_sum(vol, 2).alias("total_vol"),
+    )
+    return agg.select(
+        "o_year",
+        stable_round(F.col("nation_vol") / F.col("total_vol"), 4).alias("mkt_share"),
+    )
+
+
+_Q9_SQL = f"""
+SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS sum_profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@_register("q9_product_profit", _Q9_SQL)
+def _q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit sans ps_supplycost — no partsupp in the
+    driver schema): revenue on name-matched parts by supplier nation
+    and order year. part filter applied pre-join so the broadcast
+    build side is already pruned."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    o = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return j.groupBy(
+        F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+    ).agg(
+        stable_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+            "sum_profit"
+        )
+    )
+
+
+_Q11_SQL = f"""
+WITH pr AS (
+  SELECT l_partkey, {_S("l_extendedprice * (1 - l_discount)", 2)} AS part_value
+  FROM lineitem GROUP BY l_partkey
+),
+tot AS (
+  SELECT {_S("l_extendedprice * (1 - l_discount)", 2)} AS total FROM lineitem
+),
+cnt AS (SELECT count(*) AS n_parts FROM pr)
+SELECT pr.l_partkey, pr.part_value
+FROM pr, tot, cnt
+WHERE pr.part_value > 1.6::DOUBLE * tot.total / cnt.n_parts
+"""
+
+
+@_register("q11_important_parts", _Q11_SQL)
+def _q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value-concentration HAVING against a global
+    scalar): per-part revenue kept only when above a multiple of the
+    AVERAGE part's revenue — scale-invariant, unlike the original's
+    absolute fraction. Both scalars are 1-row broadcasts (no second
+    shuffle of the fact table)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    pr = li.groupBy("l_partkey").agg(stable_sum(rev, 2).alias("part_value"))
+    tot = li.agg(stable_sum(rev, 2).alias("total"))
+    cnt = pr.agg(F.count("*").alias("n_parts"))
+    return (
+        pr.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cnt))
+        .filter(F.col("part_value") > 1.6 * F.col("total") / F.col("n_parts"))
+        .select("l_partkey", "part_value")
+    )
+
+
+_Q12_SQL = """
+SELECT l.l_linestatus,
+       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+@_register("q12_late_priority", _Q12_SQL)
+def _q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for l_shipmode, order-
+    date lateness for commit/receipt): priority split of late lines.
+    The year filter pushes to the lineitem scan; the inequality
+    against o_orderdate evaluates post-join in codegen; integer
+    conditional sums carry no float hazard."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.expr("o_orderdate + INTERVAL 60 DAY"))
+    )
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
+_Q13_SQL = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '5-LOW'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@_register("q13_order_distribution", _Q13_SQL)
+def _q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count histogram. Left-outer join with
+    the filter inside the join condition (a WHERE would drop no-order
+    customers), per-customer count, then the tiny second aggregation
+    over 1 row per customer."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_S("l_extendedprice * (1 - l_discount)", 2)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@_register("q15_top_supplier", _Q15_SQL)
+def _q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with maximum quarterly revenue. The
+    scalar max over the per-supplier aggregate is a 1-row broadcast;
+    equality on the stable fixed-point sum is exact, so ties surface
+    deterministically on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        F.broadcast(s)
+        .join(rev, s.s_suppkey == F.col("supplier_no"))
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_rev"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q16_SQL = """
+SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#1'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0::DOUBLE
+  )
+GROUP BY 1, 2
+"""
+
+
+@_register("q16_supplier_variety", _Q16_SQL)
+def _q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (negative account balance stands in for the
+    complaints exclusion, lineitem for partsupp): distinct-supplier
+    variety per brand/size. NOT IN decorrelates to a broadcast
+    left-anti join; countDistinct shuffles once on (brand, size)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q20_SQL = """
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+  HAVING sum(l.l_quantity) > 300.0::DOUBLE
+)
+"""
+
+
+@_register("q20_promo_suppliers", _Q20_SQL)
+def _q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (lineitem quantity for partsupp availqty):
+    suppliers who moved serious PROMO volume. Nested IN → inner
+    broadcast semi (part filter), outer HAVING aggregate → left-semi
+    join back to supplier. l_quantity is integer-valued, so the raw
+    double sum is exact and order-independent without fixed-point."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    promo = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    heavy = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), li.l_partkey == promo.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+_Q21_SQL = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s.s_name
+"""
+
+
+@_register("q21_waiting_suppliers", _Q21_SQL)
+def _q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (orderdate+90d lateness for commit/receipt):
+    the sole late supplier on multi-supplier finished orders. The
+    EXISTS / NOT EXISTS pair decorrelates to ONE extra aggregation —
+    per-order distinct supplier count and distinct LATE supplier
+    count — instead of two correlated rescans: a qualifying row is a
+    late line on an order with >1 supplier and exactly 1 late one."""
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"),
+    )
+    stats = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    cand = (
+        lo.filter(F.col("is_late"))
+        .join(stats, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q22_SQL = f"""
+WITH eligible AS (
+  SELECT c_custkey, c_acctbal, c_nationkey
+  FROM customer
+  WHERE c_nationkey IN (0, 3, 7, 11, 17)
+),
+avg_bal AS (
+  SELECT {_A("c_acctbal", 4)} AS avgbal
+  FROM eligible WHERE c_acctbal > 0.0::DOUBLE
+)
+SELECT n.n_name AS cntrycode, count(*) AS numcust,
+       {_S("c.c_acctbal", 2)} AS totacctbal
+FROM eligible c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+CROSS JOIN avg_bal a
+WHERE c.c_acctbal > a.avgbal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey
+      AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY 1
+"""
+
+
+@_register("q22_dormant_customers", _Q22_SQL)
+def _q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (nation-key set for phone country codes,
+    "no recent orders" for "never ordered" — every synthetic customer
+    has some order): rich dormant customers per nation. Scalar avg
+    (order-independent fixed-point) broadcast; NOT EXISTS → left-anti
+    join against the recent-orders key projection (no fan-out,
+    nulls impossible)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(0, 3, 7, 11, 17)
+    )
+    n = _t(spark, sf_dir, "nation")
+    o_keys = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        stable_avg(F.col("c_acctbal"), 4).alias("avgbal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avgbal"))
+        .join(o_keys, c.c_custkey == o_keys.o_custkey, "left_anti")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            stable_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
