@@ -214,6 +214,60 @@ def _q_vector_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 IVF-cell ANN (coarse-quantizer scale path) --------------------------
+
+_IVF_STRIDE = 37
+_IVF_NPROBE = 3
+
+_COS_CV = cosine_sim_sql("e.embedding::DOUBLE[]", "c.cvec")
+
+_VEC_KNN_IVF_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id <> 0
+),
+probes AS (
+  SELECT cent_id FROM cents c, q
+  ORDER BY {cosine_sim_sql("c.cvec", "q.qvec")} DESC, cent_id ASC
+  LIMIT {_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_CV} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e
+JOIN assign a USING (vec_id)
+JOIN probes p ON p.cent_id = a.cent_id, q
+WHERE e.vec_id <> 0
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("vector_knn_ivf", _VEC_KNN_IVF_SQL)
+def _q_vector_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: nearest-centroid cells (deterministic stride-sampled
+    centroids), exact cosine within the query's nprobe cells. The
+    data-adaptive counterpart to the fixed-hyperplane LSH path; at
+    scale the assignment is a one-time partitioned index build
+    (vector_search.py module docs)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    q = _qvec_df(emb)
+    return vector_search.ivf_knn(
+        corpus, q, k=KNN_K, nprobe=_IVF_NPROBE, stride=_IVF_STRIDE
+    )
+
+
 # -- §2.6 BM25 (search_service.py:281-368) ------------------------------------
 
 

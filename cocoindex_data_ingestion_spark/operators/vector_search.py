@@ -201,3 +201,101 @@ def knn_maxsim(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+# --------------------------------------------------------------------- IVF ANN
+#
+# Coarse-quantizer approximate search (the classic IVF shape): assign
+# every vector to its nearest centroid once, then answer queries by
+# scanning only the ``nprobe`` centroid cells closest to the query.
+# Complements ``knn_lsh``: LSH cells are fixed hyperplane cuts; IVF
+# cells follow the data distribution.
+#
+# 100 TB design: centroid assignment is a one-time O(N·K) index build
+# (write the corpus partitioned by ``cent_id``; the per-query cell
+# filter then becomes static partition pruning exactly like the LSH
+# index in operators/indexing.py), amortized over all queries. Query
+# cost is O(N·nprobe/K). Centroid selection here is deterministic
+# stride sampling so the oracle can reproduce it; at scale the
+# centroids would be refined by a few k-means iterations (each one
+# aggregate + broadcast — no extra machinery needed) without changing
+# the query path.
+
+
+def ivf_centroids(
+    df: DataFrame,
+    stride: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic coarse centroids: every ``stride``-th id.
+
+    Ids are assigned in generation order (uncorrelated with vector
+    direction), so stride sampling approximates uniform sampling of
+    the corpus — the standard IVF "sample then refine" init with the
+    refinement left out for cross-engine determinism."""
+    return df.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cvec")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment: argmax cosine, cent_id tie-break.
+
+    Broadcast the (tiny) centroid table against the corpus — one
+    narrow O(N·K) pass, no shuffle of the corpus itself; the window
+    runs per-vector on the K candidate rows."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_csim", cosine_sim(F.col(vec_col), F.col("cvec"))
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_csim").desc(), F.col("cent_id").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_csim", "cvec")
+    )
+
+
+def ivf_knn(
+    df: DataFrame,
+    qvec_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    stride: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """IVF approximate top-k: exact cosine within the ``nprobe``
+    centroid cells nearest the query.
+
+    With ``nprobe`` >= the centroid count this degrades gracefully to
+    exact :func:`knn` (equivalence-tested)."""
+    cents = ivf_centroids(df, stride, vec_col, id_col)
+    probes = (
+        cents.crossJoin(F.broadcast(qvec_df))
+        .withColumn("_csim", cosine_sim(F.col("cvec"), F.col(qvec_col)))
+        .orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
+        .limit(nprobe)
+        .select("cent_id")
+    )
+    assigned = ivf_assign(df, cents, vec_col, id_col)
+    cand = assigned.join(F.broadcast(probes), "cent_id")
+    return knn(
+        cand.crossJoin(F.broadcast(qvec_df)),
+        F.col(qvec_col),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )

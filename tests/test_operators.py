@@ -409,3 +409,40 @@ def test_audio_video_stages(spark):
         multimodal.audio_metadata_stage(media, use_fake=False).collect()
     with pytest.raises(NotImplementedError):
         multimodal.video_frame_sample_stage(media, use_fake=False)
+
+
+def test_ivf_knn_full_probe_matches_exact(spark, sf_dir):
+    """With nprobe >= the number of centroid cells, IVF search scans
+    every cell and must equal exact brute-force top-k."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+
+    stride = 37
+    n_cells = vector_search.ivf_centroids(emb, stride).count()
+    assert n_cells > 1
+
+    exact = vector_search.knn(
+        emb.crossJoin(F.broadcast(qdf)), F.col("qvec"), k=10
+    ).collect()
+    ivf_full = vector_search.ivf_knn(
+        emb, qdf, k=10, nprobe=n_cells, stride=stride
+    ).collect()
+    assert [(r.vec_id, r.score) for r in exact] == [
+        (r.vec_id, r.score) for r in ivf_full
+    ]
+
+    # narrow probe returns a subset of the corpus ranked identically
+    ivf_narrow = vector_search.ivf_knn(
+        emb, qdf, k=10, nprobe=2, stride=stride
+    ).collect()
+    assert len(ivf_narrow) > 0
+    exact_scores = {r.vec_id: r.score for r in vector_search.knn(
+        emb.crossJoin(F.broadcast(qdf)), F.col("qvec"), k=10_000
+    ).collect()}
+    for r in ivf_narrow:
+        assert abs(exact_scores[r.vec_id] - r.score) < 1e-9
