@@ -1692,6 +1692,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0),
             idx,
             lsh_bits=_LSH_BITS,
+            ivf_stride=_IVF_STRIDE,
         )
         _INDEX_CACHE[sf_dir] = idx
     return _INDEX_CACHE[sf_dir]
@@ -1721,6 +1722,20 @@ def _q_indexed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     q = _qvec_df(_t(spark, sf_dir, "embeddings"))
     return indexed_knn(spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False)
+
+
+@_register("indexed_vector_knn_ivf", _VEC_KNN_IVF_SQL)
+def _q_indexed_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF from the prebuilt index: the O(N·K) assignment is paid at
+    build time; the query reads only its nprobe cent_id partitions
+    (static pruning). Shares the ad-hoc oracle — identical math."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_knn_ivf,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn_ivf(spark, idx, q, k=KNN_K, nprobe=_IVF_NPROBE)
 
 
 @_register("indexed_hybrid_rrf", _hybrid_sql())

@@ -25,16 +25,22 @@ HEADLINE = [
     "hybrid_rrf",
     "vector_knn",
     "vector_knn_lsh",
+    "vector_knn_ivf",
     "bm25_search",
     "indexed_bm25_search",
     "indexed_vector_knn",
     "indexed_vector_knn_lsh",
+    "indexed_vector_knn_ivf",
     "indexed_hybrid_rrf",
     "rerank_keyword_overlap",
     "multi_collection_fanout",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q21_waiting_suppliers",
     "top_customer_per_nation",
     "ordinal_upsert_latest",
     "events_sessionize",
@@ -58,9 +64,13 @@ SMALL_RESULT = {
     "rerank_keyword_overlap", "multi_collection_fanout",
     "q1_pricing_summary", "q3_shipping_priority",
     "q5_local_supplier_volume", "top_customer_per_nation",
+    "q6_forecast_revenue", "q9_product_profit",
+    "q13_order_distribution", "q21_waiting_suppliers",
+    "vector_knn_ivf",
     "graph_2hop_suppliers", "knn_maxsim", "salted_agg_events",
     "json_extract_agg", "indexed_bm25_search", "indexed_vector_knn",
-    "indexed_vector_knn_lsh", "indexed_hybrid_rrf",
+    "indexed_vector_knn_lsh", "indexed_vector_knn_ivf",
+    "indexed_hybrid_rrf",
 }
 
 

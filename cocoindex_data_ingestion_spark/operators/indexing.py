@@ -63,6 +63,7 @@ def build_search_index(
     vec_col: str = "embedding",
     lsh_bits: int = 8,
     n_buckets: int = POSTINGS_BUCKETS,
+    ivf_stride: int | None = None,
 ) -> None:
     """One pass over the corpus → queryable index layout on disk.
 
@@ -125,6 +126,48 @@ def build_search_index(
     vectors.write.mode("overwrite").parquet(f"{index_dir}/vectors")
     vectors.write.mode("overwrite").partitionBy("sig").parquet(
         f"{index_dir}/vectors_lsh"
+    )
+    if ivf_stride is not None:
+        build_ivf_layout(
+            embeddings, index_dir, stride=ivf_stride,
+            vec_id_col=vec_id_col, vec_col=vec_col,
+        )
+
+
+def build_ivf_layout(
+    embeddings: DataFrame,
+    index_dir: str,
+    stride: int = 64,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """IVF index layout: the amortized home of the O(N·K) centroid
+    assignment that ``vector_search.ivf_knn`` otherwise pays per
+    query.
+
+    - ``centroids/``    K rows (cent_id, cvec) — broadcast-sized;
+    - ``vectors_ivf/``  the corpus + precomputed norm, parquet
+      partitioned by assigned ``cent_id`` → a query's nprobe cells
+      become static partition pruning, reading ~nprobe/K of the data.
+    """
+    from cocoindex_data_ingestion_spark.functions.similarity import l2_norm
+    from cocoindex_data_ingestion_spark.operators.vector_search import (
+        ivf_assign, ivf_centroids,
+    )
+
+    cents = ivf_centroids(embeddings, stride, vec_col, vec_id_col)
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+    assigned = ivf_assign(embeddings, cents, vec_col, vec_id_col)
+    (
+        assigned.select(
+            F.col(vec_id_col),
+            F.col(vec_col),
+            l2_norm(vec_col).alias("norm"),
+            "cent_id",
+        )
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/vectors_ivf")
     )
 
 
@@ -280,6 +323,56 @@ def indexed_knn(
         vectors = spark.read.parquet(f"{index_dir}/vectors_lsh").filter(
             F.col("sig") == qsig
         )
+    scored = _scored_vectors(vectors, qvec, id_col, round_to)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def indexed_knn_ivf(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """IVF top-k from the prebuilt ``vectors_ivf`` layout.
+
+    The nprobe nearest centroids are ranked DRIVER-side (K centroid
+    rows; same left-to-right double arithmetic as the expression
+    cosine, cent_id tie-break) so the cell filter is a compile-time
+    constant — static partition pruning (``PartitionFilters:
+    [cent_id IN (...)]``), reading ~nprobe/K of the corpus. Identical
+    results to ``vector_search.ivf_knn`` (shared DuckDB oracle)."""
+    qrow = query_vec_df.select("qvec").collect()[0]
+    qvec_vals = [float(x) for x in qrow["qvec"]]
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    import math
+
+    qn = math.sqrt(_dot(qvec_vals, qvec_vals))
+    scored_cents = []
+    for r in spark.read.parquet(f"{index_dir}/centroids").collect():
+        cv = [float(x) for x in r["cvec"]]
+        cn = math.sqrt(_dot(cv, cv))
+        sim = _dot(cv, qvec_vals) / (cn * qn) if cn > 0 and qn > 0 else 0.0
+        scored_cents.append((sim, r["cent_id"]))
+    scored_cents.sort(key=lambda t: (-t[0], t[1]))
+    probe_ids = [cid for _sim, cid in scored_cents[:nprobe]]
+
+    vectors = spark.read.parquet(f"{index_dir}/vectors_ivf").filter(
+        F.col("cent_id").isin(probe_ids)
+    )
+    qvec = F.array(*[F.lit(x) for x in qvec_vals])
     scored = _scored_vectors(vectors, qvec, id_col, round_to)
     return (
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())

@@ -446,3 +446,37 @@ def test_ivf_knn_full_probe_matches_exact(spark, sf_dir):
     ).collect()}
     for r in ivf_narrow:
         assert abs(exact_scores[r.vec_id] - r.score) < 1e-9
+
+
+def test_indexed_ivf_matches_adhoc(spark, sf_dir, tmp_path):
+    """The prebuilt-index IVF path returns exactly what the ad-hoc
+    per-query-assignment path returns, and its scan is partition-
+    pruned to the probed cent_id cells."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        build_ivf_layout, indexed_knn_ivf,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_layout(emb, idx, stride=37)
+
+    adhoc = vector_search.ivf_knn(emb, qdf, k=10, nprobe=3, stride=37).collect()
+    served = indexed_knn_ivf(spark, idx, qdf, k=10, nprobe=3)
+    assert [(r.vec_id, r.score) for r in served.collect()] == [
+        (r.vec_id, r.score) for r in adhoc
+    ]
+
+    # partition pruning evidence via the explain string
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        served.explain("formatted")
+    assert "cent_id" in buf.getvalue()
