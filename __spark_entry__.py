@@ -1251,6 +1251,24 @@ SELECT node_id, 2 FROM h2
 """
 
 
+@_register("graph_pagerank", None)
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the supplier→part purchase graph
+    (parts are dangling sinks — exercises dangling-mass
+    redistribution). Rows-only: iterative fixpoint with
+    partition-order float sums is not SQL-expressible; the update
+    rule is verified against an analytic reference in
+    tests/test_operators.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph_ops.bipartite_edges(li, "l_suppkey", "l_partkey")
+    ranks = graph_ops.pagerank(
+        edges.select("src", (F.col("dst") + 1000000).alias("dst")),
+        damping=0.85,
+        n_iter=5,
+    )
+    return ranks.orderBy(F.col("rank").desc(), F.col("node_id").asc()).limit(25)
+
+
 @_register("graph_nhop_frontier", _NHOP_SQL)
 def _q_nhop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS frontier to depth 2 over the supplier↔part bipartite graph

@@ -136,3 +136,74 @@ def merge_duplicate_nodes(
         .distinct()
     )
     return merged_nodes, merged_edges
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Iterative PageRank over a directed edge list → (node_id, rank).
+
+    The canonical iterative-join workload (non-SQL-expressible, so
+    registered rows-only): each iteration is one shuffle —
+    contributions grouped by destination — plus a broadcast of the
+    dangling-mass scalar. State between iterations is the rank vector
+    (one row per node), ``localCheckpoint``ed to cut the lineage so
+    the plan stays constant-size across iterations (the classic
+    iterative-Spark pitfall is an exponentially growing plan).
+
+    Determinism: rank updates are sums of doubles whose addition
+    order is partition-dependent — fine for ranking (last-ulp noise),
+    and the unit test checks against analytic values with an epsilon,
+    not bit equality.
+
+    100 TB design: the edge list is the big side, shuffled ONCE to
+    hash-partition by src and reused every iteration (Spark caches
+    the shuffle files); the rank vector co-partitions with it, so
+    each iteration is a co-located join + one agg shuffle.
+    """
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # edges with out-degree denormalized, materialized once and
+    # reused every iteration
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node_id)
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        # dangling nodes (no out-edges) redistribute uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node_id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                (
+                    (1.0 - damping) / n
+                    + damping
+                    * (F.coalesce(F.col("in_mass"), F.lit(0.0)) + F.col("d") / n)
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

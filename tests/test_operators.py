@@ -507,3 +507,37 @@ def test_ivf_numpy_assignment_matches_expr(spark, sf_dir):
         ).collect()
     }
     assert a_expr == a_np
+
+
+def test_pagerank_matches_reference_iteration(spark):
+    """PageRank over a 4-node graph (with one dangling node) matches
+    a driver-side reference implementation of the same update rule."""
+    from cocoindex_data_ingestion_spark.operators import graph as graph_ops
+
+    edge_list = [(1, 2), (1, 3), (2, 3), (3, 1), (2, 4)]  # 4 is dangling
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {
+        r.node_id: r.rank
+        for r in graph_ops.pagerank(edges, damping=0.85, n_iter=10).collect()
+    }
+
+    nodes = sorted({x for e in edge_list for x in e})
+    n = len(nodes)
+    out = {}
+    for s, d in edge_list:
+        out.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        in_mass = {v: 0.0 for v in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                in_mass[d] += ranks[s] / len(ds)
+        ranks = {
+            v: (1 - 0.85) / n + 0.85 * (in_mass[v] + dangling / n)
+            for v in nodes
+        }
+    assert set(got) == set(ranks)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-6
