@@ -3212,6 +3212,73 @@ def _q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subquery structure (scalar / IN / EXISTS / NOT EXISTS), and aggregation
 # pattern of each original are preserved.
 
+_Q2_SQL = f"""
+WITH pp AS (
+  SELECT l_partkey, l_suppkey,
+         min(l_extendedprice / l_quantity) AS unit_price
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT pp.l_partkey, pp.unit_price, s.s_suppkey, s.s_name, n.n_name
+  FROM pp
+  JOIN supplier s ON s.s_suppkey = pp.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.l_partkey, e.s_suppkey, e.s_name, e.n_name,
+       {_R("e.unit_price", 4)} AS unit_price
+FROM eligible e
+JOIN part p ON p.p_partkey = e.l_partkey
+WHERE p.p_type = 'STANDARD' AND p.p_size <= 15
+  AND e.unit_price = (
+    SELECT min(e2.unit_price) FROM eligible e2
+    WHERE e2.l_partkey = e.l_partkey
+  )
+"""
+
+
+@_register("q2_min_cost_supplier", _Q2_SQL)
+def _q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (observed lineitem unit price stands in for
+    ps_supplycost): the cheapest EUROPE supplier(s) per qualifying
+    part. The correlated min decorrelates to one per-part aggregate
+    joined back (exactly Catalyst's rewrite, written explicitly);
+    min of doubles is order-independent, so the equality filter is
+    deterministic on both engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
+    )
+    pp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price")
+    )
+    eligible = (
+        pp.join(F.broadcast(s), pp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "unit_price", "s_suppkey", "s_name", "n_name")
+    )
+    best = eligible.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_price").alias("best_price")
+    )
+    return (
+        eligible.join(F.broadcast(p), eligible.l_partkey == p.p_partkey, "left_semi")
+        .join(best, eligible.l_partkey == F.col("b_partkey"))
+        .filter(F.col("unit_price") == F.col("best_price"))
+        .select(
+            "l_partkey",
+            "s_suppkey",
+            "s_name",
+            "n_name",
+            stable_round(F.col("unit_price"), 4).alias("unit_price"),
+        )
+    )
+
+
 _Q6_SQL = f"""
 SELECT {_S("l_extendedprice * l_discount", 2)} AS revenue
 FROM lineitem

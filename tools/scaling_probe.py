@@ -177,7 +177,9 @@ def main() -> None:
         "**sf-invariant**: one crc32-bucket-pruned postings read with "
         "dl/df denormalized in-row (zero query-time joins), and the "
         "vector leg reads norm-precomputed vectors (sig-pruned for "
-        "LSH). Directory listing stays O(64 buckets) regardless of "
+        "LSH, cent_id-cell-pruned for IVF — `knn_indexed_ivf` probes "
+        "nprobe of 256 fixed cells; the BLAS build assignment keeps "
+        "index_build linear). Directory listing stays O(64 buckets) regardless of "
         "vocabulary size — per-token dirs would be millions of "
         "object-store prefixes at 100 TB.",
         "- An earlier probe over 50-way union plans (not materialized "
