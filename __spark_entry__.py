@@ -29,6 +29,7 @@ from cocoindex_data_ingestion_spark.functions.compare import (
     stable_sum_sql as _S,
 )
 from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim_sql
+from cocoindex_data_ingestion_spark.functions.timeutil import ts_us as _ts_us
 from cocoindex_data_ingestion_spark.functions.text import (
     MIN_TOKEN_LEN,
     STOPWORDS,
@@ -394,7 +395,7 @@ def _q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.unix_micros("ts").alias("ts_us"),
+            _ts_us("ts").alias("ts_us"),
             "event_type",
             "value",
         )
@@ -549,8 +550,8 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     sess = relational.sessionize(ev, gap_minutes=_SESSION_GAP_MIN)
     return sess.groupBy("user_id", "session_id").agg(
         F.count("*").alias("n_events"),
-        F.min(F.unix_micros("ts")).alias("start_us"),
-        F.max(F.unix_micros("ts")).alias("end_us"),
+        F.min(_ts_us("ts")).alias("start_us"),
+        F.max(_ts_us("ts")).alias("end_us"),
         stable_sum(F.col("value"), 2).alias("sum_value"),
     )
 
@@ -569,9 +570,9 @@ GROUP BY 1, 2
 def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.withColumn(
-            "window_start_s", F.expr("unix_micros(ts) div 300000000") * 300
-        )
+        ev.withColumn("_us", _ts_us("ts"))
+        .withColumn("window_start_s", F.expr("_us div 300000000") * 300)
+        .drop("_us")
         .groupBy("window_start_s", "event_type")
         .agg(
             F.count("*").alias("n_events"),
@@ -595,7 +596,7 @@ def _q_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return (
         ev.select(F.window("ts", "10 minutes", "5 minutes").alias("w"), "value")
-        .groupBy(F.unix_micros("w.start").alias("window_start_us"))
+        .groupBy(_ts_us("w.start").alias("window_start_us"))
         .agg(
             F.count("*").alias("n_events"),
             stable_sum(F.col("value"), 2).alias("sum_value"),
@@ -643,7 +644,7 @@ def _q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.user_id").alias("user_id"),
         F.col("l.event_id").alias("purchase_event_id"),
         F.col("r.event_id").alias("view_event_id"),
-        (F.unix_micros("l.ts") - F.unix_micros("r.ts")).alias("gap_us"),
+        (_ts_us("l.ts") - _ts_us("r.ts")).alias("gap_us"),
     )
 
 
@@ -662,7 +663,7 @@ GROUP BY a.user_id
 @_register("events_range_pairs", _RANGE_SQL)
 def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.unix_micros("ts").alias("us")
+        "user_id", _ts_us("ts").alias("us")
     )
     a, b = ev.alias("a"), ev.alias("b")
     return (

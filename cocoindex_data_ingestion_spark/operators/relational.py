@@ -15,6 +15,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.timeutil import ts_us
+
 
 def topk_per_group(
     df: DataFrame,
@@ -85,10 +87,10 @@ def asof_join(
         bw = int(max_lookback_us)
         shift = 1 if backward else -1
         left = left.withColumn(
-            "_asof_b", F.floor(F.unix_micros(F.col(left_ts)) / bw)
+            "_asof_b", F.floor(ts_us(left_ts) / bw)
         )
         right = right.withColumn(
-            "_asof_b0", F.floor(F.unix_micros(F.col(right_ts)) / bw)
+            "_asof_b0", F.floor(ts_us(right_ts) / bw)
         ).withColumn(
             "_asof_b",
             F.explode(
@@ -96,9 +98,9 @@ def asof_join(
             ),
         ).drop("_asof_b0")
         win_cond = (
-            (F.unix_micros(lt) - F.unix_micros(rt) < bw)
+            (ts_us(lt) - ts_us(rt) < bw)
             if backward
-            else (F.unix_micros(rt) - F.unix_micros(lt) < bw)
+            else (ts_us(rt) - ts_us(lt) < bw)
         )
         cond = (
             (F.col(f"l.{on}") == F.col(f"r.{on}"))
@@ -177,7 +179,7 @@ def sessionize(
     on key, then map-side session aggregation. Time arithmetic in
     integer micros for cross-engine determinism.
     """
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_us(ts_col)
     w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(id_tiebreak).asc())
     gap_us = gap_minutes * 60 * 1_000_000
     with_flag = events.withColumn(

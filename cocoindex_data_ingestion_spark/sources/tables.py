@@ -45,20 +45,33 @@ def ensure_session_confs(spark: SparkSession) -> None:
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one table; Catalyst handles column pruning + filter pushdown.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads it as long
-    nanos, which we convert to a micro-precision timestamp (the
-    driver data is exact micros, verified % 1000 == 0 — same value
-    DuckDB sees).
+    ``events.ts`` has drifted across driver generations between three
+    physical parquet shapes; normalize every one of them to a session-tz
+    TIMESTAMP so downstream ``unix_micros``/window arithmetic always
+    resolves:
+
+    - TIMESTAMP(NANOS) → read as ``bigint`` nanos under
+      ``nanosAsLong`` → ``timestamp_micros(ts div 1000)`` (integer
+      division — double division loses ULPs at 1e18 nanos; the driver
+      data is exact micros, verified % 1000 == 0 — same value DuckDB
+      sees).
+    - TIMESTAMP without timezone → read as ``timestamp_ntz`` →
+      ``cast("timestamp")``; value-preserving because
+      ``ensure_session_confs`` pins the session timezone to UTC, which
+      is also how DuckDB interprets the same column.
+    - TIMESTAMP with timezone → already ``timestamp`` — no-op.
     """
     from pyspark.sql import functions as F
 
     ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — double division loses ULPs at 1e18 nanos
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dtype = dict(df.dtypes).get("ts")
+        if dtype == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

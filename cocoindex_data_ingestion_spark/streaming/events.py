@@ -27,6 +27,8 @@ from typing import Iterator, Tuple
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.timeutil import ts_us
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 EVENTS_SCHEMA = (
@@ -121,7 +123,7 @@ def ordinal_upsert_stream(events: DataFrame) -> DataFrame:
     State is (key → max ordinal); storage is Spark's state store —
     bounded by key cardinality, partitioned by key hash (scales to
     any key count across executors)."""
-    with_ord = events.withColumn("ordinal", F.unix_micros("ts"))
+    with_ord = events.withColumn("ordinal", ts_us("ts"))
     return with_ord.groupBy("user_id").applyInPandasWithState(
         _upsert_fn,
         outputStructType=_UPSERT_OUT_SCHEMA,
