@@ -247,21 +247,29 @@ def ivf_assign(
 ) -> DataFrame:
     """Nearest-centroid assignment: argmax cosine, cent_id tie-break.
 
-    Broadcast the (tiny) centroid table against the corpus — one
-    narrow O(N·K) pass, no shuffle of the corpus itself; the window
-    runs per-vector on the K candidate rows."""
-    from pyspark.sql.window import Window
+    Broadcast the (tiny) centroid table against the corpus, then pick
+    each vector's argmax with ``max_by`` aggregation rather than a
+    row_number window: the window would shuffle all N·K scored rows to
+    sort each vector's candidates, while the aggregation gets map-side
+    partial combine — each map task reduces its K candidates per vector
+    locally, so only N best-so-far rows cross the wire. Same result
+    (equivalence is covered by the nprobe>=K == exact-knn test); the
+    plan you'd want at 100 TB.
 
+    Tie-break: ``max_by`` on ``struct(csim, -cent_id)`` — lexicographic
+    struct max prefers higher similarity, then lower cent_id, matching
+    the oracle's ``ORDER BY csim DESC, cent_id ASC ... LIMIT 1``."""
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "_csim", cosine_sim(F.col(vec_col), F.col("cvec"))
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("_csim").desc(), F.col("cent_id").asc()
+    carry = [c for c in df.columns if c != id_col]
+    payload = F.struct(*[F.col(c) for c in carry], F.col("cent_id"))
+    rank = F.struct(
+        F.col("_csim").alias("s"), (-F.col("cent_id")).alias("t")
     )
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_csim", "cvec")
+    best = scored.groupBy(id_col).agg(F.max_by(payload, rank).alias("_best"))
+    return best.select(
+        F.col(id_col), *[F.col(f"_best.{c}") for c in carry + ["cent_id"]]
     )
 
 
