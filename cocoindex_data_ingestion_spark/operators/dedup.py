@@ -318,6 +318,11 @@ def connected_components(
             .groupBy(F.col("src").alias("node_id"))
             .agg(F.min("component").alias("n_comp"))
         )
+        # Fold the convergence flag into the label update itself: the
+        # old component is still in scope here, so a per-row _changed
+        # bit + one max() over the already-checkpointed result replaces
+        # the old-vs-new join probe (which re-scanned both label sets
+        # every iteration).
         new_labels = (
             labels.join(neighbor_min, "node_id", "left")
             .select(
@@ -325,18 +330,18 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("n_comp"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("n_comp"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.max(F.col("_changed").cast("int")).alias("c")
+        ).first()[0]
+        labels = new_labels.drop("_changed")
+        if not changed:
             break
     return labels
 
