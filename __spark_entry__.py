@@ -1691,6 +1691,28 @@ def _q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("chunk_recursive_lang", None)
+def _q_chunk_recursive_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitRecursively with per-language separator stacks
+    (split_recursively.rs:96-236 language dispatch, regex tier —
+    tree-sitter not in env). Rows-only like chunk_recursive; language
+    resolution + per-language consistency grid are covered in
+    tests/test_split_dp.py. Assigns a deterministic language per doc
+    (round-robin over the builtin table by doc_id) to exercise the
+    per-row ``language_col`` path in one mixed-corpus pass."""
+    langs = ["markdown", "python", "rust", "go", "sql", "yaml", "javascript"]
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "lang",
+        F.element_at(
+            F.array(*[F.lit(x) for x in langs]),
+            (F.col("doc_id") % len(langs) + 1).cast("int"),
+        ),
+    )
+    return chunking.chunk_recursive_dp(
+        docs, chunk_size=400, chunk_overlap=60, language_col="lang"
+    )
+
+
 # -- prebuilt-index variants (production path; identical results/oracles) ----
 
 _INDEX_CACHE: dict[str, str] = {}

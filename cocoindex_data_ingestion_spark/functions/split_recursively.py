@@ -41,6 +41,134 @@ TOO_SMALL_CHUNK_COST = 1 << 20    # :30
 
 DEFAULT_SEPARATORS = (r"\n\n+", r"\n", r"\s+")  # :50
 
+# ---------------------------------------------------------------- languages
+#
+# The reference dispatches ~27 languages to tree-sitter syntax trees
+# (split_recursively.rs:96-236) whose atoms feed the same merge DP;
+# unknown languages fall back to the default regex stack, and the op
+# spec can add custom per-language regex stacks
+# (split_recursively.rs:770-800). tree-sitter isn't available here, so
+# every builtin language gets a syntax-aware REGEX separator stack
+# instead: coarse declaration boundaries first (zero-width lookahead so
+# only the newline is consumed and offsets stay exact), then the
+# default paragraph/line/word tail. Language names and aliases
+# (including file extensions) mirror the reference's table so the same
+# `language=` strings resolve.
+
+_TAIL = DEFAULT_SEPARATORS
+
+
+def _kw(*words: str) -> str:
+    """Boundary before a line whose first token is one of ``words``;
+    consumes only the newline."""
+    return r"\n(?=\s*(?:" + "|".join(words) + r")\b)"
+
+
+_LANGUAGE_CONFIGS: tuple[tuple[str, tuple[str, ...], tuple[str, ...]], ...] = (
+    ("C", (".c",),
+     (_kw("struct", "enum", "union", "typedef", "static", "void", "int",
+          "char", "float", "double", "unsigned", "long"),
+      r"\n(?=\s*#\s*(?:include|define|ifdef|ifndef|endif)\b)") + _TAIL),
+    ("C++", (".cpp", ".cc", ".cxx", ".h", ".hpp", "cpp"),
+     (_kw("class", "namespace", "template", "struct", "enum", "union",
+          "typedef", "static", "void", "int", "char", "float", "double",
+          "unsigned", "long", "virtual"),
+      r"\n(?=\s*#\s*(?:include|define|ifdef|ifndef|endif|pragma)\b)") + _TAIL),
+    ("C#", (".cs", "cs", "csharp"),
+     (_kw("namespace", "class", "interface", "struct", "enum", "public",
+          "private", "protected", "internal", "static", "void"),) + _TAIL),
+    ("CSS", (".css", ".scss"),
+     (r"\n(?=\s*@(?:media|keyframes|supports|font-face|import)\b)",
+      r"(?<=\})\n") + _TAIL),
+    ("Fortran", (".f", ".f90", ".f95", ".f03", "f", "f90", "f95", "f03"),
+     (_kw("subroutine", "function", "module", "program", "contains",
+          "interface", "type"),) + _TAIL),
+    ("Go", (".go", "golang"),
+     (_kw("func", "type", "var", "const", "import", "package"),) + _TAIL),
+    ("HTML", (".html", ".htm"),
+     (r"\n(?=\s*<(?:html|head|body|div|section|article|main|nav|aside|"
+      r"h[1-6]|p|table|ul|ol|li|form)\b)",) + _TAIL),
+    ("Java", (".java",),
+     (_kw("class", "interface", "enum", "record", "public", "protected",
+          "private", "static", "final", "abstract"),) + _TAIL),
+    ("JavaScript", (".js", "js"),
+     (_kw("function", "class", "const", "let", "var", "export", "import",
+          "async"),) + _TAIL),
+    ("JSON", (".json",),
+     (r"\n(?=\s*[\"{\[])",) + _TAIL),
+    ("Kotlin", (".kt", ".kts"),
+     (_kw("class", "interface", "object", "fun", "val", "var",
+          "companion", "data"),) + _TAIL),
+    ("Markdown", (".md", ".mdx", "md"),
+     (r"\n(?=#\s)", r"\n(?=##\s)", r"\n(?=#{3,6}\s)", r"\n(?=```)",
+      r"\n(?=(?:\*\*\*+|---+|___+)\s*\n)") + _TAIL),
+    ("Pascal", (".pas", "pas", ".dpr", "dpr", "Delphi"),
+     (_kw("procedure", "function", "unit", "program", "interface",
+          "implementation", "type", "var", "const", "begin", "end"),) + _TAIL),
+    ("PHP", (".php",),
+     (_kw("function", "class", "namespace", "use", "public", "private",
+          "protected", "trait", "interface"),) + _TAIL),
+    ("Python", (".py",),
+     (r"\n(?=class\s)", r"\n(?=\s*(?:def|async\s+def)\s)",
+      r"\n(?=\s*@\w)") + _TAIL),
+    ("R", (".r",),
+     (r"\n(?=\s*[A-Za-z._][A-Za-z0-9._]*\s*(?:<-|=)\s*function\b)",
+      _kw("if", "for", "while", "repeat", "library", "source")) + _TAIL),
+    ("Ruby", (".rb",),
+     (_kw("class", "module", "def", "if", "unless", "while", "until",
+          "begin", "require"),) + _TAIL),
+    ("Rust", (".rs", "rs"),
+     (_kw("pub", "fn", "struct", "enum", "impl", "trait", "mod", "use",
+          "const", "static", "macro_rules!", "unsafe", "async"),) + _TAIL),
+    ("Scala", (".scala",),
+     (_kw("class", "trait", "object", "def", "val", "var", "case",
+          "implicit", "import", "package"),) + _TAIL),
+    ("SQL", (".sql",),
+     (r"\n(?=\s*(?i:select|insert|update|delete|create|alter|drop|with|"
+      r"merge|grant|revoke|begin|commit)\b)",) + _TAIL),
+    ("Swift", (".swift",),
+     (_kw("class", "struct", "enum", "protocol", "extension", "func",
+          "var", "let", "import"),) + _TAIL),
+    ("TOML", (".toml",),
+     (r"\n(?=\[)", r"\n(?=[A-Za-z0-9_-]+\s*=)") + _TAIL),
+    ("TSX", (".tsx",),
+     (_kw("function", "class", "const", "let", "var", "export", "import",
+          "interface", "type", "enum", "async"),) + _TAIL),
+    ("TypeScript", (".ts", "ts"),
+     (_kw("function", "class", "const", "let", "var", "export", "import",
+          "interface", "type", "enum", "namespace", "async"),) + _TAIL),
+    ("XML", (".xml",),
+     (r"\n(?=\s*<[A-Za-z!?])",) + _TAIL),
+    ("DTD", (".dtd",),
+     (r"\n(?=\s*<!)",) + _TAIL),
+    ("YAML", (".yaml", ".yml"),
+     (r"\n(?=---)", r"\n(?=[^\s#-][^:\n]*:)", r"\n(?=-\s)") + _TAIL),
+)
+
+LANGUAGE_SEPARATORS: dict[str, tuple[str, ...]] = {}
+for _name, _aliases, _stack in _LANGUAGE_CONFIGS:
+    for _key in (_name, *_aliases):
+        LANGUAGE_SEPARATORS[_key.lower()] = _stack
+
+
+def resolve_separators(
+    language: str | None,
+    custom_languages: dict[str, tuple[str, ...]] | None = None,
+) -> tuple[str, ...]:
+    """Language (name, alias, or file extension; case-insensitive) →
+    separator stack; unknown or None → DEFAULT_SEPARATORS, mirroring
+    the reference's fallback (split_recursively.rs:817-830). Custom
+    languages (the op spec's ``custom_languages``,
+    split_recursively.rs:770-800) take precedence over builtins."""
+    if not language:
+        return DEFAULT_SEPARATORS
+    key = language.strip().lower()
+    if custom_languages:
+        for cname, stack in custom_languages.items():
+            if cname.strip().lower() == key:
+                return tuple(stack)
+    return LANGUAGE_SEPARATORS.get(key, DEFAULT_SEPARATORS)
+
 # line-break levels (:373-390)
 INLINE, NEWLINE, DOUBLE_NEWLINE = 0, 1, 2
 

@@ -324,29 +324,56 @@ def chunk_recursive_dp(
     separators: tuple[str, ...] | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    language: str | None = None,
+    language_col: str | None = None,
+    custom_languages: dict[str, tuple[str, ...]] | None = None,
 ) -> DataFrame:
     """The reference SplitRecursively (cost-model merge DP over
     separator-stack atoms, functions/split_recursively.py — faithful
     port of split_recursively.rs:27-30,597-743) as a Spark operator.
 
     Per-document sequential DP → mapInPandas (documents independent,
-    perfectly parallel; no shuffle). Custom language = custom
-    separator stack."""
+    perfectly parallel; no shuffle).
+
+    Language dispatch mirrors the reference op args
+    (split_recursively.rs:32-38,770-830): ``language`` (name, alias, or
+    file extension; case-insensitive) picks a per-language separator
+    stack, ``language_col`` resolves it per row (a mixed-language
+    corpus in one pass — resolution is a dict lookup, so per-row cost
+    is nil), ``custom_languages`` adds spec-level stacks that take
+    precedence, explicit ``separators`` overrides everything, and
+    unknown languages fall back to the default stack."""
     from cocoindex_data_ingestion_spark.functions.split_recursively import (
-        DEFAULT_SEPARATORS, RecursiveChunker,
+        RecursiveChunker, resolve_separators,
     )
 
-    seps = tuple(separators) if separators else DEFAULT_SEPARATORS
+    fixed_seps = (
+        tuple(separators)
+        if separators
+        else (resolve_separators(language, custom_languages)
+              if language_col is None else None)
+    )
     id_type = dict(docs.dtypes)[id_col]
     schema = (
         f"{id_col} {id_type}, chunk_index int, location_start long, "
         "location_end long, chunk_text string"
     )
+    in_cols = [id_col, text_col] + ([language_col] if language_col else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for did, text in zip(pdf[id_col], pdf[text_col]):
+            langs = (
+                pdf[language_col]
+                if language_col and fixed_seps is None
+                else [None] * len(pdf)
+            )
+            for did, text, lang in zip(pdf[id_col], pdf[text_col], langs):
+                seps = (
+                    fixed_seps
+                    if fixed_seps is not None
+                    else resolve_separators(lang, custom_languages)
+                )
                 chunker = RecursiveChunker(
                     text or "", chunk_size, min_chunk_size, chunk_overlap,
                     seps,
@@ -359,7 +386,7 @@ def chunk_recursive_dp(
                          "location_end", "chunk_text"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return docs.select(*in_cols).mapInPandas(run, schema)
 
 
 def two_tier_chunks(

@@ -120,3 +120,113 @@ def test_grid_contract(size, mn, ov):
         )
         for _s, _e, t in chunks:
             assert len(t) <= max(size, longest_atom_free)
+
+
+# -- per-language separator stacks (split_recursively.rs:96-236 dispatch) -----
+
+from cocoindex_data_ingestion_spark.functions.split_recursively import (  # noqa: E402
+    DEFAULT_SEPARATORS, LANGUAGE_SEPARATORS, resolve_separators,
+)
+
+LANG_SAMPLES = {
+    "python": (
+        "import os\n\n\nclass Greeter:\n    def greet(self, name):\n"
+        "        return f'hi {name}'\n\n    def wave(self):\n"
+        "        return 'wave'\n\n\ndef main():\n    g = Greeter()\n"
+        "    print(g.greet('world'))\n"
+    ),
+    "markdown": (
+        "# Title\n\nIntro paragraph with a few words in it.\n\n"
+        "## Section A\n\nBody of section A, also several words long.\n\n"
+        "## Section B\n\n- item one\n- item two\n\n### Sub\n\nTail text.\n"
+    ),
+    "rust": (
+        "use std::fmt;\n\npub struct Point { x: f64, y: f64 }\n\n"
+        "impl Point {\n    pub fn norm(&self) -> f64 {\n"
+        "        (self.x * self.x + self.y * self.y).sqrt()\n    }\n}\n\n"
+        "fn main() {\n    let p = Point { x: 3.0, y: 4.0 };\n"
+        "    println!(\"{}\", p.norm());\n}\n"
+    ),
+    "go": (
+        "package main\n\nimport \"fmt\"\n\ntype Point struct {\n"
+        "\tX, Y float64\n}\n\nfunc (p Point) Norm() float64 {\n"
+        "\treturn p.X*p.X + p.Y*p.Y\n}\n\nfunc main() {\n"
+        "\tfmt.Println(Point{3, 4}.Norm())\n}\n"
+    ),
+    "sql": (
+        "CREATE TABLE t (id INT, v TEXT);\n"
+        "INSERT INTO t VALUES (1, 'a'), (2, 'b');\n"
+        "SELECT id, count(*) FROM t GROUP BY id;\n"
+        "UPDATE t SET v = 'c' WHERE id = 1;\n"
+    ),
+    "yaml": (
+        "name: demo\nversion: 1\n---\nitems:\n  - a\n  - b\n"
+        "config:\n  depth: 3\n  wide: true\n"
+    ),
+    "javascript": (
+        "import { x } from './x';\n\nexport class Foo {\n"
+        "  constructor() { this.n = 1; }\n}\n\n"
+        "function bar() {\n  return new Foo();\n}\n\n"
+        "const baz = () => bar();\n"
+    ),
+}
+
+
+def test_language_resolution_semantics():
+    # name, alias, and extension all hit the same stack, case-insensitive
+    assert resolve_separators("Python") == resolve_separators(".py")
+    assert resolve_separators("RUST") == resolve_separators("rs")
+    assert resolve_separators("md") == resolve_separators("Markdown")
+    assert resolve_separators("cpp") == resolve_separators(".hpp")
+    # unknown / None fall back to the default stack
+    assert resolve_separators(None) == DEFAULT_SEPARATORS
+    assert resolve_separators("klingon") == DEFAULT_SEPARATORS
+    # custom languages take precedence over builtins
+    custom = {"Python": (r";", r"\s+")}
+    assert resolve_separators("python", custom) == (r";", r"\s+")
+    # every builtin stack ends with the default tail (paragraph/line/word)
+    for stack in LANGUAGE_SEPARATORS.values():
+        assert stack[-3:] == DEFAULT_SEPARATORS
+
+
+@pytest.mark.parametrize("lang", sorted(LANG_SAMPLES))
+@pytest.mark.parametrize("size,mn,ov", [(60, 20, 0), (120, 40, 20)])
+def test_language_grid_contract(lang, size, mn, ov):
+    """The reference consistency grid (range exactness, ordered starts,
+    full content coverage, size bound) holds under every per-language
+    separator stack."""
+    text = LANG_SAMPLES[lang]
+    chunks = split_recursively(
+        text, size, mn, ov, separators=resolve_separators(lang)
+    )
+    _consistent(text, chunks)
+    starts = [s for s, _e, _t in chunks]
+    assert starts == sorted(starts)
+    covered = "".join(t for _s, _e, t in chunks)
+    for word in text.split():
+        assert word in covered or any(word in t for _s, _e, t in chunks)
+    longest_word = max((len(w) for w in text.split()), default=0)
+    for _s, _e, t in chunks:
+        assert len(t) <= max(size, longest_word)
+
+
+def test_python_stack_prefers_def_boundaries():
+    text = LANG_SAMPLES["python"]
+    chunks = split_recursively(
+        text, 80, 20, 0, separators=resolve_separators("python")
+    )
+    _consistent(text, chunks)
+    # at this size at least one chunk should start exactly at a
+    # class/def declaration — the whole point of the language stack
+    heads = [t.lstrip()[:6] for _s, _e, t in chunks]
+    assert any(h.startswith(("class ", "def ")) for h in heads)
+
+
+def test_markdown_stack_prefers_heading_boundaries():
+    text = LANG_SAMPLES["markdown"]
+    chunks = split_recursively(
+        text, 70, 20, 0, separators=resolve_separators("markdown")
+    )
+    _consistent(text, chunks)
+    heads = [t.lstrip() for _s, _e, t in chunks]
+    assert any(h.startswith("## ") for h in heads)
