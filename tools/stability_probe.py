@@ -4,11 +4,16 @@ The round-1 flake (`events_sessionize`) was float-associativity:
 ``sum(double)`` accumulates in partition-dependent order, so a value
 within 1 ulp of a rounding boundary flipped between runs. The fix is
 structural (``functions/compare.py::stable_sum`` — exact fixed-point
-integer sums), and THIS probe is the regression check: every
-sum-carrying oracled query re-runs under several
-``spark.sql.shuffle.partitions`` settings (different partitioning =
-different accumulation order) and must produce the identical
-normalized row multiset as the DuckDB oracle each time.
+integer sums), and THIS probe is the regression check: every oracled
+query re-runs under several ``spark.sql.shuffle.partitions`` settings
+(different partitioning = different accumulation order) and must
+produce the identical normalized row multiset as the DuckDB oracle
+each time.
+
+Coverage is automatic: the default query set is EVERY entry of
+``oracle_sql()`` — a new oracled query is partition-variance checked
+the moment it is registered (tests/test_stability_probe.py runs this
+in the default pytest suite, marked slow).
 
 Usage: python tools/stability_probe.py [sf_dir] [query ...]
 """
@@ -27,44 +32,18 @@ from cocoindex_data_ingestion_spark.session import get_spark
 from cocoindex_data_ingestion_spark.sources.tables import TABLES
 from tools.check_correctness import _normalize
 
-# Every oracled query whose output contains an aggregated double.
-SUM_QUERIES = [
-    "events_sessionize",
-    "events_tumbling_window",
-    "events_sliding_window",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q18_large_volume_customers",
-    "q19_or_predicates",
-    "q22_dormant_customers",
-    "salted_agg_events",
-    "rollup_customers",
-    "cube_lineitem",
-    "grouping_sets_orders",
-    "window_running_aggs",
-    "percentile_stats",
-    "corpus_stats",
-    "bm25_search",
-    "weighted_fusion",
-]
-
 PARTITION_SETTINGS = (5, 17, 32)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    names = sys.argv[2:] or SUM_QUERIES
-
+def run_probe(
+    sf_dir: str,
+    names: list[str] | None = None,
+    partition_settings: tuple[int, ...] = PARTITION_SETTINGS,
+    verbose: bool = True,
+) -> list[str]:
+    """Returns the list of FLAKY query names (empty = all stable)."""
     spark = get_spark("stability_probe")
+    default_partitions = spark.conf.get("spark.sql.shuffle.partitions")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -73,29 +52,41 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    names = names if names else list(oracles)
     failures = []
-    for name in names:
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        expect = _normalize(res.fetchall(), ocols)
-        bad = []
-        for p in PARTITION_SETTINGS:
-            spark.conf.set("spark.sql.shuffle.partitions", str(p))
-            sdf = qs[name](spark, sf_dir)
-            got = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
-            if got != expect:
-                bad.append(p)
-        status = "STABLE" if not bad else f"FLAKY at partitions={bad}"
-        print(f"  {name:28s} {status}")
-        if bad:
-            failures.append(name)
+    try:
+        for name in names:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            expect = _normalize(res.fetchall(), ocols)
+            bad = []
+            for p in partition_settings:
+                spark.conf.set("spark.sql.shuffle.partitions", str(p))
+                sdf = qs[name](spark, sf_dir)
+                got = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+                if got != expect:
+                    bad.append(p)
+            if verbose:
+                status = "STABLE" if not bad else f"FLAKY at partitions={bad}"
+                print(f"  {name:28s} {status}")
+            if bad:
+                failures.append(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_partitions)
+        con.close()
+    return failures
 
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    names = sys.argv[2:] or None
+
+    failures = run_probe(sf_dir, names)
     print()
     if failures:
         print(f"FLAKY: {failures}")
         return 1
-    print(f"all {len(names)} queries stable across partitions "
-          f"{PARTITION_SETTINGS}")
+    print(f"all queries stable across partitions {PARTITION_SETTINGS}")
     return 0
 
 
