@@ -1270,6 +1270,63 @@ def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.col("rank").desc(), F.col("node_id").asc()).limit(25)
 
 
+def _pagerank_fp_sql(n_iter: int = 3) -> str:
+    """DuckDB twin of pagerank_fixedpoint with the iterations unrolled
+    as CTE blocks — exact integer arithmetic on both engines, so the
+    iterative-join shape is fully oracle-checkable (the float pagerank
+    stays rows-only)."""
+    s = "1000000000000"
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+p AS (SELECT count(*)::BIGINT AS n FROM nodes),
+r0 AS (SELECT node_id, ({s} // p.n)::BIGINT AS r FROM nodes, p)"""
+    blocks = []
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.dst AS node_id, sum({prev}.r // deg.out_deg) AS m
+  FROM e JOIN deg ON e.src = deg.src JOIN {prev} ON {prev}.node_id = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT coalesce(sum(r), 0) AS d FROM {prev}
+  WHERE node_id NOT IN (SELECT src FROM deg)
+),
+r{i} AS (
+  SELECT nodes.node_id,
+         (({s} - (85 * {s}) // 100) // p.n
+          + (85 * (coalesce(c{i}.m, 0) + d{i}.d // p.n)) // 100)::BIGINT AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.node_id = c{i}.node_id, d{i}, p
+)""")
+    return (
+        head + "".join(blocks)
+        + f"\nSELECT node_id, r AS rank_fp FROM r{n_iter}"
+        + "\nORDER BY rank_fp DESC, node_id ASC LIMIT 25"
+    )
+
+
+@_register("graph_pagerank_fixed", _pagerank_fp_sql(3))
+def _q_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank in exact fixed-point integer arithmetic
+    (graph.pagerank_fixedpoint) — same supplier→part graph and
+    per-iteration plan as graph_pagerank, but bit-deterministic, so
+    the iterative fixpoint shape gets a real DuckDB oracle (unrolled
+    CTEs) instead of a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph_ops.bipartite_edges(li, "l_suppkey", "l_partkey")
+    ranks = graph_ops.pagerank_fixedpoint(
+        edges.select("src", (F.col("dst") + 1000000).alias("dst")), n_iter=3
+    )
+    return ranks.orderBy(
+        F.col("rank_fp").desc(), F.col("node_id").asc()
+    ).limit(25)
+
+
 @_register("graph_nhop_frontier", _NHOP_SQL)
 def _q_nhop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BFS frontier to depth 2 over the supplier↔part bipartite graph
@@ -3887,7 +3944,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "quick_search", "rag_context_assembly", "multivector_text_visual",
     "search_suggestions", "corpus_stats", "text_entropy", "corpus_bigrams",
     "user_activity_similarity", "vector_knn_filtered",
-    "window_lag_lead_ntile", "incremental_update_stats",
+    "window_lag_lead_ntile", "graph_pagerank_fixed",
 ]
 
 

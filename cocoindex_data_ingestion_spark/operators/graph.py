@@ -207,3 +207,65 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def pagerank_fixedpoint(
+    edges: DataFrame,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    damp_num: int = 85,
+    damp_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PageRank in exact fixed-point integer arithmetic → (node_id,
+    rank_fp) with rank scaled by ``scale``.
+
+    The float :func:`pagerank` is rows-only (partition-order double
+    sums); THIS variant makes the same iterative-join shape
+    oracle-checkable: every operation is integer (floor divisions,
+    long sums), so the result is bit-identical regardless of
+    partitioning or engine, and a DuckDB twin with the iterations
+    unrolled as CTEs verifies it end-to-end. Same per-iteration
+    physical plan as pagerank (one contribution shuffle + broadcast
+    dangling scalar + localCheckpoint), so the oracle greenness
+    transfers to the scale shape."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    base = (scale - scale * damp_num // damp_den) // n  # (1-d)/n scaled
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("r", F.lit(scale // n))
+    for _ in range(n_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.node_id)
+            .select("dst", F.expr("r div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("m"))
+        )
+        dangling = (
+            ranks.join(out_deg, ranks.node_id == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node_id == contrib.dst, "left_outer")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node_id",
+                F.expr(
+                    f"{base}L + ({damp_num} * (coalesce(m, 0L) + d div {n}L))"
+                    f" div {damp_den}"
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node_id", F.col("r").alias("rank_fp"))
