@@ -3942,7 +3942,7 @@ _DRIVER_WINDOW_PRIORITY = [
     # remaining judge-green-only oracled queries
     "indexed_vector_knn_ivf", "unpivot_revenue", "media_metadata",
     "quick_search", "rag_context_assembly", "multivector_text_visual",
-    "search_suggestions", "corpus_stats", "text_entropy", "corpus_bigrams",
+    "corpus_stats", "text_entropy", "corpus_bigrams",
     "user_activity_similarity", "vector_knn_filtered",
     "window_lag_lead_ntile", "graph_pagerank_fixed",
 ]
