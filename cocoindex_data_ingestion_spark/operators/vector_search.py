@@ -283,22 +283,50 @@ def ivf_knn(
     id_col: str = "vec_id",
     qvec_col: str = "qvec",
     round_to: int | None = 4,
+    assign: str = "numpy",
 ) -> DataFrame:
     """IVF approximate top-k: exact cosine within the ``nprobe``
     centroid cells nearest the query.
 
+    ``assign``: ``"numpy"`` (default) does the O(N·K) nearest-centroid
+    pass as an Arrow-batched BLAS argmax — the same code the index
+    build uses (indexing._ivf_assign_numpy) and ~100× faster per pair
+    than the interpreted higher-order-function cosine, which Spark
+    cannot codegen; ``"expr"`` keeps the pure-expression path
+    (bit-identical to the DuckDB oracle's arithmetic). The two agree
+    unless a vector sits within ~1 ulp of equidistant between two
+    centroids (equivalence-tested); FINAL scores are always computed
+    with the exact expression cosine either way, so oracle parity
+    rests only on cell membership.
+
     With ``nprobe`` >= the centroid count this degrades gracefully to
     exact :func:`knn` (equivalence-tested)."""
     cents = ivf_centroids(df, stride, vec_col, id_col)
-    probes = (
-        cents.crossJoin(F.broadcast(qvec_df))
-        .withColumn("_csim", cosine_sim(F.col("cvec"), F.col(qvec_col)))
-        .orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
-        .limit(nprobe)
-        .select("cent_id")
-    )
-    assigned = ivf_assign(df, cents, vec_col, id_col)
-    cand = assigned.join(F.broadcast(probes), "cent_id")
+    # Probe-cell selection is a top-nprobe over the (broadcast-sized by
+    # construction) centroid table — collect the ids and filter with a
+    # literal IN list, exactly like the indexed path's static partition
+    # pruning (indexing.py), instead of a broadcast join: one fewer
+    # exchange, and the same documented tiny-collect exception.
+    probe_ids = [
+        r.cent_id
+        for r in (
+            cents.crossJoin(F.broadcast(qvec_df))
+            .withColumn("_csim", cosine_sim(F.col("cvec"), F.col(qvec_col)))
+            .orderBy(F.col("_csim").desc(), F.col("cent_id").asc())
+            .limit(nprobe)
+            .select("cent_id")
+            .collect()
+        )
+    ]
+    if assign == "numpy":
+        from cocoindex_data_ingestion_spark.operators.indexing import (
+            _ivf_assign_numpy,
+        )
+
+        assigned = _ivf_assign_numpy(df, cents, vec_col, id_col)
+    else:
+        assigned = ivf_assign(df, cents, vec_col, id_col)
+    cand = assigned.filter(F.col("cent_id").isin(probe_ids))
     return knn(
         cand.crossJoin(F.broadcast(qvec_df)),
         F.col(qvec_col),
