@@ -939,6 +939,39 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_MD5_SQL = f"""
+WITH t AS (
+  SELECT doc_id, unnest(list_distinct({_BM25_TOKS_SQL})) AS tok FROM documents
+),
+h AS (SELECT doc_id, md5(tok) AS hx FROM t),
+v AS (
+  SELECT doc_id, b,
+         CASE WHEN ((strpos('0123456789abcdef',
+                            substr(hx, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                    // (1 << (b % 4))) % 2 = 1
+              THEN 1 ELSE -1 END AS vote
+  FROM h, unnest(range(0, 64)) AS u(b)
+),
+s AS (SELECT doc_id, b, sum(vote) AS sv FROM v GROUP BY doc_id, b)
+SELECT doc_id,
+       sum(CASE WHEN b >= 32 AND sv > 0 THEN (1::BIGINT << (b - 32))
+                ELSE 0::BIGINT END) AS sig_hi,
+       sum(CASE WHEN b < 32 AND sv > 0 THEN (1::BIGINT << b)
+                ELSE 0::BIGINT END) AS sig_lo
+FROM s GROUP BY doc_id
+"""
+
+
+@_register("dedup_simhash_md5", _SIMHASH_MD5_SQL)
+def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash: md5-derived bit votes (both engines
+    emit identical lowercase hex) → exact integer signature, returned
+    as 32-bit halves. Certifies the simhash semantics the xxhash64
+    fast path (dedup_simhash, rows-only) implements."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_md5(docs)
+
+
 # -- chunking: fixed windows (chunker.py:92-112; expression-only) -------------
 
 _CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50

@@ -378,6 +378,62 @@ def simhash64(col: Column | str) -> Column:
     return out
 
 
+def simhash_md5(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash with md5-derived bit votes → (id, sig_hi,
+    sig_lo): the oracle-checkable twin of :func:`simhash64`.
+
+    xxhash64 doesn't exist in DuckDB, so the fast path is rows-only;
+    this variant derives each token's 64 vote bits from its md5 hex
+    digest (4 bits per hex char — both engines produce identical
+    lowercase hex), making the whole signature exact integer
+    arithmetic that a DuckDB twin reproduces bit-for-bit. The
+    signature is returned as two 32-bit halves packed in BIGINTs to
+    stay clear of signed-64 overflow in either engine.
+
+    Plan shape: explode(tokens) × explode(0..63) → two hash
+    aggregations, all JVM-side expressions (no UDF) — same
+    map-side-combine shape as the xxhash64 path, ~64× the rows; use
+    simhash64 for bulk, this one to certify the semantics.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(bm25_tokens(F.col(text_col)))).alias("tok"),
+    )
+    bits = toks.select(
+        id_col, F.md5("tok").alias("hx"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    )
+    votes = bits.select(
+        id_col,
+        "b",
+        F.expr(
+            "CASE WHEN ((instr('0123456789abcdef',"
+            " substring(hx, CAST(b div 4 AS INT) + 1, 1)) - 1)"
+            " div shiftleft(1, CAST(b % 4 AS INT))) % 2 = 1"
+            " THEN 1 ELSE -1 END"
+        ).alias("vote"),
+    )
+    s = votes.groupBy(id_col, "b").agg(F.sum("vote").alias("sv"))
+    return s.groupBy(id_col).agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN b >= 32 AND sv > 0"
+                " THEN shiftleft(CAST(1 AS BIGINT), CAST(b - 32 AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("sig_hi"),
+        F.sum(
+            F.expr(
+                "CASE WHEN b < 32 AND sv > 0"
+                " THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"
+                " ELSE CAST(0 AS BIGINT) END"
+            )
+        ).alias("sig_lo"),
+    )
+
+
 def embedding_cosine_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
