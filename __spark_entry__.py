@@ -38,6 +38,7 @@ from cocoindex_data_ingestion_spark.functions.text import (
 from cocoindex_data_ingestion_spark.operators import (
     bm25 as bm25_ops,
     chunking,
+    curation,
     dedup,
     fusion,
     graph as graph_ops,
@@ -3935,6 +3936,242 @@ def _q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             stable_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+# -- corpus curation suite (training-data assembly ops; curation.py) ----------
+
+_STRAT_CAP = 20
+_STRAT_RANK_SQL = curation.hash_rank_sql("doc_id", "strat")
+
+_STRAT_SAMPLE_SQL = f"""
+SELECT doc_id, lang, smp_rank FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_STRAT_RANK_SQL}, doc_id) AS smp_rank
+  FROM documents
+) WHERE smp_rank <= {_STRAT_CAP}
+"""
+
+
+@_register("curate_stratified_sample", _STRAT_SAMPLE_SQL)
+def _q_curate_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language size-capped deterministic sample (corpus
+    rebalancing). md5-rank inside each stratum — unbiased, stable
+    across partition counts; one shuffle on the stratum key."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.stratified_sample(
+        docs, ["lang"], "doc_id", _STRAT_CAP, salt="strat"
+    ).select("doc_id", "lang", "smp_rank")
+
+
+_MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+
+
+def _mix_threshold_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN '{curation.fraction_threshold(w)}'"
+        for s, w in sorted(_MIX_WEIGHTS.items())
+    )
+    return f"(CASE {cases} ELSE '{curation.fraction_threshold(_MIX_DEFAULT)}' END)"
+
+
+_WEIGHTED_MIX_SQL = f"""
+SELECT source, count(*) AS n_kept, min(doc_id) AS first_id, max(doc_id) AS last_id
+FROM documents
+WHERE {curation.hash_rank_sql("doc_id", "mix")} < {_mix_threshold_sql()}
+GROUP BY source
+"""
+
+
+@_register("curate_weighted_mix", _WEIGHTED_MIX_SQL)
+def _q_curate_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: keep each source at its sampling weight
+    (keep-all src0, half of src1, quarter of src2, 10% of the rest).
+    Pure per-row hash filter — ZERO shuffles before the summary agg;
+    the predicate inlines as literals so it rides the scan."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.weighted_mix(
+        docs, "source", "doc_id", _MIX_WEIGHTS, _MIX_DEFAULT, salt="mix"
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.min("doc_id").alias("first_id"),
+        F.max("doc_id").alias("last_id"),
+    )
+
+
+_PACK_BUDGET = 64
+
+_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source, len({_TOKS_SQL})::BIGINT AS n_toks FROM documents
+),
+packed AS (
+  SELECT source, doc_id, n_toks,
+         (floor((sum(n_toks) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks)
+           / {_PACK_BUDGET}))::BIGINT AS bin_id
+  FROM toks
+)
+SELECT source, bin_id, count(*) AS n_docs, sum(n_toks)::BIGINT AS bin_tokens
+FROM packed GROUP BY 1, 2
+"""
+
+
+@_register("curate_pack_sequences", _PACK_SQL)
+def _q_curate_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: documents stream into
+    {budget}-token training bins per source partition (each executor
+    packs its partition independently — no coordination at 1000
+    executors). One shuffle on source; streaming window cumsum."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", text_analysis.token_count("text").cast("long").alias("n_toks")
+    )
+    packed = curation.pack_sequences(
+        toks, "n_toks", "doc_id", _PACK_BUDGET, part_cols=["source"]
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("bin_tokens"),
+    )
+
+
+_DECON_N, _DECON_MOD = 5, 37
+
+_DECON_GRAMS = curation.word_ngrams_sql("text", _DECON_N)
+
+_DECON_SQL = f"""
+WITH bench AS (
+  SELECT DISTINCT md5(gram) AS gram_h
+  FROM (SELECT unnest({_DECON_GRAMS}) AS gram
+        FROM documents WHERE doc_id % {_DECON_MOD} = 0)
+),
+train AS (
+  SELECT doc_id, md5(gram) AS gram_h
+  FROM (SELECT doc_id, unnest({_DECON_GRAMS}) AS gram
+        FROM documents WHERE doc_id % {_DECON_MOD} <> 0)
+)
+SELECT t.doc_id, count(*) AS n_hits
+FROM train t JOIN bench b USING (gram_h)
+GROUP BY 1
+"""
+
+
+@_register("curate_decontaminate", _DECON_SQL)
+def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    word {n}-gram with the (synthetic) eval split. Eval n-gram set
+    deduped + BROADCAST — the 100 TB training side never shuffles
+    until the (tiny) matched subset is counted."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
+
+
+_RESOLVE_SQL = (
+    _minhash_sql()
+    + """,
+starred AS (
+  SELECT id, min(id) OVER (PARTITION BY bucket) AS id_a FROM buckets
+),
+edges AS (SELECT DISTINCT id_a, id AS id_b FROM starred WHERE id_a <> id),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(node_id, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.lbl FROM sym s JOIN r ON s.dst = r.node_id
+  )
+  SELECT node_id, min(lbl) AS component FROM r GROUP BY node_id
+),
+member AS (
+  SELECT c.component, d.doc_id, d.n_chars
+  FROM reach c JOIN documents d ON d.doc_id = c.node_id
+)
+SELECT component,
+       first(doc_id ORDER BY n_chars DESC, doc_id ASC) AS canonical_id,
+       count(*) AS n_members,
+       max(n_chars) AS max_quality
+FROM member GROUP BY 1
+"""
+)
+
+
+@_register("curate_resolve_duplicates", _RESOLVE_SQL)
+def _q_curate_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: one canonical survivor per
+    near-dup cluster (max n_chars, min-id tie-break) — the keep-side
+    complement of dedup. Single max_by agg over the (tiny) cluster
+    membership; cluster discovery reuses the LSH component pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    edges = dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+    comps = dedup.connected_components(edges)
+    return curation.resolve_duplicates(docs, comps, "doc_id", "n_chars")
+
+
+_FUNNEL_MIN_CHARS = 100
+_FUNNEL_MIN_CTOKS = 15
+_FUNNEL_MIX_THR = curation.fraction_threshold(0.5)
+
+_FUNNEL_SQL = f"""
+WITH f AS (
+  SELECT (lang = 'en') AS f1,
+         (n_chars >= {_FUNNEL_MIN_CHARS}) AS f2,
+         (len({_BM25_TOKS_SQL}) >= {_FUNNEL_MIN_CTOKS}) AS f3,
+         ({curation.hash_rank_sql("doc_id", "funnel")} < '{_FUNNEL_MIX_THR}') AS f4
+  FROM documents
+)
+SELECT 's0_total' AS stage, count(*) AS n_docs FROM f
+UNION ALL SELECT 's1_lang_en', count(*) FROM f WHERE f1
+UNION ALL SELECT 's2_min_chars', count(*) FROM f WHERE f1 AND f2
+UNION ALL SELECT 's3_min_content_tokens', count(*) FROM f WHERE f1 AND f2 AND f3
+UNION ALL SELECT 's4_mix_half', count(*) FROM f WHERE f1 AND f2 AND f3 AND f4
+"""
+
+
+@_register("curate_funnel", _FUNNEL_SQL)
+def _q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation funnel report: cumulative retention through
+    language -> length -> content-token -> mix-sampling stages.
+    ONE scan: all stage predicates become conditional counts in a
+    single aggregate, then stack() unpivots the 1-row result —
+    vs the oracle's 5-scan UNION (clarity over speed is fine there)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    f1 = F.col("lang") == "en"
+    f2 = F.col("n_chars") >= _FUNNEL_MIN_CHARS
+    f3 = F.size(bm25_tokens("text")) >= _FUNNEL_MIN_CTOKS
+    f4 = curation.hash_rank("doc_id", "funnel") < _FUNNEL_MIX_THR
+
+    def cnt(cond, name):
+        return F.count_if(cond).alias(name)
+
+    agg = docs.agg(
+        F.count("*").alias("c0"),
+        cnt(f1, "c1"),
+        cnt(f1 & f2, "c2"),
+        cnt(f1 & f2 & f3, "c3"),
+        cnt(f1 & f2 & f3 & f4, "c4"),
+    )
+    return agg.selectExpr(
+        "stack(5, 's0_total', c0, 's1_lang_en', c1, 's2_min_chars', c2, "
+        "'s3_min_content_tokens', c3, 's4_mix_half', c4) AS (stage, n_docs)"
     )
 
 

@@ -1,0 +1,247 @@
+"""Training-data curation operators: deterministic sampling, dataset
+mixing, sequence packing, benchmark decontamination, and duplicate
+resolution.
+
+These are the corpus-construction steps a pretraining pipeline runs
+between ingestion/dedup and tokenization. The reference stops at
+indexing (its flows end at vector/graph export —
+``app/flows/document_processing_flow.py``); this module supplies the
+downstream curation surface a 100 TB corpus needs, built from the same
+document tables.
+
+Design rules (all oracle-checkable and cluster-size-invariant):
+
+- **No randomness.** Every "random" choice is an md5 rank over a
+  salted key, so results are byte-identical across runs, partition
+  counts, and engines (Spark and DuckDB md5 agree on identical input
+  strings).
+- **Filters before shuffles.** ``weighted_mix`` is a pure per-row
+  filter (zero shuffles); ``stratified_sample`` shuffles once on the
+  stratum key; ``pack_sequences`` shuffles once on the packing
+  partition key. Nothing materializes all-pairs state.
+- **Small side broadcast.** Decontamination joins the corpus against
+  the benchmark n-gram set, which is tiny by construction — the
+  plan broadcasts it so the 100 TB side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize
+
+# 8 hex digits of the md5 = 32 uniform bits: enough resolution for
+# sampling fractions down to ~2e-10 while staying lexicographically
+# comparable as a string in both engines.
+_HASH_HEX_DIGITS = 8
+
+
+def hash_rank(key: Column | str, salt: str = "cur") -> Column:
+    """Deterministic uniform rank in hex-string space.
+
+    ``md5(salt # key)`` truncated to 8 hex chars. Lowercase-hex
+    strings compare lexicographically exactly like the integers they
+    encode, so ``hash_rank(k) < fraction_threshold(f)`` keeps an
+    ``f``-fraction of rows — a pure filter, no shuffle, stable under
+    repartitioning.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    return F.substring(F.md5(F.concat_ws("#", F.lit(salt), k.cast("string"))), 1, _HASH_HEX_DIGITS)
+
+
+def fraction_threshold(fraction: float) -> str:
+    """Hex threshold t such that P[hash_rank < t] == fraction.
+
+    fraction=1.0 returns ``"g"`` — lexicographically above every hex
+    string (a 9-digit ``100000000`` would compare by first char and
+    sort BELOW ``"2..."``), so keep-everything stays a true filter.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * (16 ** _HASH_HEX_DIGITS)), f"0{_HASH_HEX_DIGITS}x")
+
+
+def hash_rank_sql(key: str, salt: str = "cur") -> str:
+    """DuckDB twin of :func:`hash_rank` (identical md5 input string)."""
+    return f"substr(md5('{salt}' || '#' || ({key})::VARCHAR), 1, {_HASH_HEX_DIGITS})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: list[str],
+    key_col: str,
+    per_stratum: int,
+    salt: str = "strat",
+) -> DataFrame:
+    """Keep a deterministic ``per_stratum``-cap sample from every
+    stratum (e.g. per-language caps to rebalance a corpus).
+
+    Ranks rows inside each stratum by md5 of the key (uniform, so the
+    kept set is an unbiased size-capped sample) and keeps rank <=
+    cap. One shuffle on the strata columns. Skewed strata cost only a
+    per-partition sort, not memory: row_number is a streaming window.
+    At 100 TB with billion-row strata, swap the exact rank for a
+    threshold precomputed from the stratum count (still one scan +
+    one tiny agg) — semantics identical, no sort.
+    """
+    w = Window.partitionBy(*strata_cols).orderBy(
+        hash_rank(key_col, salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= per_stratum)
+    )
+
+
+def weighted_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Down-sample each source to its mixing weight (the dataset-mix
+    step of corpus assembly: keep 100% of wiki, 10% of crawl, ...).
+
+    Implemented as ``hash_rank(key) < threshold(weight[source])`` — a
+    pure per-row filter with **zero shuffles**; the thresholds inline
+    as a literal CASE chain so Catalyst pushes the whole predicate to
+    the scan. Deterministic: re-running on a grown corpus keeps every
+    previously-kept row (reservoir property of hash sampling).
+    """
+    src = F.col(source_col)
+    thr: Column = F.lit(fraction_threshold(default_weight))
+    for s, wgt in sorted(weights.items()):
+        thr = F.when(src == s, F.lit(fraction_threshold(wgt))).otherwise(thr)
+    return df.filter(hash_rank(key_col, salt) < thr)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    part_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins.
+
+    Documents are laid out in deterministic ``order_col`` order (per
+    ``part_cols`` partition) and cut into bins where the running token
+    total crosses the budget: ``bin = floor((cumsum - tokens) /
+    budget)`` — i.e. a document starts a new bin when the previous
+    ones filled it. One shuffle on the partition columns; the window
+    cumsum is a streaming frame (no buffering). Per-partition packing
+    is exactly how a distributed tokenizer shards: each partition
+    packs independently, so 1000 executors pack 1000 streams with no
+    coordination.
+    """
+    part_cols = part_cols or []
+    w = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tok = F.col(token_col).cast("long")
+    cum = F.sum(tok).over(w)
+    return df.withColumn("bin_id", F.floor((cum - tok) / F.lit(budget)))
+
+
+def word_ngrams(col: Column | str, n: int) -> Column:
+    """Distinct word ``n``-grams (space-joined token windows).
+
+    Uses the unfiltered tokenizer — contamination checks must not
+    drop stopwords, or 'to be or not to be' never matches. Documents
+    shorter than ``n`` tokens yield no n-grams (can't witness an
+    n-gram overlap).
+    """
+    toks = tokenize(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def word_ngrams_sql(col: str, n: int) -> str:
+    """DuckDB twin of :func:`word_ngrams`."""
+    toks = f"regexp_extract_all(lower({col}), '[a-z0-9]+')"
+    return f"""
+CASE WHEN len({toks}) >= {n}
+     THEN list_distinct(list_transform(
+            generate_series(1, len({toks}) - {n - 1}),
+            i -> array_to_string(({toks})[i:i + {n - 1}], ' ')))
+     ELSE [] END
+"""
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Flag training documents that share any word ``n``-gram with a
+    benchmark/eval set (the standard pretraining decontamination
+    test, e.g. GPT-3 appendix C / PaLM 13-gram overlap).
+
+    Returns ``(id_col, n_hits)`` for contaminated training docs —
+    the caller anti-joins to drop them. The benchmark n-gram set is
+    deduplicated and **broadcast** (eval suites are ~1e5 n-grams;
+    the training side is the 100 TB one), so the big side is a single
+    scan + explode with no shuffle; the final per-doc count shuffles
+    only the matched (tiny) subset.
+    """
+    bench_grams = (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .select(F.md5("gram").alias("gram_h"))
+    )
+    train_grams = train.select(
+        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
+    ).select(id_col, F.md5("gram").alias("gram_h"))
+    return (
+        train_grams.join(F.broadcast(bench_grams), "gram_h")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick one canonical document per duplicate cluster.
+
+    ``components`` is ``(node_id, component)`` from
+    :func:`..operators.dedup.connected_components` over near-dup
+    edges. Canonical = highest ``quality_col``, ties broken by lowest
+    id (deterministic). Returns one row per cluster:
+    ``(component, canonical_id, n_members, max_quality)``.
+
+    A single ``max_by`` aggregation — map-side partial agg, one
+    shuffle on component id (cluster count ≪ doc count). This is the
+    keep-side complement of dedup: dedup finds the clusters,
+    resolution decides which member survives into the corpus.
+    """
+    member = docs.join(
+        components, docs[id_col] == components["node_id"], "inner"
+    ).select(components["component"], docs[id_col], docs[quality_col])
+    q = F.col(quality_col).cast("long")
+    return member.groupBy("component").agg(
+        F.max_by(F.col(id_col), F.struct(q, (-F.col(id_col)).alias("nid"))).alias(
+            "canonical_id"
+        ),
+        F.count("*").alias("n_members"),
+        F.max(q).alias("max_quality"),
+    )

@@ -1,0 +1,188 @@
+"""Unit tests for operators/curation.py (training-data curation).
+
+Oracle parity for the registered curate_* queries is covered by
+tools/check_correctness.py; these tests pin the operator-level
+invariants: determinism under repartitioning, sampling-fraction
+statistics, packing budget respect, contamination witness symmetry,
+and canonical-pick tie-breaks.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.operators import curation, dedup
+from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return load_table(spark, "documents", SF)
+
+
+def test_fraction_threshold_bounds():
+    assert curation.fraction_threshold(0.0) == "00000000"
+    assert curation.fraction_threshold(0.5) == "80000000"
+    # 1.0 must sort above every 8-digit hex string
+    assert curation.fraction_threshold(1.0) > "ffffffff"
+    with pytest.raises(ValueError):
+        curation.fraction_threshold(1.5)
+
+
+def test_hash_rank_partition_invariant(spark):
+    """The kept set of a hash filter must not depend on layout."""
+    docs = _docs(spark)
+    thr = curation.fraction_threshold(0.3)
+    kept1 = {
+        r.doc_id
+        for r in docs.filter(curation.hash_rank("doc_id") < thr)
+        .select("doc_id")
+        .collect()
+    }
+    kept2 = {
+        r.doc_id
+        for r in docs.repartition(13)
+        .filter(curation.hash_rank("doc_id") < thr)
+        .select("doc_id")
+        .collect()
+    }
+    assert kept1 == kept2
+    # ~30% of 50 docs; allow generous tolerance on the tiny sample
+    assert 0.10 * docs.count() <= len(kept1) <= 0.55 * docs.count()
+
+
+def test_stratified_sample_caps_and_determinism(spark):
+    docs = _docs(spark)
+    cap = 5
+    s1 = curation.stratified_sample(docs, ["lang"], "doc_id", cap)
+    per = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {
+        r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert n == min(cap, base[lang])
+    s2 = curation.stratified_sample(docs.repartition(7), ["lang"], "doc_id", cap)
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in s2.collect()
+    )
+
+
+def test_weighted_mix_keep_all_and_none(spark):
+    docs = _docs(spark)
+    n = docs.count()
+    all_kept = curation.weighted_mix(
+        docs, "source", "doc_id", {}, default_weight=1.0
+    ).count()
+    assert all_kept == n
+    none_kept = curation.weighted_mix(
+        docs, "source", "doc_id", {}, default_weight=0.0
+    ).count()
+    assert none_kept == 0
+
+
+def test_weighted_mix_is_monotone_in_weight(spark):
+    """Hash sampling is nested: the 25% sample ⊆ the 50% sample."""
+    docs = _docs(spark)
+
+    def kept(w):
+        return {
+            r.doc_id
+            for r in curation.weighted_mix(
+                docs, "source", "doc_id", {}, default_weight=w
+            )
+            .select("doc_id")
+            .collect()
+        }
+
+    k25, k50 = kept(0.25), kept(0.5)
+    assert k25 <= k50
+
+
+def test_pack_sequences_budget(spark):
+    """A bin closes only when full: every bin except a partition's
+    last must reach the budget including its closing doc; a new doc
+    starts a new bin iff the running total already crossed."""
+    docs = _docs(spark).select(
+        "doc_id", "source", F.length("text").cast("long").alias("n_toks")
+    )
+    budget = 500
+    packed = curation.pack_sequences(
+        docs, "n_toks", "doc_id", budget, part_cols=["source"]
+    )
+    rows = packed.orderBy("source", "doc_id").collect()
+    from collections import defaultdict
+
+    cum = defaultdict(int)
+    for r in rows:
+        expect_bin = (cum[r.source]) // budget
+        assert r.bin_id == expect_bin, (r, cum[r.source])
+        cum[r.source] += r.n_toks
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha beta gamma delta epsilon")], ["id", "text"]
+    )
+    out = {
+        r.id: r.g
+        for r in df.select("id", curation.word_ngrams("text", 3).alias("g")).collect()
+    }
+    assert out[1] == []
+    assert "alpha beta gamma" in out[2]
+    assert len(out[2]) == 3
+
+
+def test_decontaminate_witness(spark):
+    """A doc sharing an n-gram with the benchmark is flagged; one
+    with disjoint vocabulary is not."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")], ["doc_id", "text"]
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "he saw the quick brown fox jumps over a fence"),
+            (2, "completely disjoint vocabulary here nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    hits = {r.doc_id: r.n_hits for r in curation.decontaminate(
+        train, bench, n=5).collect()}
+    assert 1 in hits and hits[1] >= 1
+    assert 2 not in hits
+
+
+def test_resolve_duplicates_canonical_tiebreak(spark):
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 300), (3, 300), (9, 50)], ["doc_id", "n_chars"]
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], ["node_id", "component"]
+    )
+    out = curation.resolve_duplicates(docs, comps).collect()
+    assert len(out) == 1
+    r = out[0]
+    # max quality 300 shared by 2 and 3 -> lowest id wins
+    assert (r.component, r.canonical_id, r.n_members, r.max_quality) == (1, 2, 3, 300)
+
+
+def test_resolve_duplicates_on_real_components(spark):
+    """End-to-end over the LSH dedup pipeline: every cluster yields
+    exactly one canonical member that belongs to the cluster."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _docs(spark)
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    edges = dedup.minhash_lsh_edges(nonempty, num_hashes=16, bands=4)
+    comps = dedup.connected_components(edges)
+    resolved = curation.resolve_duplicates(docs, comps, "doc_id", "n_chars")
+    members = {
+        r.component: r.ids
+        for r in comps.groupBy("component")
+        .agg(F.collect_set("node_id").alias("ids"))
+        .collect()
+    }
+    for r in resolved.collect():
+        assert r.canonical_id in members[r.component]
+        assert r.n_members == len(members[r.component])
