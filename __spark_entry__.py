@@ -4175,6 +4175,95 @@ def _q_curate_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 PQ ANN (product quantization; vector_search.py PQ section) ----------
+
+# 16 subspaces x 4 dims: finer product grid = far better ADC ranking
+# on unclustered (synthetic-uniform) vectors than fewer/wider
+# subspaces (measured recall@10: 9/10 vs 5/10 at m=4/sub_d=16, 100
+# candidates), while keeping 16x compression (16 byte codes vs 64
+# floats).
+_PQ_M, _PQ_K, _PQ_SUBD, _PQ_CAND = 16, 16, 4, 100
+_PQ_DIST_ROUND = 6
+
+
+def _l2_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        f"(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def _pq_sub(col: str, j: str) -> str:
+    return f"({col})[({j} * {_PQ_SUBD} + 1):(({j} + 1) * {_PQ_SUBD})]"
+
+
+_PQ_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY md5('pq#' || vec_id::VARCHAR), vec_id LIMIT {_PQ_K}
+),
+ranked_sample AS (
+  SELECT v, row_number() OVER (
+    ORDER BY md5('pq#' || vec_id::VARCHAR), vec_id) - 1 AS code_id
+  FROM sample
+),
+subspaces AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+codebook AS (
+  SELECT j.j AS subspace, s.code_id, {_pq_sub("s.v", "j.j")} AS cw
+  FROM ranked_sample s CROSS JOIN subspaces j
+),
+sub_vecs AS (
+  SELECT e.vec_id, j.j AS subspace,
+         {_pq_sub("e.embedding::DOUBLE[]", "j.j")} AS sv
+  FROM embeddings e CROSS JOIN subspaces j WHERE e.vec_id <> 0
+),
+codes AS (
+  SELECT s.vec_id, s.subspace,
+         first(cb.code_id ORDER BY
+           {_R(_l2_sql("s.sv", "cb.cw"), _PQ_DIST_ROUND)} ASC, cb.code_id ASC
+         ) AS code
+  FROM sub_vecs s JOIN codebook cb ON cb.subspace = s.subspace
+  GROUP BY 1, 2
+),
+qdist AS (
+  SELECT cb.subspace, cb.code_id,
+         {_l2_sql(_pq_sub("q.qvec", "cb.subspace"), "cb.cw")} AS qd
+  FROM codebook cb CROSS JOIN q
+),
+adist AS (
+  SELECT c.vec_id, {_S("qd.qd", _PQ_DIST_ROUND)} AS ad
+  FROM codes c
+  JOIN qdist qd ON qd.subspace = c.subspace AND qd.code_id = c.code
+  GROUP BY 1
+),
+cands AS (SELECT vec_id FROM adist ORDER BY ad ASC, vec_id ASC LIMIT {_PQ_CAND})
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("vector_knn_pq", _PQ_SQL)
+def _q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ-family ANN: product-quantize to m={m} one-byte codes
+    (16x storage compression at 64-d), rank by asymmetric distance
+    over the broadcast query-to-codeword table, exact-rerank the top
+    {c} candidates. Returned scores are exact cosine — approximation
+    affects only candidate membership. Completes the ANN family:
+    fixed-hyperplane LSH, data-adaptive IVF, compressed-domain PQ."""
+    emb = _t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") != 0)
+    q = _qvec_df(emb)
+    return vector_search.pq_knn(
+        base, q, k=KNN_K, m=_PQ_M, cb_k=_PQ_K, sub_d=_PQ_SUBD,
+        candidates=_PQ_CAND, dist_round=_PQ_DIST_ROUND,
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -335,3 +335,174 @@ def ivf_knn(
         id_col=id_col,
         round_to=round_to,
     )
+
+
+# ---------------------------------------------------------------------- PQ ANN
+#
+# Product quantization (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011 — the IVF-PQ design every
+# billion-vector index uses): split each d-dim vector into m
+# subvectors, quantize each against a tiny per-subspace codebook, and
+# answer queries by (1) ranking all vectors with the asymmetric
+# distance computation (ADC) over the m one-byte codes, then
+# (2) exactly re-scoring only the top candidates.
+#
+# 100 TB framing: codes are m bytes/vector vs 4·d bytes of floats —
+# a 64-d float corpus compresses 64:4 = 16×, so the ADC pass scans a
+# table ~6% the size of the raw embeddings, and the exact rerank
+# touches only `candidates` rows. The codebook (m·k codewords) is
+# driver-tiny and broadcast/inlined; encoding is one scan of the
+# corpus (production: Arrow-batched BLAS like indexing's IVF assign;
+# here the expression path mirrors the DuckDB oracle bit-for-bit).
+#
+# Determinism: the codebook is the md5-ranked first-k sample of the
+# corpus (uniform in id space, reproducible in SQL); argmin/ADC
+# ranking uses stable_round-ed distances with code/vec-id tie-breaks
+# so candidate membership can't flip on the last float ulp between
+# engines.
+
+PQ_SALT = "pq"
+
+
+def _pq_rank(id_col: str) -> Column:
+    return F.md5(F.concat(F.lit(PQ_SALT + "#"), F.col(id_col).cast("string")))
+
+
+def l2_sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance between two double arrays (sequential
+    fold, same association order as the SQL twin's list_aggregate)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_codebook(
+    df: DataFrame,
+    m: int = 16,
+    k: int = 16,
+    sub_d: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace codebooks: ``(subspace, code_id, cw)``.
+
+    Codewords are the subvectors of the k md5-rank-first corpus
+    vectors (uniform sample, engine-reproducible; at scale you'd
+    Lloyd-refine them — a few broadcast+aggregate rounds — without
+    changing the query path). k·m rows total: driver-tiny."""
+    from pyspark.sql import Window
+
+    rank = _pq_rank(id_col)
+    sample = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(rank, F.col(id_col))
+        .limit(k)
+    )
+    w = Window.orderBy(_pq_rank(id_col), F.col(id_col))
+    coded = sample.withColumn("code_id", F.row_number().over(w) - 1)
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("subspace")
+    return coded.select(F.col("code_id"), subspaces, F.col("v")).select(
+        "subspace",
+        "code_id",
+        F.slice(F.col("v"), F.col("subspace") * sub_d + 1, sub_d).alias("cw"),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 16,
+    sub_d: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Encode every vector as ``(id, subspace, code)``.
+
+    One scan: explode m subvectors per row, broadcast-join the
+    codebook, ``min_by`` argmin per (vector, subspace) — map-side
+    partial aggregation, so the shuffle carries N·m best-so-far rows,
+    not N·m·k candidates (same shape as ivf_assign). Production
+    encode at 100 TB is the Arrow/BLAS single-pass variant; this
+    expression path exists for oracle parity and small corpora."""
+    subspaces = F.explode(F.array(*[F.lit(j) for j in range(m)])).alias("subspace")
+    sub_vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).select(
+        id_col,
+        subspaces,
+        F.col("v"),
+    ).select(
+        id_col,
+        "subspace",
+        F.slice(F.col("v"), F.col("subspace") * sub_d + 1, sub_d).alias("sv"),
+    )
+    scored = sub_vecs.join(F.broadcast(codebook), "subspace").withColumn(
+        "_d", stable_round(l2_sq(F.col("sv"), F.col("cw")), dist_round)
+    )
+    pick = F.struct(F.col("_d").alias("d"), F.col("code_id").alias("c"))
+    return scored.groupBy(id_col, "subspace").agg(
+        F.min_by(F.col("code_id"), pick).alias("code")
+    )
+
+
+def pq_knn(
+    df: DataFrame,
+    qvec_df: DataFrame,
+    k: int = 10,
+    m: int = 16,
+    cb_k: int = 16,
+    sub_d: int = 4,
+    candidates: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qvec_col: str = "qvec",
+    round_to: int | None = 4,
+    dist_round: int = 6,
+) -> DataFrame:
+    """PQ approximate top-k with exact rerank.
+
+    ADC: the query's per-(subspace, code) distance table is m·k rows
+    — computed once, broadcast; each encoded vector's approximate
+    distance is the order-independent fixed-point sum of its m looked-
+    up entries (stable_sum: partition layout can't flip candidate
+    ranks). Top-``candidates`` by ADC feed an exact cosine rerank, so
+    final scores are identical to brute-force :func:`knn` for every
+    returned id."""
+    from cocoindex_data_ingestion_spark.functions.compare import stable_sum
+
+    cb = pq_codebook(df, m, cb_k, sub_d, vec_col, id_col)
+    codes = pq_encode(df, cb, m, sub_d, vec_col, id_col, dist_round)
+    qsub = qvec_df.select(F.col(qvec_col).cast("array<double>").alias("qv"))
+    qdist = (
+        cb.crossJoin(F.broadcast(qsub))
+        .select(
+            "subspace",
+            "code_id",
+            F.slice(F.col("qv"), F.col("subspace") * sub_d + 1, sub_d).alias("qsv"),
+            "cw",
+        )
+        .withColumn("qd", l2_sq(F.col("qsv"), F.col("cw")))
+        .select("subspace", "code_id", "qd")
+    )
+    adist = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes["subspace"] == qdist["subspace"])
+            & (codes["code"] == qdist["code_id"]),
+        )
+        .groupBy(id_col)
+        .agg(stable_sum(F.col("qd"), dist_round).alias("ad"))
+    )
+    cand_ids = adist.orderBy(F.col("ad").asc(), F.col(id_col).asc()).limit(candidates)
+    cand = df.join(F.broadcast(cand_ids.select(id_col)), id_col)
+    return knn(
+        cand.crossJoin(F.broadcast(qvec_df)),
+        F.col(qvec_col),
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )

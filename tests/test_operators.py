@@ -541,3 +541,58 @@ def test_pagerank_matches_reference_iteration(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pq_knn_candidate_superset_and_exact_scores(spark, sf_dir):
+    """PQ top-k: returned scores must equal brute-force scores for the
+    same ids (rerank is exact); with candidates >= corpus size PQ
+    degenerates to exact knn."""
+    from cocoindex_data_ingestion_spark.operators import vector_search
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    exact = {
+        r.vec_id: r.score
+        for r in vector_search.knn(
+            base.crossJoin(F.broadcast(q)), F.col("qvec"), k=10
+        ).collect()
+    }
+    # full-candidate PQ == exact knn
+    full = {
+        r.vec_id: r.score
+        for r in vector_search.pq_knn(base, q, k=10, candidates=10**6).collect()
+    }
+    assert full == exact
+    # pruned PQ returns exact scores for whatever ids it picks
+    pruned = vector_search.pq_knn(
+        base, q, k=10, m=16, cb_k=16, sub_d=4, candidates=100
+    ).collect()
+    all_scored = {
+        r.vec_id: r.score
+        for r in vector_search.knn(
+            base.crossJoin(F.broadcast(q)), F.col("qvec"), k=10**6
+        ).collect()
+    }
+    assert len(pruned) == 10
+    for r in pruned:
+        assert all_scored[r.vec_id] == r.score
+    # recall@10 of the ADC prune (measured 9/10 on this data; floor
+    # guards against an ADC ranking bug, not a tuning target)
+    hits = sum(1 for r in pruned if r.vec_id in exact)
+    assert hits >= 6
+
+
+def test_pq_encode_deterministic_under_repartition(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.operators import vector_search
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    cb = vector_search.pq_codebook(emb)
+    c1 = sorted(map(tuple, vector_search.pq_encode(emb, cb).collect()))
+    c2 = sorted(
+        map(tuple, vector_search.pq_encode(emb.repartition(11), cb).collect())
+    )
+    assert c1 == c2
