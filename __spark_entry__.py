@@ -743,8 +743,12 @@ _MINHASH_HASHES, _MINHASH_BANDS = 16, 4
 def _minhash_sql() -> str:
     n, bands = _MINHASH_HASHES, _MINHASH_BANDS
     rpb = n // bands
+    # chunked-md5 family (dedup.minhash_buckets): hash i = 8-hex-char
+    # chunk i%4 of md5('{i//4}:' || token) — 4 md5 calls per token,
+    # not 16
     mh_exprs = ",\n         ".join(
-        f"list_min(list_transform(ts, t -> md5('{i}:' || t))) AS mh_{i}"
+        f"list_min(list_transform(ts, t -> "
+        f"substr(md5('{i // 4}:' || t), {(i % 4) * 8 + 1}, 8))) AS mh_{i}"
         for i in range(n)
     )
     band_exprs = ",\n         ".join(

@@ -122,11 +122,15 @@ def minhash_signature(col: Column | str, num_hashes: int = 16) -> list[Column]:
     identical in any engine. Returns one Column per hash."""
     toks = F.array_distinct(bm25_tokens(col))
 
-    def _hash(prefix: str):
-        return lambda t: F.md5(F.concat(F.lit(prefix), t))
+    def _hash(prefix: str, chunk: int):
+        return lambda t: F.substring(
+            F.md5(F.concat(F.lit(prefix), t)), chunk * 8 + 1, 8
+        )
 
+    # same chunked-md5 family as minhash_buckets: hash i = chunk i%4
+    # of md5('{i//4}:' || token)
     return [
-        F.array_min(F.transform(toks, _hash(f"{i}:"))).alias(f"mh_{i}")
+        F.array_min(F.transform(toks, _hash(f"{i // 4}:", i % 4))).alias(f"mh_{i}")
         for i in range(num_hashes)
     ]
 
@@ -211,12 +215,31 @@ def minhash_buckets(
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
     ).filter(is_content_token("token"))
+    # Dictionary-encoded hashing: natural-language token frequency is
+    # Zipfian, so the distinct-token table is orders of magnitude
+    # smaller than the exploded token stream — hash each distinct
+    # token ONCE and broadcast-join the signatures back, instead of
+    # re-hashing every occurrence (16 hashes x every token of every
+    # doc). The map-side partial `distinct` reduces each task to its
+    # local vocab before the (tiny) shuffle. Identical output by
+    # construction — same hash of the same token — so the DuckDB
+    # oracle (which hashes inline) is unchanged. At 100 TB with a
+    # ~1e8-token vocab, drop the broadcast hint and let AQE pick the
+    # join side; the factorization still wins whenever mean token
+    # frequency > 1.
+    vocab = toks.select("token").distinct()
     if hash_fn == "xxhash64":
-        sig = toks.groupBy("id").agg(
+        vocab_sig = vocab.select(
+            "token",
             *[
-                F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh_{i}")
+                F.xxhash64(F.lit(i), F.col("token")).alias(f"c_{i}")
                 for i in range(num_hashes)
-            ]
+            ],
+        )
+        sig = (
+            toks.join(F.broadcast(vocab_sig), "token")
+            .groupBy("id")
+            .agg(*[F.min(F.col(f"c_{i}")).alias(f"mh_{i}") for i in range(num_hashes)])
         )
         band_cols = [
             F.xxhash64(
@@ -232,12 +255,32 @@ def minhash_buckets(
                 F.array(*[F.col(f"band_{b}") for b in range(bands)])
             ).alias("bucket"),
         )
-    sig = toks.groupBy("id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("token")))).alias(f"mh_{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    else:
+        # One md5 yields FOUR independent 32-bit (8-hex-char) minhash
+        # functions via substring chunking — 4 md5 invocations per
+        # distinct token instead of 16 (chunks of a cryptographic
+        # hash are independently uniform, so the LSH collision
+        # statistics are unchanged).
+        n_seeds = (num_hashes + 3) // 4
+        seeded = vocab.select(
+            "token",
+            *[
+                F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))).alias(f"h_{j}")
+                for j in range(n_seeds)
+            ],
+        )
+        vocab_sig = seeded.select(
+            "token",
+            *[
+                F.substring(F.col(f"h_{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"c_{i}")
+                for i in range(num_hashes)
+            ],
+        )
+        sig = (
+            toks.join(F.broadcast(vocab_sig), "token")
+            .groupBy("id")
+            .agg(*[F.min(F.col(f"c_{i}")).alias(f"mh_{i}") for i in range(num_hashes)])
+        )
     band_cols = [
         F.md5(
             F.concat_ws(
