@@ -57,6 +57,13 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "text_profile",
     "chunk_fixed",
+    # round-3 additions: corpus curation suite + PQ ANN
+    "curate_stratified_sample",
+    "curate_weighted_mix",
+    "curate_pack_sequences",
+    "curate_decontaminate",
+    "curate_funnel",
+    "vector_knn_pq",
 ]
 
 SMALL_RESULT = {
@@ -71,6 +78,8 @@ SMALL_RESULT = {
     "json_extract_agg", "indexed_bm25_search", "indexed_vector_knn",
     "indexed_vector_knn_lsh", "indexed_vector_knn_ivf",
     "indexed_hybrid_rrf",
+    "curate_stratified_sample", "curate_weighted_mix", "curate_funnel",
+    "vector_knn_pq",
 }
 
 

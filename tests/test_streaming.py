@@ -174,3 +174,33 @@ def test_stream_foreach_batch_sink_end_to_end(spark, events_dir, tmp_path, sf_di
         .collect()
     }
     assert got == expected
+
+
+def test_dedup_stream_drops_redeliveries(spark, tmp_path, sf_dir):
+    """Duplicate event_ids across micro-batches inside the watermark
+    horizon must be emitted exactly once."""
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    base = (
+        load_table(spark, "events", sf_dir)
+        .orderBy("event_id")
+        .limit(200)
+    )
+    src = str(tmp_path / "dedup_in")
+    # batch 1: events 0-149; batch 2: 100-199 (50 redelivered)
+    base.filter(F.col("event_id") < 150).coalesce(1).write.mode("append").parquet(src)
+    base.filter(F.col("event_id") >= 100).coalesce(1).write.mode("append").parquet(src)
+
+    stream = se.read_events_stream(spark, src, max_files_per_trigger=1)
+    deduped = se.dedup_stream(stream, key_cols=("event_id",), watermark="1 hour")
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _run_to_completion(q)
+    got = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == len(set(ids)) == 200
