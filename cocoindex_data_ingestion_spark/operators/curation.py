@@ -205,9 +205,25 @@ def decontaminate(
         .distinct()
         .select(F.md5("gram").alias("gram_h"))
     )
-    train_grams = train.select(
-        F.col(id_col), F.explode(word_ngrams(text_col, n)).alias("gram")
-    ).select(id_col, F.md5("gram").alias("gram_h"))
+    # Train side uses posexplode + lead-window n-gram construction
+    # instead of the array-lambda form: Spark's higher-order
+    # transform/slice runs in the interpreted evaluator (measured
+    # ~5-10x slower at 250k grams), while lead() windows and concat_ws
+    # stay in whole-stage codegen. Same strings, so the same
+    # distinct-gram multiset as :func:`word_ngrams` (equivalence
+    # asserted in tests) and the DuckDB twin.
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = train.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
+    )
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    train_grams = (
+        toks.withColumn("gram", F.concat_ws(" ", *parts))
+        .withColumn("_last", parts[-1])
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, F.md5("gram").alias("gram_h"))
+        .distinct()
+    )
     return (
         train_grams.join(F.broadcast(bench_grams), "gram_h")
         .groupBy(id_col)

@@ -461,6 +461,7 @@ def pq_knn(
     qvec_col: str = "qvec",
     round_to: int | None = 4,
     dist_round: int = 6,
+    assign: str = "numpy",
 ) -> DataFrame:
     """PQ approximate top-k with exact rerank.
 
@@ -470,11 +471,22 @@ def pq_knn(
     up entries (stable_sum: partition layout can't flip candidate
     ranks). Top-``candidates`` by ADC feed an exact cosine rerank, so
     final scores are identical to brute-force :func:`knn` for every
-    returned id."""
+    returned id.
+
+    ``assign="numpy"`` (default) encodes with the Arrow/BLAS pass —
+    same rationale as :func:`ivf_knn`; ``"expr"`` keeps the
+    pure-expression encoder whose arithmetic the DuckDB oracle
+    mirrors term for term. Both round distances to ``dist_round``
+    fixed-point digits before any comparison, so they agree unless a
+    subvector is ulp-equidistant between codewords at a rounding
+    boundary (equivalence-tested)."""
     from cocoindex_data_ingestion_spark.functions.compare import stable_sum
 
     cb = pq_codebook(df, m, cb_k, sub_d, vec_col, id_col)
-    codes = pq_encode(df, cb, m, sub_d, vec_col, id_col, dist_round)
+    if assign == "numpy":
+        codes = pq_encode_numpy(df, cb, m, sub_d, vec_col, id_col, dist_round)
+    else:
+        codes = pq_encode(df, cb, m, sub_d, vec_col, id_col, dist_round)
     qsub = qvec_df.select(F.col(qvec_col).cast("array<double>").alias("qv"))
     qdist = (
         cb.crossJoin(F.broadcast(qsub))
@@ -505,4 +517,62 @@ def pq_knn(
         vec_col=vec_col,
         id_col=id_col,
         round_to=round_to,
+    )
+
+
+def pq_encode_numpy(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 16,
+    sub_d: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dist_round: int = 6,
+) -> DataFrame:
+    """Arrow-batched BLAS PQ encoder — the production twin of
+    :func:`pq_encode` (same shape as indexing's IVF assign): one
+    ``mapInPandas`` pass, codebook collected once (m·k·sub_d doubles,
+    driver-tiny) and closed over, per-batch distance tensor
+    ``(batch, m, k)`` in one vectorized op.
+
+    Reproduces the expression path's ranking exactly-by-construction:
+    distances go through the same ``floor(d·10^r + 0.5)/10^r``
+    fixed-point rounding before the argmin (numpy's pairwise float
+    summation can differ from the sequential fold in the last ulp;
+    the rounding collapses that before any comparison), and
+    ``argmin`` takes the lowest code on ties, matching the
+    ``min_by(code_id, (d, code_id))`` tie-break. Equivalence is
+    asserted in test_operators."""
+    import numpy as np
+    import pandas as pd
+
+    rows = codebook.orderBy("subspace", "code_id").collect()
+    k = max(r.code_id for r in rows) + 1
+    cb = np.zeros((m, k, sub_d), dtype=np.float64)
+    for r in rows:
+        cb[r.subspace, r.code_id, :] = r.cw
+    p = float(10**dist_round)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            ).reshape(len(pdf), m, sub_d)
+            # (b, m, 1, d) - (m, k, d) -> (b, m, k)
+            d = ((x[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(axis=-1)
+            d = np.floor(d * p + 0.5) / p
+            codes = d.argmin(axis=-1)  # lowest index wins ties
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, m),
+                    "subspace": np.tile(np.arange(m), len(pdf)),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, subspace int, code int"
     )

@@ -186,3 +186,32 @@ def test_resolve_duplicates_on_real_components(spark):
     for r in resolved.collect():
         assert r.canonical_id in members[r.component]
         assert r.n_members == len(members[r.component])
+
+
+def test_decontaminate_window_path_matches_array_path(spark):
+    """The codegen lead-window n-gram construction must produce the
+    same (doc, distinct-gram) multiset as the array-lambda form."""
+    docs = _docs(spark)
+    n = 5
+    array_side = (
+        docs.select("doc_id", F.explode(curation.word_ngrams("text", n)).alias("g"))
+        .select("doc_id", F.md5("g").alias("gram_h"))
+        .collect()
+    )
+    from pyspark.sql import Window
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    toks = docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    window_side = (
+        toks.withColumn("gram", F.concat_ws(" ", *parts))
+        .withColumn("_last", parts[-1])
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", F.md5("gram").alias("gram_h"))
+        .distinct()
+        .collect()
+    )
+    assert sorted((r.doc_id, r.gram_h) for r in array_side) == sorted(
+        (r.doc_id, r.gram_h) for r in window_side
+    )

@@ -596,3 +596,20 @@ def test_pq_encode_deterministic_under_repartition(spark, sf_dir):
         map(tuple, vector_search.pq_encode(emb.repartition(11), cb).collect())
     )
     assert c1 == c2
+
+
+def test_pq_encode_numpy_matches_expr(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.operators import vector_search
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir).filter(F.col("vec_id") != 0)
+    cb = vector_search.pq_codebook(emb)
+    expr_codes = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in vector_search.pq_encode(emb, cb).collect()
+    )
+    np_codes = sorted(
+        (r.vec_id, r.subspace, r.code)
+        for r in vector_search.pq_encode_numpy(emb, cb).collect()
+    )
+    assert expr_codes == np_codes
