@@ -215,31 +215,18 @@ def minhash_buckets(
     toks = docs.select(
         F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
     ).filter(is_content_token("token"))
-    # Dictionary-encoded hashing: natural-language token frequency is
-    # Zipfian, so the distinct-token table is orders of magnitude
-    # smaller than the exploded token stream — hash each distinct
-    # token ONCE and broadcast-join the signatures back, instead of
-    # re-hashing every occurrence (16 hashes x every token of every
-    # doc). The map-side partial `distinct` reduces each task to its
-    # local vocab before the (tiny) shuffle. Identical output by
-    # construction — same hash of the same token — so the DuckDB
-    # oracle (which hashes inline) is unchanged. At 100 TB with a
-    # ~1e8-token vocab, drop the broadcast hint and let AQE pick the
-    # join side; the factorization still wins whenever mean token
-    # frequency > 1.
-    vocab = toks.select("token").distinct()
+    # Hashing stays INLINE in the scan->agg pipeline. A
+    # dictionary-encoded variant (hash each distinct token once,
+    # broadcast-join signatures back) was measured and REJECTED: the
+    # extra distinct shuffle + join costs ~2x the inline hashing at
+    # any vocab size tried — per-token hashing is map-side-free while
+    # every added exchange is not.
     if hash_fn == "xxhash64":
-        vocab_sig = vocab.select(
-            "token",
+        sig = toks.groupBy("id").agg(
             *[
-                F.xxhash64(F.lit(i), F.col("token")).alias(f"c_{i}")
+                F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"mh_{i}")
                 for i in range(num_hashes)
-            ],
-        )
-        sig = (
-            toks.join(F.broadcast(vocab_sig), "token")
-            .groupBy("id")
-            .agg(*[F.min(F.col(f"c_{i}")).alias(f"mh_{i}") for i in range(num_hashes)])
+            ]
         )
         band_cols = [
             F.xxhash64(
@@ -258,28 +245,28 @@ def minhash_buckets(
     else:
         # One md5 yields FOUR independent 32-bit (8-hex-char) minhash
         # functions via substring chunking — 4 md5 invocations per
-        # distinct token instead of 16 (chunks of a cryptographic
-        # hash are independently uniform, so the LSH collision
-        # statistics are unchanged).
+        # token instead of 16 (chunks of a cryptographic hash are
+        # independently uniform, so the LSH collision statistics are
+        # unchanged). Chunk substrings are projected BEFORE the
+        # aggregation so each md5 is computed once per token row in
+        # codegen, not once per min() aggregate.
         n_seeds = (num_hashes + 3) // 4
-        seeded = vocab.select(
-            "token",
+        seeded = toks.select(
+            "id",
             *[
                 F.md5(F.concat(F.lit(f"{j}:"), F.col("token"))).alias(f"h_{j}")
                 for j in range(n_seeds)
             ],
         )
-        vocab_sig = seeded.select(
-            "token",
+        chunked = seeded.select(
+            "id",
             *[
                 F.substring(F.col(f"h_{i // 4}"), (i % 4) * 8 + 1, 8).alias(f"c_{i}")
                 for i in range(num_hashes)
             ],
         )
-        sig = (
-            toks.join(F.broadcast(vocab_sig), "token")
-            .groupBy("id")
-            .agg(*[F.min(F.col(f"c_{i}")).alias(f"mh_{i}") for i in range(num_hashes)])
+        sig = chunked.groupBy("id").agg(
+            *[F.min(F.col(f"c_{i}")).alias(f"mh_{i}") for i in range(num_hashes)]
         )
     band_cols = [
         F.md5(
