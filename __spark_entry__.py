@@ -4268,6 +4268,77 @@ def _q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.8 recursive CTE: bounded-depth graph reachability ---------------------
+
+# Transitive reachability over the supplier co-supply graph (suppliers
+# joined by supplying the same order), expressed as a recursive CTE —
+# the SQL-surface twin of operators/graph.py's BFS loop (the reference
+# walks the same shape via Neo4j variable-length paths,
+# app/services/neo4j_service.py n-hop traversals). Spark 4 executes
+# WITH RECURSIVE as iterative joins; identical text runs on DuckDB.
+_REACH_CTE_SQL = """
+WITH RECURSIVE
+raw AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+reach(node, depth) AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+  FROM supplier WHERE s_suppkey <= 3
+  UNION ALL
+  SELECT r.dst AS node, reach.depth + 1 AS depth
+  FROM reach JOIN raw r ON r.src = reach.node
+  WHERE reach.depth < 2
+)
+SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
+FROM reach GROUP BY node
+"""
+
+
+@_register("graph_reachability_cte", _REACH_CTE_SQL)
+def _q_reach_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth reachability as a recursive CTE: seeds (depth 0)
+    plus all <=2-hop walks over the co-supply edge set; per node the
+    shortest depth and the (deterministic) bounded-walk count.
+
+    Scale note: UNION ALL recursion re-expands every walk, so the
+    frontier grows by the mean degree each level — correct SQL parity,
+    but the 100 TB path for deep traversals is
+    operators/graph.py::nhop_frontier, which de-duplicates the
+    frontier per level (frontier size is bounded by |V|, not walks).
+    """
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_REACH_CTE_SQL)
+
+
+# -- §2.3 ParseJson via the VARIANT type --------------------------------------
+
+# The reference's ParseJson (src/ops/functions/parse_json.rs) produces
+# a typed Json value parsed once and navigated many times. Spark 4's
+# VARIANT is the idiomatic equivalent: parse_json builds a binary
+# semi-structured value; variant_get navigates it without re-parsing
+# the string per path — the scale path for JSON-heavy corpora (one
+# parse per row, not one per extracted field).
+_VARIANT_SQL = """
+SELECT event_type, count(*) AS n,
+  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
+  sum(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+FROM events GROUP BY event_type
+"""
+
+
+@_register("json_variant_extract", _VARIANT_SQL)
+def _q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    ev = ev.select("event_type", k.alias("k"))
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
