@@ -216,6 +216,47 @@ def _q_vector_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multiprobe: also search buckets within Hamming distance 1 of the
+# query's signature — the recall/scan-fraction dial ((1+n)/2^n of the
+# corpus instead of 1/2^n). Expression path = per-row Hamming
+# predicate (oracle-able); indexed path = the same probe set as a
+# literal IN list over the sig-partitioned layout (static pruning).
+_LSH_MULTIPROBE = 1
+
+
+def _hamming_sql(a: str, q: str, n_bits: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({a}[{i + 1}] > 0) <> ({q}[{i + 1}] > 0) THEN 1 ELSE 0 END)"
+        for i in range(n_bits)
+    )
+
+
+_VEC_KNN_LSH_MP_SQL = f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+  AND ({_hamming_sql("e.embedding", "q.qvec", _LSH_BITS)}) <= {_LSH_MULTIPROBE}
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("vector_knn_lsh_multiprobe", _VEC_KNN_LSH_MP_SQL)
+def _q_vector_knn_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    return vector_search.knn_lsh(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=KNN_K,
+        n_bits=_LSH_BITS,
+        multiprobe=_LSH_MULTIPROBE,
+    )
+
+
 # -- §2.6 IVF-cell ANN (coarse-quantizer scale path) --------------------------
 
 _IVF_STRIDE = 37
@@ -1858,6 +1899,22 @@ def _q_indexed_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     q = _qvec_df(_t(spark, sf_dir, "embeddings"))
     return indexed_knn(spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False)
+
+
+@_register("indexed_vector_knn_lsh_multiprobe", _VEC_KNN_LSH_MP_SQL)
+def _q_indexed_knn_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe from the sig-partitioned layout: the 1 + n_bits
+    probe signatures become a literal IN list, so widening the probe
+    set stays STATIC partition pruning (PartitionFilters: sig IN
+    (...)) — no post-scan Hamming predicate at query time."""
+    from cocoindex_data_ingestion_spark.operators.indexing import indexed_knn
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn(
+        spark, idx, q, k=KNN_K, lsh_bits=_LSH_BITS, exact=False,
+        multiprobe=_LSH_MULTIPROBE,
+    )
 
 
 @_register("indexed_vector_knn_ivf", _VEC_KNN_IVF_SQL)

@@ -366,6 +366,7 @@ def indexed_knn(
     id_col: str = "vec_id",
     exact: bool = False,
     round_to: int = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Top-k from the vector index. ``exact=False`` probes ONLY the
     query's LSH-signature partition; ``exact`` scans the flat layout
@@ -375,7 +376,16 @@ def indexed_knn(
     is resolved driver-side (a search request is a literal) so the
     signature is a compile-time constant — that is what makes the
     partition filter STATIC pruning (``PartitionFilters: [sig =
-    '...']``) instead of a per-row post-scan filter."""
+    '...']``) instead of a per-row post-scan filter.
+
+    ``multiprobe`` > 0 enumerates every signature within that Hamming
+    distance of the query's (1 + lsh_bits buckets at distance 1, plus
+    C(lsh_bits, 2) at distance 2, ...) into a literal IN list, so the
+    recall/scan-fraction dial STAYS static partition pruning
+    (``PartitionFilters: [sig IN (...)]``) — no post-scan predicate,
+    no extra shuffle, just more partitions read."""
+    import itertools
+
     qrow = query_vec_df.select("qvec").collect()[0]
     qvec_vals = list(qrow["qvec"])
     qvec = F.array(*[F.lit(float(x)) for x in qvec_vals])
@@ -384,8 +394,15 @@ def indexed_knn(
     if exact:
         vectors = spark.read.parquet(f"{index_dir}/vectors")
     else:
+        probe_sigs = [qsig]
+        for d in range(1, multiprobe + 1):
+            for flips in itertools.combinations(range(lsh_bits), d):
+                s = list(qsig)
+                for i in flips:
+                    s[i] = "1" if s[i] == "0" else "0"
+                probe_sigs.append("".join(s))
         vectors = spark.read.parquet(f"{index_dir}/vectors_lsh").filter(
-            F.col("sig") == qsig
+            F.col("sig").isin(probe_sigs)
         )
     scored = _scored_vectors(vectors, qvec, id_col, round_to)
     return (

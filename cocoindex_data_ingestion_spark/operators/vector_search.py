@@ -78,6 +78,24 @@ def lsh_signature(vec_col: Column | str, n_bits: int = 8) -> Column:
     )
 
 
+def lsh_hamming(
+    vec_col: Column | str, qvec_col: Column, n_bits: int = 8
+) -> Column:
+    """Hamming distance between two vectors' sign signatures."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = [
+        F.when(
+            (F.element_at(c, i + 1) > 0) != (F.element_at(qvec_col, i + 1) > 0),
+            1,
+        ).otherwise(0)
+        for i in range(n_bits)
+    ]
+    acc = bits[0]
+    for b in bits[1:]:
+        acc = acc + b
+    return acc
+
+
 def knn_lsh(
     df: DataFrame,
     query_vec: Column,
@@ -86,16 +104,30 @@ def knn_lsh(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_to: int | None = 4,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: exact cosine within the query's LSH bucket.
 
     At scale: write the table partitioned by ``lsh_sig`` and this
     filter becomes partition pruning — only 1/2^n_bits of the data is
-    read. Recall can be tuned by probing Hamming-adjacent buckets.
+    read.
+
+    ``multiprobe`` > 0 also probes every bucket within that Hamming
+    distance of the query's signature — the standard recall/scan-
+    fraction dial: probing distance <=1 reads (1 + n_bits)/2^n_bits
+    of the corpus instead of 1/2^n_bits. Here it is a per-row Hamming
+    predicate (the SQL-oracle-able form); the indexed layout gets the
+    same effect as STATIC partition pruning by enumerating the probe
+    signatures into an IN list (indexing.indexed_knn(multiprobe=)).
     """
-    sig = lsh_signature(vec_col, n_bits)
-    qsig = lsh_signature(query_vec, n_bits)
-    out = df.filter(sig == qsig)
+    if multiprobe > 0:
+        out = df.filter(
+            lsh_hamming(vec_col, query_vec, n_bits) <= F.lit(multiprobe)
+        )
+    else:
+        sig = lsh_signature(vec_col, n_bits)
+        qsig = lsh_signature(query_vec, n_bits)
+        out = df.filter(sig == qsig)
     return knn(out, query_vec, k=k, vec_col=vec_col, id_col=id_col, round_to=round_to)
 
 

@@ -613,3 +613,70 @@ def test_pq_encode_numpy_matches_expr(spark, sf_dir):
         for r in vector_search.pq_encode_numpy(emb, cb).collect()
     )
     assert expr_codes == np_codes
+
+
+def test_lsh_multiprobe_superset_and_full_probe_exact(spark, sf_dir):
+    """Multiprobe widens the candidate set monotonically: distance-1
+    results contain the single-bucket results; probing the full
+    Hamming ball (multiprobe = n_bits) equals exact brute-force."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    n_bits = 8
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+    base = emb.crossJoin(F.broadcast(qdf))
+
+    single = vector_search.knn_lsh(
+        base, F.col("qvec"), k=10, n_bits=n_bits
+    ).collect()
+    mp1 = vector_search.knn_lsh(
+        base, F.col("qvec"), k=10, n_bits=n_bits, multiprobe=1
+    ).collect()
+    # every single-bucket hit with a score >= the multiprobe cutoff
+    # must appear in the multiprobe results (candidates are a superset)
+    mp1_ids = {r.vec_id for r in mp1}
+    cutoff = min((r.score for r in mp1), default=-2.0) if len(mp1) == 10 else -2.0
+    for r in single:
+        if r.score > cutoff:
+            assert r.vec_id in mp1_ids
+
+    exact = vector_search.knn(base, F.col("qvec"), k=10).collect()
+    full = vector_search.knn_lsh(
+        base, F.col("qvec"), k=10, n_bits=n_bits, multiprobe=n_bits
+    ).collect()
+    assert [(r.vec_id, r.score) for r in exact] == [
+        (r.vec_id, r.score) for r in full
+    ]
+
+
+def test_indexed_multiprobe_matches_expression_path(spark, sf_dir, tmp_path):
+    """The IN-list static-pruning probe over the sig-partitioned
+    layout returns exactly what the per-row Hamming predicate does."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        build_search_index, indexed_knn,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    idx = str(tmp_path / "idx")
+    build_search_index(
+        load_table(spark, "documents", sf_dir),
+        load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0"),
+        idx,
+    )
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    qdf = load_table(spark, "embeddings", sf_dir).filter("vec_id = 0") \
+        .select(F.col("embedding").alias("qvec"))
+
+    expr = vector_search.knn_lsh(
+        emb.crossJoin(F.broadcast(qdf)), F.col("qvec"), k=10,
+        n_bits=8, multiprobe=1,
+    ).collect()
+    idxd = indexed_knn(spark, idx, qdf, k=10, lsh_bits=8, multiprobe=1).collect()
+    assert [(r.vec_id, r.score) for r in expr] == [
+        (r.vec_id, r.score) for r in idxd
+    ]
