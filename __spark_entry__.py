@@ -4333,17 +4333,26 @@ def _q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # walks the same shape via Neo4j variable-length paths,
 # app/services/neo4j_service.py n-hop traversals). Spark 4 executes
 # WITH RECURSIVE as iterative joins; identical text runs on DuckDB.
-_REACH_CTE_SQL = """
+_REACH_FANOUT = 5
+
+_REACH_CTE_SQL = f"""
 WITH RECURSIVE
 raw AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst,
+           row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM raw
+  ) WHERE rn <= {_REACH_FANOUT}
+),
 reach(node, depth) AS (
   SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
   FROM supplier WHERE s_suppkey <= 3
   UNION ALL
-  SELECT r.dst AS node, reach.depth + 1 AS depth
-  FROM reach JOIN raw r ON r.src = reach.node
+  SELECT e.dst AS node, reach.depth + 1 AS depth
+  FROM reach JOIN edges e ON e.src = reach.node
   WHERE reach.depth < 2
 )
 SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
@@ -4354,18 +4363,54 @@ FROM reach GROUP BY node
 @_register("graph_reachability_cte", _REACH_CTE_SQL)
 def _q_reach_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth reachability as a recursive CTE: seeds (depth 0)
-    plus all <=2-hop walks over the co-supply edge set; per node the
-    shortest depth and the (deterministic) bounded-walk count.
+    plus all <=2-hop walks over the co-supply edge set capped at a
+    deterministic fan-out of {_REACH_FANOUT} lowest-id neighbors per
+    node; per node the shortest depth and the bounded-walk count.
 
-    Scale note: UNION ALL recursion re-expands every walk, so the
-    frontier grows by the mean degree each level — correct SQL parity,
-    but the 100 TB path for deep traversals is
-    operators/graph.py::nhop_frontier, which de-duplicates the
-    frontier per level (frontier size is bounded by |V|, not walks).
+    Scale note: Spark executes WITH RECURSIVE via UNION ALL only
+    (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), which re-expands every
+    walk, so an uncapped dense graph multiplies the frontier by the
+    mean degree each level (the co-supply graph is near-complete:
+    uncapped depth-2 at sf0.1 trips RECURSION_ROW_LIMIT_EXCEEDED at
+    1M rows). The degree cap makes walk count <= seeds * fanout^depth
+    at ANY scale factor; for deep traversals over uncapped graphs the
+    100 TB path is operators/graph.py::nhop_frontier, which
+    de-duplicates the frontier per level (bounded by |V|, not walks).
     """
-    for t in ("lineitem", "supplier"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_REACH_CTE_SQL)
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    a, b = li.alias("a"), li.alias("b")
+    raw = (
+        a.join(b, F.expr("a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"))
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+    )
+    w = Window.partitionBy("src").orderBy("dst")
+    edges = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _REACH_FANOUT)
+        .select("src", "dst")
+        # materialize: Spark's recursive-CTE executor re-evaluates
+        # referenced plans each iteration step — without this the
+        # lineitem self-join + distinct would run once per recursion
+        # level (measured 13.5s -> ~1s at sf0.1)
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("_reach_edges")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_reach_supplier")
+    return spark.sql(f"""
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+          FROM _reach_supplier WHERE s_suppkey <= 3
+          UNION ALL
+          SELECT e.dst AS node, reach.depth + 1 AS depth
+          FROM reach JOIN _reach_edges e ON e.src = reach.node
+          WHERE reach.depth < 2
+        )
+        SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
+        FROM reach GROUP BY node
+        """)
 
 
 # -- §2.3 ParseJson via the VARIANT type --------------------------------------

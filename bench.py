@@ -64,6 +64,11 @@ HEADLINE = [
     "curate_decontaminate",
     "curate_funnel",
     "vector_knn_pq",
+    # round-3 additions: multiprobe LSH, recursive CTE, VARIANT JSON
+    "vector_knn_lsh_multiprobe",
+    "indexed_vector_knn_lsh_multiprobe",
+    "graph_reachability_cte",
+    "json_variant_extract",
 ]
 
 SMALL_RESULT = {
@@ -80,6 +85,8 @@ SMALL_RESULT = {
     "indexed_hybrid_rrf",
     "curate_stratified_sample", "curate_weighted_mix", "curate_funnel",
     "vector_knn_pq",
+    "vector_knn_lsh_multiprobe", "indexed_vector_knn_lsh_multiprobe",
+    "graph_reachability_cte", "json_variant_extract",
 }
 
 
