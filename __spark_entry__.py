@@ -720,6 +720,39 @@ def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.5 interval join (batch twin of streaming.events.interval_join) --------
+
+_ATTRIB_SQL = """
+SELECT p.event_id AS purchase_id, count(*) AS n_clicks_30m
+FROM events p JOIN events c
+  ON c.user_id = p.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+GROUP BY p.event_id
+"""
+
+
+@_register("events_attribution_join", _ATTRIB_SQL)
+def _q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click->purchase attribution: per purchase, clicks by the same
+    user in the preceding 30 minutes — the BATCH run of the exact
+    code the streaming path uses (streaming.events.interval_join);
+    the stream-vs-batch equivalence is pinned in
+    tests/test_streaming.py::test_interval_join_stream_matches_batch."""
+    from cocoindex_data_ingestion_spark.streaming.events import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    return (
+        interval_join(purchases, clicks, lookback="30 minutes")
+        .groupBy(F.col("event_id").alias("purchase_id"))
+        .agg(F.count("*").alias("n_clicks_30m"))
+    )
+
+
 # -- §2.6 graph 2-hop (neo4j_service.py:429-488 shape on supplier→part) -------
 
 _GRAPH_2HOP_SQL = """

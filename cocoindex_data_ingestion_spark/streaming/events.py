@@ -173,6 +173,45 @@ def foreach_batch_upsert(target_state, key_col: str = "user_id"):
     return _sink
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    lookback: str = "30 minutes",
+    watermark: str = "10 minutes",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Watermarked stream-stream interval join (attribution shape):
+    each left event pairs with the same key's right events from the
+    preceding ``lookback`` window (inclusive of the left timestamp).
+
+    Both sides carry watermarks and the join condition bounds the
+    right timestamp on BOTH ends relative to the left's — exactly
+    what Spark's state cleanup needs to evict buffered rows once the
+    watermark passes them. State per executor is bounded by
+    arrival-rate x (lookback + watermark), not stream lifetime — the
+    property that makes click->purchase attribution viable on an
+    unbounded stream. Batch DataFrames run through the identical
+    code (the join condition is engine-agnostic), which is how the
+    test oracles it.
+    """
+    r = right
+    for c in right.columns:
+        r = r.withColumnRenamed(c, f"{right_prefix}{c}")
+    if left.isStreaming:
+        left = left.withWatermark("ts", watermark)
+        r = r.withWatermark(f"{right_prefix}ts", watermark)
+    cond = (
+        (F.col(key_col) == F.col(f"{right_prefix}{key_col}"))
+        & (
+            F.col(f"{right_prefix}ts")
+            >= F.col("ts") - F.expr(f"INTERVAL {lookback}")
+        )
+        & (F.col(f"{right_prefix}ts") <= F.col("ts"))
+    )
+    return left.join(r, cond, "inner")
+
+
 def dedup_stream(
     events: DataFrame,
     key_cols: tuple[str, ...] = ("event_id",),

@@ -204,3 +204,42 @@ def test_dedup_stream_drops_redeliveries(spark, tmp_path, sf_dir):
     got = spark.sql("SELECT event_id FROM dedup_out").collect()
     ids = [r.event_id for r in got]
     assert len(ids) == len(set(ids)) == 200
+
+
+def test_interval_join_stream_matches_batch(spark, events_dir, sf_dir):
+    """Stream-stream attribution join (purchase <- prior clicks within
+    30 min, same user) produces exactly the batch join's row multiset."""
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    stream = se.read_events_stream(spark, events_dir, max_files_per_trigger=1)
+    purchases = stream.filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = stream.filter("event_type = 'click'").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = se.interval_join(purchases, clicks, lookback="30 minutes")
+    q = (
+        joined.select("event_id", "r_event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib")
+        .start()
+    )
+    _run_to_completion(q)
+    got = sorted(
+        (r.event_id, r.r_event_id)
+        for r in spark.sql("SELECT * FROM attrib").collect()
+    )
+
+    batch = load_table(spark, "events", sf_dir)
+    bp = batch.filter("event_type = 'purchase'").select("user_id", "ts", "event_id")
+    bc = batch.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    expected = sorted(
+        (r.event_id, r.r_event_id)
+        for r in se.interval_join(bp, bc, lookback="30 minutes")
+        .select("event_id", "r_event_id")
+        .collect()
+    )
+    assert len(expected) > 0
+    assert got == expected
