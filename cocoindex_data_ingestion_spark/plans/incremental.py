@@ -104,25 +104,38 @@ class ParquetState:
 
 
 class BucketedParquetState:
-    """Key-hash-bucketed state with manifest-pointer commits — the
-    scale-correct Delta/Iceberg-MERGE stand-in.
+    """Key-hash-bucketed state with an optimistic-concurrency commit
+    log — the scale-correct Delta/Iceberg-MERGE stand-in.
 
     Layout::
 
-        path/MANIFEST.json            {"seq": k, "buckets": {"5": "gen_3", ...}}
-        path/gen_3/_bucket=5/part-*.parquet
+        path/MANIFEST.000000000007.json   {"seq": 7, "buckets": {"5": "gen_7_ab12cd34", ...}}
+        path/gen_7_ab12cd34/_bucket=5/part-*.parquet
 
     Rows are partitioned by ``crc32(key) % n_buckets``. A merge
     rewrites ONLY the buckets containing changed keys into a fresh
-    generation directory, then commits by atomically replacing the
-    manifest (one ``os.replace``) — a crash at any point leaves the
-    previous manifest consistent. Replaced bucket dirs are GC'd after
-    commit. At 100 TB this is the difference between O(Δ) and
-    O(state) I/O per incremental update; a real deployment swaps this
-    class for ``MERGE INTO`` on a table bucketed by the same hash.
+    generation directory, then commits by claiming the next manifest
+    sequence number with an atomic exclusive create (``os.link`` of a
+    fully-written temp file — complete-content-or-nothing). A crash
+    at any point leaves the previous manifest the newest consistent
+    one. At 100 TB this is the difference between O(Δ) and O(state)
+    I/O per incremental update; a real deployment swaps this class
+    for ``MERGE INTO`` on a table bucketed by the same hash.
 
-    Single-writer (like the reference's per-flow source indexer,
-    src/execution/source_indexer.rs)."""
+    **Multi-writer safe** (beyond the reference's per-flow
+    single-writer source indexer, src/execution/source_indexer.rs) via
+    the same protocol Delta's transaction log uses: writers race to
+    create ``MANIFEST.{seq}.json``; the loser re-reads the winner's
+    manifest and either *rebases* (its touched buckets are untouched
+    by the winner — just re-point them and re-attempt the commit) or
+    *retries the whole merge* (bucket overlap — its survivors were
+    computed from a stale snapshot, so the written generation is
+    discarded and recomputed). Exclusive create is atomic on POSIX
+    and HDFS; on S3 use a conditional PUT (If-None-Match) the same
+    way. The last ``_MANIFEST_RETAIN`` manifests are kept so
+    concurrent readers never observe a missing file."""
+
+    _MANIFEST_RETAIN = 10
 
     def __init__(
         self,
@@ -138,27 +151,63 @@ class BucketedParquetState:
         self.key_col = key_col
         self.n_buckets = n_buckets
 
-    # -- manifest ---------------------------------------------------------
+    # -- manifest (optimistic-concurrency commit log) ---------------------
 
-    def _manifest_path(self) -> str:
-        return os.path.join(self.path, "MANIFEST.json")
+    def _numbered_path(self, seq: int) -> str:
+        return os.path.join(self.path, f"MANIFEST.{seq:012d}.json")
+
+    def _manifest_seqs(self) -> list[int]:
+        try:
+            names = os.listdir(self.path)
+        except FileNotFoundError:
+            return []
+        seqs = []
+        for n in names:
+            if n.startswith("MANIFEST.") and n.endswith(".json"):
+                mid = n[len("MANIFEST."):-len(".json")]
+                if mid.isdigit():
+                    seqs.append(int(mid))
+        return sorted(seqs)
 
     def _manifest(self) -> dict:
-        try:
-            with open(self._manifest_path()) as f:
-                import json
+        import json
 
+        seqs = self._manifest_seqs()
+        if seqs:
+            with open(self._numbered_path(seqs[-1])) as f:
+                return json.load(f)
+        # legacy single-pointer layout (pre-OCC states)
+        try:
+            with open(os.path.join(self.path, "MANIFEST.json")) as f:
                 return json.load(f)
         except FileNotFoundError:
             return {"seq": -1, "buckets": {}}
 
-    def _commit(self, manifest: dict) -> None:
+    def _try_commit(self, manifest: dict) -> bool:
+        """Claim ``MANIFEST.{seq}.json`` atomically; False = lost the
+        race. The body is fully written to a temp file first and
+        ``os.link``ed into place, so a claimed manifest is always
+        complete (no create-then-write crash window)."""
         import json
+        import uuid
 
-        tmp = self._manifest_path() + ".tmp"
+        os.makedirs(self.path, exist_ok=True)
+        target = self._numbered_path(manifest["seq"])
+        tmp = os.path.join(self.path, f".commit-{uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.replace(tmp, self._manifest_path())  # single-rename commit
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        for s in self._manifest_seqs()[: -self._MANIFEST_RETAIN]:
+            try:
+                os.unlink(self._numbered_path(s))
+            except FileNotFoundError:
+                pass
+        return True
 
     # -- read -------------------------------------------------------------
 
@@ -198,10 +247,20 @@ class BucketedParquetState:
     # -- write ------------------------------------------------------------
 
     def merge(
-        self, upserts: DataFrame, delete_keys: DataFrame | None = None
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None = None,
+        max_retries: int = 10,
     ) -> list[int]:
         """Upsert rows (full replacement per key) + delete keys.
-        Rewrites only the touched buckets; returns their ids."""
+        Rewrites only the touched buckets; returns their ids.
+
+        Safe under concurrent writers: survivors are computed from a
+        snapshot, and the commit CAS detects whether any *touched*
+        bucket moved since that snapshot — disjoint-bucket winners
+        cause a cheap rebase, overlapping ones a full recompute."""
+        import uuid
+
         key = self.key_col
         changed_keys = upserts.select(key)
         if delete_keys is not None:
@@ -215,50 +274,72 @@ class BucketedParquetState:
         if not touched:
             return []
 
-        cur = self.read(touched)
-        survivors = cur.join(changed_keys.distinct(), key, "left_anti")
-        out = survivors.unionByName(
-            upserts.select(*cur.columns), allowMissingColumns=True
-        ).withColumn("_bucket", self._bucket_of(F.col(key)))
+        for _attempt in range(max_retries):
+            snapshot = self._manifest()
+            cur = self.read(touched)
+            survivors = cur.join(changed_keys.distinct(), key, "left_anti")
+            out = survivors.unionByName(
+                upserts.select(*cur.columns), allowMissingColumns=True
+            ).withColumn("_bucket", self._bucket_of(F.col(key)))
 
-        manifest = self._manifest()
-        gen = f"gen_{manifest['seq'] + 1}"
-        gen_dir = os.path.join(self.path, gen)
-        (
-            out.repartition("_bucket")
-            .write.mode("overwrite")
-            .partitionBy("_bucket")
-            .parquet(gen_dir)
+            gen = f"gen_{snapshot['seq'] + 1}_{uuid.uuid4().hex[:8]}"
+            gen_dir = os.path.join(self.path, gen)
+            (
+                out.repartition("_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(gen_dir)
+            )
+            # buckets that ended up empty (every key deleted) write no dir
+            written = {
+                int(d.split("=")[1])
+                for d in os.listdir(gen_dir)
+                if d.startswith("_bucket=")
+            }
+
+            base = snapshot
+            while True:
+                manifest = {"seq": base["seq"] + 1,
+                            "buckets": dict(base["buckets"])}
+                for b in touched:
+                    if b in written:
+                        manifest["buckets"][str(b)] = gen
+                    else:
+                        manifest["buckets"].pop(str(b), None)
+                if self._try_commit(manifest):
+                    # GC: replaced bucket dirs from older generations
+                    for b in touched:
+                        prev_gen = snapshot["buckets"].get(str(b))
+                        if prev_gen and prev_gen != gen:
+                            shutil.rmtree(
+                                os.path.join(self.path, prev_gen, f"_bucket={b}"),
+                                ignore_errors=True,
+                            )
+                    return touched
+                latest = self._manifest()
+                if any(
+                    latest["buckets"].get(str(b)) != snapshot["buckets"].get(str(b))
+                    for b in touched
+                ):
+                    # a winner rewrote one of OUR buckets: survivors are
+                    # stale — discard this generation, recompute
+                    shutil.rmtree(gen_dir, ignore_errors=True)
+                    break
+                # winner touched only other buckets: rebase and re-CAS
+                base = latest
+        raise RuntimeError(
+            f"BucketedParquetState.merge: lost the commit race {max_retries}"
+            f" times on overlapping buckets {touched} — giving up"
         )
-        # buckets that ended up empty (every key deleted) write no dir
-        written = {
-            int(d.split("=")[1])
-            for d in os.listdir(gen_dir)
-            if d.startswith("_bucket=")
-        }
-        old = dict(manifest["buckets"])
-        for b in touched:
-            if b in written:
-                manifest["buckets"][str(b)] = gen
-            else:
-                manifest["buckets"].pop(str(b), None)
-        manifest["seq"] += 1
-        self._commit(manifest)
 
-        # GC: replaced bucket dirs from older generations
-        for b in touched:
-            prev_gen = old.get(str(b))
-            if prev_gen and prev_gen != gen:
-                shutil.rmtree(
-                    os.path.join(self.path, prev_gen, f"_bucket={b}"),
-                    ignore_errors=True,
-                )
-        return touched
+    def overwrite(self, df: DataFrame, max_retries: int = 10) -> None:
+        """Full rewrite (initial load / compaction). Overwrite always
+        wins semantically, so a lost CAS just re-claims the next seq
+        without rewriting data."""
+        import uuid
 
-    def overwrite(self, df: DataFrame) -> None:
-        """Full rewrite (initial load / compaction)."""
-        manifest = self._manifest()
-        gen = f"gen_{manifest['seq'] + 1}"
+        snapshot = self._manifest()
+        gen = f"gen_{snapshot['seq'] + 1}_{uuid.uuid4().hex[:8]}"
         gen_dir = os.path.join(self.path, gen)
         (
             df.withColumn("_bucket", self._bucket_of(F.col(self.key_col)))
@@ -272,12 +353,21 @@ class BucketedParquetState:
             for d in os.listdir(gen_dir)
             if d.startswith("_bucket=")
         }
-        old_gens = set(self._manifest()["buckets"].values())
-        manifest["buckets"] = {str(b): gen for b in sorted(written)}
-        manifest["seq"] += 1
-        self._commit(manifest)
-        for g in old_gens - {gen}:
-            shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
+        for _attempt in range(max_retries):
+            base = self._manifest()
+            old_gens = set(base["buckets"].values())
+            manifest = {
+                "seq": base["seq"] + 1,
+                "buckets": {str(b): gen for b in sorted(written)},
+            }
+            if self._try_commit(manifest):
+                for g in old_gens - {gen}:
+                    shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
+                return
+        raise RuntimeError(
+            f"BucketedParquetState.overwrite: lost the commit race"
+            f" {max_retries} times — giving up"
+        )
 
 
 class IncrementalRunner:

@@ -209,3 +209,167 @@ def test_runner_update_touches_one_tracking_bucket(spark, tmp_path):
     assert len(newest_gen_buckets(target.path)) == 1
     res = {r["_key"]: r["result"] for r in target.read().collect()}
     assert res["k7"] == "CHANGED" and len(res) == 50
+
+
+# -- optimistic-concurrency commit protocol (multi-writer) --------------------
+
+
+def _mk_state(spark, tmp_path, name="occ", n_buckets=8):
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState,
+    )
+
+    st = BucketedParquetState(
+        spark, str(tmp_path / name), "k string, v long", key_col="k",
+        n_buckets=n_buckets,
+    )
+    st.overwrite(
+        spark.createDataFrame([(f"k{i}", i) for i in range(64)], "k string, v long")
+    )
+    return st
+
+
+def _stale_first_manifest(st):
+    """Make the state's next _manifest() call return a stale snapshot
+    (the current one), then behave normally — deterministically
+    simulating a writer that read its snapshot before a competing
+    writer committed."""
+    stale = st._manifest()
+    real = st._manifest
+    calls = {"n": 0}
+
+    def patched():
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real()
+
+    st._manifest = patched
+    return stale
+
+
+def test_occ_rebase_on_disjoint_buckets(spark, tmp_path):
+    """Writer A loses the manifest CAS to writer B but touched
+    different buckets: A must rebase onto B's manifest and commit
+    without rewriting data — both updates survive."""
+    st = _mk_state(spark, tmp_path)
+    [(b1, b2)] = (
+        spark.range(1)
+        .select(
+            st._bucket_of(F.lit("k1")).alias("a"), st._bucket_of(F.lit("k2")).alias("b")
+        )
+        .collect()
+    )
+    assert b1 != b2, "fixture keys must hash to different buckets"
+
+    stale = _stale_first_manifest(st)
+    # competing writer B commits first via an unpatched twin handle
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState,
+    )
+
+    twin = BucketedParquetState(
+        spark, st.path, st.schema_ddl, key_col="k", n_buckets=st.n_buckets
+    )
+    twin.merge(spark.createDataFrame([("k2", 222)], "k string, v long"))
+
+    # writer A merges with the stale snapshot → lost CAS → rebase path
+    st.merge(spark.createDataFrame([("k1", 111)], "k string, v long"))
+
+    final = st._manifest()
+    assert final["seq"] == stale["seq"] + 2  # B's commit + A's rebased commit
+    rows = {r["k"]: r["v"] for r in twin.read().collect()}
+    assert rows["k1"] == 111 and rows["k2"] == 222 and len(rows) == 64
+
+
+def test_occ_recompute_on_overlapping_buckets(spark, tmp_path):
+    """Writer A loses the CAS to a writer that rewrote one of A's own
+    buckets: A must discard its stale generation and recompute from
+    the winner's state (last-writer-wins per key, no lost updates in
+    other keys of the shared bucket)."""
+    st = _mk_state(spark, tmp_path)
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState,
+    )
+
+    twin = BucketedParquetState(
+        spark, st.path, st.schema_ddl, key_col="k", n_buckets=st.n_buckets
+    )
+    stale = _stale_first_manifest(st)
+    # same key → guaranteed same bucket → conflict
+    twin.merge(spark.createDataFrame([("k5", 555)], "k string, v long"))
+
+    st.merge(spark.createDataFrame([("k5", 556)], "k string, v long"))
+
+    rows = {r["k"]: r["v"] for r in twin.read().collect()}
+    assert rows["k5"] == 556 and len(rows) == 64
+    # every gen dir on disk is referenced by the final manifest
+    # (the discarded stale generation was cleaned up)
+    import os
+
+    final = twin._manifest()
+    assert final["seq"] == stale["seq"] + 2
+    on_disk = {d for d in os.listdir(st.path) if d.startswith("gen_")}
+    referenced = set(final["buckets"].values())
+    for g in on_disk - referenced:
+        # unreferenced gens may only be EMPTY leftovers of older
+        # generations whose buckets were all superseded
+        assert not any(
+            x.startswith("_bucket=") for x in os.listdir(os.path.join(st.path, g))
+        ) or g in referenced
+
+
+def test_occ_concurrent_thread_writers(spark, tmp_path):
+    """Four real concurrent writers (threads), each upserting its own
+    key set: all updates must land regardless of interleaving."""
+    import threading
+
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState,
+    )
+
+    st = _mk_state(spark, tmp_path, n_buckets=4)
+    errs = []
+
+    def writer(i):
+        try:
+            w = BucketedParquetState(
+                spark, st.path, st.schema_ddl, key_col="k", n_buckets=4
+            )
+            w.merge(
+                spark.createDataFrame(
+                    [(f"k{i}", 1000 + i), (f"w{i}", i)], "k string, v long"
+                )
+            )
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    rows = {r["k"]: r["v"] for r in st.read().collect()}
+    for i in range(4):
+        assert rows[f"k{i}"] == 1000 + i
+        assert rows[f"w{i}"] == i
+    assert len(rows) == 68
+
+
+def test_occ_claimed_manifest_is_always_complete(spark, tmp_path):
+    """A claimed MANIFEST.{seq}.json is fully written before the claim
+    (link-after-write): losing the race leaves no temp or partial
+    file behind."""
+    import json
+    import os
+
+    st = _mk_state(spark, tmp_path)
+    cur = st._manifest()
+    # squat the next seq with valid content
+    squat = dict(cur, seq=cur["seq"] + 1)
+    assert st._try_commit(squat) is True
+    assert st._try_commit(dict(squat)) is False  # lost race
+    # no temp files remain; the claimed file parses
+    leftovers = [f for f in os.listdir(st.path) if f.endswith(".tmp")]
+    assert leftovers == []
+    with open(st._numbered_path(squat["seq"])) as f:
+        assert json.load(f)["seq"] == squat["seq"]
