@@ -4410,24 +4410,35 @@ def _q_reach_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB path is operators/graph.py::nhop_frontier, which
     de-duplicates the frontier per level (bounded by |V|, not walks).
     """
-    from pyspark.sql import Window
-
     li = _t(spark, sf_dir, "lineitem")
-    a, b = li.alias("a"), li.alias("b")
-    raw = (
-        a.join(b, F.expr("a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey"))
-        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
-        .distinct()
+    # co-supply pairs WITHOUT a lineitem self-join: group suppliers
+    # per order (one shuffle, map-side combine), explode the pairs
+    # order-locally, then one aggregation picks each src's
+    # _REACH_FANOUT smallest distinct neighbors (collect_set is
+    # partial-aggregating, so the shuffle carries per-src sets, not
+    # the raw pair stream). Same edge set as the oracle's
+    # join+distinct+row_number formulation at half the shuffles.
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("sups")
     )
-    w = Window.partitionBy("src").orderBy("dst")
+    pairs = per_order.select(
+        F.explode("sups").alias("src"), F.col("sups")
+    ).select(
+        "src",
+        F.explode(F.filter("sups", lambda x: x != F.col("src"))).alias("dst"),
+    )
     edges = (
-        raw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _REACH_FANOUT)
-        .select("src", "dst")
+        pairs.groupBy("src")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("dst")), 1, _REACH_FANOUT
+            ).alias("dsts")
+        )
+        .select("src", F.explode("dsts").alias("dst"))
         # materialize: Spark's recursive-CTE executor re-evaluates
         # referenced plans each iteration step — without this the
-        # lineitem self-join + distinct would run once per recursion
-        # level (measured 13.5s -> ~1s at sf0.1)
+        # edge construction would run once per recursion level
+        # (measured 13.5s -> ~1s at sf0.1)
         .localCheckpoint(eager=True)
     )
     edges.createOrReplaceTempView("_reach_edges")

@@ -213,6 +213,13 @@ def decontaminate(
     # distinct-gram multiset as :func:`word_ngrams` (equivalence
     # asserted in tests) and the DuckDB twin.
     w = Window.partitionBy(id_col).orderBy("pos")
+    # (Repartitioning the DOC rows by id before exploding — to
+    # pre-satisfy the window's distribution with a ~500x smaller
+    # exchange — was measured a net loss here: AQE coalesces the
+    # byte-tiny doc exchange to few partitions and the explode then
+    # runs with no parallelism. The token-level exchange is the
+    # right trade while docs-per-core is low; at true corpus scale
+    # flip to the doc-level repartition with AQE coalescing capped.)
     toks = train.select(
         F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
     )
@@ -222,10 +229,16 @@ def decontaminate(
         .withColumn("_last", parts[-1])
         .filter(F.col("_last").isNotNull())
         .select(id_col, F.md5("gram").alias("gram_h"))
-        .distinct()
     )
+    # distinct AFTER the broadcast join: the join is shuffle-free and
+    # filters the 100 TB gram stream down to the matched (tiny)
+    # subset, so deduplicating (id, gram) there costs a shuffle of
+    # matches only — not of every training n-gram. Same n_hits
+    # (count of DISTINCT shared grams per doc).
     return (
         train_grams.join(F.broadcast(bench_grams), "gram_h")
+        .select(id_col, "gram_h")
+        .distinct()
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
     )
