@@ -4485,6 +4485,40 @@ def _q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-pipeline: BPE-ish token counting --------------------------------
+
+# Same pattern string, two regex engines: lookahead-free so Java
+# (Spark codegen) and RE2 (DuckDB) agree match-for-match; '' escapes
+# the contraction quote inside the SQL literal.
+_BPE_RE_SQL = text_analysis.BPE_PRETOKEN_RE.replace("'", "''")
+
+_BPE_COUNT_SQL = f"""
+SELECT doc_id,
+  length(text) AS n_chars,
+  len(list_filter(regexp_extract_all(text, '{_BPE_RE_SQL}'),
+                  x -> regexp_matches(x, '\\S'))) AS n_bpe_tokens,
+  len(regexp_extract_all(text, '\\S+')) AS n_ws_tokens
+FROM documents
+"""
+
+
+@_register("bpe_token_count", _BPE_COUNT_SQL)
+def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for training-data budgeting: GPT-2-family
+    pretokenizer count (the tight BPE upper bound) next to the naive
+    whitespace count, per document. Pure JVM regex in one scan — the
+    100 TB shape is a single narrow pass, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        text_analysis.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+        ).alias("n_ws_tokens"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

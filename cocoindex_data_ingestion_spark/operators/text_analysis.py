@@ -136,3 +136,33 @@ def text_profile(
         lang_id(text_col).alias("lang_pred"),
         doc_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+# GPT-2-family pretokenizer, lookahead-free so the IDENTICAL pattern
+# runs under both Java regex (Spark) and RE2 (DuckDB) with the same
+# leftmost-first alternation semantics: contractions, then
+# optionally-space-prefixed letter runs, digit runs, punctuation
+# runs, then residual whitespace. This is the unit a byte-pair
+# encoder subdivides, so its count is the tight upper bound on (and
+# at-scale proxy for) the BPE token count without shipping a merges
+# table into the engine.
+BPE_PRETOKEN_RE = r"'(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def bpe_pretokens(col: Column | str) -> Column:
+    """All pretokenizer matches (includes whitespace runs)."""
+    return F.regexp_extract_all(
+        F.col(col) if isinstance(col, str) else col,
+        F.lit(BPE_PRETOKEN_RE),
+        F.lit(0),
+    )
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Count of non-whitespace pretokens — the BPE-ish token count.
+
+    Pure Column expression (JVM regex in codegen, no UDF); one scan
+    at any corpus size."""
+    return F.size(
+        F.filter(bpe_pretokens(col), lambda t: t.rlike(r"\S"))
+    )

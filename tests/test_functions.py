@@ -107,3 +107,42 @@ def test_batched_api_embedder_retries(spark):
     out = embed_documents(docs, batched_api_embedder(flaky_api, batch_size=10))
     rows = {r.doc_id: r.embedding for r in out.collect()}
     assert rows[1][0] == 2.0 and rows[2][0] == 4.0
+
+
+def test_bpe_pretokenizer_semantics(spark):
+    """GPT-2-family pretokenizer: contractions split off, letter/digit
+    runs keep their leading space, punctuation runs grouped, counts
+    exclude pure-whitespace matches."""
+    from cocoindex_data_ingestion_spark.operators.text_analysis import (
+        bpe_pretokens, bpe_token_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "I'll say it's 42 tokens!!"),
+            ("b", "  leading  and   trailing  "),
+            ("c", ""),
+        ],
+        "id string, text string",
+    )
+    from pyspark.sql import functions as F
+
+    out = {
+        r["id"]: (r["toks"], r["n"])
+        for r in df.select(
+            "id",
+            bpe_pretokens("text").alias("toks"),
+            bpe_token_count("text").alias("n"),
+        ).collect()
+    }
+    toks_a, n_a = out["a"]
+    assert toks_a == [
+        "I", "'ll", " say", " it", "'s", " 42", " tokens", "!!",
+    ]
+    assert n_a == 8
+    # whitespace runs never counted; multi-space gaps are their own
+    # matches so words after them carry no space prefix
+    toks_b, n_b = out["b"]
+    assert [t for t in toks_b if t.strip()] == ["leading", "and", "trailing"]
+    assert n_b == 3
+    assert out["c"][1] == 0
