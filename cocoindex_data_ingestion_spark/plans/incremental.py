@@ -216,8 +216,29 @@ class BucketedParquetState:
             F.crc32(col.cast("string").cast("binary")), F.lit(self.n_buckets)
         )
 
-    def _bucket_paths(self, buckets: list[int] | None = None) -> list[str]:
-        m = self._manifest()["buckets"]
+    def _manifest_at(self, seq: int) -> dict:
+        import json
+
+        try:
+            with open(self._numbered_path(seq)) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"snapshot seq={seq} is not retained (last"
+                f" {self._MANIFEST_RETAIN} kept: {self._manifest_seqs()})"
+            ) from None
+
+    def history(self) -> list[dict]:
+        """Retained snapshots, oldest first (the time-travel surface:
+        ``read(as_of_seq=h['seq'])`` reads any of them)."""
+        return [self._manifest_at(s) for s in self._manifest_seqs()]
+
+    def _bucket_paths(
+        self, buckets: list[int] | None = None, as_of_seq: int | None = None
+    ) -> list[str]:
+        m = (
+            self._manifest() if as_of_seq is None else self._manifest_at(as_of_seq)
+        )["buckets"]
         items = m.items() if buckets is None else [
             (str(b), m[str(b)]) for b in buckets if str(b) in m
         ]
@@ -225,8 +246,10 @@ class BucketedParquetState:
             os.path.join(self.path, gen, f"_bucket={b}") for b, gen in items
         ]
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        paths = self._bucket_paths(buckets)
+    def read(
+        self, buckets: list[int] | None = None, as_of_seq: int | None = None
+    ) -> DataFrame:
+        paths = self._bucket_paths(buckets, as_of_seq)
         if not paths:
             return self.spark.createDataFrame([], self.schema_ddl)
         return self.spark.read.parquet(*paths)
@@ -307,14 +330,7 @@ class BucketedParquetState:
                     else:
                         manifest["buckets"].pop(str(b), None)
                 if self._try_commit(manifest):
-                    # GC: replaced bucket dirs from older generations
-                    for b in touched:
-                        prev_gen = snapshot["buckets"].get(str(b))
-                        if prev_gen and prev_gen != gen:
-                            shutil.rmtree(
-                                os.path.join(self.path, prev_gen, f"_bucket={b}"),
-                                ignore_errors=True,
-                            )
+                    self._gc_unreferenced()
                     return touched
                 latest = self._manifest()
                 if any(
@@ -355,19 +371,55 @@ class BucketedParquetState:
         }
         for _attempt in range(max_retries):
             base = self._manifest()
-            old_gens = set(base["buckets"].values())
             manifest = {
                 "seq": base["seq"] + 1,
                 "buckets": {str(b): gen for b in sorted(written)},
             }
             if self._try_commit(manifest):
-                for g in old_gens - {gen}:
-                    shutil.rmtree(os.path.join(self.path, g), ignore_errors=True)
+                self._gc_unreferenced()
                 return
         raise RuntimeError(
             f"BucketedParquetState.overwrite: lost the commit race"
             f" {max_retries} times — giving up"
         )
+
+    def _gc_unreferenced(self) -> None:
+        """Retention-aware vacuum (run after every commit): delete
+        bucket dirs referenced by NO retained manifest, but never
+        touch generations whose seq is within the retained window —
+        those may belong to retained snapshots (time travel) or to
+        in-flight writers racing on recent seqs. Bounded garbage: a
+        replaced bucket survives at most ``_MANIFEST_RETAIN``
+        commits."""
+        seqs = self._manifest_seqs()
+        if not seqs:
+            return
+        min_seq = seqs[0]
+        referenced: set[tuple[str, int]] = set()
+        for s in seqs:
+            try:
+                m = self._manifest_at(s)
+            except ValueError:
+                continue
+            for b, gen in m["buckets"].items():
+                referenced.add((gen, int(b)))
+        for d in os.listdir(self.path):
+            if not d.startswith("gen_"):
+                continue
+            try:
+                gseq = int(d.split("_")[1])
+            except (IndexError, ValueError):
+                gseq = None
+            if gseq is not None and gseq >= min_seq:
+                continue
+            gdir = os.path.join(self.path, d)
+            for bd in os.listdir(gdir):
+                if bd.startswith("_bucket=") and (
+                    d, int(bd.split("=")[1])
+                ) not in referenced:
+                    shutil.rmtree(os.path.join(gdir, bd), ignore_errors=True)
+            if not os.listdir(gdir):
+                os.rmdir(gdir)
 
 
 class IncrementalRunner:

@@ -307,14 +307,21 @@ def test_occ_recompute_on_overlapping_buckets(spark, tmp_path):
 
     final = twin._manifest()
     assert final["seq"] == stale["seq"] + 2
+    # the discarded stale generation is gone; every gen dir still on
+    # disk is referenced by at least one RETAINED manifest (the
+    # retention-aware vacuum keeps superseded buckets readable for
+    # time travel, bounded by _MANIFEST_RETAIN)
     on_disk = {d for d in os.listdir(st.path) if d.startswith("gen_")}
-    referenced = set(final["buckets"].values())
-    for g in on_disk - referenced:
-        # unreferenced gens may only be EMPTY leftovers of older
-        # generations whose buckets were all superseded
-        assert not any(
+    retained_refs = {
+        gen for m in twin.history() for gen in m["buckets"].values()
+    }
+    for g in on_disk:
+        assert g in retained_refs or not any(
             x.startswith("_bucket=") for x in os.listdir(os.path.join(st.path, g))
-        ) or g in referenced
+        )
+    # exactly one gen (A's discarded first attempt) was cleaned up:
+    # B's gen_1 and A's recompute gen_2 plus the seed gen_0 remain
+    assert len(on_disk) == 3
 
 
 def test_occ_concurrent_thread_writers(spark, tmp_path):
@@ -373,3 +380,30 @@ def test_occ_claimed_manifest_is_always_complete(spark, tmp_path):
     assert leftovers == []
     with open(st._numbered_path(squat["seq"])) as f:
         assert json.load(f)["seq"] == squat["seq"]
+
+
+def test_occ_time_travel_and_history(spark, tmp_path):
+    """Retained snapshots are readable: read(as_of_seq=old) sees the
+    pre-merge value while the head sees the new one; history() lists
+    the retained commit log in order."""
+    st = _mk_state(spark, tmp_path)
+    seq0 = st._manifest()["seq"]
+    st.merge(spark.createDataFrame([("k3", 999)], "k string, v long"))
+    st.merge(
+        spark.createDataFrame([], "k string, v long"),
+        delete_keys=spark.createDataFrame([("k9",)], "k string"),
+    )
+
+    head = {r["k"]: r["v"] for r in st.read().collect()}
+    assert head["k3"] == 999 and "k9" not in head and len(head) == 63
+
+    old = {r["k"]: r["v"] for r in st.read(as_of_seq=seq0).collect()}
+    assert old["k3"] == 3 and old["k9"] == 9 and len(old) == 64
+
+    seqs = [m["seq"] for m in st.history()]
+    assert seqs == sorted(seqs) and seqs[-1] == seq0 + 2 and seq0 in seqs
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not retained"):
+        st.read(as_of_seq=seq0 - 1)

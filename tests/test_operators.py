@@ -680,3 +680,37 @@ def test_indexed_multiprobe_matches_expression_path(spark, sf_dir, tmp_path):
     assert [(r.vec_id, r.score) for r in expr] == [
         (r.vec_id, r.score) for r in idxd
     ]
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, tmp_path):
+    """orders ⋈ lineitem both bucketed by orderkey: the join plan
+    must contain NO Exchange (co-location replaces the shuffle), and
+    the result must equal the plain shuffled join."""
+    from cocoindex_data_ingestion_spark.operators.bucketed import (
+        assert_no_shuffle, colocated_join, materialize_bucketed,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_quantity"
+    ).withColumnRenamed("l_orderkey", "o_orderkey")
+
+    materialize_bucketed(orders, "b_orders", "o_orderkey", 8,
+                         str(tmp_path / "b_orders"))
+    materialize_bucketed(li, "b_lineitem", "o_orderkey", 8,
+                         str(tmp_path / "b_lineitem"))
+    try:
+        joined = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
+        joined.collect()  # force final plan (AQE)
+        plan = assert_no_shuffle(joined)
+        assert "SortMergeJoin" in plan or "sortmergejoin" in plan.lower()
+
+        expect = orders.join(li, "o_orderkey").count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
