@@ -4519,6 +4519,56 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- incremental view maintenance (delta-maintained aggregate) ----------------
+
+# value is fixed-pointed with floor(value*100): the product is the
+# same IEEE double in both engines, floor of it the same integer, and
+# integer sums are exact — so the multiset hash is immune to
+# float-accumulation order across the IVM's delta merges.
+_IVM_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_v_fp
+FROM events
+WHERE event_id % 7 <> 0
+GROUP BY event_type
+"""
+
+
+@_register("ivm_materialized_agg", _IVM_SQL)
+def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized ``GROUP BY event_type`` maintained through three
+    delta refreshes — two insert batches (a deterministic split of
+    events) then a delete batch (event_id % 7) — never rescanning the
+    full table: each refresh aggregates its delta and bucket-merges
+    the affected groups (plans/ivm.py). The oracle is the one-shot
+    SQL aggregate over the same final row set, so the equality is the
+    IVM correctness contract itself."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("v_fp"),
+    )
+    view = MaterializedAgg(
+        spark,
+        tempfile.mkdtemp(prefix="ivm_query_"),
+        group_col="event_type",
+        sum_cols=("v_fp",),
+    )
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))
+    view.refresh(deletes=ev.filter(F.col("event_id") % 7 == 0))
+    return view.read().select(
+        "event_type",
+        F.col("n"),
+        F.col("sum_v_fp").cast("bigint").alias("sum_v_fp"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

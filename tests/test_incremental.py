@@ -407,3 +407,39 @@ def test_occ_time_travel_and_history(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="not retained"):
         st.read(as_of_seq=seq0 - 1)
+
+
+def test_ivm_matches_full_recompute(spark, tmp_path):
+    """MaterializedAgg refreshed in arbitrary delta batches equals the
+    one-shot groupBy over the final multiset; fully-deleted groups
+    vanish from the view."""
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id long, g string, x double")
+
+    view = MaterializedAgg(
+        spark, str(tmp_path / "ivm"), group_col="g", sum_cols=("x",),
+        n_buckets=4,
+    )
+    view.refresh(inserts=df.filter("id < 10"))
+    view.refresh(inserts=df.filter("id >= 10"))
+    # delete every g2 row + a few others (mixed batch)
+    view.refresh(deletes=df.filter("g = 'g2' or id in (0, 3)"))
+
+    expect = {
+        (r["g"], r["n"], r["sx"])
+        for r in df.filter("g <> 'g2' and id not in (0, 3)")
+        .groupBy("g")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("sx"))
+        .collect()
+    }
+    got = {
+        (r["g"], r["n"], r["sum_x"]) for r in view.read().collect()
+    }
+    assert got == expect
+    assert all(g != "g2" for g, _n, _s in got)
+
+    # idempotence of an empty refresh
+    view.refresh()
+    assert {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()} == expect
