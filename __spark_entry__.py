@@ -4569,6 +4569,99 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mergeable sketch rollup (rows-only: DataSketches binary format) ----------
+
+
+@_register("sketch_rollup_distinct", None)
+def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event_type answered from a (event_type, day)
+    HLL sketch table by unioning day cells — the O(cells) sketch-table
+    pattern for 100 TB distinct counts. Rows-only: DuckDB has no
+    DataSketches-compatible HLL; the accuracy bound vs exact distinct
+    is pinned in tests/test_operators.py."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    cells = sketches.sketch_table(
+        ev.withColumn("day", F.to_date("ts")),
+        ["event_type", "day"],
+        "user_id",
+    )
+    return sketches.rollup_estimate(cells, ["event_type"]).orderBy("event_type")
+
+
+# -- §2.8 triangle counting on the capped co-supply graph ---------------------
+
+_TRIANGLE_SQL = f"""
+WITH raw AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM raw
+  ) WHERE rn <= {_REACH_FANOUT}
+),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM capped),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT count(*) AS n_triangles,
+       (SELECT count(*) FROM und) AS n_edges
+FROM tri
+"""
+
+
+@_register("graph_triangle_count", _TRIANGLE_SQL)
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the undirected capped co-supply graph via
+    the oriented-edge (a<b) double-join — each triangle counted once.
+    The orientation bounds join fan-out by the max out-degree of the
+    ordering, the standard trick that keeps triangle listing feasible
+    on power-law graphs at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("sups")
+    )
+    pairs = per_order.select(
+        F.explode("sups").alias("src"), F.col("sups")
+    ).select(
+        "src",
+        F.explode(F.filter("sups", lambda x: x != F.col("src"))).alias("dst"),
+    )
+    capped = (
+        pairs.groupBy("src")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("dst")), 1, _REACH_FANOUT
+            ).alias("dsts")
+        )
+        .select("src", F.explode("dsts").alias("dst"))
+    )
+    und = (
+        capped.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # read 3x by the triangle joins
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+    )
+    return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
+        und.agg(F.count("*").alias("n_edges"))
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -714,3 +714,39 @@ def test_bucketed_colocated_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark):
+    """Union of per-cell HLL sketches estimates the true distinct
+    count within the lgK error bound, and equals the estimate of a
+    single global sketch (mergeability — the property that makes
+    sketch tables valid under any rollup)."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("etype"),
+        (F.col("id") % 11).alias("day"),
+        (F.col("id") % 3733).alias("user_id"),
+    )
+    cells = sketches.sketch_table(df, ["etype", "day"], "user_id")
+    rolled = {
+        r["etype"]: r["approx_distinct"]
+        for r in sketches.rollup_estimate(cells, ["etype"]).collect()
+    }
+    exact = {
+        r["etype"]: r["d"]
+        for r in df.groupBy("etype")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    for k, est in rolled.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+    # grand-total rollup == single global sketch estimate
+    total_rolled = sketches.rollup_estimate(cells).collect()[0]["approx_distinct"]
+    total_direct = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert total_rolled == total_direct

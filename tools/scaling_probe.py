@@ -24,8 +24,9 @@ from pyspark.sql import functions as F
 
 from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 from cocoindex_data_ingestion_spark.operators import (
-    bm25, dedup, hybrid, indexing, vector_search,
+    bm25, curation, dedup, hybrid, indexing, text_analysis, vector_search,
 )
+from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
 from cocoindex_data_ingestion_spark.session import get_spark
 from cocoindex_data_ingestion_spark.sources.tables import load_table
 
@@ -137,6 +138,33 @@ def main() -> None:
         ).collect()
         t["lineitem_agg"] = time.time() - t0
 
+        t0 = time.time()
+        curation.decontaminate(docs, docs0.limit(50), n=8).count()
+        t["decontaminate"] = time.time() - t0
+
+        t0 = time.time()
+        docs.select(
+            F.sum(text_analysis.bpe_token_count("text"))
+        ).collect()
+        t["bpe_count"] = time.time() - t0
+
+        # IVM: one-time init grows with the corpus; a FIXED-size delta
+        # refresh against the grown state is the pass criterion — it
+        # must stay ~flat (O(delta + touched buckets), not O(state))
+        view = MaterializedAgg(
+            spark, f"{fdir}/ivm", group_col="l_partkey",
+            sum_cols=("l_quantity",), n_buckets=32,
+        )
+        t0 = time.time()
+        view.refresh(inserts=li.select("l_partkey", "l_quantity"))
+        t["ivm_init"] = time.time() - t0
+        delta = li0.filter("l_orderkey % 199 = 0").select(
+            "l_partkey", "l_quantity"
+        )
+        t0 = time.time()
+        view.refresh(inserts=delta)
+        t["ivm_refresh"] = time.time() - t0
+
         rows.append((factor, n_docs, n_vec, n_li, t))
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
@@ -144,7 +172,8 @@ def main() -> None:
     ops = ["knn_expr", "knn_numpy", "bm25_adhoc", "index_build",
            "bm25_indexed", "knn_indexed_lsh", "knn_indexed_ivf",
            "hybrid_indexed", "rerank_indexed", "dedup_exact",
-           "minhash_edges", "lineitem_agg"]
+           "minhash_edges", "lineitem_agg", "decontaminate",
+           "bpe_count", "ivm_init", "ivm_refresh"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
