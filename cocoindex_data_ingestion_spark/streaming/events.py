@@ -233,3 +233,34 @@ def dedup_stream(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def foreach_batch_ivm(view, applied_path: str | None = None):
+    """Streaming incremental view maintenance: fold each micro-batch
+    as an insert delta into a :class:`..plans.ivm.MaterializedAgg`.
+
+    Unlike the keyed upsert above, IVM deltas are NOT idempotent — a
+    re-delivered batch would double-count — so exactly-once comes
+    from a batchId fence persisted next to the view state (the
+    standard foreachBatch replay contract: Spark re-runs a failed
+    batch with the SAME batchId, which the fence turns into a no-op
+    after the first successful apply)."""
+    import os
+
+    path = applied_path or os.path.join(view.state.path, "_LAST_BATCH")
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            with open(path) as f:
+                last = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        if batch_id <= last:
+            return
+        view.refresh(inserts=batch_df)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, path)
+
+    return _sink

@@ -243,3 +243,28 @@ def test_interval_join_stream_matches_batch(spark, events_dir, sf_dir):
     )
     assert len(expected) > 0
     assert got == expected
+
+
+def test_foreach_batch_ivm_fences_redelivery(spark, tmp_path):
+    """Micro-batch deltas folded into a MaterializedAgg equal the
+    batch aggregate; a re-delivered batchId is a no-op (the fence),
+    while the next batchId applies."""
+    from pyspark.sql import functions as F
+
+    import cocoindex_data_ingestion_spark.streaming.events as se
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+
+    view = MaterializedAgg(
+        spark, str(tmp_path / "sivm"), group_col="g", sum_cols=("x",),
+        n_buckets=4,
+    )
+    sink = se.foreach_batch_ivm(view)
+
+    b0 = spark.createDataFrame([("a", 1.0), ("b", 2.0)], "g string, x double")
+    b1 = spark.createDataFrame([("a", 3.0)], "g string, x double")
+    sink(b0, 0)
+    sink(b0, 0)  # redelivery of batch 0: must not double-count
+    sink(b1, 1)
+
+    got = {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()}
+    assert got == {("a", 2, 4.0), ("b", 1, 2.0)}
