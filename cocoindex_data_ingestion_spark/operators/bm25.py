@@ -74,15 +74,26 @@ def bm25_search(
     idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )   [Robertson/Lucene]
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
 
-    Single tokenization pass: dl = Σ tf over the doc's postings
-    (identical to len(tokens)); avgdl over docs having ≥1 token
-    (zero-token docs can never match a query, so their exclusion
-    from avgdl is the only — documented — divergence from a
-    length-table over all docs). N = count(*) — a parquet
-    statistics read, no data scan.
+    avgdl is over docs having ≥1 token (zero-token docs can never
+    match a query, so their exclusion from avgdl is the only —
+    documented — divergence from a length-table over all docs).
+    N = count(*) — a parquet statistics read, no data scan.
+
+    Shuffle discipline (the part that matters at 100 TB): doc
+    lengths come from a NARROW per-doc projection
+    (``size(bm25_tokens)``, zero shuffle — provably equal to
+    Σ tf of that doc's postings since both count the same filtered
+    token multiset), and the postings aggregation filters to the
+    query's terms BEFORE its groupBy — so the only posting shuffle
+    carries query-term hits, not the whole corpus vocabulary. An
+    earlier shape aggregated full postings and derived dl from them:
+    that shuffled every (doc, token) pair twice per query.
     """
-    postings = build_postings(docs, id_col, text_col)
-    dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
 
     # one broadcast scalar row instead of two separate ones
     stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
@@ -90,7 +101,12 @@ def bm25_search(
     )
 
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
-    qpost = postings.filter(F.col("token").isin(qterms))
+    qpost = (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token") & F.col("token").isin(qterms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
 
     df_per_token = qpost.groupBy("token").agg(
         F.countDistinct(id_col).alias("df")

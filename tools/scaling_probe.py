@@ -221,8 +221,18 @@ def main() -> None:
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "SCALING.md")
+    # preserve manually-maintained sections (ANN recall, extra notes)
+    # below the generated table
+    extra = ""
+    try:
+        cur = open(out).read()
+        idx = cur.find("\n## ANN quality")
+        if idx != -1:
+            extra = cur[idx:]
+    except FileNotFoundError:
+        pass
     with open(out, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + extra)
     shutil.rmtree(base, ignore_errors=True)
     print(f"wrote {out}")
 
