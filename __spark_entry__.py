@@ -3950,6 +3950,8 @@ def _q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-order distinct supplier count and distinct LATE supplier
     count — instead of two correlated rescans: a qualifying row is a
     late line on an order with >1 supplier and exactly 1 late one."""
+    from pyspark.sql import Window
+
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -3957,21 +3959,32 @@ def _q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_late",
         F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"),
     )
-    stats = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # single consumption of the big join: collapse to one row per
+    # (order, supplier) with its late-line count (map-side combined),
+    # then derive both distinct counts with a window over the ~few
+    # rows per order — no second scan of lo, no line-level stats join
+    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
     )
-    cand = (
-        lo.filter(F.col("is_late"))
-        .join(stats, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    w = Window.partitionBy("l_orderkey")
+    qual = (
+        per_os.withColumn("n_supp", F.count("*").over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).over(w),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
-        cand.join(F.broadcast(s), cand.l_suppkey == s.s_suppkey)
+        qual.join(F.broadcast(s), qual.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        # numwait counts late LINES (sum of per-supplier late-line
+        # counts == the row count of the line-level formulation)
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
     )
 
 

@@ -69,6 +69,7 @@ HEADLINE = [
     "indexed_vector_knn_lsh_multiprobe",
     "graph_reachability_cte",
     "json_variant_extract",
+    "bpe_token_count",
 ]
 
 SMALL_RESULT = {
@@ -87,6 +88,9 @@ SMALL_RESULT = {
     "vector_knn_pq",
     "vector_knn_lsh_multiprobe", "indexed_vector_knn_lsh_multiprobe",
     "graph_reachability_cte", "json_variant_extract",
+    # pure projections: count() would prune the per-doc work away
+    # entirely (Catalyst column pruning), measuring a metadata count
+    "bpe_token_count", "text_profile",
 }
 
 
