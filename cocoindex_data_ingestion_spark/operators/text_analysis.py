@@ -124,17 +124,83 @@ def doc_fingerprint(col: Column | str) -> Column:
 def text_profile(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """One-pass per-document text profile."""
-    return docs.select(
+    """Per-document text profile via ONE explode + groupBy.
+
+    The scalar helpers above (``stopword_ratio``/``avg_token_len``/
+    ``lang_scores``) are lambda higher-order functions, which Spark
+    evaluates in the INTERPRETED expression path — measured ~4x the
+    cost of this shape on the profile suite (the same lesson as
+    bm25.build_postings' explode-then-filter note). Here every count
+    is a codegen'd conditional aggregate over exploded tokens
+    (map-side combined, one shuffle), and the derived ratios use the
+    exact same arithmetic as the scalar forms, so results are
+    bit-identical (oracle-checked)."""
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    langs = sorted(LANG_MARKERS)
+    tok = F.col("token")
+    per_tok = docs.select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
-        token_count(text_col).alias("n_tokens"),
-        F.size(bm25_tokens(text_col)).alias("n_content_tokens"),
-        stable_round(stopword_ratio(text_col), 4).alias("stopword_ratio"),
-        stable_round(avg_token_len(text_col), 4).alias("avg_token_len"),
-        quality_score(text_col).alias("quality_score"),
-        lang_id(text_col).alias("lang_pred"),
-        doc_fingerprint(text_col).alias("fingerprint"),
+        # explode_outer keeps zero-token docs (one null-token row)
+        F.explode_outer(tokenize(text_col)).alias("token"),
+    )
+    aggs = per_tok.groupBy(id_col, "n_chars").agg(
+        F.count("token").alias("n_tokens"),
+        F.coalesce(F.sum(F.length(tok)), F.lit(0)).alias("sum_len"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.count(F.when(tok.isin(*sorted(STOPWORDS)), True)).alias("n_stop"),
+        F.count(F.when(is_content_token("token"), True)).alias("n_content"),
+        *[
+            F.count(
+                F.when(tok.isin(*LANG_MARKERS[lang]), True)
+            ).alias(f"h_{lang}")
+            for lang in langs
+        ],
+        # collect_set ignores nulls; array_sort fixes its order →
+        # same sorted-distinct content-token list as doc_fingerprint
+        F.array_sort(
+            F.collect_set(F.when(is_content_token("token"), tok))
+        ).alias("ctoks_sorted"),
+    )
+
+    n = F.col("n_tokens")
+    nz = n > 0
+    sr = F.when(nz, F.col("n_stop") / n.cast("double")).otherwise(F.lit(0.0))
+    diversity = F.when(nz, F.col("n_distinct") / n.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    len_score = F.least(F.col("n_chars") / F.lit(500.0), F.lit(1.0))
+    # argmax language, alphabetical tie-break, 'und' on zero hits —
+    # identical to lang_id's fold
+    best = F.lit("und")
+    best_score = F.lit(0).cast("long")
+    for lang in langs:
+        s = F.col(f"h_{lang}")
+        take = s > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, s).otherwise(best_score)
+
+    return aggs.select(
+        F.col(id_col),
+        F.col("n_chars"),
+        n.alias("n_tokens"),
+        F.col("n_content").alias("n_content_tokens"),
+        stable_round(sr, 4).alias("stopword_ratio"),
+        stable_round(
+            F.when(nz, F.col("sum_len") / n.cast("double")).otherwise(F.lit(0.0)),
+            4,
+        ).alias("avg_token_len"),
+        stable_round(
+            F.lit(0.4) * len_score
+            + F.lit(0.3) * diversity
+            + F.lit(0.3) * (F.lit(1.0) - F.abs(sr - F.lit(0.4))),
+            4,
+        ).alias("quality_score"),
+        best.alias("lang_pred"),
+        F.md5(F.concat_ws(" ", F.col("ctoks_sorted"))).alias("fingerprint"),
     )
 
 
