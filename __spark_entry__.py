@@ -1903,6 +1903,10 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             idx,
             lsh_bits=_LSH_BITS,
             ivf_stride=_IVF_STRIDE,
+            pq=True,
+            pq_m=_PQ_M,
+            pq_k=_PQ_K,
+            pq_sub_d=_PQ_SUBD,
         )
         _INDEX_CACHE[sf_dir] = idx
     return _INDEX_CACHE[sf_dir]
@@ -4368,6 +4372,25 @@ def _q_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_search.pq_knn(
         base, q, k=KNN_K, m=_PQ_M, cb_k=_PQ_K, sub_d=_PQ_SUBD,
         candidates=_PQ_CAND, dist_round=_PQ_DIST_ROUND,
+    )
+
+
+@_register("indexed_vector_knn_pq", _PQ_SQL)
+def _q_indexed_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN from the prebuilt code layout (indexing.build_pq_layout):
+    the per-query corpus encode is amortized into the index build, so
+    a query is ONE scan of 16-byte codes (ADC vs the broadcast
+    query-distance table) + exact rerank of {c} candidates. Same
+    oracle as the ad-hoc pq path — identical results, indexed cost
+    model. Completes the indexed ANN family (LSH / multiprobe / IVF /
+    PQ)."""
+    from cocoindex_data_ingestion_spark.operators.indexing import indexed_knn_pq
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn_pq(
+        spark, idx, q, k=KNN_K, candidates=_PQ_CAND, sub_d=_PQ_SUBD,
+        dist_round=_PQ_DIST_ROUND,
     )
 
 

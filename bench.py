@@ -64,6 +64,7 @@ HEADLINE = [
     "curate_decontaminate",
     "curate_funnel",
     "vector_knn_pq",
+    "indexed_vector_knn_pq",
     # round-3 additions: multiprobe LSH, recursive CTE, VARIANT JSON
     "vector_knn_lsh_multiprobe",
     "indexed_vector_knn_lsh_multiprobe",
@@ -86,6 +87,7 @@ SMALL_RESULT = {
     "indexed_hybrid_rrf",
     "curate_stratified_sample", "curate_weighted_mix", "curate_funnel",
     "vector_knn_pq",
+    "indexed_vector_knn_pq",
     "vector_knn_lsh_multiprobe", "indexed_vector_knn_lsh_multiprobe",
     "graph_reachability_cte", "json_variant_extract",
     # pure projections: count() would prune the per-doc work away

@@ -66,6 +66,11 @@ def build_search_index(
     ivf_stride: int | None = None,
     ivf_n_cells: int | None = None,
     ivf_assign: str = "expr",
+    pq: bool = False,
+    pq_m: int = 16,
+    pq_k: int = 16,
+    pq_sub_d: int = 4,
+    pq_encode: str = "numpy",
 ) -> None:
     """One pass over the corpus → queryable index layout on disk.
 
@@ -133,6 +138,11 @@ def build_search_index(
         build_ivf_layout(
             embeddings, index_dir, stride=ivf_stride, n_cells=ivf_n_cells,
             vec_id_col=vec_id_col, vec_col=vec_col, assign=ivf_assign,
+        )
+    if pq:
+        build_pq_layout(
+            embeddings, index_dir, m=pq_m, cb_k=pq_k, sub_d=pq_sub_d,
+            vec_id_col=vec_id_col, vec_col=vec_col, encode=pq_encode,
         )
 
 
@@ -459,4 +469,105 @@ def indexed_knn_ivf(
         scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
         .select(id_col, "score")
+    )
+
+
+def build_pq_layout(
+    embeddings: DataFrame,
+    index_dir: str,
+    m: int = 16,
+    cb_k: int = 16,
+    sub_d: int = 4,
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encode: str = "numpy",
+    dist_round: int = 6,
+) -> None:
+    """PQ index layout: the amortized home of the per-query corpus
+    encode that ``vector_search.pq_knn`` otherwise pays.
+
+    - ``pq_codebook/``  m·cb_k rows (subspace, code_id, cw) —
+      broadcast-sized;
+    - ``pq_codes/``     one (id, subspace, code) byte-code row per
+      vector per subspace — 16 one-byte codes per vector at the
+      default geometry, a 16x read-reduction vs raw vectors; flat
+      parquet (ADC scans ALL codes by design — the compressed domain
+      IS the pruning).
+
+    ``encode="numpy"`` is the BLAS build path; ``"expr"`` matches the
+    DuckDB oracle term-for-term (same contract as build_ivf_layout)."""
+    from cocoindex_data_ingestion_spark.operators.vector_search import (
+        pq_codebook, pq_encode, pq_encode_numpy,
+    )
+
+    cb = pq_codebook(embeddings, m, cb_k, sub_d, vec_col, vec_id_col)
+    cb.write.mode("overwrite").parquet(f"{index_dir}/pq_codebook")
+    spark = embeddings.sparkSession
+    cb_saved = spark.read.parquet(f"{index_dir}/pq_codebook")
+    if encode == "numpy":
+        codes = pq_encode_numpy(
+            embeddings, cb_saved, m, sub_d, vec_col, vec_id_col, dist_round
+        )
+    else:
+        codes = pq_encode(
+            embeddings, cb_saved, m, sub_d, vec_col, vec_id_col, dist_round
+        )
+    codes.write.mode("overwrite").parquet(f"{index_dir}/pq_codes")
+
+
+def indexed_knn_pq(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    candidates: int = 100,
+    sub_d: int = 4,
+    id_col: str = "vec_id",
+    round_to: int = 4,
+    dist_round: int = 6,
+) -> DataFrame:
+    """PQ top-k from the prebuilt code layout: broadcast the query's
+    (subspace, code) distance table, one scan of the byte codes for
+    ADC ranking, exact cosine rerank of the top ``candidates``
+    against the flat vector layout — identical results to
+    ``vector_search.pq_knn`` (shared DuckDB oracle), with the corpus
+    encode amortized into the index build."""
+    from cocoindex_data_ingestion_spark.functions.compare import stable_sum
+    from cocoindex_data_ingestion_spark.operators.vector_search import l2_sq
+    from cocoindex_data_ingestion_spark.operators.vector_search import knn
+
+    cb = spark.read.parquet(f"{index_dir}/pq_codebook")
+    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    qsub = query_vec_df.select(F.col("qvec").cast("array<double>").alias("qv"))
+    qdist = (
+        cb.crossJoin(F.broadcast(qsub))
+        .select(
+            "subspace",
+            "code_id",
+            F.slice(F.col("qv"), F.col("subspace") * sub_d + 1, sub_d).alias("qsv"),
+            "cw",
+        )
+        .withColumn("qd", l2_sq(F.col("qsv"), F.col("cw")))
+        .select("subspace", "code_id", "qd")
+    )
+    adist = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes["subspace"] == qdist["subspace"])
+            & (codes["code"] == qdist["code_id"]),
+        )
+        .groupBy(id_col)
+        .agg(stable_sum(F.col("qd"), dist_round).alias("ad"))
+    )
+    cand_ids = adist.orderBy(F.col("ad").asc(), F.col(id_col).asc()).limit(
+        candidates
+    )
+    vectors = spark.read.parquet(f"{index_dir}/vectors")
+    cand = vectors.join(F.broadcast(cand_ids.select(id_col)), id_col)
+    return knn(
+        cand.crossJoin(F.broadcast(query_vec_df.select("qvec"))),
+        F.col("qvec"),
+        k=k,
+        id_col=id_col,
+        round_to=round_to,
     )

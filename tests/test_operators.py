@@ -750,3 +750,27 @@ def test_sketch_rollup_accuracy_and_mergeability(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
     ).collect()[0]["e"]
     assert total_rolled == total_direct
+
+
+def test_indexed_pq_equals_adhoc_pq(spark, tmp_path, sf_dir):
+    """indexed_knn_pq over the prebuilt code layout returns the same
+    top-k as the ad-hoc pq_knn (same codebook sample, same ADC, same
+    exact rerank)."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import indexing, vector_search
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    idx = str(tmp_path / "pqidx")
+    indexing.build_search_index(
+        load_table(spark, "documents", sf_dir), base, idx, pq=True,
+    )
+    got = indexing.indexed_knn_pq(spark, idx, q, k=10).collect()
+    want = vector_search.pq_knn(base, q, k=10).collect()
+    assert [(r["vec_id"], r["score"]) for r in got] == [
+        (r["vec_id"], r["score"]) for r in want
+    ]
