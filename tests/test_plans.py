@@ -1,0 +1,88 @@
+"""Physical-plan regression tests: the scale properties PLANS.md
+documents, machine-checked so they can't silently regress.
+
+Each assertion pins a property that matters at 100 TB — predicate
+pushdown reaching the parquet scan, static partition pruning on the
+index layouts, shuffle-count ceilings on hot paths, no interpreted
+Python in the relational layer. Run at sf0.001 (plan shape, not
+data volume)."""
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range|RoundRobin|Single)", plan))
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+def test_q1_pushdown_and_pruning(spark, qs):
+    plan = _plan(qs["q1_pricing_summary"](spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    # column pruning: the scan must not read all 16 lineitem columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) <= 7, m and m.group(1)
+
+
+def test_indexed_lsh_static_partition_pruning(spark, qs):
+    plan = _plan(qs["indexed_vector_knn_lsh"](spark, SF))
+    assert re.search(r"PartitionFilters: \[.*sig", plan), plan[:800]
+
+
+def test_indexed_ivf_cell_pruning(spark, qs):
+    plan = _plan(qs["indexed_vector_knn_ivf"](spark, SF))
+    assert re.search(r"PartitionFilters: \[cent_id", plan), plan[:800]
+
+
+def test_indexed_bm25_token_bucket_pruning(spark, qs):
+    plan = _plan(qs["indexed_bm25_search"](spark, SF))
+    assert re.search(r"PartitionFilters: \[tbucket", plan)
+    # token IN-list pushed to the parquet scan
+    assert re.search(r"PushedFilters: \[.*In\(token", plan)
+
+
+def test_tpch_dimensions_broadcast_not_shuffled(spark, qs):
+    """q5's five dimension joins must all be broadcast — a shuffled
+    sort-merge join on nation/region/supplier at 100 TB would move
+    the fact table for no reason."""
+    plan = _plan(qs["q5_local_supplier_volume"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_topk_is_take_ordered(spark, qs):
+    """ORDER BY score LIMIT k must compile to TakeOrderedAndProject
+    (per-partition top-k), never a global sort."""
+    plan = _plan(qs["vector_knn"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_adhoc_shuffle_ceiling(spark, qs):
+    """The restructured ad-hoc BM25 keeps its posting shuffle on
+    query-term hits only; ceiling guards against reintroducing the
+    full-vocabulary aggregation (was 10 shuffles, now <=6)."""
+    assert _shuffles(_plan(qs["bm25_search"](spark, SF))) <= 6
+
+
+def test_no_python_udfs_on_relational_paths(spark, qs):
+    """TPC-H-shape and event queries must stay JVM-side end to end:
+    no BatchEvalPython / ArrowEvalPython stages."""
+    for name in ("q1_pricing_summary", "q3_shipping_priority",
+                 "q9_product_profit", "events_sessionize",
+                 "asof_purchase_view", "dedup_minhash_lsh",
+                 "text_profile", "bpe_token_count"):
+        plan = _plan(qs[name](spark, SF))
+        assert "EvalPython" not in plan, name
