@@ -127,7 +127,7 @@ def main() -> None:
     # is hostage to transient host noise (observed 2-3x swings on the
     # shared box with identical plans); the minimum is the
     # reproducible engine cost. Every rep executes the complete plan.
-    N_REPS = 2
+    N_REPS = 3
     times: dict[str, float] = {}
     for rep in range(N_REPS):
         for name in HEADLINE:
