@@ -264,3 +264,46 @@ def foreach_batch_ivm(view, applied_path: str | None = None):
         os.replace(tmp, path)
 
     return _sink
+
+
+def ordinal_upsert_stream_tws(events: DataFrame) -> DataFrame:
+    """Ordinal-monotonic upsert on Spark 4's ``transformWithState``
+    operator — the successor to ``applyInPandasWithState`` above
+    (same semantics, same state: key → max ordinal), kept as a twin
+    because transformWithState is where new state features land
+    (TTL, multiple state variables, timers, state data source reads).
+    Requires the RocksDB state store provider AND google.protobuf
+    (the Python state-server protocol) — absent in this container,
+    so the equivalence test importorskips; applyInPandasWithState
+    remains the default implementation.
+
+    Equivalence with :func:`ordinal_upsert_stream` is pinned in
+    tests/test_streaming.py."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor
+
+    class _OrdinalUpsert(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._max = handle.getValueState("max_ord", "max_ordinal long")
+
+        def handleInputRows(self, key, rows, timer_values):
+            cur = self._max.get()[0] if self._max.exists() else -1
+            batch = pd.concat(list(rows), ignore_index=True)
+            batch = batch.sort_values(["ordinal", "event_id"])
+            fresh = batch[batch["ordinal"] > cur]
+            if len(fresh):
+                self._max.update((int(fresh["ordinal"].max()),))
+                yield fresh.iloc[[-1]][
+                    ["user_id", "event_id", "ordinal", "event_type", "value"]
+                ]
+
+        def close(self) -> None:
+            pass
+
+    with_ord = events.withColumn("ordinal", ts_us("ts"))
+    return with_ord.groupBy("user_id").transformWithStateInPandas(
+        _OrdinalUpsert(),
+        outputStructType=_UPSERT_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
