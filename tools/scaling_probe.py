@@ -94,7 +94,7 @@ def main() -> None:
             # scale path: K fixed (not N/stride), BLAS assignment —
             # constant-stride expr assignment measured O(N²): 842 s
             # at 100k vectors
-            ivf_n_cells=256, ivf_assign="numpy",
+            ivf_n_cells=256, ivf_assign="numpy", pq=True,
         )
         t["index_build"] = time.time() - t0
 
@@ -109,6 +109,10 @@ def main() -> None:
         t0 = time.time()
         indexing.indexed_knn_ivf(spark, idx, qdf, k=10, nprobe=3).collect()
         t["knn_indexed_ivf"] = time.time() - t0
+
+        t0 = time.time()
+        indexing.indexed_knn_pq(spark, idx, qdf, k=10).collect()
+        t["knn_indexed_pq"] = time.time() - t0
 
         t0 = time.time()
         hybrid.hybrid_search(
@@ -171,9 +175,9 @@ def main() -> None:
 
     ops = ["knn_expr", "knn_numpy", "bm25_adhoc", "index_build",
            "bm25_indexed", "knn_indexed_lsh", "knn_indexed_ivf",
-           "hybrid_indexed", "rerank_indexed", "dedup_exact",
-           "minhash_edges", "lineitem_agg", "decontaminate",
-           "bpe_count", "ivm_init", "ivm_refresh"]
+           "knn_indexed_pq", "hybrid_indexed", "rerank_indexed",
+           "dedup_exact", "minhash_edges", "lineitem_agg",
+           "decontaminate", "bpe_count", "ivm_init", "ivm_refresh"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
