@@ -112,3 +112,118 @@ def nest_table(
     if pos_col and pos_col in child_cols:
         collected = collected.withColumn("_rows", F.array_sort(F.col("_rows")))
     return collected
+
+
+# -- Python annotation → Spark type inference ---------------------------------
+# The reference SDK maps Python type annotations to engine types for
+# the custom-function surface (python/cocoindex/typing.py, 458 LoC:
+# dataclasses/NamedTuples → Struct, list → Table/Vector, Optional →
+# nullable; convert.py round-trips values). Spark's own
+# DataType.fromDDL can't see dataclasses, so this is the part that
+# needs porting for `@op`-style typed UDFs to declare their schema
+# from annotations alone.
+
+import dataclasses
+import datetime
+import sys
+import types as _pytypes
+import typing
+import uuid as _uuid
+
+_SCALARS: dict[type, T.DataType] = {
+    bytes: T.BinaryType(),
+    str: T.StringType(),
+    bool: T.BooleanType(),
+    int: T.LongType(),          # Int64 is the reference's only int
+    float: T.DoubleType(),
+    datetime.date: T.DateType(),
+    datetime.datetime: T.TimestampType(),
+    datetime.timedelta: T.DayTimeIntervalType(),
+    _uuid.UUID: T.StringType(),  # canonical hex, like TYPE_MAPPING
+}
+
+
+def spark_type_of(tp) -> tuple[T.DataType, bool]:
+    """(DataType, nullable) for a Python type annotation.
+
+    Rules (typing.py parity): ``Optional[X]``/``X | None`` → nullable;
+    ``list[X]`` → ArrayType (``list[float]`` is how Vector is
+    declared, matching TYPE_MAPPING's elem type discipline);
+    ``dict[K, V]`` → MapType; dataclasses and NamedTuples → Struct
+    with per-field nullability; bare ``list``/``dict`` are rejected
+    (the engine's types are fully static, schema.rs:216)."""
+    origin = typing.get_origin(tp)
+    args = typing.get_args(tp)
+
+    if origin in (typing.Union, _pytypes.UnionType):
+        non_none = [a for a in args if a is not type(None)]
+        if len(non_none) != 1:
+            raise TypeError(
+                f"untagged multi-type Union not supported: {tp!r}"
+                " (the reference widens or tags; declare explicitly)"
+            )
+        inner, _ = spark_type_of(non_none[0])
+        return inner, True
+
+    if origin in (list, typing.List):
+        if not args:
+            raise TypeError("bare list needs an element annotation")
+        elem, elem_null = spark_type_of(args[0])
+        return T.ArrayType(elem, containsNull=elem_null), False
+
+    if origin in (dict, typing.Dict):
+        if len(args) != 2:
+            raise TypeError("bare dict needs key/value annotations")
+        kt, _ = spark_type_of(args[0])
+        vt, v_null = spark_type_of(args[1])
+        return T.MapType(kt, vt, valueContainsNull=v_null), False
+
+    if dataclasses.is_dataclass(tp):
+        hints = typing.get_type_hints(tp)
+        fields = []
+        for f in dataclasses.fields(tp):
+            ft, f_null = spark_type_of(hints[f.name])
+            fields.append(T.StructField(f.name, ft, f_null))
+        return T.StructType(fields), False
+
+    if isinstance(tp, type) and issubclass(tp, tuple) and hasattr(tp, "_fields"):
+        hints = typing.get_type_hints(tp)
+        fields = []
+        for name in tp._fields:
+            ft, f_null = spark_type_of(hints[name])
+            fields.append(T.StructField(name, ft, f_null))
+        return T.StructType(fields), False
+
+    for py, dt in _SCALARS.items():
+        if tp is py:
+            return dt, False
+
+    raise TypeError(f"no Spark mapping for annotation {tp!r}")
+
+
+def struct_type_of(tp) -> T.StructType:
+    """StructType of a dataclass/NamedTuple (top-level rows)."""
+    dt, _ = spark_type_of(tp)
+    if not isinstance(dt, T.StructType):
+        raise TypeError(f"{tp!r} is not a struct-like type")
+    return dt
+
+
+def return_type_of(fn) -> tuple[T.DataType, bool]:
+    """Infer a UDF's Spark return type from its annotation — the
+    reference's `analyze()` resolution (op.py): the declared Python
+    return type IS the engine output type."""
+    hints = typing.get_type_hints(fn)
+    if "return" not in hints:
+        raise TypeError(f"{fn.__name__} needs a return annotation")
+    return spark_type_of(hints["return"])
+
+
+def typed_udf(fn, vectorized: bool = False):
+    """`@op`-surface helper: a UDF whose returnType comes from the
+    function's return annotation (pandas_udf when ``vectorized`` —
+    the Arrow path — else a scalar udf for struct-returning fns)."""
+    dt, _ = return_type_of(fn)
+    if vectorized:
+        return F.pandas_udf(dt)(fn)
+    return F.udf(fn, dt)

@@ -43,3 +43,91 @@ def test_ltable_nest_roundtrip(spark):
     rows = {r.doc: [x["val"] for x in r._rows] for r in nested.collect()}
     assert rows[1] == ["a", "b", "c"]  # order restored from _pos
     assert rows[2] == ["x"]
+
+
+def test_spark_type_of_annotations():
+    """typing.py parity: annotations → Spark types with nullability."""
+    import dataclasses
+    import datetime
+    import typing
+    import uuid
+
+    from pyspark.sql import types as T
+
+    from cocoindex_data_ingestion_spark.datamodel import (
+        return_type_of, spark_type_of, struct_type_of,
+    )
+
+    assert spark_type_of(int) == (T.LongType(), False)
+    assert spark_type_of(typing.Optional[str]) == (T.StringType(), True)
+    assert spark_type_of(float | None) == (T.DoubleType(), True)
+    assert spark_type_of(list[float]) == (
+        T.ArrayType(T.DoubleType(), False), False,
+    )
+    assert spark_type_of(dict[str, int]) == (
+        T.MapType(T.StringType(), T.LongType(), False), False,
+    )
+    assert spark_type_of(uuid.UUID) == (T.StringType(), False)
+    assert spark_type_of(datetime.datetime) == (T.TimestampType(), False)
+
+    @dataclasses.dataclass
+    class Chunk:
+        location: str
+        start: int
+        text: str | None
+        embedding: list[float]
+
+    st = struct_type_of(Chunk)
+    assert [f.name for f in st.fields] == [
+        "location", "start", "text", "embedding",
+    ]
+    assert st["text"].nullable and not st["start"].nullable
+    assert isinstance(st["embedding"].dataType, T.ArrayType)
+
+    # nested dataclasses + list-of-struct (the KTable-returning fn shape)
+    @dataclasses.dataclass
+    class Doc:
+        doc_id: int
+        chunks: list[Chunk]
+
+    dt, _ = spark_type_of(Doc)
+    assert isinstance(dt["chunks"].dataType.elementType, T.StructType)
+
+    def chunker(text: str) -> list[Chunk]:  # pragma: no cover - annotation only
+        raise NotImplementedError
+
+    rt, _ = return_type_of(chunker)
+    assert isinstance(rt, T.ArrayType) and isinstance(rt.elementType, T.StructType)
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError):
+        spark_type_of(list)
+    with _pytest.raises(TypeError):
+        spark_type_of(typing.Union[int, str])
+
+
+def test_typed_udf_roundtrip(spark):
+    """A struct-returning annotated UDF declares its schema from the
+    annotation and round-trips values (convert.py parity)."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.datamodel import typed_udf
+
+    @dataclasses.dataclass
+    class Span:
+        start: int
+        end: int
+        text: str | None
+
+    def locate(s: str) -> Span:
+        i = s.find("x")
+        return Span(start=i, end=i + 1, text=s[i:i + 1] if i >= 0 else None)
+
+    u = typed_udf(locate)
+    df = spark.createDataFrame([("axb",), ("no",)], "s string")
+    rows = df.select(u(F.col("s")).alias("span")).collect()
+    assert rows[0]["span"]["start"] == 1 and rows[0]["span"]["text"] == "x"
+    assert rows[1]["span"]["start"] == -1 and rows[1]["span"]["text"] is None
