@@ -210,11 +210,22 @@ def minhash_buckets(
     )
 
     rows_per_band = num_hashes // bands
-    # explode-then-filter for codegen (see build_postings); no
-    # distinct needed — min over duplicate tokens is unchanged
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
-    ).filter(is_content_token("token"))
+    # explode-then-filter for codegen (see build_postings), then
+    # per-doc dropDuplicates BEFORE hashing: min over the distinct
+    # token set equals min over the multiset, so signatures are
+    # unchanged, and the num_hashes hash evaluations run on distinct
+    # (id, token) pairs only — measured ~15% cheaper at sf0.1 and
+    # growing with per-doc repetition. (Distinct-per-doc is NOT the
+    # rejected dictionary-encoding: no global vocabulary, no join —
+    # just one exchange that the signature groupBy's partial
+    # aggregation was paying in similar coin anyway.)
+    toks = (
+        docs.select(
+            F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("token")
+        )
+        .filter(is_content_token("token"))
+        .dropDuplicates(["id", "token"])
+    )
     # Hashing stays INLINE in the scan->agg pipeline. A
     # dictionary-encoded variant (hash each distinct token once,
     # broadcast-join signatures back) was measured and REJECTED: the
