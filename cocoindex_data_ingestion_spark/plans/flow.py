@@ -69,6 +69,11 @@ class FlowScope:
 
         Single-assignment: rebinding an existing field raises, like
         the reference's analyzer."""
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            check_field_name,
+        )
+
+        check_field_name(out_field)
         if out_field in self._fields:
             raise FlowError(
                 f"field '{out_field}' already assigned in scope '{self._scope}'"
@@ -141,7 +146,11 @@ class Flow:
     """A named dataflow: sources → scopes → collectors → exports."""
 
     def __init__(self, name: str):
-        self.name = name
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            check_flow_name,
+        )
+
+        self.name = check_flow_name(name)
         self._ops: list[_OpSpec] = []
         self._collectors: dict[str, DataFrame] = {}
         self._exports: dict[str, dict] = {}
@@ -178,6 +187,11 @@ class Flow:
         """Export op (src/base/spec.rs:452-471): declare a target fed
         by a collector with PK semantics. Materialization happens in
         the incremental runner (MERGE-style upsert/delete)."""
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            check_target_name,
+        )
+
+        check_target_name(target_name)
         df = self.collector(collector_name)
         missing = [c for c in primary_key if c not in df.columns]
         if missing:

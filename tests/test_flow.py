@@ -85,3 +85,44 @@ def test_export_requires_pk_columns(spark):
     scope.collect("out", {"doc_id": "doc_id"})
     with pytest.raises(FlowError, match="pk fields missing"):
         flow.export("out", "target", primary_key=["nope"])
+
+
+def test_naming_rules(spark):
+    """Reference SDK naming validation (validation.py, issue #779
+    rules; tests/test_validation.py grid): empty, too-long, '__'
+    prefix, bad characters rejected at construction; dots allowed
+    only in full flow names."""
+    import pytest
+
+    from cocoindex_data_ingestion_spark.functions.validation import (
+        NamingError, check_field_name, check_full_flow_name,
+    )
+    from cocoindex_data_ingestion_spark.plans.flow import Flow
+
+    Flow("valid_flow_1")
+    with pytest.raises(NamingError):
+        Flow("")
+    with pytest.raises(NamingError):
+        Flow("__reserved")
+    with pytest.raises(NamingError):
+        Flow("has space")
+    with pytest.raises(NamingError):
+        Flow("has.dot")  # dots only valid in FULL flow names
+    with pytest.raises(NamingError):
+        Flow("x" * 65)
+    assert check_full_flow_name("ns.flow_a") == "ns.flow_a"
+    # parity quirk: the reference's dotted pattern allows consecutive
+    # dots after the first char; only empty/reserved/length/charset
+    # rules apply
+    check_full_flow_name("ns..")
+    with pytest.raises(NamingError):
+        check_full_flow_name(".starts_with_dot")
+
+    f = Flow("f")
+    src = f.add_source(
+        "docs", spark.createDataFrame([(1, "a")], "id long, text string"), ["id"]
+    )
+    with pytest.raises(NamingError):
+        src.transform("9bad", lambda df: df.id)
+    with pytest.raises(NamingError):
+        src.transform("__hidden", lambda df: df.id)
