@@ -227,3 +227,60 @@ def typed_udf(fn, vectorized: bool = False):
     if vectorized:
         return F.pandas_udf(dt)(fn)
     return F.udf(fn, dt)
+
+
+def dataclasses_to_df(spark, items, cls) -> DataFrame:
+    """Rows from dataclass instances with the schema inferred from
+    the class (convert.py's Python→engine direction). UUIDs become
+    canonical hex, nested dataclasses become structs, lists of
+    dataclasses become array<struct>."""
+
+    def _to_plain(v):
+        if dataclasses.is_dataclass(v) and not isinstance(v, type):
+            return tuple(
+                _to_plain(getattr(v, f.name)) for f in dataclasses.fields(v)
+            )
+        if isinstance(v, _uuid.UUID):
+            return str(v)
+        if isinstance(v, list):
+            return [_to_plain(x) for x in v]
+        if isinstance(v, dict):
+            return {k: _to_plain(x) for k, x in v.items()}
+        return v
+
+    schema = struct_type_of(cls)
+    return spark.createDataFrame([_to_plain(i) for i in items], schema)
+
+
+def df_to_dataclasses(df: DataFrame, cls) -> list:
+    """collect() back into dataclass instances (engine→Python).
+    Inverse of :func:`dataclasses_to_df` for roundtrip-able types
+    (UUID fields come back as their canonical-hex string form, the
+    declared engine representation)."""
+    hints = typing.get_type_hints(cls)
+
+    def _from_row(row, tp):
+        if dataclasses.is_dataclass(tp):
+            h = typing.get_type_hints(tp)
+            return tp(**{
+                f.name: _from_row(row[f.name], h[f.name])
+                for f in dataclasses.fields(tp)
+            })
+        origin = typing.get_origin(tp)
+        args = typing.get_args(tp)
+        if origin in (typing.Union, _pytypes.UnionType):
+            inner = [a for a in args if a is not type(None)][0]
+            return None if row is None else _from_row(row, inner)
+        if origin in (list, typing.List):
+            return [_from_row(x, args[0]) for x in (row or [])]
+        if origin in (dict, typing.Dict):
+            return {k: _from_row(v, args[1]) for k, v in (row or {}).items()}
+        return row
+
+    return [
+        cls(**{
+            name: _from_row(r[name], hints[name])
+            for name in (f.name for f in dataclasses.fields(cls))
+        })
+        for r in df.collect()
+    ]

@@ -131,3 +131,40 @@ def test_typed_udf_roundtrip(spark):
     rows = df.select(u(F.col("s")).alias("span")).collect()
     assert rows[0]["span"]["start"] == 1 and rows[0]["span"]["text"] == "x"
     assert rows[1]["span"]["start"] == -1 and rows[1]["span"]["text"] is None
+
+
+def test_dataclass_df_roundtrip(spark):
+    """convert.py parity: dataclass instances → DataFrame (inferred
+    schema) → dataclass instances, including nested structs, arrays
+    of structs, optional fields, and UUID canonical-hex."""
+    import dataclasses
+    import uuid
+
+    from cocoindex_data_ingestion_spark.datamodel import (
+        dataclasses_to_df, df_to_dataclasses,
+    )
+
+    @dataclasses.dataclass
+    class Mention:
+        text: str
+        start: int
+        conf: float | None
+
+    @dataclasses.dataclass
+    class DocRow:
+        doc_id: int
+        run_id: str  # UUID hex (declared engine repr)
+        mentions: list[Mention]
+        tags: dict[str, int]
+
+    rows = [
+        DocRow(1, str(uuid.uuid5(uuid.NAMESPACE_DNS, "a")),
+               [Mention("x", 0, 0.9), Mention("y", 5, None)], {"k": 1}),
+        DocRow(2, str(uuid.uuid5(uuid.NAMESPACE_DNS, "b")), [], {}),
+    ]
+    df = dataclasses_to_df(spark, rows, DocRow)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id", "run_id", "mentions", "tags",
+    ]
+    back = sorted(df_to_dataclasses(df, DocRow), key=lambda r: r.doc_id)
+    assert back == rows
