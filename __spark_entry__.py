@@ -1051,6 +1051,43 @@ def _q_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_md5(docs)
 
 
+_SIMHASH_PAIRS_SQL = f"""
+WITH sig AS ({_SIMHASH_MD5_SQL}),
+bands AS (
+  SELECT doc_id, sig_hi, sig_lo, u.i AS band_idx,
+         CASE u.i WHEN 0 THEN sig_hi // 65536
+                  WHEN 1 THEN sig_hi % 65536
+                  WHEN 2 THEN sig_lo // 65536
+                  ELSE sig_lo % 65536 END AS band_val
+  FROM sig, unnest(range(0, 4)) AS u(i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.sig_hi AS ha, a.sig_lo AS la, b.sig_hi AS hb, b.sig_lo AS lb
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS BIGINT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+"""
+
+
+@_register("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs WITHOUT the O(n²) Hamming scan:
+    pigeonhole banding (4×16-bit bands — a pair within distance ≤3
+    must agree exactly on ≥1 band) makes candidate generation an
+    equi-join; only candidates pay the popcount verify. Completes the
+    simhash family: signatures (dedup_simhash_md5 / fast xxhash64
+    twin) → blocked pair generation."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=3)
+
+
 # -- chunking: fixed windows (chunker.py:92-112; expression-only) -------------
 
 _CHUNK_SIZE, _CHUNK_OVERLAP = 200, 50

@@ -520,3 +520,63 @@ def embedding_cosine_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def simhash_near_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash distance, without the O(n²)
+    scan: pigeonhole banding — the 64-bit signature splits into four
+    16-bit bands, and any pair within Hamming distance ≤ 3 must agree
+    exactly on at least one band (4 bands, ≤3 flipped bits), so
+    candidate generation is an equi-join on (band_idx, band_value)
+    and only candidates pay the popcount verify. Same
+    blocked-not-all-pairs shape as the MinHash LSH path; band count
+    is the recall dial (k+1 bands guarantee distance ≤ k).
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair.
+    """
+    sigs = simhash_md5(docs, id_col, text_col)
+    b16 = F.lit(1 << 16).cast("long")
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        "sig_hi",
+        "sig_lo",
+        F.posexplode(
+            F.array(
+                (F.col("sig_hi") / b16).cast("long"),
+                F.pmod(F.col("sig_hi"), b16),
+                (F.col("sig_lo") / b16).cast("long"),
+                F.pmod(F.col("sig_lo"), b16),
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig_hi").alias("ha"),
+            F.col("a.sig_lo").alias("la"),
+            F.col("b.sig_hi").alias("hb"),
+            F.col("b.sig_lo").alias("lb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(
+        F.col("ha").bitwiseXOR(F.col("hb"))
+    ) + F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+    return (
+        cand.withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

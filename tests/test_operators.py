@@ -774,3 +774,37 @@ def test_indexed_pq_equals_adhoc_pq(spark, tmp_path, sf_dir):
     assert [(r["vec_id"], r["score"]) for r in got] == [
         (r["vec_id"], r["score"]) for r in want
     ]
+
+
+def test_simhash_banding_complete_vs_brute_force(spark, sf_dir):
+    """Pigeonhole guarantee: the banded candidate join must find
+    EVERY pair within the Hamming threshold — compare against the
+    brute-force all-pairs scan on the small fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import dedup
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    banded = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()
+    }
+
+    sigs = dedup.simhash_md5(docs)
+    a, b = sigs.alias("a"), sigs.alias("b")
+    brute = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.bit_count(F.col("a.sig_hi").bitwiseXOR(F.col("b.sig_hi")))
+                + F.bit_count(F.col("a.sig_lo").bitwiseXOR(F.col("b.sig_lo")))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert banded == brute and len(brute) > 0
