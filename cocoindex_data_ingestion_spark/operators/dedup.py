@@ -527,6 +527,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash distance, without the O(n²)
     scan: pigeonhole banding — the 64-bit signature splits into four
@@ -538,9 +539,31 @@ def simhash_near_pairs(
     is the recall dial (k+1 bands guarantee distance ≤ k).
 
     Returns (id_a, id_b, hamming) with id_a < id_b, one row per pair.
+
+    ``hash_fn``: ``"md5"`` is the oracle-portable signature
+    (simhash_md5, 32-bit halves); ``"xxhash64"`` is the production
+    one (simhash64, one JVM hash per token instead of an md5 + 64
+    bit-probes) — same banding, no DuckDB twin (same contract as
+    minhash_buckets' hash_fn).
     """
-    sigs = simhash_md5(docs, id_col, text_col)
     b16 = F.lit(1 << 16).cast("long")
+    if hash_fn == "xxhash64":
+        sigs = docs.select(
+            F.col(id_col), simhash64(F.col(text_col)).alias("sig")
+        ).select(
+            id_col,
+            # unsigned 16-bit slices of the signed 64-bit signature
+            F.shiftrightunsigned("sig", 48).alias("h3"),
+            F.shiftrightunsigned("sig", 32).bitwiseAND(F.lit(0xFFFF)).alias("h2"),
+            F.shiftrightunsigned("sig", 16).bitwiseAND(F.lit(0xFFFF)).alias("h1"),
+            F.col("sig").bitwiseAND(F.lit(0xFFFF)).alias("h0"),
+        ).select(
+            id_col,
+            (F.col("h3") * b16 + F.col("h2")).alias("sig_hi"),
+            (F.col("h1") * b16 + F.col("h0")).alias("sig_lo"),
+        )
+    else:
+        sigs = simhash_md5(docs, id_col, text_col)
     banded = sigs.select(
         F.col(id_col).alias("id"),
         "sig_hi",
