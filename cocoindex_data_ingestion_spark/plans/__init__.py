@@ -2,6 +2,12 @@
 src/execution/*)."""
 
 from cocoindex_data_ingestion_spark.plans.flow import Flow, FlowScope
-from cocoindex_data_ingestion_spark.plans.incremental import IncrementalRunner
+from cocoindex_data_ingestion_spark.plans.incremental import (
+    BucketedParquetState, IncrementalRunner,
+)
+from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
 
-__all__ = ["Flow", "FlowScope", "IncrementalRunner"]
+__all__ = [
+    "BucketedParquetState", "Flow", "FlowScope", "IncrementalRunner",
+    "MaterializedAgg",
+]

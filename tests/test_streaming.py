@@ -327,3 +327,60 @@ def test_ordinal_upsert_tws_matches_apply_in_pandas(spark, tmp_path):
         )
     assert results["tws"] == results["aip"]
     assert [t[3] for t in results["tws"]] == ["click", "open"]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data policy: an event older than (max event time −
+    watermark) arriving in a LATER micro-batch must be excluded from
+    the windowed aggregate (append mode only finalizes windows below
+    the watermark; the late row lands in none)."""
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+
+    def _write(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts_s string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        df.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+            .coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    import time as _time
+
+    def _w(rows):
+        _write(rows)
+        _time.sleep(1.2)  # distinct mtimes → deterministic file order
+
+    # batch 0: advances max event time to 12:00 (watermark 11:50
+    # AFTER this batch)
+    _w([(1, "2024-01-01 10:00:30", 1, "view", 1.0, "{}"),
+        (2, "2024-01-01 12:00:00", 1, "view", 1.0, "{}")])
+    # batch 1: spacer — Spark filters late INPUT with the PREVIOUS
+    # batch's watermark (eviction uses the current one), so the
+    # 11:50 threshold only applies to input from batch 2 onward
+    _w([(4, "2024-01-01 12:30:00", 1, "view", 1.0, "{}")])
+    # batch 2: the LATE event for the long-finalized 10:00 window
+    _w([(3, "2024-01-01 10:01:00", 1, "late", 5.0, "{}")])
+    # batch 3: push event time far ahead so every open window closes
+    _w([(5, "2024-01-01 15:00:00", 1, "view", 1.0, "{}")])
+
+    stream = se.read_events_stream(spark, str(in_dir), max_files_per_trigger=1)
+    counts = se.windowed_counts(stream, window="5 minutes", watermark="10 minutes")
+    q = (
+        counts.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    _run_to_completion(q)
+    rows = spark.sql(
+        "SELECT window_start, n_events, sum_value FROM late_counts"
+        " ORDER BY window_start"
+    ).collect()
+    by_start = {str(r.window_start): (r.n_events, r.sum_value) for r in rows}
+    # the 10:00 window finalized with ONLY event 1 — the late event 3
+    # (value 5.0) was dropped, not merged and not re-emitted
+    assert by_start["2024-01-01 10:00:00"] == (1, 1.0)
+    assert not any(v[1] == 5.0 for v in by_start.values())
