@@ -47,6 +47,14 @@ def get_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # size post-shuffle partitions to the DATA (advisory bytes),
+        # not to the core count: the default parallelism-first policy
+        # refuses to coalesce below #cores, so small-per-shuffle
+        # stages keep 32 near-empty reduce tasks whose scheduling
+        # overhead dominates (measured ~15% across the mid-size
+        # suite). At 100 TB the advisory-size policy is also the
+        # right one — tasks stay ~64 MB regardless of cluster width.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
