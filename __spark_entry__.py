@@ -4530,6 +4530,67 @@ def _q_reach_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         """)
 
 
+_EDGE_CACHE: dict[str, str] = {}
+
+
+def _ensure_cosupply_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the capped co-supply edge table once per sf_dir —
+    the graph analogue of _ensure_index (a production deployment
+    keeps the edge list as a table maintained incrementally; every
+    traversal then starts from it instead of re-deriving edges from
+    the fact table)."""
+    import tempfile
+
+    if sf_dir not in _EDGE_CACHE:
+        li = _t(spark, sf_dir, "lineitem")
+        per_order = li.groupBy("l_orderkey").agg(
+            F.collect_set("l_suppkey").alias("sups")
+        )
+        pairs = per_order.select(
+            F.explode("sups").alias("src"), F.col("sups")
+        ).select(
+            "src",
+            F.explode(F.filter("sups", lambda x: x != F.col("src"))).alias("dst"),
+        )
+        edges = (
+            pairs.groupBy("src")
+            .agg(
+                F.slice(
+                    F.sort_array(F.collect_set("dst")), 1, _REACH_FANOUT
+                ).alias("dsts")
+            )
+            .select("src", F.explode("dsts").alias("dst"))
+        )
+        path = tempfile.mkdtemp(prefix="spark_graft_edges_")
+        edges.write.mode("overwrite").parquet(path)
+        _EDGE_CACHE[sf_dir] = path
+    return _EDGE_CACHE[sf_dir]
+
+
+@_register("indexed_graph_reachability", _REACH_CTE_SQL)
+def _q_indexed_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE reachability over the PREBUILT edge table: the
+    per-query cost is the recursion itself (seeds × fanout^depth
+    walks over a 1-edge-per-row parquet read), with the edge
+    derivation amortized like any index build. Same oracle and
+    results as graph_reachability_cte."""
+    edges = spark.read.parquet(_ensure_cosupply_edges(spark, sf_dir))
+    edges.createOrReplaceTempView("_reach_edges_idx")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("_reach_supplier_idx")
+    return spark.sql("""
+        WITH RECURSIVE reach(node, depth) AS (
+          SELECT CAST(s_suppkey AS BIGINT) AS node, 0 AS depth
+          FROM _reach_supplier_idx WHERE s_suppkey <= 3
+          UNION ALL
+          SELECT e.dst AS node, reach.depth + 1 AS depth
+          FROM reach JOIN _reach_edges_idx e ON e.src = reach.node
+          WHERE reach.depth < 2
+        )
+        SELECT node, MIN(depth) AS min_depth, COUNT(*) AS n_walks
+        FROM reach GROUP BY node
+        """)
+
+
 # -- §2.3 ParseJson via the VARIANT type --------------------------------------
 
 # The reference's ParseJson (src/ops/functions/parse_json.rs) produces

@@ -69,6 +69,7 @@ HEADLINE = [
     "vector_knn_lsh_multiprobe",
     "indexed_vector_knn_lsh_multiprobe",
     "graph_reachability_cte",
+    "indexed_graph_reachability",
     "json_variant_extract",
     "bpe_token_count",
 ]
@@ -89,7 +90,8 @@ SMALL_RESULT = {
     "vector_knn_pq",
     "indexed_vector_knn_pq",
     "vector_knn_lsh_multiprobe", "indexed_vector_knn_lsh_multiprobe",
-    "graph_reachability_cte", "json_variant_extract",
+    "graph_reachability_cte", "indexed_graph_reachability",
+    "json_variant_extract",
     # pure projections: count() would prune the per-doc work away
     # entirely (Catalyst column pruning), measuring a metadata count
     "bpe_token_count", "text_profile",
