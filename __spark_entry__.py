@@ -4619,6 +4619,35 @@ def _q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- training-pipeline: weight-proportional sampling --------------------------
+
+_WSAMPLE_K = 200
+
+_WSAMPLE_SQL = f"""
+SELECT doc_id, n_chars,
+       (( ('0x' || substr(md5('wsmp' || '#' || doc_id::VARCHAR), 1, 8))::BIGINT
+          + 1 ) / 4294967296.0) / n_chars AS priority
+FROM documents
+WHERE n_chars > 0
+ORDER BY priority ASC, doc_id ASC
+LIMIT {_WSAMPLE_K}
+"""
+
+
+@_register("curate_weighted_sample", _WSAMPLE_SQL)
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional corpus sampling (sequential Poisson /
+    Ohlsson πps): priority = u / weight with a deterministic
+    md5-derived uniform, keep the k smallest. One correctly-rounded
+    IEEE divide per row — priorities are bit-identical in Spark and
+    DuckDB, so the selected SET matches exactly. Longer (higher
+    n_chars) documents are proportionally more likely to be kept —
+    the length-weighted sampling used when token budget, not doc
+    count, is the constraint."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.weighted_sample(docs, "n_chars", "doc_id", k=_WSAMPLE_K)
+
+
 # -- training-pipeline: BPE-ish token counting --------------------------------
 
 # Same pattern string, two regex engines: lookahead-free so Java

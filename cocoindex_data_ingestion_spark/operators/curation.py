@@ -274,3 +274,43 @@ def resolve_duplicates(
         F.count("*").alias("n_members"),
         F.max(q).alias("max_quality"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "wsmp",
+) -> DataFrame:
+    """Deterministic weight-proportional sample: sequential Poisson
+    sampling (Ohlsson) — priority = u / w with u a uniform draw, keep
+    the k smallest priorities; inclusion probability is approximately
+    proportional to weight (the standard πps estimator used by
+    production corpus/survey samplers).
+
+    Determinism across engines: u = (hash32 + 1) / 2^32 from the
+    md5-derived 32-bit integer (exact in a double), and the priority
+    is ONE correctly-rounded IEEE divide — no pow/ln, whose last-ulp
+    results differ between engines. Priorities are therefore
+    bit-identical in Spark and DuckDB, so the top-k SET matches, not
+    just approximately. A pure narrow projection + TakeOrderedAndProject:
+    no shuffle beyond the top-k combine at any corpus size.
+    """
+    h32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + "#"), F.col(key_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h32 + F.lit(1)).cast("double") / F.lit(float(1 << 32))
+    pr = u / F.col(weight_col).cast("double")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(key_col), F.col(weight_col), pr.alias("priority"))
+        .orderBy(F.col("priority").asc(), F.col(key_col).asc())
+        .limit(k)
+    )

@@ -215,3 +215,24 @@ def test_decontaminate_window_path_matches_array_path(spark):
     assert sorted((r.doc_id, r.gram_h) for r in array_side) == sorted(
         (r.doc_id, r.gram_h) for r in window_side
     )
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Sequential Poisson sampling: inclusion probability tracks the
+    weight — a 100x-weight group must dominate the kept set, and the
+    result is deterministic."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import curation
+
+    rows = [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    kept = curation.weighted_sample(df, "w", "id", k=200)
+    ids = [r["id"] for r in kept.collect()]
+    heavy = sum(1 for i in ids if i % 2 == 0)
+    assert heavy > 180  # ~99% expected from 100:1 odds across equal pools
+    # deterministic: second run identical
+    assert ids == [r["id"] for r in curation.weighted_sample(df, "w", "id", k=200).collect()]
+    # zero/negative weights excluded
+    df2 = spark.createDataFrame([(1, 0.0), (2, 5.0)], "id long, w double")
+    assert [r["id"] for r in curation.weighted_sample(df2, "w", "id", 10).collect()] == [2]
