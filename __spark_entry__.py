@@ -586,6 +586,64 @@ GROUP BY user_id, session_id
 """
 
 
+# Native-operator twin: Spark's built-in session_window must produce
+# the SAME sessions as the lag-gap islands construction (start = first
+# event, end = last event + gap). The islands SQL is the oracle.
+_SESSION_WINDOW_SQL = f"""
+WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+l AS (
+  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+  FROM o
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR us - prev > {_SESSION_GAP_MIN * 60 * 1000000}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM l
+),
+s AS (
+  SELECT *, sum(new_sess) OVER (
+    PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM f
+)
+SELECT user_id,
+       min(us) AS session_start_us,
+       max(us) + {_SESSION_GAP_MIN * 60 * 1000000} AS session_end_us,
+       count(*) AS n_events,
+       {_S("value", 2)} AS sum_value
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
+@_register("events_session_window_native", _SESSION_WINDOW_SQL)
+def _q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE ``session_window`` operator
+    (the streaming-capable merging-session-state path) — proven
+    session-for-session identical to the hand-rolled lag-gap islands
+    formulation the oracle computes. The native operator is what a
+    streaming deployment uses (it merges windows in the state store);
+    the islands form is the batch/SQL-portable twin."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("sw"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            stable_sum(F.col("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("sw.start")).alias("session_start_us"),
+            F.unix_micros(F.col("sw.end")).alias("session_end_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 @_register("events_sessionize", _SESSIONIZE_SQL)
 def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
