@@ -90,3 +90,49 @@ def test_hash_embedder_series_properties():
     assert out[3] == [0.0] * 32
     # bag-of-words: reordering tokens preserves the vector (sum)
     assert [round(a, 12) for a in out[0]] == [round(b, 12) for b in out[2]]
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                     max_size=6, unique=True),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)  # each op is a Spark write
+def test_bucketed_state_model_based(spark, tmp_path_factory, ops):
+    """Model check: an arbitrary upsert/delete sequence against
+    BucketedParquetState must equal the same sequence applied to a
+    plain dict — state contents, not just no-crash."""
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState,
+    )
+
+    path = tmp_path_factory.mktemp("bstate_model")
+    st_ = BucketedParquetState(
+        spark, str(path), "k string, v long", key_col="k", n_buckets=4
+    )
+    model: dict[str, int] = {}
+    version = 0
+    for kind, keys in ops:
+        version += 1
+        if kind == "upsert":
+            rows = [(f"k{i}", version * 100 + i) for i in keys]
+            st_.merge(spark.createDataFrame(rows, "k string, v long"))
+            for i in keys:
+                model[f"k{i}"] = version * 100 + i
+        else:
+            st_.merge(
+                spark.createDataFrame([], "k string, v long"),
+                delete_keys=spark.createDataFrame(
+                    [(f"k{i}",) for i in keys], "k string"
+                ),
+            )
+            for i in keys:
+                model.pop(f"k{i}", None)
+    got = {r["k"]: r["v"] for r in st_.read().collect()}
+    assert got == model
