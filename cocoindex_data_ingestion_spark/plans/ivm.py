@@ -19,10 +19,14 @@ of the same tracking/state machinery:
   buckets. Cost per refresh: O(|delta| + touched buckets), never
   O(corpus).
 - Maintainable aggregates here: ``count``, ``sum`` (and anything
-  derivable: avg = sum/count). min/max are NOT delta-maintainable
-  under deletes without an argmin rescan; a deployment keeps them
-  eventually-consistent or recomputes affected groups — documented
-  rather than faked.
+  derivable: avg = sum/count), plus ``min``/``max`` with the classic
+  split strategy: inserts merge with ``least``/``greatest`` (pure
+  delta work), while deletes trigger a **recompute of the affected
+  groups only** from the base table (min/max are not invertible —
+  removing the current extremum requires the runner-up). The
+  recompute reads base rows for the deleted groups (a pushed-down
+  predicate; partition pruning when the base is laid out by group),
+  never the whole corpus.
 
 Merging partials is associative + commutative, so the refresh result
 is independent of delta batching/order — the equivalence contract
@@ -52,14 +56,21 @@ class MaterializedAgg:
         path: str,
         group_col: str,
         sum_cols: tuple[str, ...] = (),
+        minmax_cols: tuple[str, ...] = (),
         n_buckets: int = 32,
     ):
         self.spark = spark
         self.group_col = group_col
         self.sum_cols = sum_cols
+        self.minmax_cols = minmax_cols
         schema = ", ".join(
             [f"{group_col} string", "n bigint"]
             + [f"sum_{c} double" for c in sum_cols]
+            + [
+                f"{agg}_{c} double"
+                for c in minmax_cols
+                for agg in ("min", "max")
+            ]
         )
         self.state = BucketedParquetState(
             spark, path, schema, key_col=group_col, n_buckets=n_buckets
@@ -78,10 +89,25 @@ class MaterializedAgg:
         )
 
     def refresh(
-        self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
+        self,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+        base: DataFrame | None = None,
     ) -> None:
         """Fold one delta batch into the view. ``deletes`` rows must
-        carry the same columns as inserts (the rows being removed)."""
+        carry the same columns as inserts (the rows being removed).
+
+        ``base`` — the CURRENT full relation (after this batch's
+        deltas are applied) — is required only when ``minmax_cols``
+        are maintained and ``deletes`` is non-empty: deleted groups'
+        min/max are recomputed from the base rows of those groups
+        alone (semi-join → pushed-down group predicate), since an
+        extremum removal needs the runner-up."""
+        if self.minmax_cols and deletes is not None and base is None:
+            raise ValueError(
+                "min/max maintenance needs `base` to recompute deleted"
+                " groups (extrema are not invertible)"
+            )
         parts = []
         if inserts is not None:
             parts.append(self._partials(inserts, +1))
@@ -102,19 +128,78 @@ class MaterializedAgg:
         # bucket-pruned read of ONLY the affected groups' current rows
         current = self.state.read_keys(delta.select(self.group_col))
         g = self.group_col
-        merged = (
-            current.alias("c")
-            .join(delta.alias("d"), g, "full_outer")
-            .select(
-                F.col(g),
-                (F.coalesce(F.col("c.n"), F.lit(0))
-                 + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-                *[
-                    (F.coalesce(F.col(f"c.{a}"), F.lit(0.0))
-                     + F.coalesce(F.col(f"d.{a}"), F.lit(0.0))).alias(a)
-                    for a in sum_aliases
-                ],
-            )
+        mm_aliases = [
+            f"{agg}_{c}" for c in self.minmax_cols for agg in ("min", "max")
+        ]
+        mm_cols: list = []
+        if self.minmax_cols:
+            # inserts merge with least/greatest; deleted groups are
+            # overridden by a recompute over base rows of those groups
+            ins_mm = None
+            if inserts is not None:
+                ins_mm = inserts.groupBy(
+                    F.col(g).cast("string").alias(g)
+                ).agg(
+                    *[
+                        agg_fn(F.col(c).cast("double")).alias(f"i_{agg}_{c}")
+                        for c in self.minmax_cols
+                        for agg, agg_fn in (("min", F.min), ("max", F.max))
+                    ]
+                )
+            re_mm = None
+            if deletes is not None:
+                del_groups = deletes.select(
+                    F.col(g).cast("string").alias(g)
+                ).distinct()
+                re_mm = (
+                    base.withColumn(g, F.col(g).cast("string"))
+                    .join(del_groups, g, "left_semi")
+                    .groupBy(g)
+                    .agg(
+                        *[
+                            agg_fn(F.col(c).cast("double")).alias(f"r_{agg}_{c}")
+                            for c in self.minmax_cols
+                            for agg, agg_fn in (("min", F.min), ("max", F.max))
+                        ]
+                    )
+                )
+            for c in self.minmax_cols:
+                for agg, comb in (("min", F.least), ("max", F.greatest)):
+                    a = f"{agg}_{c}"
+                    cur_v = F.col(f"c.{a}")
+                    ins_v = F.col(f"i.i_{a}") if ins_mm is not None else F.lit(None)
+                    fresh = F.coalesce(comb(cur_v, ins_v), cur_v, ins_v)
+                    if re_mm is not None:
+                        # recomputed value wins for deleted groups —
+                        # including NULL-out when the group emptied
+                        # (row then dropped by the n<=0 filter anyway)
+                        fresh = F.when(
+                            F.col("_recomputed"), F.col(f"r.r_{a}")
+                        ).otherwise(fresh)
+                    mm_cols.append(fresh.alias(a))
+
+        joined = current.alias("c").join(delta.alias("d"), g, "full_outer")
+        if self.minmax_cols and inserts is not None:
+            joined = joined.join(ins_mm.alias("i"), g, "left_outer")
+        if self.minmax_cols and deletes is not None:
+            joined = joined.join(
+                re_mm.withColumn("_rec", F.lit(True)).alias("r"),
+                g,
+                "left_outer",
+            ).withColumn("_recomputed", F.coalesce(F.col("r._rec"), F.lit(False)))
+        elif self.minmax_cols:
+            joined = joined.withColumn("_recomputed", F.lit(False))
+
+        merged = joined.select(
+            F.col(g),
+            (F.coalesce(F.col("c.n"), F.lit(0))
+             + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+            *[
+                (F.coalesce(F.col(f"c.{a}"), F.lit(0.0))
+                 + F.coalesce(F.col(f"d.{a}"), F.lit(0.0))).alias(a)
+                for a in sum_aliases
+            ],
+            *mm_cols,
         )
         upserts = merged.filter(F.col("n") > 0)
         gone = merged.filter(F.col("n") <= 0).select(g)

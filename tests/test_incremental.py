@@ -443,3 +443,55 @@ def test_ivm_matches_full_recompute(spark, tmp_path):
     # idempotence of an empty refresh
     view.refresh()
     assert {(r["g"], r["n"], r["sum_x"]) for r in view.read().collect()} == expect
+
+
+def test_ivm_minmax_maintenance(spark, tmp_path):
+    """min/max IVM: inserts merge via least/greatest; deleting a
+    group's extremum triggers the targeted recompute and surfaces the
+    runner-up — result equals the one-shot aggregate at every step."""
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+
+    rows = [(i, "g%d" % (i % 2), float(i)) for i in range(20)]
+    full = spark.createDataFrame(rows, "id long, g string, x double")
+
+    view = MaterializedAgg(
+        spark, str(tmp_path / "mm"), group_col="g", sum_cols=("x",),
+        minmax_cols=("x",), n_buckets=4,
+    )
+    view.refresh(inserts=full.filter("id < 10"))
+    view.refresh(inserts=full.filter("id >= 10"))
+
+    def check(base):
+        expect = {
+            (r["g"], r["n"], r["sx"], r["mn"], r["mx"])
+            for r in base.groupBy("g").agg(
+                F.count("*").alias("n"), F.sum("x").alias("sx"),
+                F.min("x").alias("mn"), F.max("x").alias("mx"),
+            ).collect()
+        }
+        got = {
+            (r["g"], r["n"], r["sum_x"], r["min_x"], r["max_x"])
+            for r in view.read().collect()
+        }
+        assert got == expect, (got, expect)
+
+    check(full)
+
+    # delete both extrema of g0 (ids 0 and 18) + a middle row of g1
+    deleted_ids = (0, 18, 5)
+    view.refresh(
+        deletes=full.filter(F.col("id").isin(*deleted_ids)),
+        base=full.filter(~F.col("id").isin(*deleted_ids)),
+    )
+    check(full.filter(~F.col("id").isin(*deleted_ids)))
+
+    # inserting a new global max merges without touching base
+    extra = spark.createDataFrame([(99, "g0", 99.0)], "id long, g string, x double")
+    view.refresh(inserts=extra)
+    check(full.filter(~F.col("id").isin(*deleted_ids)).unionByName(extra))
+
+    # refusing deletes without base when min/max maintained
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="needs `base`"):
+        view.refresh(deletes=extra)
