@@ -72,6 +72,8 @@ HEADLINE = [
     "indexed_graph_reachability",
     "json_variant_extract",
     "bpe_token_count",
+    "curate_weighted_sample",
+    "events_session_window_native",
 ]
 
 SMALL_RESULT = {
@@ -92,6 +94,7 @@ SMALL_RESULT = {
     "vector_knn_lsh_multiprobe", "indexed_vector_knn_lsh_multiprobe",
     "graph_reachability_cte", "indexed_graph_reachability",
     "json_variant_extract",
+    "curate_weighted_sample",
     # pure projections: count() would prune the per-doc work away
     # entirely (Catalyst column pruning), measuring a metadata count
     "bpe_token_count", "text_profile",
