@@ -146,3 +146,49 @@ def test_bpe_pretokenizer_semantics(spark):
     assert [t for t in toks_b if t.strip()] == ["leading", "and", "trailing"]
     assert n_b == 3
     assert out["c"][1] == 0
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
+    """Z-order clustering: per-file min/max spread must be small in
+    EVERY interleaved dimension (the property parquet min/max
+    pruning exploits), unlike a single-column sort which leaves the
+    other dimension's spread at full range."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.functions.layout import (
+        write_zordered, zorder_key,
+    )
+
+    n = 128
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("a"), (F.col("id") / n).cast("long").alias("b")
+    )
+
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "lin")
+    write_zordered(grid, zdir, ["a", "b"], bits=7, max_records_per_file=1024)
+    (
+        grid.repartitionByRange(16, "a").sortWithinPartitions("a")
+        .write.option("maxRecordsPerFile", 1024).parquet(ldir)
+    )
+
+    def spreads(path):
+        df = spark.read.parquet(path).withColumn("f", F.input_file_name())
+        rows = df.groupBy("f").agg(
+            (F.max("a") - F.min("a")).alias("sa"),
+            (F.max("b") - F.min("b")).alias("sb"),
+        ).collect()
+        import statistics
+        return (statistics.mean(r["sa"] for r in rows),
+                statistics.mean(r["sb"] for r in rows))
+
+    z_a, z_b = spreads(zdir)
+    l_a, l_b = spreads(ldir)
+    # z-order: BOTH dimensions bounded (~sqrt(file_rows) cells)
+    assert z_a <= 48 and z_b <= 48, (z_a, z_b)
+    # linear sort: the unsorted dimension spans (almost) full range
+    assert l_b > 100, l_b
+    # sanity: z-values themselves are monotone in the interleave
+    vals = grid.select(zorder_key(["a", "b"], bits=7).alias("z")).agg(
+        F.countDistinct("z")
+    ).collect()[0][0]
+    assert vals == n * n  # bijective on the grid
