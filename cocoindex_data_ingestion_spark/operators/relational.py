@@ -192,3 +192,37 @@ def sessionize(
         "session_id",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     ).drop("new_sess")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the manual fallback when the small
+    side is too big to broadcast AND AQE's skew-join splitting can't
+    engage (e.g. the skew is concentrated in one un-splittable
+    build-side partition, or AQE is off).
+
+    LEFT (the skewed fact side) gets a deterministic per-row salt in
+    [0, n_salts); RIGHT is replicated n_salts times; the join runs on
+    (key, salt), spreading each hot key over ``n_salts`` reducers.
+    Row multiset is IDENTICAL to the plain join (each left row meets
+    each matching right row exactly once — at its own salt), which is
+    the equivalence contract tests pin. Cost: right side is read
+    n_salts times heavier — size the salt count to the skew factor,
+    not higher.
+
+    The salt is hash-derived from the full left row id space (not
+    rand()), so retries/replays salt identically — safe inside
+    foreachBatch."""
+    salt_vals = F.array(*[F.lit(i) for i in range(n_salts)])
+    l = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    )
+    r = right.withColumn("_salt", F.explode(salt_vals))
+    out = l.join(r, [on, "_salt"], how)
+    return out.drop("_salt")

@@ -383,17 +383,28 @@ class BucketedParquetState:
             f" {max_retries} times — giving up"
         )
 
-    def _gc_unreferenced(self) -> None:
+    def vacuum(self, include_recent: bool = False) -> list[str]:
+        """Explicit vacuum for operational hygiene. The conservative
+        form equals the automatic post-commit GC; ``include_recent``
+        ALSO removes unreferenced generations in the recent-seq
+        window — the garbage a crashed writer leaves (data written,
+        commit never claimed). Only call that form when no writers
+        are active: an in-flight writer's uncommitted generation is
+        indistinguishable from crash garbage."""
+        return self._gc_unreferenced(include_recent=include_recent)
+
+    def _gc_unreferenced(self, include_recent: bool = False) -> list[str]:
         """Retention-aware vacuum (run after every commit): delete
-        bucket dirs referenced by NO retained manifest, but never
-        touch generations whose seq is within the retained window —
-        those may belong to retained snapshots (time travel) or to
-        in-flight writers racing on recent seqs. Bounded garbage: a
-        replaced bucket survives at most ``_MANIFEST_RETAIN``
-        commits."""
+        bucket dirs referenced by NO retained manifest, but (unless
+        ``include_recent``) never touch generations whose seq is
+        within the retained window — those may belong to retained
+        snapshots (time travel) or to in-flight writers racing on
+        recent seqs. Bounded garbage: a replaced bucket survives at
+        most ``_MANIFEST_RETAIN`` commits."""
+        removed: list[str] = []
         seqs = self._manifest_seqs()
         if not seqs:
-            return
+            return removed
         min_seq = seqs[0]
         referenced: set[tuple[str, int]] = set()
         for s in seqs:
@@ -410,16 +421,19 @@ class BucketedParquetState:
                 gseq = int(d.split("_")[1])
             except (IndexError, ValueError):
                 gseq = None
-            if gseq is not None and gseq >= min_seq:
+            if not include_recent and gseq is not None and gseq >= min_seq:
                 continue
             gdir = os.path.join(self.path, d)
             for bd in os.listdir(gdir):
                 if bd.startswith("_bucket=") and (
                     d, int(bd.split("=")[1])
                 ) not in referenced:
-                    shutil.rmtree(os.path.join(gdir, bd), ignore_errors=True)
+                    target = os.path.join(gdir, bd)
+                    shutil.rmtree(target, ignore_errors=True)
+                    removed.append(target)
             if not os.listdir(gdir):
                 os.rmdir(gdir)
+        return removed
 
 
 class IncrementalRunner:

@@ -192,3 +192,24 @@ def test_zorder_layout_bounds_both_dimensions(spark, tmp_path):
         F.countDistinct("z")
     ).collect()[0][0]
     assert vals == n * n  # bijective on the grid
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join must produce the exact row multiset of the plain
+    join (the salt only changes physical distribution)."""
+    from cocoindex_data_ingestion_spark.operators.relational import salted_join
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_quantity")
+    o = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = sorted(
+        (r["l_orderkey"], r["l_quantity"], r["o_totalprice"])
+        for r in li.join(o, "l_orderkey").collect()
+    )
+    salted = sorted(
+        (r["l_orderkey"], r["l_quantity"], r["o_totalprice"])
+        for r in salted_join(li, o, "l_orderkey", n_salts=8).collect()
+    )
+    assert salted == plain

@@ -495,3 +495,28 @@ def test_ivm_minmax_maintenance(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="needs `base`"):
         view.refresh(deletes=extra)
+
+
+def test_vacuum_removes_crashed_writer_garbage(spark, tmp_path):
+    """A generation written but never committed (crashed writer) is
+    spared by the conservative vacuum and removed by
+    vacuum(include_recent=True); referenced data is never touched."""
+    import os
+
+    st = _mk_state(spark, tmp_path)
+    # simulate a crashed writer: data written, manifest never claimed
+    orphan = os.path.join(st.path, "gen_99_deadbeef")
+    os.makedirs(os.path.join(orphan, "_bucket=0"))
+    with open(os.path.join(orphan, "_bucket=0", "part-0.parquet"), "wb") as f:
+        f.write(b"junk")
+
+    assert st.vacuum() == []  # conservative: recent seq spared
+    assert os.path.exists(orphan)
+
+    removed = st.vacuum(include_recent=True)
+    assert any("gen_99_deadbeef" in p for p in removed)
+    assert not os.path.exists(orphan)
+
+    # committed state untouched and fully readable
+    rows = {r["k"]: r["v"] for r in st.read().collect()}
+    assert len(rows) == 64
