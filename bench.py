@@ -95,9 +95,10 @@ SMALL_RESULT = {
     "graph_reachability_cte", "indexed_graph_reachability",
     "json_variant_extract",
     "curate_weighted_sample",
-    # pure projections: count() would prune the per-doc work away
-    # entirely (Catalyst column pruning), measuring a metadata count
-    "bpe_token_count", "text_profile",
+    # pure projections / row-count-preserving plans: count() would
+    # prune the measured work away entirely (Catalyst column
+    # pruning), leaving a metadata row count
+    "bpe_token_count", "text_profile", "curate_pack_sequences",
 }
 
 
