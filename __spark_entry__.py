@@ -43,6 +43,7 @@ from cocoindex_data_ingestion_spark.operators import (
     fusion,
     graph as graph_ops,
     hybrid,
+    quality,
     relational,
     text_analysis,
     vector_search,
@@ -4881,6 +4882,184 @@ def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count("*").alias("n_triangles")).crossJoin(
         und.agg(F.count("*").alias("n_edges"))
     )
+
+
+# -- quality filters: Gopher repetition + unigram NLL (quality.py) ------------
+
+# Shared oracle scaffolding: 1-based token positions via zipped unnest,
+# then lead-windows build word n-grams — the DuckDB twin of the
+# posexplode + lead shape used by quality.repetition_profile and
+# curation.decontaminate.
+_QPOS_SQL = f"""
+arr AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS token,
+               unnest(generate_series(1, len(toks))) AS pos
+        FROM arr)
+"""
+
+_QUALITY_REP_SQL = f"""
+WITH
+{_QPOS_SQL},
+g AS (SELECT doc_id, pos, token,
+             lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+ntk AS (SELECT doc_id, count(*) AS n_tokens FROM pos GROUP BY 1),
+bigc AS (SELECT doc_id, token || ' ' || t1 AS g2, count(*) AS c
+         FROM g WHERE t1 IS NOT NULL GROUP BY 1, 2),
+topb AS (SELECT doc_id, max(c) AS topc FROM bigc GROUP BY 1),
+tri AS (SELECT doc_id, count(*) AS tot,
+               count(DISTINCT token || ' ' || t1 || ' ' || t2) AS dst
+        FROM g WHERE t2 IS NOT NULL GROUP BY 1),
+runs AS (SELECT doc_id, max(c) AS max_run FROM (
+           SELECT doc_id, token, grp, count(*) AS c FROM (
+             SELECT doc_id, token,
+                    pos - row_number() OVER (
+                      PARTITION BY doc_id, token ORDER BY pos) AS grp
+             FROM pos)
+           GROUP BY 1, 2, 3)
+         GROUP BY 1),
+m AS (
+  SELECT ntk.doc_id, ntk.n_tokens,
+         {_R("coalesce(2.0 * topb.topc / ntk.n_tokens, 0.0)", 4)} AS top_bigram_frac,
+         {_R("coalesce(1.0 - CAST(tri.dst AS DOUBLE) / tri.tot, 0.0)", 4)} AS dup_trigram_frac,
+         coalesce(runs.max_run, 0) AS max_run
+  FROM ntk LEFT JOIN topb USING (doc_id)
+           LEFT JOIN tri USING (doc_id)
+           LEFT JOIN runs USING (doc_id))
+SELECT doc_id, n_tokens, top_bigram_frac, dup_trigram_frac, max_run,
+       (top_bigram_frac <= {quality.TOP_BIGRAM_MAX}
+        AND dup_trigram_frac <= {quality.DUP_TRIGRAM_MAX}
+        AND max_run <= {quality.MAX_RUN_MAX}) AS keep
+FROM m
+"""
+
+
+@_register("quality_repetition", _QUALITY_REP_SQL)
+def _q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filter (Rae et al. 2021 §A1.1):
+    per-doc top-bigram coverage, duplicate-trigram share, and longest
+    same-token run, with the keep/drop decision. The corpus-level
+    generalization of the reference's text-quality heuristics
+    (app/utils/entity_quality.py:94-267)."""
+    return quality.repetition_profile(_t(spark, sf_dir, "documents"))
+
+
+_QUALITY_NLL_SQL = f"""
+WITH
+{_QPOS_SQL},
+vocab AS (SELECT token, count(*) AS cnt FROM pos GROUP BY 1),
+tot AS (SELECT sum(cnt) AS tot FROM vocab),
+nll AS (SELECT token, -ln(CAST(cnt AS DOUBLE) / tot) AS nll FROM vocab, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       {_A("nll.nll", 4)} AS avg_nll
+FROM pos JOIN nll USING (token)
+GROUP BY doc_id
+"""
+
+
+@_register("quality_unigram_logprob", _QUALITY_NLL_SQL)
+def _q_quality_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score (CCNet-shape): mean negative
+    log-probability of each document's tokens under the corpus
+    unigram distribution — high tail = gibberish/atypical docs. The
+    vocabulary aggregate is broadcast-sized by construction; the
+    token stream crosses one doc-keyed exchange."""
+    return quality.unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+# -- winnowing fingerprints: substring-level near-dup (dedup.py) --------------
+
+_WINNOW_K = 4  # tokens per gram
+_WINNOW_W = 4  # gram hashes per selection window
+_WINNOW_DFCAP = 50
+
+_WINNOW_SQL = f"""
+WITH
+{_QPOS_SQL},
+g AS (SELECT doc_id, pos, token,
+             lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2,
+             lead(token, 3) OVER w AS t3
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, pos,
+                 md5(token || ' ' || t1 || ' ' || t2 || ' ' || t3) AS h
+          FROM g WHERE t3 IS NOT NULL),
+wn AS (SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+              count(*) OVER (PARTITION BY doc_id) AS ng
+       FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= ng - {_WINNOW_W - 1}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WINNOW_DFCAP}),
+ffps AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+sizes AS (SELECT doc_id, count(*) AS n_fp FROM ffps GROUP BY 1),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+          FROM ffps a JOIN ffps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared,
+       {_R("n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE)", 4)} AS overlap
+FROM pairs JOIN sizes sa ON sa.doc_id = pairs.id_a
+           JOIN sizes sb ON sb.doc_id = pairs.id_b
+"""
+
+
+@_register("dedup_winnow_overlap", _WINNOW_SQL)
+def _q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-duplicate detection via winnowing
+    fingerprints (Schleimer et al., SIGMOD 2003): any shared
+    contiguous span of >= w+k-1 tokens is guaranteed a common
+    fingerprint — the copy-paste/span dedup the bag-based MinHash
+    family can't see. Inverted-index join on df-capped fingerprints;
+    containment score on the min side."""
+    return dedup.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        df_cap=_WINNOW_DFCAP,
+    )
+
+
+# -- cluster-balanced sampling over IVF cells (curation.py) -------------------
+
+_CBAL_CAP = 25
+_CBAL_COS = cosine_sim_sql("e.embedding::DOUBLE[]", "c.cvec")
+
+_CBAL_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id <> 0
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_CBAL_COS} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+ranked AS (
+  SELECT vec_id, cent_id,
+         row_number() OVER (
+           PARTITION BY cent_id
+           ORDER BY {curation.hash_rank_sql("vec_id", "cbal")}, vec_id
+         ) AS rk
+  FROM assign
+)
+SELECT vec_id, cent_id FROM ranked WHERE rk <= {_CBAL_CAP}
+"""
+
+
+@_register("curate_cluster_balance", _CBAL_SQL)
+def _q_curate_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-diversity rebalancing: nearest-coarse-centroid
+    assignment (the IVF quantizer as a topic model) with a
+    deterministic hash-ranked quota per cell — head topics trimmed
+    to the cap, tail topics intact (MassiveWeb/SemDeDup-family
+    curation). Broadcast + max_by assignment, one window per cell."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return curation.cluster_balance(emb, stride=_IVF_STRIDE, cap=_CBAL_CAP)
 
 
 # ------------------------------------------------------------- driver surface

@@ -314,3 +314,49 @@ def weighted_sample(
         .orderBy(F.col("priority").asc(), F.col(key_col).asc())
         .limit(k)
     )
+
+
+def cluster_balance(
+    emb: DataFrame,
+    stride: int = 37,
+    cap: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "cbal",
+) -> DataFrame:
+    """Cluster-balanced corpus sampling: assign every embedding to its
+    nearest coarse centroid (the IVF coarse quantizer doubling as a
+    topic model) and keep at most ``cap`` vectors per cell, chosen by
+    deterministic hash rank — the standard semantic-diversity
+    rebalancing pass (head topics are down-sampled to the cap, tail
+    topics survive intact), e.g. DeepMind's MassiveWeb cluster
+    filtering or SemDeDup-style pruning with the dedup step replaced
+    by per-cell quotas.
+
+    Returns kept rows ``(id, cent_id)``.
+
+    Scale: centroid table is stride-sampled (broadcast-sized by
+    construction); assignment is vector_search.ivf_assign's
+    broadcast + ``max_by`` aggregation (N rows cross the exchange,
+    not N·K); the quota is one ``row_number`` window per cell keyed
+    by ``cent_id``. Nothing all-pairs, nothing collected.
+    """
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.operators.vector_search import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(emb, stride, vec_col, id_col)
+    assigned = ivf_assign(
+        emb.select(id_col, vec_col), cents, vec_col, id_col
+    ).select(id_col, "cent_id")
+    qw = Window.partitionBy("cent_id").orderBy(
+        hash_rank(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        assigned.withColumn("_rk", F.row_number().over(qw))
+        .filter(F.col("_rk") <= cap)
+        .select(id_col, "cent_id")
+    )

@@ -603,3 +603,114 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): hash every word ``k``-gram, slide a window of ``w``
+    consecutive gram hashes, keep each window's minimum — the selected
+    set is position-robust and guarantees that any shared span of at
+    least ``w + k - 1`` tokens contributes at least one common
+    fingerprint (the local-algorithm guarantee the MinHash signature
+    cannot give: MinHash sees bag overlap, winnowing sees *contiguous
+    spans*, i.e. copy-paste / substring-level duplication).
+
+    Returns distinct ``(id, fp)`` rows.
+
+    Plan shape: posexplode → ``lead`` windows build grams in codegen
+    (same as curation.decontaminate) → one ordered window per doc
+    computes the sliding min — everything is partitioned by ``id``,
+    so at corpus scale it is a single token-level exchange keyed by
+    document, no cross-document data movement at all. md5 is the
+    engine-portable gram hash (hex strings min-compare like the
+    128-bit integers they encode).
+    """
+    from pyspark.sql import Window
+
+    pos = docs.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(ow) for i in range(1, k)]
+    grams = (
+        pos.withColumn("_last", parts[-1])
+        .withColumn("h", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "pos", "h")
+    )
+    sel = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    cnt = Window.partitionBy(id_col)
+    return (
+        grams.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.min("h").over(sel).alias("fp"),
+            F.count("*").over(cnt).alias("_ng"),
+        )
+        # only full windows: the trailing w-1 positions see truncated
+        # windows whose minima depend on document length, breaking the
+        # guarantee (and cross-engine agreement on the boundary)
+        .filter(F.col("pos") <= F.col("_ng") - (w - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 4,
+    df_cap: int = 50,
+    min_shared: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Substring-level near-duplicate pairs by shared winnowing
+    fingerprints: ``(id_a, id_b, n_shared, overlap)`` with
+    ``overlap = n_shared / min(|fps_a|, |fps_b|)`` (containment — the
+    right asymmetry-robust score for partial copies).
+
+    Scale: the pair join is an inverted-index join on the fingerprint
+    (cost Σ_fp df², like ngram_jaccard_pairs), with promiscuous
+    fingerprints dropped at ``df_cap`` docs — a boilerplate span
+    shared by thousands of documents would otherwise quadratically
+    dominate; exact boilerplate is the cheaper exact_dedup's job.
+    """
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    rare = (
+        fps.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("fp")
+    )
+    fps = fps.join(rare, "fp")
+    sizes = fps.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("nb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_shared",
+            stable_round(
+                F.col("n_shared") / F.least("na", "nb").cast("double"), 4
+            ).alias("overlap"),
+        )
+    )

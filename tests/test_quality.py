@@ -1,0 +1,145 @@
+"""Quality filters (operators/quality.py) + winnowing dedup +
+cluster-balanced sampling.
+
+Oracle parity for all four queries is covered by
+tools/check_correctness.py / the stability probe; these tests pin the
+operator-level semantics on hand-built inputs where the right answer
+is computable by eye.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.operators import curation, dedup, quality
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionProfile:
+    def test_metrics_on_known_doc(self, spark):
+        # "a b a b a b" : top bigram "a b" x3 of 5 bigrams, 6 tokens
+        # -> top_bigram_frac = 2*3/6 = 1.0; trigrams: "a b a" x2,
+        # "b a b" x2 -> 4 total 2 distinct -> dup = 0.5; max_run 1
+        out = quality.repetition_profile(
+            _docs(spark, [(1, "a b a b a b")])
+        ).collect()[0]
+        assert out.n_tokens == 6
+        assert out.top_bigram_frac == 1.0
+        assert out.dup_trigram_frac == 0.5
+        assert out.max_run == 1
+        assert not out.keep
+
+    def test_max_run_counts_consecutive_only(self, spark):
+        out = quality.repetition_profile(
+            _docs(spark, [(1, "x x x y x zz ww qq rr ss tt uu vv")])
+        ).collect()[0]
+        assert out.max_run == 3
+
+    def test_diverse_doc_kept(self, spark):
+        text = " ".join(f"tok{i}" for i in range(40))
+        out = quality.repetition_profile(_docs(spark, [(1, text)])).collect()[0]
+        assert out.top_bigram_frac == pytest.approx(2 / 40)
+        assert out.dup_trigram_frac == 0.0
+        assert out.max_run == 1
+        assert out.keep
+
+    def test_single_token_doc_degenerates_to_zero_metrics(self, spark):
+        out = quality.repetition_profile(_docs(spark, [(1, "hello")])).collect()[0]
+        assert out.n_tokens == 1
+        assert out.top_bigram_frac == 0.0
+        assert out.dup_trigram_frac == 0.0
+        assert out.max_run == 1
+
+
+class TestUnigramLogprob:
+    def test_uniform_corpus_uniform_nll(self, spark):
+        import math
+
+        # 4 tokens, each appearing once -> every doc avg_nll = ln(4)
+        out = quality.unigram_logprob(
+            _docs(spark, [(1, "aa bb"), (2, "cc dd")])
+        ).collect()
+        for r in out:
+            assert r.avg_nll == pytest.approx(math.log(4), abs=1e-3)
+
+    def test_rare_token_doc_scores_higher(self, spark):
+        common = " ".join(["the"] * 20)
+        out = {
+            r.doc_id: r.avg_nll
+            for r in quality.unigram_logprob(
+                _docs(spark, [(1, common), (2, "rare words here")])
+            ).collect()
+        }
+        assert out[2] > out[1]
+
+
+class TestWinnowing:
+    def test_shared_span_guarantee(self, spark):
+        # Guarantee: a shared contiguous span of >= w+k-1 = 7 tokens
+        # yields at least one common fingerprint.
+        span = "alpha beta gamma delta epsilon zeta eta"
+        d1 = "one two three " + span + " four five six"
+        d2 = "seven eight nine ten " + span + " eleven"
+        pairs = dedup.winnow_overlap_pairs(
+            _docs(spark, [(1, d1), (2, d2)]), k=4, w=4
+        ).collect()
+        assert len(pairs) == 1
+        assert pairs[0].n_shared >= 1
+        assert 0 < pairs[0].overlap <= 1.0
+
+    def test_disjoint_docs_share_nothing(self, spark):
+        d1 = " ".join(f"a{i}" for i in range(20))
+        d2 = " ".join(f"b{i}" for i in range(20))
+        pairs = dedup.winnow_overlap_pairs(
+            _docs(spark, [(1, d1), (2, d2)]), k=4, w=4
+        ).collect()
+        assert pairs == []
+
+    def test_fingerprints_subset_of_gram_hashes(self, spark):
+        # Winnowing selects minima of gram-hash windows: every
+        # fingerprint is some gram's hash, and far fewer than all.
+        text = " ".join(f"w{i % 13}" for i in range(60))
+        docs = _docs(spark, [(1, text)])
+        fps = dedup.winnow_fingerprints(docs, k=4, w=4)
+        n_fps = fps.count()
+        n_grams = 60 - 3
+        assert 0 < n_fps < n_grams
+
+    def test_df_cap_drops_boilerplate_fingerprint(self, spark):
+        # The same text in 4 docs: with df_cap=3 every shared
+        # fingerprint has df=4 > cap, so no pairs survive.
+        text = " ".join(f"c{i}" for i in range(12))
+        docs = _docs(spark, [(i, text) for i in range(1, 5)])
+        assert (
+            dedup.winnow_overlap_pairs(docs, k=4, w=4, df_cap=3).collect() == []
+        )
+        assert (
+            dedup.winnow_overlap_pairs(docs, k=4, w=4, df_cap=10).count() == 6
+        )  # all C(4,2) pairs
+
+
+class TestClusterBalance:
+    @pytest.fixture(scope="class")
+    def emb(self, spark, sf_dir):
+        from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+        return load_table(spark, "embeddings", sf_dir).filter(
+            F.col("vec_id") != 0
+        )
+
+    def test_cap_enforced_and_tail_intact(self, spark, emb):
+        kept = curation.cluster_balance(emb, stride=11, cap=3)
+        per_cell = kept.groupBy("cent_id").count().collect()
+        assert all(r["count"] <= 3 for r in per_cell)
+        # deterministic: same result on re-run
+        again = curation.cluster_balance(emb, stride=11, cap=3)
+        assert sorted(map(tuple, kept.collect())) == sorted(
+            map(tuple, again.collect())
+        )
+
+    def test_cap_infinity_keeps_everything(self, spark, emb):
+        n = emb.count()
+        kept = curation.cluster_balance(emb, stride=11, cap=10**9)
+        assert kept.count() == n
