@@ -74,6 +74,11 @@ HEADLINE = [
     "bpe_token_count",
     "curate_weighted_sample",
     "events_session_window_native",
+    # round-3 additions: quality filters, winnowing, cluster balance
+    "quality_repetition",
+    "quality_unigram_logprob",
+    "dedup_winnow_overlap",
+    "curate_cluster_balance",
 ]
 
 SMALL_RESULT = {
@@ -99,6 +104,10 @@ SMALL_RESULT = {
     # prune the measured work away entirely (Catalyst column
     # pruning), leaving a metadata row count
     "bpe_token_count", "text_profile", "curate_pack_sequences",
+    # per-doc profiles / bounded pair and sample sets: collect keeps
+    # the column computations in the measured plan
+    "quality_repetition", "quality_unigram_logprob",
+    "dedup_winnow_overlap", "curate_cluster_balance",
 }
 
 

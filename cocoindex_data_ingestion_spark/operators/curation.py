@@ -323,6 +323,7 @@ def cluster_balance(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     salt: str = "cbal",
+    assign: str = "numpy",
 ) -> DataFrame:
     """Cluster-balanced corpus sampling: assign every embedding to its
     nearest coarse centroid (the IVF coarse quantizer doubling as a
@@ -340,6 +341,13 @@ def cluster_balance(
     broadcast + ``max_by`` aggregation (N rows cross the exchange,
     not N·K); the quota is one ``row_number`` window per cell keyed
     by ``cent_id``. Nothing all-pairs, nothing collected.
+
+    ``assign``: ``"numpy"`` (default) is the Arrow-batched BLAS argmax
+    the IVF index build uses (~100x the interpreted expression cosine,
+    which Spark can't codegen); ``"expr"`` keeps the pure-expression
+    path whose arithmetic is bit-identical to the DuckDB oracle. Same
+    cell membership either way barring ~1-ulp centroid ties (the
+    ivf_knn equivalence contract; re-asserted in test_quality).
     """
     from pyspark.sql import Window
 
@@ -349,9 +357,18 @@ def cluster_balance(
     )
 
     cents = ivf_centroids(emb, stride, vec_col, id_col)
-    assigned = ivf_assign(
-        emb.select(id_col, vec_col), cents, vec_col, id_col
-    ).select(id_col, "cent_id")
+    if assign == "numpy":
+        from cocoindex_data_ingestion_spark.operators.indexing import (
+            _ivf_assign_numpy,
+        )
+
+        assigned = _ivf_assign_numpy(
+            emb.select(id_col, vec_col), cents, vec_col, id_col
+        ).select(id_col, "cent_id")
+    else:
+        assigned = ivf_assign(
+            emb.select(id_col, vec_col), cents, vec_col, id_col
+        ).select(id_col, "cent_id")
     qw = Window.partitionBy("cent_id").orderBy(
         hash_rank(F.col(id_col), salt), F.col(id_col)
     )

@@ -682,7 +682,13 @@ def winnow_overlap_pairs(
     shared by thousands of documents would otherwise quadratically
     dominate; exact boilerplate is the cheaper exact_dedup's job.
     """
-    fps = winnow_fingerprints(docs, k, w, id_col, text_col)
+    # The fingerprint pipeline (explode + two windows + distinct) feeds
+    # FOUR consumers below (df-cap, both join sides, sizes); without a
+    # materialization Spark re-derives it per branch — measured 5x the
+    # work at sf0.1 (same lesson as the reachability edge build).
+    fps = winnow_fingerprints(docs, k, w, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     rare = (
         fps.groupBy("fp")
         .agg(F.count("*").alias("df"))

@@ -143,3 +143,10 @@ class TestClusterBalance:
         n = emb.count()
         kept = curation.cluster_balance(emb, stride=11, cap=10**9)
         assert kept.count() == n
+
+    def test_numpy_and_expr_assignment_agree(self, spark, emb):
+        fast = curation.cluster_balance(emb, stride=11, cap=5, assign="numpy")
+        slow = curation.cluster_balance(emb, stride=11, cap=5, assign="expr")
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )

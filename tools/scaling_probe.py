@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 from cocoindex_data_ingestion_spark.operators import (
-    bm25, curation, dedup, hybrid, indexing, text_analysis, vector_search,
+    bm25, curation, dedup, hybrid, indexing, quality, text_analysis,
+    vector_search,
 )
 from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
 from cocoindex_data_ingestion_spark.session import get_spark
@@ -152,6 +153,20 @@ def main() -> None:
         ).collect()
         t["bpe_count"] = time.time() - t0
 
+        t0 = time.time()
+        quality.repetition_profile(docs).count()
+        t["quality_rep"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.winnow_overlap_pairs(docs, df_cap=50).count()
+        t["winnow_pairs"] = time.time() - t0
+
+        t0 = time.time()
+        curation.cluster_balance(
+            emb.filter("vec_id <> 0"), stride=37, cap=25
+        ).count()
+        t["cluster_bal"] = time.time() - t0
+
         # IVM: one-time init grows with the corpus; a FIXED-size delta
         # refresh against the grown state is the pass criterion — it
         # must stay ~flat (O(delta + touched buckets), not O(state))
@@ -177,7 +192,8 @@ def main() -> None:
            "bm25_indexed", "knn_indexed_lsh", "knn_indexed_ivf",
            "knn_indexed_pq", "hybrid_indexed", "rerank_indexed",
            "dedup_exact", "minhash_edges", "lineitem_agg",
-           "decontaminate", "bpe_count", "ivm_init", "ivm_refresh"]
+           "decontaminate", "bpe_count", "quality_rep", "winnow_pairs",
+           "cluster_bal", "ivm_init", "ivm_refresh"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
