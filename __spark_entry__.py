@@ -5091,6 +5091,159 @@ def _q_curate_cluster_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.cluster_balance(emb, stride=_IVF_STRIDE, cap=_CBAL_CAP)
 
 
+# -- SemDeDup: within-cell semantic near-dup drop (dedup.py) ------------------
+
+_SEMDEDUP_T = 0.3
+_COS_AB_CELL = cosine_sim_sql("ea.embedding::DOUBLE[]", "eb.embedding::DOUBLE[]")
+
+_SEMDEDUP_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id <> 0
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_CBAL_COS} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT b.vec_id, b.cent_id, a.vec_id AS id_a, {_COS_AB_CELL} AS cos
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+),
+hits AS (
+  SELECT vec_id, cent_id, id_a, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY id_a ASC) AS rn
+  FROM pairs WHERE cos >= {_SEMDEDUP_T}
+)
+SELECT vec_id, cent_id, id_a AS witness, {_R("cos", 4)} AS cos_sim
+FROM hits WHERE rn = 1
+"""
+
+
+@_register("dedup_semantic_cells", _SEMDEDUP_SQL)
+def _q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): IVF-cell clustering + within-cell
+    cosine keep-first drop — semantic near-duplicates (paraphrases)
+    that exact/MinHash/winnowing dedup cannot see. Cell-local
+    pairwise cost, BLAS assignment, exact expression cosine on
+    pairs."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    return dedup.semantic_dedup_cells(
+        emb, stride=_IVF_STRIDE, threshold=_SEMDEDUP_T
+    )
+
+
+# -- winnowing components: span-duplicate groups ------------------------------
+
+_WINNOW_MIN_SHARED = 2
+
+_WINNOW_COMPONENTS_SQL = f"""
+WITH
+{_QPOS_SQL},
+g AS (SELECT doc_id, pos, token,
+             lead(token, 1) OVER w AS t1, lead(token, 2) OVER w AS t2,
+             lead(token, 3) OVER w AS t3
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, pos,
+                 md5(token || ' ' || t1 || ' ' || t2 || ' ' || t3) AS h
+          FROM g WHERE t3 IS NOT NULL),
+wn AS (SELECT doc_id, pos,
+              min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp,
+              count(*) OVER (PARTITION BY doc_id) AS ng
+       FROM grams),
+fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE pos <= ng - {_WINNOW_W - 1}),
+rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= {_WINNOW_DFCAP}),
+ffps AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare USING (fp)),
+edges AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM ffps a JOIN ffps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING count(*) >= {_WINNOW_MIN_SHARED}),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  WITH RECURSIVE r(node_id, lbl) AS (
+    SELECT src, src FROM sym
+    UNION
+    SELECT s.src, r.lbl FROM sym s JOIN r ON s.dst = r.node_id
+  )
+  SELECT node_id, min(lbl) AS component FROM r GROUP BY node_id
+)
+SELECT node_id, component FROM reach
+"""
+
+
+@_register("dedup_winnow_components", _WINNOW_COMPONENTS_SQL)
+def _q_winnow_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-duplicate groups: connected components (min-label) over
+    the winnowing-overlap pair graph at >= _WINNOW_MIN_SHARED (2)
+    shared fingerprints — the grouping step that turns pairwise span
+    matches into copy-clusters for survivor election (same component
+    contract as dedup_minhash_components)."""
+    pairs = dedup.winnow_overlap_pairs(
+        _t(spark, sf_dir, "documents"),
+        k=_WINNOW_K,
+        w=_WINNOW_W,
+        df_cap=_WINNOW_DFCAP,
+        min_shared=_WINNOW_MIN_SHARED,
+    )
+    return dedup.connected_components(pairs.select("id_a", "id_b"))
+
+
+# -- sequence-length histogram for packing planners ---------------------------
+
+# bucket = floor(log2(n)) via the binary-string length: bit-exact in
+# any engine (float log2 is within 1 ulp of an integer at exact
+# powers of two and floor() would flip engine-to-engine)
+_LENHIST_SQL = f"""
+WITH counted AS (
+  SELECT len(list_filter(
+           regexp_extract_all(text, '{_BPE_RE_SQL}'),
+           t -> regexp_matches(t, '\\S'))) AS n_tokens
+  FROM documents
+)
+SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens
+FROM counted WHERE n_tokens > 0
+GROUP BY 1
+"""
+
+
+@_register("curate_length_histogram", _LENHIST_SQL)
+def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two histogram of per-document BPE-ish token counts —
+    the sizing report a sequence-packing planner reads to pick bin
+    capacity and bucket boundaries (pure Column arithmetic, one
+    scan + one tiny aggregation)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = text_analysis.bpe_token_count("text")
+    return (
+        docs.select(n.alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+        .groupBy(
+            (F.length(F.bin("n_tokens")) - 1).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -79,6 +79,8 @@ HEADLINE = [
     "quality_unigram_logprob",
     "dedup_winnow_overlap",
     "curate_cluster_balance",
+    "dedup_semantic_cells",
+    "curate_length_histogram",
 ]
 
 SMALL_RESULT = {
@@ -108,6 +110,7 @@ SMALL_RESULT = {
     # the column computations in the measured plan
     "quality_repetition", "quality_unigram_logprob",
     "dedup_winnow_overlap", "curate_cluster_balance",
+    "dedup_semantic_cells", "curate_length_histogram",
 }
 
 

@@ -324,6 +324,7 @@ def cluster_balance(
     vec_col: str = "embedding",
     salt: str = "cbal",
     assign: str = "numpy",
+    n_cells: int | None = None,
 ) -> DataFrame:
     """Cluster-balanced corpus sampling: assign every embedding to its
     nearest coarse centroid (the IVF coarse quantizer doubling as a
@@ -356,6 +357,12 @@ def cluster_balance(
         ivf_centroids,
     )
 
+    if n_cells is not None:
+        # fixed cell count: a constant stride makes K grow with N and
+        # the O(N*K) assignment quadratic (indexing.build_ivf_layout's
+        # lesson); real deployments size K ~ sqrt(N)
+        n = emb.count()
+        stride = max(1, -(-n // n_cells))
     cents = ivf_centroids(emb, stride, vec_col, id_col)
     if assign == "numpy":
         from cocoindex_data_ingestion_spark.operators.indexing import (

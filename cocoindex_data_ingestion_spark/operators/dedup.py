@@ -720,3 +720,91 @@ def winnow_overlap_pairs(
             ).alias("overlap"),
         )
     )
+
+
+def semantic_dedup_cells(
+    emb: DataFrame,
+    stride: int = 37,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign: str = "numpy",
+    n_cells: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster the corpus with the IVF coarse quantizer, then inside each
+    cell drop every vector that is cosine-similar (>= ``threshold``)
+    to a lower-id vector — the keep-first rule that removes semantic
+    near-duplicates (paraphrases, re-encodes) which exact and
+    bag-of-words dedup cannot see.
+
+    Returns the DROPPED rows ``(id, cent_id, witness, cos_sim)`` with
+    ``witness`` the smallest lower id that justified the drop; the
+    caller anti-joins to materialize the kept corpus.
+
+    Scale: the pairwise pass is cell-local (cost Σ_cell |cell|², the
+    SemDeDup contract — cells are balanced by construction, and the
+    cell count grows with the corpus so |cell| stays bounded);
+    assignment is the broadcast BLAS argmax (``assign="numpy"``) or
+    the oracle-arithmetic expression path (``"expr"``). Pair cosine is
+    always the exact expression form, so oracle parity rests only on
+    cell membership (the ivf_knn equivalence contract).
+    """
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+    from cocoindex_data_ingestion_spark.operators.vector_search import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    if n_cells is not None:
+        # fixed cell count (K ~ sqrt(N)): keeps assignment O(N*K) with
+        # bounded K AND bounds the within-cell pair cost: E|cell| =
+        # N/K, so sum-of-squares ~ N^2/K — pick K ~ N/const to hold
+        # per-cell size flat as the corpus grows
+        n = emb.count()
+        stride = max(1, -(-n // n_cells))
+    cents = ivf_centroids(emb, stride, vec_col, id_col)
+    if assign == "numpy":
+        from cocoindex_data_ingestion_spark.operators.indexing import (
+            _ivf_assign_numpy,
+        )
+
+        assigned = _ivf_assign_numpy(
+            emb.select(id_col, vec_col), cents, vec_col, id_col
+        )
+    else:
+        assigned = ivf_assign(
+            emb.select(id_col, vec_col), cents, vec_col, id_col
+        )
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
+    )
+    # keep-first: each dropped id_b's witness is its SMALLEST
+    # justifying id_a (min_by gets map-side partial aggregation)
+    return (
+        pairs.groupBy(F.col("id_b").alias(id_col), "cent_id")
+        .agg(
+            F.min_by(
+                F.struct(F.col("id_a"), F.col("_cos")), F.col("id_a")
+            ).alias("_w")
+        )
+        .select(
+            id_col,
+            "cent_id",
+            F.col("_w.id_a").alias("witness"),
+            stable_round(F.col("_w._cos"), 4).alias("cos_sim"),
+        )
+    )

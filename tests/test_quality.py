@@ -150,3 +150,78 @@ class TestClusterBalance:
         assert sorted(map(tuple, fast.collect())) == sorted(
             map(tuple, slow.collect())
         )
+
+
+class TestSemanticDedup:
+    def _emb(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    def test_keep_first_drops_higher_id(self, spark):
+        # ids 2 and 6 are identical vectors; centroid stride 2 makes
+        # ids {2,4,6} centroids, everyone lands in some cell, and the
+        # only >=0.99 pair is (2,6) -> 6 dropped with witness 2.
+        rows = [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (4, [0.0, 1.0, 0.0]),
+            (5, [0.0, 0.9, 0.1]),
+            (6, [0.9, 0.1, 0.0]),
+        ]
+        out = dedup.semantic_dedup_cells(
+            self._emb(spark, rows), stride=2, threshold=0.999
+        ).collect()
+        assert len(out) == 1
+        assert out[0].vec_id == 6 and out[0].witness == 2
+        assert out[0].cos_sim == 1.0
+
+    def test_below_threshold_drops_nothing(self, spark):
+        # orthogonal vectors: no pair reaches the threshold
+        out = dedup.semantic_dedup_cells(
+            self._emb(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]),
+            stride=1,
+            threshold=0.5,
+        ).collect()
+        assert out == []
+
+    def test_numpy_and_expr_agree_on_testdata(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).filter(
+            F.col("vec_id") != 0
+        )
+        fast = dedup.semantic_dedup_cells(
+            emb, stride=11, threshold=0.3, assign="numpy"
+        )
+        slow = dedup.semantic_dedup_cells(
+            emb, stride=11, threshold=0.3, assign="expr"
+        )
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        )
+
+    def test_winnow_components_chain(self, spark):
+        # doc 1 shares a long span with doc 2, doc 2 with doc 3 (a
+        # different span) -> one component labeled 1, even though
+        # docs 1 and 3 share nothing.
+        s1 = "alpha beta gamma delta epsilon zeta eta theta"
+        s2 = "iota kappa lambda mu nu xi omicron pi"
+        docs = spark.createDataFrame(
+            [
+                (1, "one two three " + s1),
+                (2, s1 + " filler words here " + s2),
+                (3, s2 + " four five six"),
+            ],
+            "doc_id long, text string",
+        )
+        pairs = dedup.winnow_overlap_pairs(docs, k=4, w=4, min_shared=1)
+        comp = {
+            r.node_id: r.component
+            for r in dedup.connected_components(
+                pairs.select("id_a", "id_b")
+            ).collect()
+        }
+        assert comp == {1: 1, 2: 1, 3: 1}

@@ -162,10 +162,19 @@ def main() -> None:
         t["winnow_pairs"] = time.time() - t0
 
         t0 = time.time()
+        # fixed cell count (K~sqrt-ish, not stride): constant stride
+        # grows K with N and turns the O(N*K) assignment quadratic —
+        # same scale rule as build_ivf_layout
         curation.cluster_balance(
-            emb.filter("vec_id <> 0"), stride=37, cap=25
+            emb.filter("vec_id <> 0"), cap=25, n_cells=256
         ).count()
         t["cluster_bal"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.semantic_dedup_cells(
+            emb.filter("vec_id <> 0"), threshold=0.3, n_cells=256
+        ).count()
+        t["semantic_dedup"] = time.time() - t0
 
         # IVM: one-time init grows with the corpus; a FIXED-size delta
         # refresh against the grown state is the pass criterion — it
@@ -193,7 +202,7 @@ def main() -> None:
            "knn_indexed_pq", "hybrid_indexed", "rerank_indexed",
            "dedup_exact", "minhash_edges", "lineitem_agg",
            "decontaminate", "bpe_count", "quality_rep", "winnow_pairs",
-           "cluster_bal", "ivm_init", "ivm_refresh"]
+           "cluster_bal", "semantic_dedup", "ivm_init", "ivm_refresh"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
