@@ -5244,6 +5244,56 @@ def _q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- temperature language rebalancing (curation.py) ---------------------------
+
+_TMIX_BUDGET = 200
+
+_TMIX_SQL = f"""
+WITH stats AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+tot AS (SELECT sum(n_l) AS n_total FROM stats),
+w AS (SELECT lang, n_l, sqrt(n_l / CAST(n_total AS DOUBLE)) AS w
+      FROM stats, tot),
+z AS (SELECT sum(CAST(floor(w * 1000000000.0 + 0.5) AS BIGINT)) / 1000000000.0 AS z
+      FROM w),
+cuts AS (
+  SELECT lang, n_l,
+         CAST(floor(least(1.0, {float(_TMIX_BUDGET)} * w / z / n_l)
+                    * 4294967296.0) AS BIGINT) AS cut
+  FROM w, z
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN cuts USING (lang)
+  WHERE ('0x' || {curation.hash_rank_sql("d.doc_id", "tmix")})::BIGINT < cut
+)
+SELECT c.lang, c.n_l AS n_docs,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM cuts c LEFT JOIN (SELECT lang, count(*) AS n_kept FROM kept GROUP BY 1) k
+  USING (lang)
+"""
+
+
+@_register("curate_temperature_mix", _TMIX_SQL)
+def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (p^0.5) language rebalancing under a document
+    budget — head languages down-sampled toward sqrt-share, tail
+    languages kept whole (mT5/XLM-R sampling). Reported per language
+    as (n_docs, n_kept); the kept set itself is the deterministic
+    hash filter in curation.temperature_mix."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = curation.temperature_mix(docs, budget=_TMIX_BUDGET)
+    stats = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    kc = kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+    return (
+        stats.join(kc, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

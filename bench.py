@@ -81,6 +81,7 @@ HEADLINE = [
     "curate_cluster_balance",
     "dedup_semantic_cells",
     "curate_length_histogram",
+    "curate_temperature_mix",
 ]
 
 SMALL_RESULT = {
@@ -111,6 +112,7 @@ SMALL_RESULT = {
     "quality_repetition", "quality_unigram_logprob",
     "dedup_winnow_overlap", "curate_cluster_balance",
     "dedup_semantic_cells", "curate_length_histogram",
+    "curate_temperature_mix",
 }
 
 

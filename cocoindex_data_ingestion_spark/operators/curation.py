@@ -384,3 +384,61 @@ def cluster_balance(
         .filter(F.col("_rk") <= cap)
         .select(id_col, "cent_id")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based language rebalancing (the mT5/XLM-R
+    p^alpha sampling rule at alpha = 0.5): sample each language
+    toward a share proportional to sqrt of its corpus share, so head
+    languages are down-weighted and tail languages survive, under a
+    total document ``budget``.
+
+    Keeps rows deterministically: per-language keep fraction
+    ``f_l = min(1, budget * w_l / (Z * n_l))`` with ``w_l =
+    sqrt(n_l / N)``, and a row is kept iff the integer value of its
+    8-hex-digit ``hash_rank`` is below ``floor(f_l * 2^32)`` — an
+    exact integer comparison, so the kept set is bit-identical across
+    engines/partitionings (no float threshold at the row level).
+    alpha is fixed at 0.5 because ``sqrt`` is IEEE correctly-rounded
+    in every engine while ``pow`` is not — the one choice that keeps
+    the per-language cut cross-engine exact. The normalizer Z sums
+    1e-9-quantized weights in integer space (stable_sum's trick) so
+    even the 4-row sum is order-independent.
+
+    Scale: two tiny aggregations (language cardinality) broadcast
+    back against the corpus — the row-level work is a broadcast-join
+    + pure filter, zero corpus shuffles (same contract as
+    weighted_mix, with the weights *computed from the data* instead
+    of supplied).
+    """
+    stats = docs.groupBy(lang_col).agg(F.count("*").alias("n_l"))
+    tot = stats.agg(F.sum("n_l").alias("n_total"))
+    w = stats.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.sqrt(F.col("n_l") / F.col("n_total"))
+    )
+    z = w.agg(
+        (
+            F.sum(F.floor(F.col("w") * F.lit(1e9) + F.lit(0.5)).cast("long"))
+            / F.lit(1e9)
+        ).alias("z")
+    )
+    cuts = w.crossJoin(F.broadcast(z)).select(
+        lang_col,
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.col("w") / F.col("z") / F.col("n_l"),
+            )
+            * F.lit(4294967296.0)
+        )
+        .cast("long")
+        .alias("cut"),
+    )
+    rank = F.conv(hash_rank(F.col(id_col), salt), 16, 10).cast("long")
+    return docs.join(F.broadcast(cuts), lang_col).filter(rank < F.col("cut"))

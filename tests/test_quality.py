@@ -203,6 +203,60 @@ class TestSemanticDedup:
             map(tuple, slow.collect())
         )
 
+    def test_blas_pair_path_matches_expression(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+        emb = load_table(spark, "embeddings", sf_dir).filter(
+            F.col("vec_id") != 0
+        )
+        expr = dedup.semantic_dedup_cells(
+            emb, stride=11, threshold=0.3, pair_compute="expr"
+        )
+        blas = dedup.semantic_dedup_cells(
+            emb, stride=11, threshold=0.3, pair_compute="numpy"
+        )
+        assert sorted(map(tuple, expr.collect())) == sorted(
+            map(tuple, blas.collect())
+        )
+
+    def test_temperature_mix_rebalances_toward_sqrt_share(self, spark):
+        import math
+
+        # 900 docs of lang A, 100 of lang B; budget 200.
+        # w_A = sqrt(.9)=.949, w_B = sqrt(.1)=.316, Z=1.265
+        # target_A = 200*.75 = 150, target_B = 200*.25 = 50
+        rows = [(i, "aa") for i in range(900)] + [
+            (i + 1000, "bb") for i in range(100)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = curation.temperature_mix(docs, budget=200)
+        by_lang = {
+            r.lang: r.n
+            for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        # hash sampling: expect target +- ~3 sigma (sqrt(target))
+        assert abs(by_lang["aa"] - 150) < 4 * math.sqrt(150)
+        assert abs(by_lang["bb"] - 50) < 4 * math.sqrt(50)
+        # head share dropped from 90% toward 75%
+        tot = by_lang["aa"] + by_lang["bb"]
+        assert by_lang["aa"] / tot < 0.85
+        # deterministic
+        again = curation.temperature_mix(docs, budget=200)
+        assert sorted(r.doc_id for r in kept.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+
+    def test_temperature_mix_keeps_tail_whole_when_budget_allows(self, spark):
+        # tiny tail language under a generous budget: fraction
+        # saturates at 1.0 and every tail doc survives
+        rows = [(i, "aa") for i in range(500)] + [(900 + i, "bb") for i in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, lang string")
+        kept = curation.temperature_mix(docs, budget=400)
+        n_bb = kept.filter(F.col("lang") == "bb").count()
+        assert n_bb == 5
+
     def test_winnow_components_chain(self, spark):
         # doc 1 shares a long span with doc 2, doc 2 with doc 3 (a
         # different span) -> one component labeled 1, even though

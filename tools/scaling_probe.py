@@ -171,8 +171,12 @@ def main() -> None:
         t["cluster_bal"] = time.time() - t0
 
         t0 = time.time()
+        # K ~ sqrt(N) balances O(N*K) assignment vs O(N^2/K) in-cell
+        # pairs; BLAS gram-matrix pair path (expr pairs measured 48 s
+        # at 50x -- the interpreted HOF cosine, not the plan shape)
         dedup.semantic_dedup_cells(
-            emb.filter("vec_id <> 0"), threshold=0.3, n_cells=256
+            emb.filter("vec_id <> 0"), threshold=0.3,
+            n_cells=max(64, int(n_vec ** 0.5)), pair_compute="numpy",
         ).count()
         t["semantic_dedup"] = time.time() - t0
 
