@@ -384,3 +384,45 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # (value 5.0) was dropped, not merged and not re-emitted
     assert by_start["2024-01-01 10:00:00"] == (1, 1.0)
     assert not any(v[1] == 5.0 for v in by_start.values())
+
+
+def test_streaming_quality_funnel_matches_batch(spark, tmp_path, sf_dir):
+    """Micro-batched corpus ingestion through the quality layer:
+    stream the documents table file-by-file, apply the repetition
+    keep/drop filter per batch via foreachBatch, and append survivors
+    to a parquet sink — the final kept set must equal the batch
+    filter (the quality profile is per-document, so it commutes with
+    micro-batching; this pins that contract)."""
+    from cocoindex_data_ingestion_spark.operators import quality
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    src = str(tmp_path / "docs_in")
+    out = str(tmp_path / "docs_kept")
+    docs.coalesce(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+    def _filter_batch(batch, batch_id):
+        kept = batch.join(
+            quality.repetition_profile(batch).filter("keep").select("doc_id"),
+            "doc_id",
+        )
+        kept.write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(_filter_batch).start()
+    _run_to_completion(q)
+
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    expected = sorted(
+        r.doc_id
+        for r in docs.join(
+            quality.repetition_profile(docs).filter("keep").select("doc_id"),
+            "doc_id",
+        ).collect()
+    )
+    assert got == expected and len(got) > 0
