@@ -4820,6 +4820,43 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_DISTINCT_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events
+WHERE event_id % 5 <> 0
+GROUP BY event_type
+"""
+
+
+@_register("ivm_distinct_agg", _IVM_DISTINCT_SQL)
+def _q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact incremental COUNT(DISTINCT user_id) per event_type via
+    the support-multiset view (plans/ivm.py::MaterializedDistinct) —
+    two insert batches then a delete batch (event_id % 5), never
+    rescanning the table; a user stays distinct while any of their
+    events' multiplicity survives. Oracle = one-shot SQL
+    count(DISTINCT) over the same final row set."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedDistinct
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    view = MaterializedDistinct(
+        spark,
+        tempfile.mkdtemp(prefix="ivm_distinct_"),
+        group_col="event_type",
+        value_col="user_id",
+    )
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))
+    view.refresh(deletes=ev.filter(F.col("event_id") % 5 == 0))
+    return view.read_counts().select(
+        "event_type", F.col("n_distinct").cast("long").alias("n_distinct")
+    )
+
+
 # -- mergeable sketch rollup (rows-only: DataSketches binary format) ----------
 
 

@@ -207,3 +207,102 @@ class MaterializedAgg:
 
     def read(self) -> DataFrame:
         return self.state.read()
+
+
+class MaterializedDistinct:
+    """``SELECT group_col, count(DISTINCT value_col) GROUP BY
+    group_col`` maintained exactly under insert/delete deltas.
+
+    ``count(DISTINCT)`` is not delta-mergeable from per-group partials
+    (two deltas can insert the same value) and sketches cannot
+    subtract, so the state is the **support multiset**: one row per
+    (group, value) with its multiplicity — the classical exact
+    construction. A refresh aggregates the delta to signed
+    per-(group, value) counts, bucket-prune-merges them into the
+    support, and drops rows whose multiplicity reaches 0; a value is
+    distinct-in-group exactly while its support row exists. Cost per
+    refresh: O(|delta| + touched buckets), never O(corpus).
+
+    ``read_counts`` aggregates the (already-deduplicated) support —
+    one scan of the support table, never of the base relation. NULL
+    values are excluded to match SQL ``count(DISTINCT)``.
+    """
+
+    _SEP = "\x1f"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str,
+        value_col: str,
+        n_buckets: int = 32,
+    ):
+        self.group_col = group_col
+        self.value_col = value_col
+        schema = f"k string, {group_col} string, {value_col} string, m bigint"
+        self.state = BucketedParquetState(
+            spark, path, schema, key_col="k", n_buckets=n_buckets
+        )
+
+    def _partials(self, delta: DataFrame, sign: int) -> DataFrame:
+        g, v = self.group_col, self.value_col
+        return (
+            delta.select(
+                F.col(g).cast("string").alias(g),
+                F.col(v).cast("string").alias(v),
+            )
+            .filter(F.col(v).isNotNull())
+            .groupBy(g, v)
+            .agg((F.lit(sign) * F.count("*")).cast("bigint").alias("m"))
+        )
+
+    def refresh(
+        self,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+    ) -> None:
+        parts = []
+        if inserts is not None:
+            parts.append(self._partials(inserts, +1))
+        if deletes is not None:
+            parts.append(self._partials(deletes, -1))
+        if not parts:
+            return
+        g, v = self.group_col, self.value_col
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = (
+            delta.groupBy(g, v)
+            .agg(F.sum("m").cast("bigint").alias("m"))
+            .withColumn("k", F.concat_ws(self._SEP, F.col(g), F.col(v)))
+        )
+        current = self.state.read_keys(delta.select("k"))
+        merged = (
+            current.alias("c")
+            .join(delta.alias("d"), "k", "full_outer")
+            .select(
+                "k",
+                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
+                F.coalesce(F.col(f"c.{v}"), F.col(f"d.{v}")).alias(v),
+                (
+                    F.coalesce(F.col("c.m"), F.lit(0))
+                    + F.coalesce(F.col("d.m"), F.lit(0))
+                ).alias("m"),
+            )
+        )
+        self.state.merge(
+            merged.filter(F.col("m") > 0),
+            delete_keys=merged.filter(F.col("m") <= 0).select("k"),
+        )
+
+    def read_support(self) -> DataFrame:
+        return self.state.read()
+
+    def read_counts(self) -> DataFrame:
+        return (
+            self.state.read()
+            .groupBy(self.group_col)
+            .agg(F.count("*").alias("n_distinct"))
+        )

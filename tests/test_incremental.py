@@ -520,3 +520,44 @@ def test_vacuum_removes_crashed_writer_garbage(spark, tmp_path):
     # committed state untouched and fully readable
     rows = {r["k"]: r["v"] for r in st.read().collect()}
     assert len(rows) == 64
+
+
+def test_ivm_distinct_multiplicity_semantics(spark, tmp_path):
+    """MaterializedDistinct: a value stays distinct while ANY copy of
+    it survives; the count drops only when its support multiplicity
+    reaches zero."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedDistinct
+
+    view = MaterializedDistinct(
+        spark, str(tmp_path / "md"), group_col="g", value_col="v", n_buckets=4
+    )
+    rows = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "a")], "g string, v string"
+    )
+    view.refresh(inserts=rows)
+    counts = {r.g: r.n_distinct for r in view.read_counts().collect()}
+    assert counts == {"g1": 2, "g2": 1}
+
+    one_a = spark.createDataFrame([("g1", "a")], "g string, v string")
+    view.refresh(deletes=one_a)  # multiplicity 2 -> 1: still distinct
+    counts = {r.g: r.n_distinct for r in view.read_counts().collect()}
+    assert counts == {"g1": 2, "g2": 1}
+
+    view.refresh(deletes=one_a)  # multiplicity 1 -> 0: gone
+    counts = {r.g: r.n_distinct for r in view.read_counts().collect()}
+    assert counts == {"g1": 1, "g2": 1}
+
+    # re-insert after emptying: distinct again (no tombstone leakage)
+    view.refresh(inserts=one_a)
+    counts = {r.g: r.n_distinct for r in view.read_counts().collect()}
+    assert counts == {"g1": 2, "g2": 1}
+
+    # NULL values are not counted (SQL count(DISTINCT) contract)
+    view.refresh(
+        inserts=spark.createDataFrame([("g3", None)], "g string, v string")
+    )
+    assert (
+        view.read_counts().filter(F.col("g") == "g3").count() == 0
+    )
