@@ -995,6 +995,25 @@ def _q_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(edges)
 
 
+@_register("dedup_components_star", _MINHASH_COMPONENTS_SQL)
+def _q_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same duplicate groups, computed with the alternating
+    large-star/small-star algorithm (Kiveris et al. SoCC'14) instead
+    of per-hop min-label propagation — the O(log² n)-round shape for
+    high-diameter graphs at 100 TB (label propagation needs a round
+    per hop of graph diameter; star contraction squares the
+    shrinkage each round). Identical (node_id, component) output,
+    same DuckDB recursive-closure oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    edges = dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+    return dedup.connected_components_star(edges)
+
+
 _JACCARD_N, _JACCARD_THRESHOLD, _JACCARD_MAX_DF = 3, 0.2, 100
 
 _SHINGLES_SQL = f"""

@@ -387,6 +387,110 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — the O(log² n)-round shape for graphs whose diameter
+    makes per-hop label propagation too deep at 100 TB scale.
+
+    Invariant per round (edge list kept symmetric-free as (u, v)
+    pairs with no orientation assumption):
+
+    - large-star: for every node u, link each *strictly larger*
+      neighbor v > u to m = min(Γ(u) ∪ {u}). Cuts long chains by
+      pointing big nodes at the locally-smallest.
+    - small-star: for every node u, link each neighbor v ≤ u (and u
+      itself) to m = min of that set. Flattens the stars.
+
+    Both steps preserve connectivity exactly and only ever decrease
+    the (sum of) parent pointers, so the fixpoint is the star graph
+    rooted at each component's min id — the identical (node_id,
+    component) contract as :func:`connected_components` (equivalence
+    pinned in test_operators). Each half-round is one groupBy
+    shuffle; lineage is truncated per round with localCheckpoint.
+    Convergence is detected from the round's own aggregate (edge
+    count + xor/sum fingerprint folded into the same job), not a
+    separate old-vs-new join.
+    """
+    # normalized undirected edge set (u < v), dropping self-loops
+    e = (
+        edges.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iterations):
+        # large-star: group neighborhoods of BOTH endpoints
+        sym = e.select("u", "v").unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        nbr_min = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        large = (
+            sym.join(nbr_min, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large-star output: for each u, neighbors
+        # that are <= u (under (u<v) normalization that's the v-side
+        # grouping), plus u itself, all linked to the min
+        smin = large.groupBy("v").agg(F.min("u").alias("m"))
+        small = (
+            large.join(smin, "v")
+            .select(F.col("u"), F.col("v"), F.col("m"))
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.least("u", "m").alias("u"),
+                            F.greatest("u", "m").alias("v"),
+                        ),
+                        F.struct(
+                            F.least("v", "m").alias("u"),
+                            F.greatest("v", "m").alias("v"),
+                        ),
+                    )
+                ).alias("p")
+            )
+            .select("p.u", "p.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # order-independent multiset fingerprint of the edge list,
+        # computed in the same job that materializes the checkpoint
+        # per-edge hash reduced mod 2^31 before summing: full-range
+        # xxhash64 longs overflow the ANSI sum at a few billion rows
+        fp = small.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("u", "v") % F.lit(2**31)).alias("h"),
+        ).first()
+        e = small
+        if prev_fp == (fp["n"], fp["h"]):
+            break
+        prev_fp = (fp["n"], fp["h"])
+    # fixpoint: e is a star graph (component_min, member); members plus
+    # the roots themselves form the label table
+    return (
+        e.select(F.col("v").alias("node_id"), F.col("u").alias("component"))
+        .unionByName(
+            e.select(F.col("u").alias("node_id"), F.col("u").alias("component"))
+        )
+        .groupBy("node_id")
+        .agg(F.min("component").alias("component"))
+    )
+
+
 def simhash64(col: Column | str) -> Column:
     """64-bit SimHash over tokens using xxhash64 bit votes.
 

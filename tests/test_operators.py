@@ -70,6 +70,32 @@ def test_connected_components_chain_and_star(spark):
     assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
 
 
+def test_connected_components_star_matches_propagation(spark):
+    # chain + star + isolated pair, then a random graph: the
+    # large-star/small-star fixpoint must produce the identical
+    # (node_id, component) labeling as min-label propagation
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comps = {r.node_id: r.component for r in
+             dedup.connected_components_star(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                     20: 20, 21: 20}
+
+    import random
+
+    rng = random.Random(7)
+    rand_edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    rand_edges = [(a, b) for a, b in rand_edges if a != b]
+    df = spark.createDataFrame(rand_edges, "id_a long, id_b long")
+    star = {(r.node_id, r.component)
+            for r in dedup.connected_components_star(df).collect()}
+    prop = {(r.node_id, r.component)
+            for r in dedup.connected_components(df).collect()}
+    assert star == prop
+
+
 def test_exact_dedup_groups(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")],
