@@ -657,6 +657,46 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SCD2 validity intervals (batch twin of the keyed-upsert stream) ----------
+
+_SCD2_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+g AS (
+  SELECT user_id, version, min(event_type) AS event_type,
+         min(us) AS valid_from_us, count(*) AS n_events
+  FROM r GROUP BY 1, 2
+)
+SELECT user_id, version, event_type, valid_from_us,
+       lead(valid_from_us) OVER wv AS valid_to_us,
+       n_events,
+       (lead(valid_from_us) OVER wv IS NULL) AS is_current
+FROM g WINDOW wv AS (PARTITION BY user_id ORDER BY version)
+"""
+
+
+@_register("events_scd2_history", _SCD2_SQL)
+def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history of each user's event_type timeline:
+    consecutive equal values collapse into [valid_from, valid_to)
+    intervals with is_current on the open one — point-in-time state
+    reconstruction over the events table (one shuffle on user_id)."""
+    return relational.scd2_history(_t(spark, sf_dir, "events"))
+
+
 # -- streaming-shape window aggs (Spark-native, FIXTURES.md §B) ---------------
 
 _TUMBLING_SQL = f"""
@@ -2293,6 +2333,40 @@ def _q_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars")
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .limit(20)
+    )
+
+
+# -- §2.6 fuzzy suggestions (suggestions endpoint + edit distance) ------------
+
+_SUGGEST_TERM = "hask"  # deliberate misspelling of a corpus term
+_SUGGEST_DIST = 2
+
+_SUGGEST_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({{toks}}) AS term FROM documents
+),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1)
+SELECT term, levenshtein(term, '{_SUGGEST_TERM}') AS dist, df
+FROM vocab
+WHERE length(term) BETWEEN {len(_SUGGEST_TERM) - _SUGGEST_DIST}
+      AND {len(_SUGGEST_TERM) + _SUGGEST_DIST}
+  AND levenshtein(term, '{_SUGGEST_TERM}') <= {_SUGGEST_DIST}
+ORDER BY dist ASC, df DESC, term ASC
+LIMIT 10
+"""
+
+
+@_register("suggest_fuzzy", _SUGGEST_SQL.format(toks=_BM25_TOKS_SQL))
+def _q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy spell suggestions: vocabulary terms within edit distance
+    2 of the (misspelled) query, ranked by (distance, df desc, term).
+    Levenshtein runs on the aggregated vocabulary behind a
+    length-band prune, never on the corpus."""
+    return text_analysis.fuzzy_suggest(
+        _t(spark, sf_dir, "documents"),
+        _SUGGEST_TERM,
+        max_dist=_SUGGEST_DIST,
+        k=10,
     )
 
 

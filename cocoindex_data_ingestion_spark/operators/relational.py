@@ -226,3 +226,53 @@ def salted_join(
     r = right.withColumn("_salt", F.explode(salt_vals))
     out = l.join(r, [on, "_salt"], how)
     return out.drop("_salt")
+
+
+def scd2_history(
+    events: DataFrame,
+    key_col: str = "user_id",
+    attr_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history: collapse each key's
+    attribute timeline into validity intervals
+    (version, attr, valid_from_us, valid_to_us, is_current) — the
+    warehouse-standard change-capture rollup a training-data pipeline
+    uses to reconstruct point-in-time state (and the batch twin of
+    the streaming keyed-upsert in streaming/events.py).
+
+    Gaps-and-islands via lag + running sum (two window passes over
+    ONE partitioning — a single shuffle on the key; Spark reuses the
+    sort between the two windows), then a groupBy on (key, version)
+    and a final lead over versions. At 100 TB the only movement is
+    the one shuffle on ``key_col``; all runs stay within partitions.
+    """
+    base = events.select(
+        F.col(key_col), F.col(id_col), ts_us(ts_col).alias("_us"), F.col(attr_col)
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    prev = F.lag(F.col(attr_col)).over(w)
+    chg = F.when(prev.isNull() | (prev != F.col(attr_col)), 1).otherwise(0)
+    runs = base.withColumn("_chg", chg).withColumn(
+        "version",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    grouped = runs.groupBy(key_col, "version").agg(
+        F.min(attr_col).alias(attr_col),
+        F.min("_us").alias("valid_from_us"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(key_col).orderBy(F.col("version").asc())
+    valid_to = F.lead("valid_from_us").over(wv)
+    return grouped.select(
+        key_col,
+        "version",
+        attr_col,
+        "valid_from_us",
+        valid_to.alias("valid_to_us"),
+        "n_events",
+        valid_to.isNull().alias("is_current"),
+    )

@@ -232,3 +232,48 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(
         F.filter(bpe_pretokens(col), lambda t: t.rlike(r"\S"))
     )
+
+
+def fuzzy_suggest(
+    docs: DataFrame,
+    query_term: str,
+    max_dist: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Spell-correction suggestions: corpus vocabulary terms within
+    ``max_dist`` edits of ``query_term``, ranked by (distance, df
+    desc, term) — the reference's quick-search/suggestions surface
+    (app/api/search.py suggestions endpoint) extended with fuzzy
+    matching.
+
+    Scale shape: the expensive levenshtein never touches the corpus —
+    it runs on the *vocabulary* (distinct content tokens with their
+    document frequencies, a groupBy that is partial-agg friendly and
+    orders of magnitude smaller than the corpus), and a length-band
+    filter (|len(t) − len(q)| ≤ max_dist, a provable lower bound on
+    edit distance) prunes the vocabulary before any distance is
+    computed — a codegen'd range predicate, pushable into a
+    length-partitioned vocabulary table at 100 TB.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import is_content_token
+
+    q = query_term.lower()
+    vocab = (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+        .filter(is_content_token("term"))
+        .groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+    )
+    return (
+        vocab.filter(
+            (F.length("term") >= F.lit(len(q) - max_dist))
+            & (F.length("term") <= F.lit(len(q) + max_dist))
+        )
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(q)))
+        .filter(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term", "dist", "df")
+    )
