@@ -321,6 +321,69 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.bm25_search(docs, QUERY_TERMS, k=KNN_K)
 
 
+# -- §2.6 BM25 + RM3 pseudo-relevance feedback --------------------------------
+
+_PRF_FB_DOCS, _PRF_N_TERMS, _PRF_BETA = 10, 5, 0.5
+
+
+def _bm25_prf_sql() -> str:
+    base = _BM25_SQL.format(k=_PRF_FB_DOCS)
+    return f"""
+WITH base AS ({base}),
+toks2 AS (
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token FROM documents
+),
+expn AS (
+  SELECT t.token, count(*) AS w_tf
+  FROM toks2 t JOIN base b USING (doc_id)
+  WHERE t.token NOT IN {_QTERMS_SQL}
+  GROUP BY 1 ORDER BY w_tf DESC, token ASC LIMIT {_PRF_N_TERMS}
+),
+wterms AS (
+  SELECT unnest({"[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"}) AS token, 1.0 AS w
+  UNION ALL
+  SELECT token, {_PRF_BETA} FROM expn
+),
+post AS (SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dls),
+qpost AS (
+  SELECT p.doc_id, p.token, p.tf, w.w FROM post p JOIN wterms w USING (token)
+),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qpost GROUP BY 1)
+SELECT doc_id,
+       {_R(_S(f"w * idf * tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))", 6), 4)}
+         AS score
+FROM (
+  SELECT q.doc_id, q.tf, q.w, d.dl, s.n_docs, a.avgdl,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS idf
+  FROM qpost q
+  JOIN dfreq f USING (token)
+  JOIN dls d USING (doc_id), stats s, ad a
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("bm25_prf_search", _bm25_prf_sql())
+def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3-lite query expansion: BM25 top-10 as the pseudo-relevant
+    set, its 5 most frequent non-query content tokens join the query
+    at weight 0.5, then a weighted BM25 rescore. The expansion term
+    set never leaves the cluster — it flows into the rescore as a
+    broadcast build side (bm25.prf_expansion_terms →
+    bm25.bm25_search_weighted)."""
+    docs = _t(spark, sf_dir, "documents")
+    wterms = bm25_ops.prf_expansion_terms(
+        docs, QUERY_TERMS,
+        fb_docs=_PRF_FB_DOCS, n_terms=_PRF_N_TERMS, beta=_PRF_BETA,
+    )
+    return bm25_ops.bm25_search_weighted(docs, wterms, k=KNN_K)
+
+
 # -- §2.6 hybrid RRF (search_service.py:181-279, 370-423) ---------------------
 
 
@@ -1426,6 +1489,73 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ensure_index(spark, sf_dir)
     bm = indexed_bm25(spark, idx, QUERY_TERMS, k=LEG_K)
     return indexed_rerank(spark, idx, bm, QUERY_TERMS, k=KNN_K)
+
+
+# -- §2.6 MMR diversification (Carbonell & Goldstein SIGIR'98) ----------------
+
+_MMR_N, _MMR_K, _MMR_LAM = 20, 10, 0.7
+
+
+def _mmr_sql() -> str:
+    """Unrolled greedy MMR as pure SQL: one CTE stage per selection
+    step (k is a query constant). All decision inputs stable-rounded
+    at 4; selection compares the identical IEEE doubles the Spark
+    side's driver greedy compares."""
+    lam, oml = repr(_MMR_LAM), repr(1 - _MMR_LAM)
+    cos_ab = cosine_sim_sql("a.embedding::DOUBLE[]", "b.embedding::DOUBLE[]")
+    parts = [f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cand AS MATERIALIZED (
+  SELECT e.vec_id AS id, {_R(_COS_SQL, 4)} AS rel
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+  ORDER BY rel DESC, id ASC
+  LIMIT {_MMR_N}
+),
+pair AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_R(cos_ab, 4)} AS sim
+  FROM embeddings a, embeddings b, cand ca, cand cb
+  WHERE a.vec_id = ca.id AND b.vec_id = cb.id AND a.vec_id < b.vec_id
+),
+sel1 AS MATERIALIZED (SELECT id, rel AS mmr FROM cand ORDER BY rel DESC, id ASC LIMIT 1),
+all1 AS MATERIALIZED (SELECT id FROM sel1)"""]
+    for i in range(2, _MMR_K + 1):
+        parts.append(f""",
+sel{i} AS MATERIALIZED (
+  SELECT c.id,
+         {lam} * c.rel - {oml} * (
+           SELECT max(p.sim) FROM pair p, all{i - 1} s
+           WHERE (p.id_a = c.id AND p.id_b = s.id)
+              OR (p.id_b = c.id AND p.id_a = s.id)
+         ) AS mmr
+  FROM cand c
+  WHERE c.id NOT IN (SELECT id FROM all{i - 1})
+  ORDER BY mmr DESC, c.id ASC LIMIT 1
+),
+all{i} AS MATERIALIZED (SELECT id FROM all{i - 1} UNION ALL SELECT id FROM sel{i})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, id AS vec_id, {_R('mmr', 4)} AS mmr_score FROM sel{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+@_register("rerank_mmr", _mmr_sql())
+def _q_rerank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: MMR greedy over the exact top-20 cosine
+    candidates (λ=0.7). Corpus-sized work (retrieval, pair sims) is
+    distributed; the O(k·N) greedy runs on the bounded candidate
+    scalars (vector_search.mmr_rerank)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    return vector_search.mmr_rerank(
+        emb.filter(F.col("vec_id") != 0),
+        q,
+        n_candidates=_MMR_N,
+        k=_MMR_K,
+        lam=_MMR_LAM,
+    )
 
 
 # -- §2.6 multi-collection fan-out (search_service.py:207-237) ----------------

@@ -140,3 +140,110 @@ def bm25_search(
         .limit(k)
         .select(id_col, "score")
     )
+
+
+def bm25_search_weighted(
+    docs: DataFrame,
+    weighted_terms: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """BM25 with a *DataFrame* of (token, w) query terms — each
+    term's contribution scaled by its weight. This is the shape a
+    data-dependent query (relevance feedback, learned expansion)
+    needs: the term set is computed by the engine, never collected
+    to the driver, and reaches the postings scan as a broadcast hash
+    join (vocabulary-sized build side) instead of an IN-list.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
+    stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
+        dls.select(F.avg("dl").alias("avgdl"))
+    )
+    qpost = (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token"))
+        .join(F.broadcast(weighted_terms.select("token")), "token")
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_per_token = qpost.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = (
+        qpost.join(F.broadcast(df_per_token), "token")
+        .join(F.broadcast(weighted_terms), "token")
+        .join(dls, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("w")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(stable_round(stable_sum(F.col("term_score"), 6), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def prf_expansion_terms(
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    n_terms: int = 5,
+    beta: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3-style pseudo-relevance feedback: run BM25 with the
+    original terms, take the top ``fb_docs`` as the (pseudo-)relevant
+    set, and pick the ``n_terms`` most frequent content tokens in
+    that set (excluding the originals) as expansion terms at weight
+    ``beta``; original terms keep weight 1.0.
+
+    Everything stays in DataFrames: the feedback set is a k-row
+    broadcast, the expansion-term frequency is an integer aggregate
+    (deterministic ordering: count desc, token asc), and the result
+    feeds :func:`bm25_search_weighted` without driver round-trips.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+    base = bm25_search(docs, qterms, k=fb_docs, id_col=id_col, text_col=text_col)
+    fb_ids = base.select(id_col)
+    expansion = (
+        docs.join(F.broadcast(fb_ids), id_col)
+        .select(F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token") & ~F.col("token").isin(qterms))
+        .groupBy("token")
+        .agg(F.count("*").alias("w_tf"))
+        .orderBy(F.col("w_tf").desc(), F.col("token").asc())
+        .limit(n_terms)
+        .select("token", F.lit(float(beta)).alias("w"))
+    )
+    spark = docs.sparkSession
+    orig = spark.createDataFrame(
+        [(t, 1.0) for t in qterms], "token string, w double"
+    )
+    return orig.unionByName(expansion)

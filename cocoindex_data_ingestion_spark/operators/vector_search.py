@@ -608,3 +608,87 @@ def pq_encode_numpy(
     return df.select(id_col, vec_col).mapInPandas(
         encode, schema=f"{id_col} long, subspace int, code int"
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    qvec_df: DataFrame,
+    n_candidates: int = 20,
+    k: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein, SIGIR'98): greedily build a k-list maximizing
+    ``lam·rel(q,d) − (1−lam)·max_{s∈S} sim(d,s)`` over a top-N
+    candidate pool.
+
+    Scale split: the two *data-sized* steps — exact top-N retrieval
+    over the corpus and the N² candidate pair similarities — run as
+    DataFrame programs (TakeOrderedAndProject scan; self-join over a
+    broadcast N-row set). The greedy selection itself is O(k·N) over
+    ≤ N² precomputed scalars, bounded by the query's own parameters
+    (never by data size), so it runs driver-side on the collected
+    candidate scores — the same bounded-collect exception as the
+    1-row query vector. All decision inputs are stable-rounded so
+    the selection is engine-reproducible (DuckDB oracle: unrolled
+    greedy stages).
+    """
+    import math
+
+    rel_df = knn(
+        emb.crossJoin(F.broadcast(qvec_df)),
+        F.col("qvec"),
+        k=n_candidates,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )
+    cand_ids = rel_df.select(id_col)
+    cand_emb = emb.join(F.broadcast(cand_ids), id_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    a, b = cand_emb.alias("a"), cand_emb.alias("b")
+    pair_df = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            stable_round(
+                cosine_sim(F.col("a.v"), F.col("b.v")), round_to
+            ).alias("sim"),
+        )
+    )
+    rel = {r[id_col]: r["score"] for r in rel_df.collect()}
+    sim: dict[tuple, float] = {}
+    for r in pair_df.collect():
+        sim[(r.id_a, r.id_b)] = r.sim
+        sim[(r.id_b, r.id_a)] = r.sim
+
+    def _round(x: float) -> float:
+        p = float(10**round_to)
+        return math.floor(x * p + 0.5) / p
+
+    selected: list[tuple[int, object, float]] = []
+    remaining = set(rel)
+    while remaining and len(selected) < k:
+        best_id, best_val = None, None
+        for c in sorted(remaining):
+            if selected:
+                mx = max(sim.get((c, s_id), 0.0) for _, s_id, _ in selected)
+                val = lam * rel[c] - (1 - lam) * mx
+            else:
+                val = rel[c]
+            # strict > keeps the smallest id on ties (candidates
+            # visited in ascending id order)
+            if best_val is None or val > best_val:
+                best_id, best_val = c, val
+        selected.append((len(selected) + 1, best_id, _round(best_val)))
+        remaining.discard(best_id)
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} long, mmr_score double"
+    )
