@@ -4504,6 +4504,62 @@ def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
 
 
+# -- DSIR importance resampling weights (Xie et al. NeurIPS'23) ---------------
+
+_DSIR_BUCKETS = 256
+
+_DSIR_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+uni AS (SELECT doc_id, lang, unnest(t) AS gram FROM toks),
+bi AS (
+  SELECT doc_id, lang,
+         unnest(CASE WHEN len(t) >= 2
+                     THEN list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])
+                     ELSE [] END) AS gram
+  FROM toks
+),
+grams AS MATERIALIZED (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         ('0x' || substr(md5('dsir#' || gram), 1, 8))::BIGINT % {_DSIR_BUCKETS}
+           AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)
+),
+rc AS (SELECT bucket, count(*) AS c_r FROM grams GROUP BY 1),
+tc AS (SELECT bucket, count(*) AS c_t FROM grams WHERE is_target GROUP BY 1),
+tots AS (
+  SELECT count(*) AS tr, sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS tt
+  FROM grams
+),
+lr AS (
+  SELECT r.bucket,
+         ln((coalesce(t.c_t, 0) + 1.0) / (tots.tt + {float(_DSIR_BUCKETS)}))
+         - ln((r.c_r + 1.0) / (tots.tr + {float(_DSIR_BUCKETS)})) AS logratio
+  FROM rc r LEFT JOIN tc t USING (bucket), tots
+)
+SELECT g.doc_id, {_R(_S("logratio", 6), 4)} AS dsir_weight
+FROM grams g JOIN lr USING (bucket)
+GROUP BY g.doc_id
+"""
+
+
+@_register("curate_dsir_weights", _DSIR_SQL)
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights against the English subset as the
+    target distribution: per-doc Σ log(p_target/p_raw) over hashed
+    unigram+bigram buckets (add-1 smoothing, 256 buckets). The
+    bucket log-ratio table is a broadcast; the per-doc sum is
+    order-independent fixed-point — two scans + one groupBy shuffle
+    at any corpus size (curation.dsir_weights)."""
+    docs = _t(spark, sf_dir, "documents")
+    return curation.dsir_weights(
+        docs, F.col("lang") == "en", n_buckets=_DSIR_BUCKETS
+    )
+
+
 _RESOLVE_SQL = (
     _minhash_sql()
     + """,

@@ -442,3 +442,97 @@ def temperature_mix(
     )
     rank = F.conv(hash_rank(F.col(id_col), salt), 16, 10).cast("long")
     return docs.join(F.broadcast(cuts), lang_col).filter(rank < F.col("cut"))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_pred: Column,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    salt: str = "dsir",
+    round_to: int = 4,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23 "Data
+    Selection for Language Models via Importance Resampling"):
+    score every raw document by how target-like its hashed n-gram
+    bag is, ``w(d) = Σ_g log p_target(bucket(g)) / p_raw(bucket(g))``
+    with add-1 smoothing over ``n_buckets`` hashed buckets of
+    unigrams + bigrams (the paper's hashed-ngram feature space).
+
+    ``target_pred`` marks the rows forming the target distribution
+    (e.g. a trusted high-quality subset); the raw distribution is
+    the whole input. Scale shape: one token-level window pass builds
+    the gram stream (codegen, like decontaminate's), the bucket
+    statistics are a ``n_buckets``-row broadcast, and the per-doc
+    sum is an order-independent fixed-point aggregation — so the
+    whole thing is two scans + one groupBy shuffle on ``id_col``
+    regardless of corpus size. Sampling ∝ exp(w) then reduces to
+    the existing hash-rank filters.
+    """
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = docs.select(
+        F.col(id_col),
+        target_pred.alias("_is_target"),
+        F.posexplode(tokenize(text_col)).alias("pos", "token"),
+    )
+    nxt = F.lead("token").over(w)
+    uni = toks.select(id_col, "_is_target", F.col("token").alias("gram"))
+    bi = (
+        toks.withColumn("_nxt", nxt)
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            id_col,
+            "_is_target",
+            F.concat_ws(" ", F.col("token"), F.col("_nxt")).alias("gram"),
+        )
+    )
+    grams = uni.unionByName(bi).select(
+        F.col(id_col),
+        F.col("_is_target"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(salt), F.col("gram"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    rc = grams.groupBy("bucket").agg(F.count("*").alias("c_r"))
+    tc = (
+        grams.filter(F.col("_is_target"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("c_t"))
+    )
+    tots = grams.agg(
+        F.count("*").alias("tr"),
+        F.sum(F.col("_is_target").cast("long")).alias("tt"),
+    )
+    b = float(n_buckets)
+    lr = (
+        rc.join(tc, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("tt") + b))
+                - F.log((F.col("c_r") + 1.0) / (F.col("tr") + b))
+            ).alias("logratio"),
+        )
+    )
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round, stable_sum,
+    )
+
+    return (
+        grams.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            stable_round(stable_sum(F.col("logratio"), 6), round_to).alias(
+                "dsir_weight"
+            )
+        )
+    )

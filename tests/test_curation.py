@@ -236,3 +236,26 @@ def test_weighted_sample_prefers_heavy_rows(spark):
     # zero/negative weights excluded
     df2 = spark.createDataFrame([(1, 0.0), (2, 5.0)], "id long, w double")
     assert [r["id"] for r in curation.weighted_sample(df2, "w", "id", 10).collect()] == [2]
+
+
+def test_dsir_weights_semantics(spark):
+    # target = docs containing a marker token: docs matching the
+    # target distribution must score higher than docs that don't,
+    # and the output must be repartition-invariant
+    rows = [
+        (1, "alpha alpha beta", "en"),
+        (2, "alpha beta alpha", "en"),
+        (3, "gamma delta gamma delta", "fr"),
+        (4, "gamma delta epsilon", "fr"),
+        (5, "alpha alpha alpha beta", "fr"),  # target-like but raw-labeled
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {r.doc_id: r.dsir_weight for r in
+         curation.dsir_weights(docs, F.col("lang") == "en", n_buckets=64).collect()}
+    assert set(w) == {1, 2, 3, 4, 5}
+    # target-vocabulary docs outscore off-target docs
+    assert min(w[1], w[2], w[5]) > max(w[3], w[4])
+    w2 = {r.doc_id: r.dsir_weight for r in
+          curation.dsir_weights(docs.repartition(7), F.col("lang") == "en",
+                                n_buckets=64).collect()}
+    assert w == w2

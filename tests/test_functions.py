@@ -213,3 +213,30 @@ def test_salted_join_equals_plain_join(spark, sf_dir):
         for r in salted_join(li, o, "l_orderkey", n_salts=8).collect()
     )
     assert salted == plain
+
+
+def test_scd2_history_intervals(spark):
+    from cocoindex_data_ingestion_spark.operators import relational
+
+    # user 1: A A B A -> 3 versions; user 2: constant -> 1 version
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "A"),
+        (2, 1, "2024-01-01 00:01:00", "A"),
+        (3, 1, "2024-01-01 00:02:00", "B"),
+        (4, 1, "2024-01-01 00:03:00", "A"),
+        (5, 2, "2024-01-01 00:00:00", "X"),
+        (6, 2, "2024-01-01 00:05:00", "X"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = relational.scd2_history(ev).collect()
+    u1 = sorted([r for r in out if r.user_id == 1], key=lambda r: r.version)
+    assert [r.event_type for r in u1] == ["A", "B", "A"]
+    assert [r.n_events for r in u1] == [2, 1, 1]
+    # intervals chain: valid_to of v_i == valid_from of v_{i+1}
+    for a, b in zip(u1, u1[1:]):
+        assert a.valid_to_us == b.valid_from_us
+    assert u1[-1].is_current and u1[-1].valid_to_us is None
+    u2 = [r for r in out if r.user_id == 2]
+    assert len(u2) == 1 and u2[0].n_events == 2 and u2[0].is_current

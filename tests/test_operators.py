@@ -834,3 +834,26 @@ def test_simhash_banding_complete_vs_brute_force(spark, sf_dir):
         .collect()
     }
     assert banded == brute and len(brute) > 0
+
+
+def test_mmr_diversification_prefers_novelty(spark):
+    # 4 candidates: two near-identical high-rel vectors; MMR at
+    # lam=0.5 must pick the orthogonal mid-rel vector second, not
+    # the duplicate of the first pick
+    from cocoindex_data_ingestion_spark.operators import vector_search
+
+    # all unit vectors; q is NOT a candidate direction (otherwise
+    # sim(x, first_pick) == rel(x) and MMR degenerates to rel order)
+    rows = [
+        (1, [0.9, 0.43589, 0.0]),    # rel 0.9 — picked first (id tiebreak)
+        (2, [0.88, 0.47497, 0.0]),   # rel 0.88 but sim(2,1) ≈ 0.999: near-dup
+        (3, [0.9, -0.43589, 0.0]),   # rel 0.9, sim(3,1) ≈ 0.62: diverse
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([([1.0, 0.0, 0.0],)], "qvec array<double>")
+    out = vector_search.mmr_rerank(
+        emb, q, n_candidates=3, k=3, lam=0.7
+    ).collect()
+    picked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    # diversity beats the near-dup for the second slot
+    assert picked == [1, 3, 2]
