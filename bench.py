@@ -82,6 +82,13 @@ HEADLINE = [
     "dedup_semantic_cells",
     "curate_length_histogram",
     "curate_temperature_mix",
+    # round-3 additions: IR extensions + curation/scale alternatives
+    "suggest_fuzzy",
+    "bm25_prf_search",
+    "rerank_mmr",
+    "events_scd2_history",
+    "curate_dsir_weights",
+    "dedup_components_star",
 ]
 
 SMALL_RESULT = {
@@ -113,6 +120,7 @@ SMALL_RESULT = {
     "dedup_winnow_overlap", "curate_cluster_balance",
     "dedup_semantic_cells", "curate_length_histogram",
     "curate_temperature_mix",
+    "suggest_fuzzy", "bm25_prf_search", "rerank_mmr",
 }
 
 
