@@ -5302,6 +5302,48 @@ GROUP BY doc_id
 """
 
 
+_QUALITY_BIGRAM_SQL = f"""
+WITH
+{_QPOS_SQL},
+trans AS (
+  SELECT doc_id, token AS prev, lead(token) OVER w AS cur
+  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+t2 AS (SELECT * FROM trans WHERE cur IS NOT NULL),
+uni AS (SELECT token, count(*) AS cnt FROM pos GROUP BY 1),
+totv AS (SELECT sum(cnt) AS tot, count(*) AS v FROM uni),
+bi AS (SELECT prev, cur, count(*) AS c_bi FROM t2 GROUP BY 1, 2),
+ctx AS (SELECT prev, count(*) AS c_ctx FROM t2 GROUP BY 1),
+dt AS (SELECT doc_id, prev, cur, count(*) AS k FROM t2 GROUP BY 1, 2, 3),
+nll AS (
+  SELECT dt.doc_id, dt.k,
+         -ln({quality.BIGRAM_LAMBDA!r} * (CAST(b.c_bi AS DOUBLE) / c.c_ctx)
+             + {1 - quality.BIGRAM_LAMBDA!r}
+               * ((u.cnt + 1.0) / (tv.tot + tv.v))) AS nll
+  FROM dt
+  JOIN bi b ON b.prev = dt.prev AND b.cur = dt.cur
+  JOIN ctx c ON c.prev = dt.prev
+  JOIN uni u ON u.token = dt.cur, totv tv
+)
+SELECT doc_id, sum(k) AS n_transitions,
+       {_R("sum(k * cast(floor(nll * 1000000.0 + 0.5) as bigint)) / 1000000.0 / sum(k)", 4)}
+         AS avg_nll
+FROM nll
+GROUP BY doc_id
+"""
+
+
+@_register("quality_bigram_logprob", _QUALITY_BIGRAM_SQL)
+def _q_quality_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM scoring (order-2 KenLM shape of the
+    CCNet perplexity filter): λ·bigram-MLE + (1−λ)·add-1 unigram
+    backoff, per-doc mean NLL over token transitions. Count tables
+    are vocabulary-sized aggregates; the join carries per-doc
+    DISTINCT transitions with integer multiplicity
+    (quality.bigram_logprob)."""
+    return quality.bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
 @_register("quality_unigram_logprob", _QUALITY_NLL_SQL)
 def _q_quality_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perplexity-proxy quality score (CCNet-shape): mean negative

@@ -184,3 +184,71 @@ def quality_funnel(
     filter (compose with curation.resolve_duplicates /
     decontaminate for the full corpus funnel)."""
     return repetition_profile(docs, id_col, text_col).filter("keep").select(id_col)
+
+
+BIGRAM_LAMBDA = 0.8  # interpolation weight on the bigram MLE
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = BIGRAM_LAMBDA,
+) -> DataFrame:
+    """Interpolated bigram LM score per document (the order-2 shape
+    of CCNet's KenLM perplexity filter):
+
+        p(w_i | w_{i-1}) = λ·c(w_{i-1} w_i)/c(w_{i-1}·)
+                           + (1−λ)·(c(w_i)+1)/(T+V)
+
+    with the unigram backoff add-1 smoothed over the corpus
+    vocabulary. Returns ``(id, n_transitions, avg_nll)`` over each
+    doc's token transitions (docs with <2 tokens drop out — no
+    transitions to score).
+
+    Scale shape: transitions come from one lead() pass over the
+    token stream (single shuffle on id); the bigram/context count
+    tables are corpus-vocabulary-sized aggregates joined back on
+    the *per-doc distinct transition* rows (multiplicity folded into
+    an integer ``k``), so the expensive joins carry Σ|distinct
+    bigrams per doc| rows, not the raw token stream. The per-doc
+    average is fixed-point (order-independent).
+    """
+    pos = _positions(docs, id_col, text_col)
+    uni = pos.groupBy("token").agg(F.count("*").alias("cnt"))
+    totv = uni.agg(
+        F.sum("cnt").alias("tot"), F.count("*").alias("v")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    trans = (
+        pos.withColumn("nxt", F.lead("token").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(id_col, F.col("token").alias("prev"), F.col("nxt").alias("cur"))
+    )
+    bi = trans.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    ctx = trans.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    dt = trans.groupBy(id_col, "prev", "cur").agg(F.count("*").alias("k"))
+    nll = (
+        dt.join(bi, ["prev", "cur"])
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("token", "cur"), "cur")
+        .crossJoin(F.broadcast(totv))
+        .select(
+            F.col(id_col),
+            F.col("k"),
+            (
+                -F.log(
+                    F.lit(lam) * (F.col("c_bi").cast("double") / F.col("c_ctx"))
+                    + F.lit(1 - lam)
+                    * ((F.col("cnt") + 1.0) / (F.col("tot") + F.col("v")))
+                )
+            ).alias("nll"),
+        )
+    )
+    q = F.floor(F.col("nll") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    return nll.groupBy(id_col).agg(
+        F.sum("k").alias("n_transitions"),
+        stable_round(
+            (F.sum(F.col("k") * q) / F.lit(1e6)) / F.sum("k"), 4
+        ).alias("avg_nll"),
+    )
