@@ -5099,6 +5099,50 @@ def _q_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVM_TOPK_SQL = """
+WITH fin AS (
+  SELECT event_type, event_id, value FROM events WHERE event_id % 7 <> 0
+),
+r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (
+           PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS rn
+  FROM fin
+)
+SELECT event_type, event_id, value FROM r WHERE rn <= 3
+"""
+
+
+@_register("ivm_topk_maintenance", _IVM_TOPK_SQL)
+def _q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type top-3 (by value) maintained through two insert
+    refreshes and a delete refresh (plans/ivm.py::MaterializedTopK).
+    Inserts merge against the stored lists only (top-k is mergeable);
+    the delete batch recomputes just its groups from the base. Oracle
+    = one-shot window top-k over the final row set — the maintenance
+    correctness contract."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedTopK
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    view = MaterializedTopK(
+        spark,
+        tempfile.mkdtemp(prefix="ivm_topk_"),
+        group_col="event_type",
+        id_col="event_id",
+        score_col="value",
+        k=3,
+    )
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))
+    view.refresh(
+        deletes=ev.filter(F.col("event_id") % 7 == 0),
+        base=ev.filter(F.col("event_id") % 7 != 0),
+    )
+    return view.read()
+
+
 _IVM_DISTINCT_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events

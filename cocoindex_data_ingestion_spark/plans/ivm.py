@@ -306,3 +306,110 @@ class MaterializedDistinct:
             .groupBy(self.group_col)
             .agg(F.count("*").alias("n_distinct"))
         )
+
+
+class MaterializedTopK:
+    """Per-group top-k ``(id, score)`` lists maintained under
+    insert/delete deltas — the incremental form of every leaderboard
+    /-per-key-best query on the surface (top_customer_per_nation,
+    search suggestion tables, per-collection best chunks).
+
+    Maintenance rules (top-k is a mergeable but non-invertible
+    sketch, same split as min/max in :class:`MaterializedAgg`):
+
+    - **inserts only**: ``topk(stored ∪ delta)`` — pure delta work,
+      because ``topk(A ∪ B) == topk(topk(A) ∪ B)`` (any row evicted
+      from topk(A) is dominated by k better rows that are still
+      present). One bucket-pruned read of the affected groups.
+    - **any delete in a group**: the stored list may lose a member
+      whose runner-up was evicted long ago, so the group is
+      recomputed from ``base`` rows of that group alone (semi-join →
+      pushed-down group predicate / partition pruning on a
+      group-partitioned base). Never a full rescan.
+
+    Row identity is ``id_col`` (unique per relation row); ordering is
+    (score desc, id asc) so the list is deterministic under ties.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str,
+        id_col: str,
+        score_col: str,
+        k: int = 5,
+        n_buckets: int = 32,
+    ):
+        self.spark = spark
+        self.group_col, self.id_col, self.score_col = group_col, id_col, score_col
+        self.k = k
+        schema = f"{group_col} string, {id_col} bigint, {score_col} double"
+        self.state = BucketedParquetState(
+            spark, path, schema, key_col=group_col, n_buckets=n_buckets
+        )
+
+    def _norm(self, df: DataFrame) -> DataFrame:
+        g, i, s = self.group_col, self.id_col, self.score_col
+        return df.select(
+            F.col(g).cast("string").alias(g),
+            F.col(i).cast("long").alias(i),
+            F.col(s).cast("double").alias(s),
+        )
+
+    def refresh(
+        self,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+        base: DataFrame | None = None,
+    ) -> None:
+        """``base`` (the full relation AFTER this batch) is required
+        when ``deletes`` is non-empty — evicted runner-ups make
+        deletion non-invertible."""
+        if deletes is not None and base is None:
+            raise ValueError(
+                "top-k maintenance needs `base` to recompute deleted"
+                " groups (evicted runner-ups are unrecoverable)"
+            )
+        from pyspark.sql import Window
+
+        g = self.group_col
+        parts = []
+        del_groups = None
+        if deletes is not None:
+            del_groups = self._norm(deletes).select(g).distinct()
+            parts.append(self._norm(base).join(del_groups, g, "left_semi"))
+        if inserts is not None:
+            ins = self._norm(inserts)
+            if del_groups is not None:
+                # recompute wins for groups that also saw deletes
+                ins = ins.join(del_groups, g, "left_anti")
+            current = self.state.read_keys(ins.select(g).distinct())
+            parts.append(current.unionByName(ins))
+        if not parts:
+            return
+        cand = parts[0]
+        for p in parts[1:]:
+            cand = cand.unionByName(p)
+        w = Window.partitionBy(g).orderBy(
+            F.col(self.score_col).desc(), F.col(self.id_col).asc()
+        )
+        topk = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= self.k)
+            .drop("_rn")
+        )
+        affected = topk.sparkSession.createDataFrame([], f"{g} string")
+        if del_groups is not None:
+            affected = affected.unionByName(del_groups)
+        if inserts is not None:
+            affected = affected.unionByName(
+                self._norm(inserts).select(g).distinct()
+            )
+        gone = affected.distinct().join(
+            topk.select(g).distinct(), g, "left_anti"
+        )
+        self.state.merge(topk, delete_keys=gone)
+
+    def read(self) -> DataFrame:
+        return self.state.read()

@@ -561,3 +561,62 @@ def test_ivm_distinct_multiplicity_semantics(spark, tmp_path):
     assert (
         view.read_counts().filter(F.col("g") == "g3").count() == 0
     )
+
+
+def test_ivm_topk_matches_full_recompute(spark, tmp_path):
+    # model-based: random insert/delete batches; after every refresh
+    # the state must equal the one-shot window top-k over the live rows
+    import random
+
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedTopK
+
+    rng = random.Random(11)
+    rows = [(f"g{j % 4}", j, round(rng.random() * 100, 2)) for j in range(60)]
+    view = MaterializedTopK(
+        spark, str(tmp_path / "topk"), group_col="g", id_col="i",
+        score_col="s", k=3, n_buckets=4,
+    )
+    schema = "g string, i long, s double"
+    live: dict[int, tuple] = {}
+
+    def check():
+        expected = spark.createDataFrame(list(live.values()), schema)
+        w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("i").asc())
+        exp = {
+            (r.g, r.i, r.s)
+            for r in expected.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3).drop("rn").collect()
+        }
+        got = {(r.g, r.i, r.s) for r in view.read().collect()}
+        assert got == exp
+
+    # batch 1: insert first 40
+    b1 = rows[:40]
+    live.update({r[1]: r for r in b1})
+    view.refresh(inserts=spark.createDataFrame(b1, schema))
+    check()
+    # batch 2: delete a mix (including current top rows) + insert the rest
+    dels = [live[i] for i in list(live) if i % 5 == 0]
+    for r in dels:
+        del live[r[1]]
+    ins = rows[40:]
+    live.update({r[1]: r for r in ins})
+    view.refresh(
+        inserts=spark.createDataFrame(ins, schema),
+        deletes=spark.createDataFrame(dels, schema),
+        base=spark.createDataFrame(list(live.values()), schema),
+    )
+    check()
+    # batch 3: empty a whole group
+    g0 = [r for r in live.values() if r[0] == "g0"]
+    for r in g0:
+        del live[r[1]]
+    view.refresh(
+        deletes=spark.createDataFrame(g0, schema),
+        base=spark.createDataFrame(list(live.values()) or [("x", 0, 0.0)], schema)
+              .filter(F.col("g") != "x"),
+    )
+    check()
+    assert all(r.g != "g0" for r in view.read().collect())
