@@ -760,6 +760,78 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_history(_t(spark, sf_dir, "events"))
 
 
+# -- point-in-time join against the SCD2 dimension ----------------------------
+
+_PIT_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+  WHERE event_type <> 'purchase'
+),
+m AS (
+  SELECT *,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+),
+r AS (
+  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                           ROWS UNBOUNDED PRECEDING) AS version
+  FROM m
+),
+g AS (
+  SELECT user_id, version, min(event_type) AS state,
+         min(us) AS valid_from_us
+  FROM r GROUP BY 1, 2
+),
+dim AS (
+  SELECT user_id, version, state, valid_from_us,
+         lead(valid_from_us) OVER (
+           PARTITION BY user_id ORDER BY version) AS valid_to_us
+  FROM g
+),
+f AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts_us, d.state, d.version
+FROM f JOIN dim d
+  ON d.user_id = f.user_id
+ AND d.valid_from_us <= f.ts_us
+ AND (d.valid_to_us IS NULL OR f.ts_us < d.valid_to_us)
+"""
+
+
+@_register("events_pit_enrich", _PIT_SQL)
+def _q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each purchase joined to the SCD2
+    version of the user's NON-purchase activity state valid at the
+    purchase timestamp (purchase attribution against a temporal
+    dimension). Equi-join on user_id + interval containment filter —
+    one shuffle (relational.point_in_time_join over
+    relational.scd2_history)."""
+    ev = _t(spark, sf_dir, "events")
+    dim = relational.scd2_history(
+        ev.filter(F.col("event_type") != "purchase")
+    ).select(
+        "user_id",
+        "version",
+        F.col("event_type").alias("state"),
+        "valid_from_us",
+        "valid_to_us",
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", _ts_us("ts").alias("ts_us")
+    )
+    return relational.point_in_time_join(facts, dim, "user_id").select(
+        "f.event_id",
+        "f.user_id",
+        "f.ts_us",
+        "d.state",
+        "d.version",
+    )
+
+
 # -- streaming-shape window aggs (Spark-native, FIXTURES.md §B) ---------------
 
 _TUMBLING_SQL = f"""

@@ -89,6 +89,8 @@ HEADLINE = [
     "events_scd2_history",
     "curate_dsir_weights",
     "dedup_components_star",
+    "quality_bigram_logprob",
+    "events_pit_enrich",
 ]
 
 SMALL_RESULT = {

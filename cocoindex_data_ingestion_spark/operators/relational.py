@@ -276,3 +276,39 @@ def scd2_history(
         "n_events",
         valid_to.isNull().alias("is_current"),
     )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str = "ts_us",
+    valid_from_col: str = "valid_from_us",
+    valid_to_col: str = "valid_to_us",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (temporal) join: attach to each fact row the
+    dimension version whose validity interval contains the fact's
+    timestamp — the lookup every SCD2 dimension exists for.
+
+    ``valid_to_col`` NULL means the open/current interval. Intervals
+    per key are disjoint (scd2_history's contract), so each fact
+    matches at most one version.
+
+    Plan shape: an equi-join on ``key_col`` (ONE shuffle, or zero
+    with both sides bucketed by key) with the interval containment
+    as a post-join filter — each key's versions are few (bounded by
+    its change count), so the per-key cross-section is tiny and
+    nothing about the predicate breaks sort-merge/broadcast
+    selection. Never a cross join.
+    """
+    f, d = facts.alias("f"), dim.alias("d")
+    cond = (
+        (F.col(f"f.{key_col}") == F.col(f"d.{key_col}"))
+        & (F.col(f"d.{valid_from_col}") <= F.col(f"f.{fact_ts_col}"))
+        & (
+            F.col(f"d.{valid_to_col}").isNull()
+            | (F.col(f"f.{fact_ts_col}") < F.col(f"d.{valid_to_col}"))
+        )
+    )
+    return f.join(d, cond, how)
