@@ -4576,6 +4576,58 @@ def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
 
 
+# -- PII redaction (BigScience/ROOTS-style privacy scrub) ---------------------
+
+# contact strings synthesized from INTEGER columns only — double→string
+# formatting differs between engines, ints don't
+_PII_TEXT_SQL = (
+    "c_name || ' <user' || c_custkey || '@example.com> call +1-555-'"
+    " || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')"
+    " || ' seg ' || c_mktsegment"
+)
+
+_PII_SQL = f"""
+WITH t AS (SELECT c_custkey, {_PII_TEXT_SQL} AS contact FROM customer)
+SELECT c_custkey,
+       len(regexp_extract_all(contact, '{curation.PII_PATTERNS["email"]}')) AS n_email,
+       len(regexp_extract_all(contact, '{curation.PII_PATTERNS["phone"]}')) AS n_phone,
+       md5(regexp_replace(
+             regexp_replace(contact, '{curation.PII_PATTERNS["email"]}', '[EMAIL]', 'g'),
+             '{curation.PII_PATTERNS["phone"]}', '[PHONE]', 'g')) AS redacted_md5
+FROM t
+"""
+
+
+@_register("curate_pii_redact", _PII_SQL)
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over customer contact strings: count + placeholder-
+    replace emails and phone numbers (curation.pii_redact — pure
+    codegen regex, one scan). The md5 of the redacted text is the
+    compared witness that both engines produced byte-identical
+    redactions."""
+    cust = _t(spark, sf_dir, "customer")
+    t = cust.select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"),
+            F.lit(" <user"),
+            F.col("c_custkey").cast("string"),
+            F.lit("@example.com> call +1-555-"),
+            F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+            F.lit(" seg "),
+            F.col("c_mktsegment"),
+        ).alias("contact"),
+    )
+    pats = {k: curation.PII_PATTERNS[k] for k in ("email", "phone")}
+    out = curation.pii_redact(t, "contact", pats)
+    return out.select(
+        "c_custkey",
+        "n_email",
+        "n_phone",
+        F.md5("contact_redacted").alias("redacted_md5"),
+    )
+
+
 # -- DSIR importance resampling weights (Xie et al. NeurIPS'23) ---------------
 
 _DSIR_BUCKETS = 256

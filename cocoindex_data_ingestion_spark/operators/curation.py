@@ -536,3 +536,40 @@ def dsir_weights(
             )
         )
     )
+
+
+# Conservative patterns valid in BOTH Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded repetition only.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}-[0-9]{3}-[0-9]{3,4}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """PII scrubbing (the standard pretraining privacy pass, e.g.
+    BigScience/ROOTS): count and replace each pattern class with a
+    ``[LABEL]`` placeholder, applied in the dict's order.
+
+    Adds ``n_<label>`` count columns plus a ``<text_col>_redacted``
+    column. Pure Column expressions (JVM regex inside whole-stage
+    codegen) — a single scan pass at any corpus size; counts are
+    taken BEFORE redaction so later patterns can't eat earlier
+    matches' context.
+    """
+    patterns = patterns or PII_PATTERNS
+    out = df
+    for label, pat in patterns.items():
+        out = out.withColumn(
+            f"n_{label}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))),
+        )
+    red = F.col(text_col)
+    for label, pat in patterns.items():
+        red = F.regexp_replace(red, pat, f"[{label.upper()}]")
+    return out.withColumn(f"{text_col}_redacted", red)

@@ -259,3 +259,22 @@ def test_dsir_weights_semantics(spark):
           curation.dsir_weights(docs.repartition(7), F.col("lang") == "en",
                                 n_buckets=64).collect()}
     assert w == w2
+
+
+def test_pii_redact_counts_and_replacement(spark):
+    rows = [
+        (1, "mail a@b.com and c.d+x@e.org, call +1-555-0100, ip 10.0.0.1"),
+        (2, "no pii here"),
+        (3, "edge 999.999.999.999 and 1-222-333"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in curation.pii_redact(df).collect()}
+    assert out[1].n_email == 2 and out[1].n_phone == 1 and out[1].n_ipv4 == 1
+    assert "[EMAIL]" in out[1].text_redacted
+    assert "@" not in out[1].text_redacted
+    assert "555" not in out[1].text_redacted
+    assert out[2].n_email == out[2].n_phone == out[2].n_ipv4 == 0
+    assert out[2].text_redacted == "no pii here"
+    # the ipv4 pattern is syntactic (no 0-255 range check) — documents
+    # the conservative contract; phone needs the 3-3/4 shape
+    assert out[3].n_ipv4 == 1 and out[3].n_phone == 1
