@@ -760,6 +760,73 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_history(_t(spark, sf_dir, "events"))
 
 
+# -- ordered-sequence funnel (view → click → purchase) ------------------------
+
+_FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # conversion window
+
+_SEQ_FUNNEL_SQL = f"""
+WITH v AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t1
+  GROUP BY 1
+),
+p AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t2
+  GROUP BY 1
+)
+SELECT (SELECT count(*) FROM v) AS n_view,
+       (SELECT count(*) FROM c) AS n_view_click,
+       (SELECT count(*) FROM p) AS n_view_click_purchase,
+       (SELECT count(*) FROM p JOIN v USING (user_id)
+         WHERE p.t3 - v.t1 <= {_FUNNEL_WINDOW_US}) AS n_converted_in_window
+"""
+
+
+@_register("events_sequence_funnel", _SEQ_FUNNEL_SQL)
+def _q_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users whose first view is followed by
+    a click, then a purchase, each stage strictly after the previous
+    stage's first qualifying event; conversions counted within a
+    7-day window of the first view. Three per-stage min-aggregations
+    chained by user_id joins — each stage shuffles only the users
+    still in the funnel."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_us("ts").alias("us"), "event_type"
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("us").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("us") > F.col("t1"))
+        .groupBy("user_id").agg(F.min("us").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("us") > F.col("t2"))
+        .groupBy("user_id").agg(F.min("us").alias("t3"))
+    )
+    conv = p.join(v, "user_id").filter(
+        F.col("t3") - F.col("t1") <= _FUNNEL_WINDOW_US
+    )
+    return (
+        v.agg(F.count("*").alias("n_view"))
+        .crossJoin(c.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(p.agg(F.count("*").alias("n_view_click_purchase")))
+        .crossJoin(conv.agg(F.count("*").alias("n_converted_in_window")))
+    )
+
+
 # -- point-in-time join against the SCD2 dimension ----------------------------
 
 _PIT_SQL = """
@@ -2536,6 +2603,39 @@ def _q_quick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+# -- §2.6 exact-phrase search (positional postings) ---------------------------
+
+_PHRASE = ["table", "value"]
+
+_PHRASE_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(t) AS token,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM arr),
+m AS (
+  SELECT a.doc_id
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+)
+SELECT doc_id, count(*) AS n_phrase
+FROM m GROUP BY 1
+ORDER BY n_phrase DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@_register("phrase_search", _PHRASE_SQL)
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase match over positional postings ("table value"
+    adjacent, in order), ranked by phrase frequency — per-term
+    position lists filtered before the (id, base) join chain
+    (bm25.phrase_search)."""
+    return bm25_ops.phrase_search(_t(spark, sf_dir, "documents"), _PHRASE, k=20)
 
 
 # -- §2.6 fuzzy suggestions (suggestions endpoint + edit distance) ------------

@@ -247,3 +247,44 @@ def prf_expansion_terms(
         [(t, 1.0) for t in qterms], "token string, w double"
     )
     return orig.unionByName(expansion)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase search via positional postings: a document
+    matches where ``phrase[j]`` occurs at position ``base + j`` for
+    every j; ranked by phrase frequency (then id).
+
+    Plan shape: each term's positions are FILTERED OUT of the token
+    stream before any join (a codegen predicate — with a positional
+    postings index this is the per-term partition-pruned read), so
+    the (id, base) equi-joins chain over per-term posting lists, not
+    the corpus. n−1 joins for an n-term phrase, each carrying only
+    that term's occurrences.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    terms = [t.lower() for t in phrase]
+    pos = docs.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("p", "token")
+    )
+    cur = (
+        pos.filter(F.col("token") == terms[0])
+        .select(id_col, F.col("p").alias("base"))
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("token") == t).select(
+            id_col, (F.col("p") - j).alias("base")
+        )
+        cur = cur.join(nxt, [id_col, "base"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count("*").alias("n_phrase"))
+        .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
