@@ -1630,6 +1630,65 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed_rerank(spark, idx, bm, QUERY_TERMS, k=KNN_K)
 
 
+# -- embedding-space corpus analytics: centroids + outliers -------------------
+
+_EMB_LONG_SQL = """
+longf AS (
+  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,
+         unnest(generate_series(1, len(embedding))) AS dim
+  FROM embeddings
+)
+"""
+
+_CENTROIDS_SQL = f"""
+WITH {_EMB_LONG_SQL}
+SELECT label, dim, {_A("val", 6)} AS centroid
+FROM longf GROUP BY 1, 2
+"""
+
+
+@_register("embedding_centroids", _CENTROIDS_SQL)
+def _q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids in long (label, dim, centroid) format —
+    the k-means/IVF training step as one partial-agg shuffle of
+    labels × dims cells; fixed-point elementwise means
+    (vector_search.label_centroids)."""
+    return vector_search.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+_OUTLIERS_SQL = f"""
+WITH {_EMB_LONG_SQL},
+cents AS (
+  SELECT label, dim, {_A("val", 6)} AS centroid
+  FROM longf GROUP BY 1, 2
+),
+per AS (
+  SELECT e.vec_id, e.label,
+         {_S("e.val * c.centroid", 9)} AS dot,
+         {_S("e.val * e.val", 9)} AS se,
+         {_S("c.centroid * c.centroid", 9)} AS sc
+  FROM longf e JOIN cents c ON c.label = e.label AND c.dim = e.dim
+  GROUP BY 1, 2
+)
+SELECT vec_id, label,
+       {_R("CASE WHEN se > 0 AND sc > 0 THEN dot / (sqrt(se) * sqrt(sc)) ELSE 0.0 END", 4)}
+         AS centroid_cos
+FROM per
+ORDER BY centroid_cos ASC, vec_id ASC
+LIMIT 20
+"""
+
+
+@_register("embedding_outliers", _OUTLIERS_SQL)
+def _q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-atypicality report: lowest-20 cosine-to-own-label-
+    centroid vectors (distance-to-centroid outlier pruning, the
+    complement of SemDeDup's too-close drop). Long-format dot/norm
+    sums, broadcast centroid table
+    (vector_search.centroid_outliers)."""
+    return vector_search.centroid_outliers(_t(spark, sf_dir, "embeddings"))
+
+
 # -- §2.6 MMR diversification (Carbonell & Goldstein SIGIR'98) ----------------
 
 _MMR_N, _MMR_K, _MMR_LAM = 20, 10, 0.7

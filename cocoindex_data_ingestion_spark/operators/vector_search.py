@@ -692,3 +692,83 @@ def mmr_rerank(
     return spark.createDataFrame(
         selected, f"rank int, {id_col} long, mmr_score double"
     )
+
+
+def label_centroids(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-label centroid in LONG format ``(label, dim, centroid)`` —
+    the elementwise mean every embedding-space pipeline stage needs
+    (IVF/k-means training, cluster profiling, drift monitoring).
+
+    Long format is the scale shape: posexplode → groupBy(label, dim)
+    is one partial-agg-friendly shuffle of (labels × dims) cells; a
+    wide array column would force whole-vector aggregation buffers.
+    Fixed-point per-element summation keeps the mean bit-identical
+    across partitionings and engines.
+    """
+    from cocoindex_data_ingestion_spark.functions.compare import stable_avg
+
+    return (
+        emb.select(
+            F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim0", "val")
+        )
+        .select(label_col, (F.col("dim0") + 1).alias("dim"), "val")
+        .groupBy(label_col, "dim")
+        .agg(stable_avg(F.col("val").cast("double"), round_to).alias("centroid"))
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    k: int = 20,
+    round_to: int = 4,
+) -> DataFrame:
+    """Embedding-space outlier report: each vector's cosine to its
+    own label's centroid, lowest ``k`` first — the "atypical for its
+    cluster" pruning signal (the distance-to-centroid complement of
+    SemDeDup's too-close signal).
+
+    Everything runs in the long format: the dot/norm sums are
+    per-key fixed-point aggregations (order-independent), and the
+    centroid table joins back as a broadcast (labels × dims rows).
+    One explode + two groupBys; no vector ever crosses a shuffle as
+    an array.
+    """
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round, stable_sum,
+    )
+
+    cents = label_centroids(emb, label_col, vec_col)
+    longf = (
+        emb.select(
+            F.col(id_col),
+            F.col(label_col),
+            F.posexplode(F.col(vec_col)).alias("dim0", "val"),
+        )
+        .select(id_col, label_col, (F.col("dim0") + 1).alias("dim"),
+                F.col("val").cast("double").alias("val"))
+        .join(F.broadcast(cents), [label_col, "dim"])
+    )
+    per_vec = longf.groupBy(id_col, label_col).agg(
+        stable_sum(F.col("val") * F.col("centroid"), 9).alias("dot"),
+        stable_sum(F.col("val") * F.col("val"), 9).alias("se"),
+        stable_sum(F.col("centroid") * F.col("centroid"), 9).alias("sc"),
+    )
+    cos = F.when(
+        (F.col("se") > 0) & (F.col("sc") > 0),
+        F.col("dot") / (F.sqrt(F.col("se")) * F.sqrt(F.col("sc"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        per_vec.select(
+            id_col, label_col, stable_round(cos, round_to).alias("centroid_cos")
+        )
+        .orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
