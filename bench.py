@@ -91,6 +91,11 @@ HEADLINE = [
     "dedup_components_star",
     "quality_bigram_logprob",
     "events_pit_enrich",
+    "curate_pii_redact",
+    "phrase_search",
+    "events_sequence_funnel",
+    "embedding_centroids",
+    "embedding_outliers",
 ]
 
 SMALL_RESULT = {
@@ -123,6 +128,7 @@ SMALL_RESULT = {
     "dedup_semantic_cells", "curate_length_histogram",
     "curate_temperature_mix",
     "suggest_fuzzy", "bm25_prf_search", "rerank_mmr",
+    "phrase_search", "events_sequence_funnel", "embedding_outliers",
 }
 
 
