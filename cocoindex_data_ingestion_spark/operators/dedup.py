@@ -339,9 +339,17 @@ def connected_components(
     component = min node id in the connected component.
 
     Each iteration is one join + groupBy-min; star-shaped edge
-    inputs (minhash_lsh_edges) converge in O(log n) rounds. The loop
-    checkpoints by localCheckpoint to truncate lineage (otherwise
-    the plan doubles per iteration).
+    inputs (minhash_lsh_edges) converge in O(diameter) rounds —
+    bucket-star graphs have diameter ≤ 4, so the default cap is
+    generous for every dedup path. The loop checkpoints by
+    localCheckpoint to truncate lineage (otherwise the plan doubles
+    per iteration).
+
+    The min label travels ONE hop per round, so a high-diameter
+    graph (long chains) legitimately needs diameter rounds; hitting
+    ``max_iterations`` unconverged raises (silently wrong labels are
+    worse) — use :func:`connected_components_star` there, which
+    contracts in O(log² n) rounds regardless of diameter.
     """
     sym = edges.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -383,8 +391,13 @@ def connected_components(
         ).first()[0]
         labels = new_labels.drop("_changed")
         if not changed:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components: not converged after {max_iterations}"
+        " rounds — the graph's diameter exceeds the cap; use"
+        " connected_components_star (O(log² n) rounds) or raise"
+        " max_iterations"
+    )
 
 
 def connected_components_star(

@@ -857,3 +857,20 @@ def test_mmr_diversification_prefers_novelty(spark):
     picked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     # diversity beats the near-dup for the second slot
     assert picked == [1, 3, 2]
+
+
+def test_components_star_handles_deep_chains(spark):
+    # a 60-node path has diameter 59: min-label propagation moves the
+    # label one hop per round, so the 20-round default must REFUSE
+    # (silently wrong labels are worse); star contraction converges
+    # in O(log² n) rounds and labels the whole chain correctly
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comps = {r.node_id: r.component for r in
+             dedup.connected_components_star(chain).collect()}
+    assert set(comps.values()) == {0}
+    assert len(comps) == 61
+
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.connected_components(chain).collect()
