@@ -5426,6 +5426,69 @@ def _q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+_IVM_VEC_LIVE = "e.vec_id <> 0 AND e.vec_id % 17 <> 0"
+
+_IVM_VEC_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id <> 0
+),
+probes AS (
+  SELECT cent_id FROM cents c, q
+  ORDER BY {cosine_sim_sql("c.cvec", "q.qvec")} DESC, cent_id ASC
+  LIMIT {_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_CV} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE {_IVM_VEC_LIVE}
+  ) WHERE rn = 1
+)
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e
+JOIN assign a USING (vec_id)
+JOIN probes p ON p.cent_id = a.cent_id, q
+WHERE {_IVM_VEC_LIVE}
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("ivm_vector_index", _IVM_VEC_SQL)
+def _q_ivm_vector_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintained under deltas (two insert batches, then a
+    vec_id%17 delete batch) and queried nprobe-pruned — the live-
+    ingestion freshness path (indexing.IncrementalVectorIndex over
+    the OCC bucket state). Centroids fixed at build; deltas route to
+    their cells by pure-function assignment, so refreshes touch only
+    affected cells and the oracle is the plain IVF SQL over the
+    final live row set."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        IncrementalVectorIndex,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = vector_search.ivf_centroids(corpus, _IVF_STRIDE).select(
+        "cent_id", F.col("cvec").cast("array<double>").alias("cvec")
+    )
+    idx = IncrementalVectorIndex(
+        spark, tempfile.mkdtemp(prefix="ivm_vec_"), cents, assign="expr"
+    )
+    idx.refresh(inserts=corpus.filter(F.col("vec_id") % 3 != 0))
+    idx.refresh(inserts=corpus.filter(F.col("vec_id") % 3 == 0))
+    idx.refresh(deletes=corpus.filter(F.col("vec_id") % 17 == 0))
+    return idx.query(_qvec_df(emb), k=KNN_K, nprobe=_IVF_NPROBE)
+
+
 _IVM_DISTINCT_SQL = """
 SELECT event_type, count(DISTINCT user_id) AS n_distinct
 FROM events

@@ -571,3 +571,140 @@ def indexed_knn_pq(
         id_col=id_col,
         round_to=round_to,
     )
+
+
+class IncrementalVectorIndex:
+    """IVF vector index maintained under insert/delete deltas — the
+    index-freshness story a live ingestion pipeline needs (the batch
+    ``build_ivf_layout`` rebuilds the world; a 100 TB corpus takes
+    deltas).
+
+    Centroids are FIXED at construction (re-training is a rebuild by
+    contract — same as every production IVF: FAISS/Milvus re-train
+    offline and swap). Because assignment is a pure function of
+    (vector, centroids), delta rows can always be routed to their
+    cell without consulting the existing index, so:
+
+    - **insert**: assign the delta (BLAS or expression path), merge
+      into the affected cells only (bucket-pruned read + rewrite via
+      the OCC manifest state — multi-writer safe).
+    - **delete**: rows carry their vectors; assignment recovers each
+      row's cell deterministically, so only those cells are touched.
+      No corpus scan, no id→cell sidecar.
+    - **query**: nprobe nearest cells → bucket-pruned read of just
+      those cells → exact cosine top-k. With ``n_buckets`` sized to
+      the cell count this is the same pruning the static layout gets
+      from parquet partitioning.
+
+    The maintained state is row-equivalent to a fresh
+    ``build_ivf_layout`` over the live rows (pinned in
+    test_operators), which is why the DuckDB oracle for the
+    registered query is the plain IVF SQL over the final row set.
+    """
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        centroids: DataFrame,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        n_buckets: int = 32,
+        assign: str = "expr",
+    ):
+        from cocoindex_data_ingestion_spark.plans.incremental import (
+            BucketedParquetState,
+        )
+
+        self.spark = spark
+        self.vec_col, self.id_col, self.assign_mode = vec_col, id_col, assign
+        self.centroids = centroids.select(
+            "cent_id", F.col("cvec").cast("array<double>").alias("cvec")
+        ).localCheckpoint(eager=True)
+        schema = (
+            f"cent_id string, {id_col} long, {vec_col} array<double>, "
+            "norm double"
+        )
+        self.state = BucketedParquetState(
+            spark, path, schema, key_col="cent_id", n_buckets=n_buckets
+        )
+
+    def _assigned(self, df: DataFrame) -> DataFrame:
+        from cocoindex_data_ingestion_spark.functions.similarity import l2_norm
+        from cocoindex_data_ingestion_spark.operators.vector_search import (
+            ivf_assign,
+        )
+
+        d = df.select(
+            F.col(self.id_col).cast("long").alias(self.id_col),
+            F.col(self.vec_col).cast("array<double>").alias(self.vec_col),
+        )
+        if self.assign_mode == "numpy":
+            a = _ivf_assign_numpy(d, self.centroids, self.vec_col, self.id_col)
+        else:
+            a = ivf_assign(d, self.centroids, self.vec_col, self.id_col)
+        return a.select(
+            F.col("cent_id").cast("string").alias("cent_id"),
+            self.id_col,
+            self.vec_col,
+            l2_norm(self.vec_col).alias("norm"),
+        )
+
+    def refresh(
+        self, inserts: DataFrame | None = None, deletes: DataFrame | None = None
+    ) -> None:
+        """Fold a delta batch in. ``deletes`` rows must carry their
+        vectors (assignment recovers the cell)."""
+        ins = self._assigned(inserts) if inserts is not None else None
+        dels = self._assigned(deletes) if deletes is not None else None
+        cells = None
+        for part in (ins, dels):
+            if part is not None:
+                c = part.select("cent_id").distinct()
+                cells = c if cells is None else cells.unionByName(c).distinct()
+        if cells is None:
+            return
+        current = self.state.read_keys(cells)
+        if dels is not None:
+            current = current.join(
+                dels.select(self.id_col), self.id_col, "left_anti"
+            )
+        new_rows = (
+            current.unionByName(ins) if ins is not None else current
+        )
+        gone = cells.join(
+            new_rows.select("cent_id").distinct(), "cent_id", "left_anti"
+        )
+        self.state.merge(new_rows, delete_keys=gone)
+
+    def query(
+        self,
+        qvec_df: DataFrame,
+        k: int = 10,
+        nprobe: int = 3,
+        qvec_col: str = "qvec",
+        round_to: int | None = 4,
+    ) -> DataFrame:
+        """nprobe-cell exact top-k: probes chosen by centroid cosine
+        (cent_id tie-break), candidates read bucket-pruned."""
+        from cocoindex_data_ingestion_spark.functions.similarity import (
+            cosine_sim,
+        )
+        from cocoindex_data_ingestion_spark.operators.vector_search import knn
+
+        probes = (
+            self.centroids.crossJoin(F.broadcast(qvec_df))
+            .withColumn("_cs", cosine_sim(F.col("cvec"), F.col(qvec_col)))
+            .orderBy(F.col("_cs").desc(), F.col("cent_id").asc())
+            .limit(nprobe)
+            .select(F.col("cent_id").cast("string").alias("cent_id"))
+        )
+        cand = self.state.read_keys(probes)
+        return knn(
+            cand.crossJoin(F.broadcast(qvec_df)),
+            F.col(qvec_col),
+            k=k,
+            vec_col=self.vec_col,
+            id_col=self.id_col,
+            round_to=round_to,
+        )

@@ -874,3 +874,44 @@ def test_components_star_handles_deep_chains(spark):
 
     with pytest.raises(RuntimeError, match="not converged"):
         dedup.connected_components(chain).collect()
+
+
+def test_incremental_vector_index_equals_fresh_build(spark, sf_dir, tmp_path):
+    # maintained cell contents == fresh assignment over the live rows,
+    # and the pruned query == the same query against a fresh index
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        IncrementalVectorIndex,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    cents = vector_search.ivf_centroids(corpus, 37).select(
+        "cent_id", F.col("cvec").cast("array<double>").alias("cvec")
+    )
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "ivx"), cents, assign="expr"
+    )
+    idx.refresh(inserts=corpus.filter(F.col("vec_id") % 2 == 0))
+    idx.refresh(inserts=corpus.filter(F.col("vec_id") % 2 == 1))
+    idx.refresh(deletes=corpus.filter(F.col("vec_id") % 5 == 0))
+
+    live = corpus.filter(F.col("vec_id") % 5 != 0)
+    fresh = vector_search.ivf_assign(
+        live.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")),
+        cents,
+    )
+    got = {(r.vec_id, int(r.cent_id)) for r in idx.state.read().collect()}
+    exp = {(r.vec_id, r.cent_id) for r in fresh.collect()}
+    assert got == exp
+
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    idx2 = IncrementalVectorIndex(
+        spark, str(tmp_path / "ivx2"), cents, assign="expr"
+    )
+    idx2.refresh(inserts=live)
+    a = [(r.vec_id, r.score) for r in idx.query(q, k=10, nprobe=3).collect()]
+    b = [(r.vec_id, r.score) for r in idx2.query(q, k=10, nprobe=3).collect()]
+    assert a == b
