@@ -203,3 +203,35 @@ def test_graph_declarations_and_endpoint_autocreate(spark, tmp_path):
 
     with pytest.raises(ValueError):
         g.ensure_declared_endpoints(edges, "NeverDeclared")
+
+
+def test_jsonl_source_ordinal_and_quarantine(spark, tmp_path):
+    from cocoindex_data_ingestion_spark.sources.files import read_jsonl
+
+    p = tmp_path / "in"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"id": 1, "name": "ok"}\n'
+        'this is not json\n'
+        '{"id": 2, "name": "also ok"}\n'
+    )
+    good, bad = read_jsonl(spark, str(p), "id long, name string")
+    g = {r.id: r for r in good.collect()}
+    assert set(g) == {1, 2}
+    assert all(r.ordinal > 0 and r.source_path.endswith("a.jsonl")
+               for r in g.values())
+    b = bad.collect()
+    assert len(b) == 1 and "not json" in b[0]._corrupt_record
+    assert b[0].ordinal == g[1].ordinal  # same file, same mtime ordinal
+
+
+def test_csv_source_quarantine(spark, tmp_path):
+    from cocoindex_data_ingestion_spark.sources.files import read_csv
+
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "d.csv").write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    good, bad = read_csv(spark, str(p), "id long, qty long")
+    assert {r.id for r in good.collect()} == {1, 3}
+    b = bad.collect()
+    assert len(b) == 1 and "not_a_number" in b[0]._corrupt_record
