@@ -375,7 +375,13 @@ def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     at weight 0.5, then a weighted BM25 rescore. The expansion term
     set never leaves the cluster — it flows into the rescore as a
     broadcast build side (bm25.prf_expansion_terms →
-    bm25.bm25_search_weighted)."""
+    bm25.bm25_search_weighted).
+
+    Cost contract: two full ad-hoc BM25 passes by construction (base
+    retrieval + weighted rescore each re-tokenize, the same
+    documented-weak shape as bm25_search vs indexed_bm25_search); a
+    production deployment runs both legs against the prebuilt
+    postings index, where each is one bucket-pruned read."""
     docs = _t(spark, sf_dir, "documents")
     wterms = bm25_ops.prf_expansion_terms(
         docs, QUERY_TERMS,
