@@ -426,3 +426,53 @@ def test_streaming_quality_funnel_matches_batch(spark, tmp_path, sf_dir):
         ).collect()
     )
     assert got == expected and len(got) > 0
+
+
+def test_stream_refreshes_incremental_vector_index(spark, tmp_path, sf_dir):
+    """readStream -> foreachBatch -> IncrementalVectorIndex.refresh:
+    micro-batched index ingestion converges to the same cells and the
+    same query answers as a one-shot build over the full corpus."""
+    from cocoindex_data_ingestion_spark.operators import vector_search
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        IncrementalVectorIndex,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    corpus = emb.filter(F.col("vec_id") != 0)
+    # stage the corpus as 3 parquet files so the file stream delivers
+    # multiple micro-batches
+    src = str(tmp_path / "vec_src")
+    corpus.repartition(3).write.parquet(src)
+    cents = vector_search.ivf_centroids(corpus, 37).select(
+        "cent_id", F.col("cvec").cast("array<double>").alias("cvec")
+    )
+    idx = IncrementalVectorIndex(
+        spark, str(tmp_path / "vidx"), cents, assign="expr"
+    )
+
+    stream = (
+        spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _id: idx.refresh(inserts=batch)
+        )
+        .option("checkpointLocation", str(tmp_path / "vidx_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    idx2 = IncrementalVectorIndex(
+        spark, str(tmp_path / "vidx_oneshot"), cents, assign="expr"
+    )
+    idx2.refresh(inserts=corpus)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qvec")
+    )
+    a = [(r.vec_id, r.score) for r in idx.query(qv, k=10, nprobe=3).collect()]
+    b = [(r.vec_id, r.score) for r in idx2.query(qv, k=10, nprobe=3).collect()]
+    assert a == b and len(a) > 0
