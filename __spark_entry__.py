@@ -2703,6 +2703,48 @@ def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.phrase_search(_t(spark, sf_dir, "documents"), _PHRASE, k=20)
 
 
+_SNIPPET_CTX = 3
+_SNIPPET_LEN = len(_PHRASE) + 2 * _SNIPPET_CTX
+
+_SNIPPET_SQL = f"""
+WITH arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+),
+pos AS (SELECT doc_id, unnest(t) AS token,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM arr),
+m AS (
+  SELECT a.doc_id, a.pos - 1 AS base
+  FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.token = '{_PHRASE[0]}' AND b.token = '{_PHRASE[1]}'
+),
+hits AS (
+  SELECT doc_id, count(*) AS n_phrase, min(base) AS first_pos
+  FROM m GROUP BY 1
+)
+SELECT h.doc_id, h.n_phrase, h.first_pos,
+       array_to_string(
+         t[GREATEST(1, h.first_pos + 1 - {_SNIPPET_CTX})
+           : GREATEST(1, h.first_pos + 1 - {_SNIPPET_CTX}) + {_SNIPPET_LEN - 1}],
+         ' ') AS snippet
+FROM hits h JOIN arr USING (doc_id)
+ORDER BY n_phrase DESC, doc_id ASC
+LIMIT 5
+"""
+
+
+@_register("search_snippets", _SNIPPET_SQL)
+def _q_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation/highlight snippets: the ±3-token window around each
+    top doc's first "table value" phrase hit — one extra min-position
+    aggregate over the phrase match stream plus an array slice, no
+    second text scan (bm25.phrase_snippets)."""
+    return bm25_ops.phrase_snippets(
+        _t(spark, sf_dir, "documents"), _PHRASE, k=5, context=_SNIPPET_CTX
+    )
+
+
 # -- §2.6 fuzzy suggestions (suggestions endpoint + edit distance) ------------
 
 _SUGGEST_TERM = "hask"  # deliberate misspelling of a corpus term

@@ -288,3 +288,59 @@ def phrase_search(
         .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def phrase_snippets(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 5,
+    context: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Search-result snippets: for the top-k phrase-matching docs,
+    the ``context``-token window around the FIRST occurrence — the
+    result-presentation step behind every citation/highlight UI
+    (the reference shows ±120-char citations; token windows are the
+    tokenizer-aligned form).
+
+    One extra groupBy over :func:`phrase_search`'s match stream
+    (min position per doc) plus a slice of the already-tokenized
+    array — no second text scan.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    terms = [t.lower() for t in phrase]
+    toks = docs.select(F.col(id_col), tokenize(text_col).alias("_toks"))
+    pos = toks.select(
+        id_col, F.posexplode(F.col("_toks")).alias("p", "token")
+    )
+    cur = (
+        pos.filter(F.col("token") == terms[0])
+        .select(id_col, F.col("p").alias("base"))
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("token") == t).select(
+            id_col, (F.col("p") - j).alias("base")
+        )
+        cur = cur.join(nxt, [id_col, "base"])
+    hits = cur.groupBy(id_col).agg(
+        F.count("*").alias("n_phrase"), F.min("base").alias("first_pos")
+    )
+    # slice is 1-based; first_pos is 0-based; window = context before
+    # the phrase through context after it
+    start = F.greatest(F.lit(1), F.col("first_pos") + 1 - context)
+    length = len(terms) + 2 * context
+    return (
+        hits.join(toks, id_col)
+        .select(
+            id_col,
+            "n_phrase",
+            "first_pos",
+            F.concat_ws(" ", F.slice(F.col("_toks"), start, length)).alias(
+                "snippet"
+            ),
+        )
+        .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
