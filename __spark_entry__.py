@@ -368,6 +368,26 @@ LIMIT {KNN_K}
 """
 
 
+@_register("indexed_bm25_prf", _bm25_prf_sql())
+def _q_indexed_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RM3 PRF served from the prebuilt index (the ad-hoc twin's
+    scale path): base + rescore are bucket-pruned postings reads and
+    the expansion statistics re-tokenize only the 10 feedback docs
+    (pushed-down id predicate). Same oracle as bm25_prf_search —
+    identical results by the shared-tokenizer/denormalized-stats
+    contract (indexing.indexed_bm25_prf)."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_bm25_prf,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    return indexed_bm25_prf(
+        spark, idx, docs, QUERY_TERMS,
+        fb_docs=_PRF_FB_DOCS, n_terms=_PRF_N_TERMS, beta=_PRF_BETA, k=KNN_K,
+    )
+
+
 @_register("bm25_prf_search", _bm25_prf_sql())
 def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RM3-lite query expansion: BM25 top-10 as the pseudo-relevant

@@ -96,6 +96,8 @@ HEADLINE = [
     "events_sequence_funnel",
     "embedding_centroids",
     "embedding_outliers",
+    "indexed_bm25_prf",
+    "search_snippets",
 ]
 
 SMALL_RESULT = {
@@ -129,6 +131,7 @@ SMALL_RESULT = {
     "curate_temperature_mix",
     "suggest_fuzzy", "bm25_prf_search", "rerank_mmr",
     "phrase_search", "events_sequence_funnel", "embedding_outliers",
+    "indexed_bm25_prf", "search_snippets",
 }
 
 

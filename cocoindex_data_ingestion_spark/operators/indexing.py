@@ -708,3 +708,97 @@ class IncrementalVectorIndex:
             id_col=self.id_col,
             round_to=round_to,
         )
+
+
+def indexed_bm25_weighted(
+    spark: SparkSession,
+    index_dir: str,
+    weighted_terms: list[tuple[str, float]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Weighted-term BM25 from the prebuilt index: per-term weights
+    scale each term's contribution; the term list drives the same
+    bucket pruning as :func:`indexed_bm25` (terms are literal query
+    parameters, so the probe is static partition pruning + an IN-list
+    pushed into row-group stats)."""
+    terms = [t.lower() for t, _w in weighted_terms]
+    wdf = spark.createDataFrame(
+        [(t.lower(), float(w)) for t, w in weighted_terms], "token string, w double"
+    )
+    postings = _query_postings(spark, index_dir, terms)
+    stats = spark.read.parquet(f"{index_dir}/stats")
+    scored = (
+        postings.join(F.broadcast(wdf), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "term_score",
+            F.col("w")
+            * F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(stable_round(stable_sum(F.col("term_score"), 6), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
+def indexed_bm25_prf(
+    spark: SparkSession,
+    index_dir: str,
+    docs: DataFrame,
+    query_terms: list[str],
+    fb_docs: int = 10,
+    n_terms: int = 5,
+    beta: float = 0.5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RM3 pseudo-relevance feedback served from the index — the
+    scale path for ``bm25.prf_expansion_terms`` + weighted rescore
+    (the ad-hoc twin re-tokenizes the corpus twice; documented-weak).
+
+    Stage cost: base retrieval = one bucket-pruned postings read;
+    expansion statistics = re-tokenizing ONLY the ``fb_docs``
+    feedback documents (a pushed-down id predicate over the corpus —
+    row-group pruned, k docs of text); rescore = a second pruned
+    postings read for original + expansion terms. The ≤ (|q| +
+    n_terms) expansion terms are collected to the driver — they ARE
+    the second stage's query parameters (same bounded-collect
+    contract as the 1-row query vector), which is what lets them
+    drive static partition pruning.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+    base = indexed_bm25(spark, index_dir, qterms, k=fb_docs, id_col=id_col)
+    fb_ids = base.select(id_col)
+    expansion = (
+        docs.join(F.broadcast(fb_ids), id_col)
+        .select(F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token") & ~F.col("token").isin(qterms))
+        .groupBy("token")
+        .agg(F.count("*").alias("w_tf"))
+        .orderBy(F.col("w_tf").desc(), F.col("token").asc())
+        .limit(n_terms)
+        .collect()
+    )
+    weighted = [(t, 1.0) for t in qterms] + [
+        (r["token"], float(beta)) for r in expansion
+    ]
+    return indexed_bm25_weighted(spark, index_dir, weighted, k=k, id_col=id_col)
