@@ -786,6 +786,187 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_history(_t(spark, sf_dir, "events"))
 
 
+# -- retention cohorts (first-activity week × weeks-since) --------------------
+
+_WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+_RETENTION_SQL = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+first AS (
+  SELECT user_id, min(us) // {_WEEK_US} AS cohort_week FROM e GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         (e.us // {_WEEK_US}) - f.cohort_week AS week_offset
+  FROM e JOIN first f USING (user_id)
+)
+SELECT cohort_week, week_offset, count(*) AS n_active
+FROM act GROUP BY 1, 2
+"""
+
+
+@_register("events_retention_cohorts", _RETENTION_SQL)
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity
+    week, counted distinct per week-offset — the standard retention
+    triangle. First-seen is one groupBy; the offset join is equi on
+    user_id (one shuffle each); integer epoch-week arithmetic is
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", _ts_us("ts").alias("us")
+    )
+    first = ev.groupBy("user_id").agg(
+        F.expr(f"min(us) div {_WEEK_US}").alias("cohort_week")
+    )
+    act = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.expr(f"us div {_WEEK_US}") - F.col("cohort_week")).alias(
+                "week_offset"
+            ),
+        )
+        .distinct()
+    )
+    return act.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("n_active")
+    )
+
+
+# -- market-basket co-occurrence (parts co-ordered) ---------------------------
+
+_BASKET_MIN_CO = 2
+
+_BASKET_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+pf AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_CO}
+)
+SELECT p.part_a, p.part_b, p.n_co,
+       {_R("p.n_co * CAST(n.n AS DOUBLE) / (fa.n_part * fb.n_part)", 4)} AS lift
+FROM pairs p
+JOIN pf fa ON fa.l_partkey = p.part_a
+JOIN pf fb ON fb.l_partkey = p.part_b, n_ord n
+ORDER BY n_co DESC, lift DESC, part_a ASC, part_b ASC
+LIMIT 50
+"""
+
+
+@_register("basket_part_pairs", _BASKET_SQL)
+def _q_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: part pairs co-occurring in ≥2 orders,
+    ranked by support then lift. The self-join is keyed on the order
+    (baskets are small — Σ per-order |parts|² stays linear in
+    orders), part frequencies join back as a broadcast, and the
+    order count is a broadcast scalar."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_ord = li.select(F.countDistinct("l_orderkey").alias("n"))
+    pf = li.groupBy("l_partkey").agg(F.count("*").alias("n_part"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _BASKET_MIN_CO)
+    )
+    fa = pf.select(
+        F.col("l_partkey").alias("part_a"), F.col("n_part").alias("na")
+    )
+    fb = pf.select(
+        F.col("l_partkey").alias("part_b"), F.col("n_part").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            stable_round(
+                F.col("n_co") * F.col("n").cast("double")
+                / (F.col("na") * F.col("nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(
+            F.col("n_co").desc(), F.col("lift").desc(),
+            F.col("part_a").asc(), F.col("part_b").asc(),
+        )
+        .limit(50)
+    )
+
+
+# -- event-type transition matrix (first-order Markov) ------------------------
+
+_TRANSITIONS_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+),
+t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY us, event_id) AS to_type
+  FROM e
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.n,
+       floor(CAST(c.n AS DOUBLE) / t.n_from * 10000.0 + 0.5) / 10000.0 AS p
+FROM c JOIN tot t USING (from_type)
+"""
+
+
+@_register("events_transition_matrix", _TRANSITIONS_SQL)
+def _q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: P(next event type | current) — one lead() window pass
+    (single shuffle on user_id) + a 25-cell aggregation. The behavior
+    profile a sessionization/anomaly layer consumes."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us("ts").alias("us"), "event_type"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc(), F.col("event_id").asc()
+    )
+    t = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = t.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    tot = c.groupBy("from_type").agg(F.sum("n").alias("n_from"))
+    return c.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        stable_round(
+            F.col("n").cast("double") / F.col("n_from"), 4
+        ).alias("p"),
+    )
+
+
 # -- ordered-sequence funnel (view → click → purchase) ------------------------
 
 _FUNNEL_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # conversion window

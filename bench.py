@@ -98,6 +98,9 @@ HEADLINE = [
     "embedding_outliers",
     "indexed_bm25_prf",
     "search_snippets",
+    "events_retention_cohorts",
+    "basket_part_pairs",
+    "events_transition_matrix",
 ]
 
 SMALL_RESULT = {
@@ -132,6 +135,8 @@ SMALL_RESULT = {
     "suggest_fuzzy", "bm25_prf_search", "rerank_mmr",
     "phrase_search", "events_sequence_funnel", "embedding_outliers",
     "indexed_bm25_prf", "search_snippets",
+    "events_retention_cohorts", "basket_part_pairs",
+    "events_transition_matrix",
 }
 
 
