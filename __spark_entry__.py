@@ -786,6 +786,68 @@ def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.scd2_history(_t(spark, sf_dir, "events"))
 
 
+# -- data-quality expectations + k-anonymity audit ----------------------------
+
+_EXPECT_SQL = """
+SELECT count(*) AS n_rows,
+       count(CASE WHEN NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                  THEN 1 END) AS bad_qty_range,
+       count(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+                  THEN 1 END) AS bad_price_positive,
+       count(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+                  THEN 1 END) AS bad_discount_range,
+       count(CASE WHEN coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+                   AND coalesce(l_extendedprice > 0, FALSE)
+                   AND coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+                  THEN 1 END) AS n_valid
+FROM lineitem
+"""
+
+
+@_register("expectations_audit", _EXPECT_SQL)
+def _q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit over lineitem (range/positivity
+    rules): total, per-rule violations, fully-valid rows — all from
+    ONE conditional-aggregate scan; NULLs count as violations
+    (operators/expectations.py). The split() twin quarantines the
+    failing rows with their per-rule flags."""
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    rules = {
+        "qty_range": (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 50),
+        "price_positive": F.col("l_extendedprice") > 0,
+        "discount_range": (F.col("l_discount") >= 0)
+        & (F.col("l_discount") <= 0.1),
+    }
+    return expectations.summarize(li, rules)
+
+
+_KANON_K = 8
+
+_KANON_SQL = f"""
+SELECT c_nationkey, c_mktsegment, count(*) AS group_size
+FROM customer
+GROUP BY 1, 2
+HAVING count(*) < {_KANON_K}
+"""
+
+
+@_register("kanonymity_audit", _KANON_SQL)
+def _q_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: (nation, segment) quasi-identifier combos
+    with fewer than {k} members — the re-identifiable groups a
+    privacy release must suppress/generalize. One groupBy; output
+    bounded by rare-combo count (operators/expectations.py)."""
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    return expectations.k_anonymity_audit(
+        _t(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=_KANON_K,
+    )
+
+
 # -- retention cohorts (first-activity week × weeks-since) --------------------
 
 _WEEK_US = 7 * 24 * 3600 * 1_000_000

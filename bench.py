@@ -101,6 +101,8 @@ HEADLINE = [
     "events_retention_cohorts",
     "basket_part_pairs",
     "events_transition_matrix",
+    "expectations_audit",
+    "kanonymity_audit",
 ]
 
 SMALL_RESULT = {
@@ -137,6 +139,7 @@ SMALL_RESULT = {
     "indexed_bm25_prf", "search_snippets",
     "events_retention_cohorts", "basket_part_pairs",
     "events_transition_matrix",
+    "expectations_audit", "kanonymity_audit",
 }
 
 

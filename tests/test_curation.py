@@ -278,3 +278,21 @@ def test_pii_redact_counts_and_replacement(spark):
     # the ipv4 pattern is syntactic (no 0-255 range check) — documents
     # the conservative contract; phone needs the 3-3/4 shape
     assert out[3].n_ipv4 == 1 and out[3].n_phone == 1
+
+
+def test_expectations_split_and_nulls(spark):
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    rows = [(1, 10.0), (2, -3.0), (3, None), (4, 55.0)]
+    df = spark.createDataFrame(rows, "id long, qty double")
+    rules = {
+        "qty_pos": F.col("qty") > 0,
+        "qty_cap": F.col("qty") <= 50,
+    }
+    good, bad = expectations.split(df, rules)
+    assert {r.id for r in good.collect()} == {1}
+    flags = {r.id: (r.ok_qty_pos, r.ok_qty_cap) for r in bad.collect()}
+    # NULL counts as violation on BOTH rules (three-valued logic fenced)
+    assert flags == {2: (False, True), 3: (False, False), 4: (True, False)}
+    s = expectations.summarize(df, rules).collect()[0]
+    assert (s.n_rows, s.bad_qty_pos, s.bad_qty_cap, s.n_valid) == (4, 2, 2, 1)
