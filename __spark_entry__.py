@@ -5057,6 +5057,100 @@ def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
 
 
+# -- deterministic train/val/test split ---------------------------------------
+
+_SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.1
+
+_SPLIT_SQL = f"""
+WITH a AS (
+  SELECT lang,
+         CASE WHEN {curation.hash_rank_sql("doc_id", "split")}
+                   < '{curation.fraction_threshold(_SPLIT_TRAIN)}' THEN 'train'
+              WHEN {curation.hash_rank_sql("doc_id", "split")}
+                   < '{curation.fraction_threshold(_SPLIT_TRAIN + _SPLIT_VAL)}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT lang, split, count(*) AS n FROM a GROUP BY 1, 2
+"""
+
+
+@_register("curate_split_assign", _SPLIT_SQL)
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment via the
+    hash-rank filter family (pure codegen predicate — zero shuffle
+    for the assignment itself; stable under repartitioning and
+    re-runs, so a document never migrates between splits). Reported
+    as per-(lang, split) counts."""
+    docs = _t(spark, sf_dir, "documents")
+    r = curation.hash_rank(F.col("doc_id"), "split")
+    split = (
+        F.when(r < curation.fraction_threshold(_SPLIT_TRAIN), "train")
+        .when(r < curation.fraction_threshold(_SPLIT_TRAIN + _SPLIT_VAL), "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# -- incremental dedup: new batch vs corpus history ---------------------------
+
+_DEDUP_INCR_CAP = 40
+
+_DEDUP_INCR_SQL = (
+    _minhash_sql()
+    + f"""
+, hist AS (SELECT id AS history_id, bucket FROM buckets WHERE id % 4 <> 0),
+hok AS (
+  SELECT bucket FROM hist GROUP BY 1 HAVING count(*) <= {_DEDUP_INCR_CAP}
+),
+bat AS (SELECT id AS batch_id, bucket FROM buckets WHERE id % 4 = 0)
+SELECT DISTINCT b.batch_id, h.history_id
+FROM bat b
+JOIN hok USING (bucket)
+JOIN hist h USING (bucket)
+"""
+)
+
+
+@_register("dedup_incremental_batch", _DEDUP_INCR_SQL)
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: LSH candidate pairs between a NEW batch
+    (doc_id%4==0) and the corpus HISTORY — the production daily-
+    increment shape, where history signatures are precomputed once
+    (in production: stored bucketed by LSH bucket, so the batch
+    probe is a pruned co-located join) and only the delta is
+    re-signed. No history re-tokenization per batch; hot buckets
+    (boilerplate) above the membership cap are skipped, bounding
+    candidates per batch doc at bands×cap regardless of history
+    size — the same df-cap discipline as dedup_ngram_jaccard."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.size(bm25_tokens("text")) > 0
+    )
+    hist = dedup.minhash_buckets(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS,
+    ).select(F.col("id").alias("history_id"), "bucket")
+    hok = hist.groupBy("bucket").agg(F.count("*").alias("_n")).filter(
+        F.col("_n") <= _DEDUP_INCR_CAP
+    ).select("bucket")
+    batch = dedup.minhash_buckets(
+        docs.filter(F.col("doc_id") % 4 == 0),
+        num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS,
+    ).select(F.col("id").alias("batch_id"), "bucket")
+    return (
+        batch.join(hok, "bucket")
+        .join(hist, "bucket")
+        .select("batch_id", "history_id")
+        .distinct()
+    )
+
+
 # -- PII redaction (BigScience/ROOTS-style privacy scrub) ---------------------
 
 # contact strings synthesized from INTEGER columns only — double→string

@@ -103,6 +103,8 @@ HEADLINE = [
     "events_transition_matrix",
     "expectations_audit",
     "kanonymity_audit",
+    "curate_split_assign",
+    "dedup_incremental_batch",
 ]
 
 SMALL_RESULT = {
@@ -140,6 +142,7 @@ SMALL_RESULT = {
     "events_retention_cohorts", "basket_part_pairs",
     "events_transition_matrix",
     "expectations_audit", "kanonymity_audit",
+    "curate_split_assign",
 }
 
 
