@@ -5842,6 +5842,39 @@ def _q_ivm_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.read()
 
 
+def _bm25_live_sql() -> str:
+    """Ad-hoc BM25 over the live (non-tombstoned) docs — the oracle
+    for the segmented incremental index."""
+    body = _BM25_SQL.format(k=KNN_K).replace("FROM documents", "FROM live")
+    return body.replace(
+        "WITH toks AS (",
+        "WITH live AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),\ntoks AS (",
+        1,
+    )
+
+
+@_register("ivm_bm25_segments", _bm25_live_sql())
+def _q_ivm_bm25_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from a segment-maintained index (Lucene shape: immutable
+    per-batch segments + doc tombstones + a stats ledger;
+    indexing.SegmentedPostingsIndex) built through two insert batches
+    and a doc_id%17 delete — queried WITHOUT any rebuild. Oracle =
+    ad-hoc BM25 over the live docs: the maintenance correctness
+    contract (df from live postings, n_docs/avgdl from the ledger)."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        SegmentedPostingsIndex,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    idx = SegmentedPostingsIndex(spark, tempfile.mkdtemp(prefix="segidx_"))
+    idx.add_segment(docs.filter(F.col("doc_id") % 3 != 0))
+    idx.add_segment(docs.filter(F.col("doc_id") % 3 == 0))
+    idx.delete_docs(docs.filter(F.col("doc_id") % 17 == 0).select("doc_id"))
+    return idx.search(QUERY_TERMS, k=KNN_K)
+
+
 _IVM_VEC_LIVE = "e.vec_id <> 0 AND e.vec_id % 17 <> 0"
 
 _IVM_VEC_SQL = f"""

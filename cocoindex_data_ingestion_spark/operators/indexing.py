@@ -25,6 +25,8 @@ turns O(corpus) per query into O(result).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -802,3 +804,251 @@ def indexed_bm25_prf(
         (r["token"], float(beta)) for r in expansion
     ]
     return indexed_bm25_weighted(spark, index_dir, weighted, k=k, id_col=id_col)
+
+
+class SegmentedPostingsIndex:
+    """Incrementally-maintained BM25 index, Lucene-segment shape:
+    each insert batch becomes an immutable SEGMENT (postings
+    partitioned by token bucket + a doc-length table + a one-row
+    stats ledger entry); deletes append doc tombstones plus a
+    negative ledger entry. Queries stay correct and pruned at every
+    point — no rebuild, ever; ``compact()`` folds segments +
+    tombstones back into one.
+
+    Why this shape at 100 TB: postings must stay token-bucketed for
+    query pruning, but a bucketed-merge state keyed by token would
+    rewrite nearly the whole index per batch (any sizable batch
+    touches most of the vocabulary). Immutable segments make a
+    refresh O(batch); the query-side cost is reading each segment's
+    (pruned) term buckets — bounded by segment count, which
+    compaction controls. Exactly Lucene/Tantivy's contract,
+    re-expressed as parquet + DataFrames.
+
+    Correctness of scoring under deletes: df for the query's terms is
+    computed from the retrieved (live) postings themselves — cheap
+    because they are already term-pruned; n_docs and avgdl come from
+    the ledger (segment sums minus tombstoned docs' contributions),
+    so scores equal an ad-hoc BM25 over the live corpus (the
+    registered oracle checks precisely that).
+    """
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark, self.path = spark, path
+        os.makedirs(f"{path}/segments", exist_ok=True)
+        os.makedirs(f"{path}/tombstones", exist_ok=True)
+        os.makedirs(f"{path}/ledger", exist_ok=True)
+
+    # -- maintenance -------------------------------------------------------
+
+    def _segment_dirs(self) -> list[str]:
+        root = f"{self.path}/segments"
+        return sorted(
+            f"{root}/{d}" for d in os.listdir(root)
+            if os.path.isdir(f"{root}/{d}")
+        )
+
+    def _next_name(self, prefix: str) -> str:
+        import uuid
+
+        return f"{prefix}_{len(os.listdir(f'{self.path}/segments')):05d}_{uuid.uuid4().hex[:6]}"
+
+    def add_segment(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_buckets: int = POSTINGS_BUCKETS,
+    ) -> None:
+        """One pass over the batch → an immutable segment."""
+        from cocoindex_data_ingestion_spark.functions.text import (
+            is_content_token, tokenize,
+        )
+
+        seg = f"{self.path}/segments/{self._next_name('seg')}"
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokenize(text_col)).alias("token"),
+        ).filter(is_content_token("token"))
+        postings = toks.groupBy("doc_id", "token").agg(
+            F.count("*").alias("tf")
+        )
+        # doclens cover EVERY doc (dl=0 for token-free ones): deletes
+        # must be able to decrement the all-docs count, and BM25's idf
+        # uses n_docs over ALL docs while avgdl averages only docs
+        # with >= 1 token (the ad-hoc oracle's exact semantics)
+        dls = (
+            docs.select(F.col(id_col).alias("doc_id"))
+            .distinct()
+            .join(
+                postings.groupBy("doc_id").agg(F.sum("tf").alias("dl")),
+                "doc_id",
+                "left",
+            )
+            .select("doc_id", F.coalesce("dl", F.lit(0)).alias("dl"))
+        )
+        (
+            postings.withColumn("tbucket", _token_bucket(F.col("token"), n_buckets))
+            .repartition("tbucket")
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(f"{seg}/postings")
+        )
+        dls.write.mode("overwrite").parquet(f"{seg}/doclens")
+        led = dls.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("dl") > 0, True)).cast("long").alias("n_docs_tok"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        led.write.mode("append").parquet(f"{self.path}/ledger")
+
+    def delete_docs(self, doc_ids: DataFrame, id_col: str = "doc_id") -> None:
+        """Tombstone a set of doc ids (idempotent per id). The
+        negative ledger entry uses the docs' stored lengths, read
+        from the (small) per-segment doclens tables."""
+        ids = doc_ids.select(F.col(id_col).alias("doc_id")).distinct()
+        # subtract only ids not already tombstoned (idempotence)
+        existing = self._tombstones()
+        if existing is not None:
+            ids = ids.join(existing, "doc_id", "left_anti")
+        dls = None
+        for seg in self._segment_dirs():
+            d = self.spark.read.parquet(f"{seg}/doclens")
+            dls = d if dls is None else dls.unionByName(d)
+        if dls is None:
+            return
+        gone = dls.join(F.broadcast(ids), "doc_id")
+        led = gone.agg(
+            (-F.count("*")).cast("long").alias("n_docs"),
+            (-F.count(F.when(F.col("dl") > 0, True))).cast("long").alias("n_docs_tok"),
+            (-F.coalesce(F.sum("dl"), F.lit(0))).cast("long").alias("total_dl"),
+        )
+        ids.write.mode("append").parquet(f"{self.path}/tombstones")
+        led.write.mode("append").parquet(f"{self.path}/ledger")
+
+    def _tombstones(self) -> DataFrame | None:
+        root = f"{self.path}/tombstones"
+        if not any(f.endswith(".parquet") for f in os.listdir(root)):
+            return None
+        return self.spark.read.parquet(root).distinct()
+
+    # -- query -------------------------------------------------------------
+
+    def search(
+        self,
+        query_terms: list[str],
+        k: int = 10,
+        k1: float = K1,
+        b: float = B,
+        round_to: int = 4,
+        n_buckets: int = POSTINGS_BUCKETS,
+    ) -> DataFrame:
+        qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+        buckets = _token_buckets_py(qterms, n_buckets)
+        post = None
+        for seg in self._segment_dirs():
+            p = self.spark.read.parquet(f"{seg}/postings").filter(
+                F.col("tbucket").isin(buckets) & F.col("token").isin(qterms)
+            )
+            post = p if post is None else post.unionByName(p)
+        if post is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        tomb = self._tombstones()
+        if tomb is not None:
+            post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+        ledger = self.spark.read.parquet(f"{self.path}/ledger").agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("n_docs_tok").alias("n_docs_tok"),
+            F.sum("total_dl").alias("total_dl"),
+        )
+        stats = ledger.select(
+            "n_docs",
+            (F.col("total_dl").cast("double") / F.col("n_docs_tok")).alias("avgdl"),
+        )
+        # dl per matching doc: Σ tf of that doc's postings is NOT dl
+        # (only query terms present) — read dl from the doclens tables
+        # of each segment, pruned to the matched docs
+        dls = None
+        for seg in self._segment_dirs():
+            d = self.spark.read.parquet(f"{seg}/doclens")
+            dls = d if dls is None else dls.unionByName(d)
+        matched = post.select("doc_id").distinct()
+        dls = dls.join(F.broadcast(matched), "doc_id")
+        dfreq = post.groupBy("token").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        scored = (
+            post.join(F.broadcast(dfreq), "token")
+            .join(dls, "doc_id")
+            .crossJoin(F.broadcast(stats))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                    + 1.0
+                ),
+            )
+            .withColumn(
+                "term_score",
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+            )
+            .groupBy("doc_id")
+            .agg(
+                stable_round(stable_sum(F.col("term_score"), 6), round_to).alias(
+                    "score"
+                )
+            )
+        )
+        return (
+            scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, n_buckets: int = POSTINGS_BUCKETS) -> None:
+        """Fold all segments + tombstones into one segment (the
+        background merge). Ledger is rewritten from the surviving
+        doc-length table, tombstones cleared."""
+        import shutil
+
+        segs = self._segment_dirs()
+        if not segs:
+            return
+        post = None
+        dls = None
+        for seg in segs:
+            p = self.spark.read.parquet(f"{seg}/postings")
+            d = self.spark.read.parquet(f"{seg}/doclens")
+            post = p if post is None else post.unionByName(p)
+            dls = d if dls is None else dls.unionByName(d)
+        tomb = self._tombstones()
+        if tomb is not None:
+            post = post.join(F.broadcast(tomb), "doc_id", "left_anti")
+            dls = dls.join(F.broadcast(tomb), "doc_id", "left_anti")
+        new_root = f"{self.path}/segments_new"
+        shutil.rmtree(new_root, ignore_errors=True)
+        seg = f"{new_root}/{self._next_name('compacted')}"
+        (
+            post.repartition("tbucket")
+            .sortWithinPartitions("token", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("tbucket")
+            .parquet(f"{seg}/postings")
+        )
+        dls_out = dls.localCheckpoint(eager=True)
+        dls_out.write.mode("overwrite").parquet(f"{seg}/doclens")
+        led = dls_out.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count(F.when(F.col("dl") > 0, True)).cast("long").alias("n_docs_tok"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
+        ).localCheckpoint(eager=True)
+        shutil.rmtree(f"{self.path}/segments")
+        os.rename(new_root, f"{self.path}/segments")
+        shutil.rmtree(f"{self.path}/tombstones")
+        os.makedirs(f"{self.path}/tombstones", exist_ok=True)
+        shutil.rmtree(f"{self.path}/ledger")
+        led.write.mode("overwrite").parquet(f"{self.path}/ledger")

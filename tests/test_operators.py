@@ -915,3 +915,34 @@ def test_incremental_vector_index_equals_fresh_build(spark, sf_dir, tmp_path):
     a = [(r.vec_id, r.score) for r in idx.query(q, k=10, nprobe=3).collect()]
     b = [(r.vec_id, r.score) for r in idx2.query(q, k=10, nprobe=3).collect()]
     assert a == b
+
+
+def test_segmented_postings_index_compaction(spark, sf_dir, tmp_path):
+    # search results are invariant under compaction, and tombstoned
+    # docs never resurface; post-compaction maintenance keeps working
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        SegmentedPostingsIndex,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    idx = SegmentedPostingsIndex(spark, str(tmp_path / "seg"))
+    idx.add_segment(docs.filter(F.col("doc_id") % 2 == 0))
+    idx.add_segment(docs.filter(F.col("doc_id") % 2 == 1))
+    idx.delete_docs(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"))
+
+    terms = ["spark", "join", "window", "hash"]
+    before = [(r.doc_id, r.score) for r in idx.search(terms, k=10).collect()]
+    assert before and all(d % 5 != 0 for d, _ in before)
+
+    idx.compact()
+    assert len(idx._segment_dirs()) == 1 and idx._tombstones() is None
+    after = [(r.doc_id, r.score) for r in idx.search(terms, k=10).collect()]
+    assert after == before
+
+    # maintenance continues on the compacted index
+    idx.delete_docs(spark.createDataFrame(
+        [(before[0][0],)], "doc_id long"
+    ))
+    post = [(r.doc_id, r.score) for r in idx.search(terms, k=10).collect()]
+    assert before[0][0] not in {d for d, _ in post}
