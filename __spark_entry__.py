@@ -1910,6 +1910,56 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indexed_rerank(spark, idx, bm, QUERY_TERMS, k=KNN_K)
 
 
+# -- §2.6 multi-table LSH (OR-of-buckets recall amplifier) --------------------
+
+_LSH_TABLES = 3
+
+
+def _sig_at_sql(col: str, n_bits: int, offset: int) -> str:
+    parts = " || ".join(
+        f"(CASE WHEN {col}[{offset + i + 1}] > 0 THEN '1' ELSE '0' END)"
+        for i in range(n_bits)
+    )
+    return "(" + parts + ")"
+
+
+def _lsh_multitable_sql() -> str:
+    conds = " OR ".join(
+        f"{_sig_at_sql('e.embedding', _LSH_BITS, t * _LSH_BITS)}"
+        f" = {_sig_at_sql('q.qv', _LSH_BITS, t * _LSH_BITS)}"
+        for t in range(_LSH_TABLES)
+    )
+    return f"""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qvec, embedding AS qv
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e, q
+WHERE e.vec_id <> 0 AND ({conds})
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("vector_knn_lsh_multitable", _lsh_multitable_sql())
+def _q_knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN: candidate if bucket-equal to the query in
+    ANY of 3 independent disjoint-dim tables — miss probability
+    (1−p)³ for ~3× the scan of one table; one scan, OR predicate, no
+    union (vector_search.knn_lsh_multitable). The indexed form is T
+    bucket-partitioned copies probed with static pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    return vector_search.knn_lsh_multitable(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=KNN_K,
+        n_bits=_LSH_BITS,
+        n_tables=_LSH_TABLES,
+    )
+
+
 # -- embedding-space corpus analytics: centroids + outliers -------------------
 
 _EMB_LONG_SQL = """

@@ -772,3 +772,52 @@ def centroid_outliers(
         .orderBy(F.col("centroid_cos").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def lsh_signature_at(
+    vec_col: Column | str, n_bits: int = 8, offset: int = 0
+) -> Column:
+    """Bit-sampling signature over dims [offset, offset+n_bits) —
+    table ``t`` of a multi-table LSH family uses offset = t·n_bits,
+    giving T independent signatures from disjoint coordinates."""
+    c = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(c, offset + i + 1) > 0, "1").otherwise("0")
+            for i in range(n_bits)
+        ],
+    )
+
+
+def knn_lsh_multitable(
+    df: DataFrame,
+    query_vec: Column,
+    k: int = 10,
+    n_bits: int = 8,
+    n_tables: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Multi-table LSH: a vector is a candidate if it shares a bucket
+    with the query in ANY of ``n_tables`` independent tables — the
+    classic recall amplifier (miss probability (1−p)^T instead of
+    1−p; scan fraction ≈ T/2^bits for isotropic data).
+
+    Expressed as ONE scan with an OR-of-equalities predicate (each
+    table = disjoint coordinate block), so no union/dedup pass is
+    needed. The indexed form is T bucket-partitioned copies — the
+    standard T× space-for-recall trade — each probed with static
+    pruning exactly like the single-table layout.
+    """
+    cond = None
+    for t in range(n_tables):
+        eq = lsh_signature_at(vec_col, n_bits, t * n_bits) == lsh_signature_at(
+            query_vec, n_bits, t * n_bits
+        )
+        cond = eq if cond is None else (cond | eq)
+    return knn(
+        df.filter(cond), query_vec, k=k, vec_col=vec_col, id_col=id_col,
+        round_to=round_to,
+    )

@@ -49,7 +49,8 @@ def main() -> int:
     }
 
     recalls: dict[str, list[float]] = {
-        "lsh": [], "lsh_multiprobe": [], "ivf": [], "pq": [],
+        "lsh": [], "lsh_multiprobe": [], "lsh_multitable": [],
+        "ivf": [], "pq": [],
     }
     for qid, qvec in sorted(qvecs.items()):
         base = emb.filter(F.col("vec_id") != qid)
@@ -74,6 +75,13 @@ def main() -> int:
                 multiprobe=entrymod._LSH_MULTIPROBE,
             ).collect()
         }
+        got_lsh_mt = {
+            r.vec_id
+            for r in vector_search.knn_lsh_multitable(
+                base, qcol, k=K, n_bits=entrymod._LSH_BITS,
+                n_tables=entrymod._LSH_TABLES,
+            ).collect()
+        }
         got_ivf = {
             r.vec_id
             for r in vector_search.ivf_knn(
@@ -92,6 +100,7 @@ def main() -> int:
 
         for name, got in (
             ("lsh", got_lsh), ("lsh_multiprobe", got_lsh_mp),
+            ("lsh_multitable", got_lsh_mt),
             ("ivf", got_ivf), ("pq", got_pq),
         ):
             recalls[name].append(len(got & exact) / len(exact))
