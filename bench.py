@@ -105,6 +105,7 @@ HEADLINE = [
     "kanonymity_audit",
     "curate_split_assign",
     "dedup_incremental_batch",
+    "vector_knn_lsh_multitable",
 ]
 
 SMALL_RESULT = {
@@ -142,7 +143,7 @@ SMALL_RESULT = {
     "events_retention_cohorts", "basket_part_pairs",
     "events_transition_matrix",
     "expectations_audit", "kanonymity_audit",
-    "curate_split_assign",
+    "curate_split_assign", "vector_knn_lsh_multitable",
 }
 
 
