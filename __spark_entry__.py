@@ -5201,6 +5201,98 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- negative sampling for contrastive training -------------------------------
+
+_NEG_PER_DOC = 3
+
+_NEG_SQL = (
+    _minhash_sql()
+    + f""",
+n AS (SELECT count(*) AS n FROM documents),
+cand AS (
+  SELECT d.doc_id, j,
+         ('0x' || substr(md5(concat_ws('#', 'neg', d.doc_id, j)), 1, 8))::BIGINT
+           % n.n AS raw
+  FROM documents d, n, (SELECT unnest(generate_series(1, {_NEG_PER_DOC})) AS j)
+),
+negs AS (
+  SELECT doc_id, j,
+         CASE WHEN raw = doc_id THEN (raw + 1) % (SELECT n FROM n)
+              ELSE raw END AS neg_id
+  FROM cand
+)
+SELECT g.doc_id, g.j, g.neg_id
+FROM negs g
+WHERE NOT EXISTS (
+  SELECT 1 FROM buckets ba JOIN buckets bb ON ba.bucket = bb.bucket
+  WHERE ba.id = g.doc_id AND bb.id = g.neg_id
+)
+"""
+)
+
+
+@_register("curate_negative_samples", _NEG_SQL)
+def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    {k} pseudo-random negatives per anchor via md5 hash (stable
+    under repartitioning/re-runs — a pair never flips between
+    epochs), with FALSE negatives removed by dropping candidates
+    that share an LSH bucket with their anchor (a random negative
+    that is a near-dup of the anchor poisons a contrastive
+    objective). Dense-id contract: ids are 0..N−1 (at scale, the
+    layout's row rank provides this); the near-dup anti-filter is
+    two joins against the (band, bucket) table the dedup layer
+    already computes."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    buckets = dedup.minhash_buckets(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    cand = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[F.lit(j) for j in range(1, _NEG_PER_DOC + 1)])
+            ).alias("j"),
+            "n",
+        )
+        .withColumn(
+            "raw",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit("neg"), F.col("doc_id"), F.col("j"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n"),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(F.col("raw") == F.col("doc_id"), (F.col("raw") + 1) % F.col("n"))
+            .otherwise(F.col("raw")),
+        )
+    )
+    ba = buckets.select(F.col("id").alias("doc_id"), "bucket")
+    bb = buckets.select(F.col("id").alias("neg_id"), F.col("bucket"))
+    near_dup = (
+        cand.join(F.broadcast(ba), "doc_id")
+        .join(F.broadcast(bb), ["neg_id", "bucket"])
+        .select("doc_id", "j", "neg_id")
+        .distinct()
+    )
+    return cand.select("doc_id", "j", "neg_id").join(
+        near_dup, ["doc_id", "j", "neg_id"], "left_anti"
+    )
+
+
 # -- PII redaction (BigScience/ROOTS-style privacy scrub) ---------------------
 
 # contact strings synthesized from INTEGER columns only — double→string

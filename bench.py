@@ -106,6 +106,7 @@ HEADLINE = [
     "curate_split_assign",
     "dedup_incremental_batch",
     "vector_knn_lsh_multitable",
+    "curate_negative_samples",
 ]
 
 SMALL_RESULT = {
