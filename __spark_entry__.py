@@ -5107,6 +5107,49 @@ def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
 
 
+# -- per-source corpus profile (mixture monitoring) ---------------------------
+
+_SOURCE_PROFILE_SQL = f"""
+WITH t AS (
+  SELECT source, lang, n_chars,
+         len({_BM25_TOKS_SQL}) AS n_toks
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       sum(n_chars) AS total_chars,
+       {_A("CAST(n_toks AS DOUBLE)", 4)} AS avg_tokens,
+       count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
+FROM t GROUP BY source
+"""
+
+
+@_register("corpus_source_profile", _SOURCE_PROFILE_SQL)
+def _q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixture profile: volume, language spread, size and
+    token statistics per ingestion source — the monitoring table a
+    multi-source pretraining mix is balanced against (feeds
+    curate_weighted_mix's weights). One scan, one small groupBy."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "source", "lang", "n_chars",
+            F.size(bm25_tokens("text")).alias("n_toks"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            stable_avg(F.col("n_toks").cast("double"), 4).alias("avg_tokens"),
+            F.count(F.when(F.col("lang") == "en", True)).alias("n_en"),
+        )
+    )
+
+
 # -- deterministic train/val/test split ---------------------------------------
 
 _SPLIT_TRAIN, _SPLIT_VAL = 0.8, 0.1

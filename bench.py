@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_incremental_batch",
     "vector_knn_lsh_multitable",
     "curate_negative_samples",
+    "corpus_source_profile",
 ]
 
 SMALL_RESULT = {
@@ -145,6 +146,7 @@ SMALL_RESULT = {
     "events_transition_matrix",
     "expectations_audit", "kanonymity_audit",
     "curate_split_assign", "vector_knn_lsh_multitable",
+    "corpus_source_profile",
 }
 
 
