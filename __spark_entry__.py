@@ -663,9 +663,9 @@ f AS (
   FROM l
 ),
 s AS (
-  SELECT *, sum(new_sess) OVER (
+  SELECT *, CAST(sum(new_sess) OVER (
     PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
-  ) AS session_id
+  ) AS BIGINT) AS session_id
   FROM f
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -691,9 +691,9 @@ f AS (
   FROM l
 ),
 s AS (
-  SELECT *, sum(new_sess) OVER (
+  SELECT *, CAST(sum(new_sess) OVER (
     PARTITION BY user_id ORDER BY us, event_id ROWS UNBOUNDED PRECEDING
-  ) AS session_id
+  ) AS BIGINT) AS session_id
   FROM f
 )
 SELECT user_id,
@@ -760,8 +760,8 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 r AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS version
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM m
 ),
 g AS (
@@ -1076,25 +1076,32 @@ def _q_sequence_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage's first qualifying event; conversions counted within a
     7-day window of the first view. Three per-stage min-aggregations
     chained by user_id joins — each stage shuffles only the users
-    still in the funnel."""
+    still in the funnel. Each leg is localCheckpoint(eager=False)'d
+    because it is consumed TWICE (next stage's join + its own final
+    count): without the cut Spark re-runs every leg's scan+agg
+    lineage per consumer — 12 shuffles where 6 suffice (the basket
+    query's pattern)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", _ts_us("ts").alias("us"), "event_type"
     )
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id").agg(F.min("us").alias("t1"))
+        .localCheckpoint(eager=False)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
         .join(v, "user_id")
         .filter(F.col("us") > F.col("t1"))
         .groupBy("user_id").agg(F.min("us").alias("t2"))
+        .localCheckpoint(eager=False)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
         .filter(F.col("us") > F.col("t2"))
         .groupBy("user_id").agg(F.min("us").alias("t3"))
+        .localCheckpoint(eager=False)
     )
     conv = p.join(v, "user_id").filter(
         F.col("t3") - F.col("t1") <= _FUNNEL_WINDOW_US
@@ -1122,8 +1129,8 @@ m AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
 ),
 r AS (
-  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
-                           ROWS UNBOUNDED PRECEDING) AS version
+  SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
   FROM m
 ),
 g AS (
@@ -1633,10 +1640,10 @@ v AS (
 ),
 s AS (SELECT doc_id, b, sum(vote) AS sv FROM v GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN b >= 32 AND sv > 0 THEN (1::BIGINT << (b - 32))
-                ELSE 0::BIGINT END) AS sig_hi,
-       sum(CASE WHEN b < 32 AND sv > 0 THEN (1::BIGINT << b)
-                ELSE 0::BIGINT END) AS sig_lo
+       CAST(sum(CASE WHEN b >= 32 AND sv > 0 THEN (1::BIGINT << (b - 32))
+                     ELSE 0::BIGINT END) AS BIGINT) AS sig_hi,
+       CAST(sum(CASE WHEN b < 32 AND sv > 0 THEN (1::BIGINT << b)
+                     ELSE 0::BIGINT END) AS BIGINT) AS sig_lo
 FROM s GROUP BY doc_id
 """
 
@@ -4056,7 +4063,7 @@ base AS (
   FROM documents
 )
 SELECT b.doc_id, b.title, b.summary, b.category, b.sentiment,
-       coalesce(t.tags, []) AS tags,
+       array_to_string(coalesce(t.tags, []), '|') AS tags,
        ((CASE WHEN length(b.title) > 0 THEN 1 ELSE 0 END
          + CASE WHEN length(b.summary) > 0 THEN 1 ELSE 0 END
          + CASE WHEN b.category IS NOT NULL THEN 1 ELSE 0 END
@@ -4076,7 +4083,12 @@ def _q_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_document_metadata,
     )
 
-    return extract_document_metadata(_t(spark, sf_dir, "documents"))
+    out = extract_document_metadata(_t(spark, sf_dir, "documents"))
+    # Driver canonicalization sorts pandas frames over every output
+    # column; array cells are unhashable there, so the registered
+    # query serializes tags to a '|'-joined string (the operator
+    # itself keeps the typed array<string> column).
+    return out.withColumn("tags", F.array_join("tags", "|"))
 
 
 @_register("canonical_entity_descriptions", None)
@@ -4649,10 +4661,10 @@ def _q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q12_SQL = """
 SELECT l.l_linestatus,
-       sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
@@ -5118,7 +5130,7 @@ WITH t AS (
 SELECT source,
        count(*) AS n_docs,
        count(DISTINCT lang) AS n_langs,
-       sum(n_chars) AS total_chars,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
        {_A("CAST(n_toks AS DOUBLE)", 4)} AS avg_tokens,
        count(CASE WHEN lang = 'en' THEN 1 END) AS n_en
 FROM t GROUP BY source
@@ -5325,9 +5337,13 @@ def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ba = buckets.select(F.col("id").alias("doc_id"), "bucket")
     bb = buckets.select(F.col("id").alias("neg_id"), F.col("bucket"))
+    # NO broadcast hints here: `buckets` is bands × corpus-sized, so a
+    # forced broadcast would pin a multi-GB table on every executor at
+    # scale. Shuffle joins on doc_id / (neg_id, bucket) partition both
+    # sides; AQE is free to pick shuffle-hash at runtime.
     near_dup = (
-        cand.join(F.broadcast(ba), "doc_id")
-        .join(F.broadcast(bb), ["neg_id", "bucket"])
+        cand.join(ba, "doc_id")
+        .join(bb, ["neg_id", "bucket"])
         .select("doc_id", "j", "neg_id")
         .distinct()
     )
@@ -5852,8 +5868,9 @@ def _q_indexed_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # parse per row, not one per extracted field).
 _VARIANT_SQL = """
 SELECT event_type, count(*) AS n,
-  sum(CAST(props->>'k' AS BIGINT)) AS sum_k,
-  sum(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END) AS n_even
+  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(sum(CASE WHEN CAST(props->>'k' AS BIGINT) % 2 = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_even
 FROM events GROUP BY event_type
 """
 
@@ -5942,7 +5959,7 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVM_SQL = """
 SELECT event_type,
        count(*) AS n,
-       sum(CAST(floor(value * 100) AS BIGINT)) AS sum_v_fp
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS sum_v_fp
 FROM events
 WHERE event_id % 7 <> 0
 GROUP BY event_type
@@ -6349,7 +6366,7 @@ nll AS (
   JOIN ctx c ON c.prev = dt.prev
   JOIN uni u ON u.token = dt.cur, totv tv
 )
-SELECT doc_id, sum(k) AS n_transitions,
+SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_transitions,
        {_R("sum(k * cast(floor(nll * 1000000.0 + 0.5) as bigint)) / 1000000.0 / sum(k)", 4)}
          AS avg_nll
 FROM nll
@@ -6692,30 +6709,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # regressions), then the rows-only queries (which can only ever report
 # no_oracle) last.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-2 red rows (NTZ loader bug, fixed): must show driver-green
-    "ordinal_upsert_latest", "events_sessionize", "events_tumbling_window",
-    "events_sliding_window", "asof_purchase_view", "events_range_pairs",
-    # r1-green queries evicted from the window by round-2 insertions
-    "indexed_vector_knn_lsh", "indexed_hybrid_rrf", "grouping_sets_orders",
-    "window_running_aggs", "setops_customers",
-    # TPC-H-shape suite never driver-verified (judge-green r2)
-    "q2_min_cost_supplier", "q4_priority_exists", "q6_forecast_revenue",
-    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
-    "q10_returned_items", "q11_important_parts", "q12_late_priority",
-    "q13_order_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_variety", "q17_small_quantity", "q18_large_volume_customers",
-    "q19_or_predicates", "q20_promo_suppliers", "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # entity/docmeta/LLM-extraction layer (the reference's differentiator)
-    "entity_normalize_types", "relationship_canonicalize",
-    "entity_typed_relationships", "entity_realign_offsets",
-    "document_metadata", "extract_llm_structured", "entity_canonicalize",
-    # remaining judge-green-only oracled queries
-    "indexed_vector_knn_ivf", "unpivot_revenue", "media_metadata",
-    "quick_search", "rag_context_assembly", "multivector_text_visual",
-    "corpus_stats", "text_entropy", "corpus_bigrams",
-    "user_activity_similarity", "vector_knn_filtered",
-    "window_lag_lead_ntile", "graph_pagerank_fixed",
+    # round-3 driver-reds, fixed in r4 (BIGINT casts / tags serialization):
+    # MUST show driver-green this round
+    "q12_late_priority", "events_sessionize", "document_metadata",
+    # canary: long-stable TPC-H representative kept under driver watch
+    "q1_pricing_summary",
+    # latent int-sum hazards cast to BIGINT this round — driver-verify now
+    "events_scd2_history", "events_pit_enrich", "json_variant_extract",
+    "dedup_simhash_md5", "dedup_simhash_pairs", "quality_bigram_logprob",
+    "corpus_source_profile",
+    # never-driver-verified r3 surface (judge-green only until now)
+    "phrase_search", "events_sequence_funnel", "events_retention_cohorts",
+    "basket_part_pairs", "events_transition_matrix", "expectations_audit",
+    "kanonymity_audit", "curate_split_assign", "dedup_incremental_batch",
+    "vector_knn_lsh_multitable", "ivm_materialized_agg",
+    "ivm_topk_maintenance", "ivm_vector_index",
+    "events_session_window_native", "events_attribution_join",
+    # dedup family (judge-green only)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_components_star",
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_winnow_overlap",
+    "dedup_winnow_components", "dedup_semantic_cells",
+    # search surface (judge-green only)
+    "bm25_search", "indexed_bm25_prf", "hybrid_rrf", "knn_maxsim",
+    "rerank_mmr", "search_snippets", "suggest_fuzzy",
+    # curation + quality (judge-green only; negative_samples post-plan-fix)
+    "curate_dsir_weights", "curate_negative_samples", "curate_pii_redact",
+    "curate_temperature_mix", "quality_repetition", "quality_unigram_logprob",
+    # indexes (judge-green only)
+    "vector_knn_pq", "ivm_bm25_segments", "ivm_distinct_agg",
 ]
 
 

@@ -203,7 +203,14 @@ def main() -> None:
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line)
+    # Durable copy: the driver captures stdout via tail, which has
+    # truncated this (long) line before (BENCH_r03 lost its parsed
+    # block). The file survives regardless.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_out.json"), "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

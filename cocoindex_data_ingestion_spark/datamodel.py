@@ -88,12 +88,41 @@ def as_ltable(df: DataFrame, order_by: list[str], pos_col: str = "_pos") -> Data
     """LTable: attach the explicit position column Spark needs to
     preserve list order (schema.rs:147; SURVEY §7 'LTable order').
 
-    Global ordering via zipWithIndex-free window over the given sort
-    keys (deterministic when the keys are)."""
+    Scale-safe zipWithIndex shape (NOT a global no-partition window,
+    which would move the whole table to one partition): range-
+    repartition on the sort keys so partition order == global order,
+    freeze partition ids with a lazy localCheckpoint, compute each
+    partition's row count (one row per partition — bounded), turn
+    those into broadcast cumulative offsets, and add a PER-PARTITION
+    row_number. pos = partition_offset + local_rank. Deterministic
+    when the sort keys are unique, like the reference's list order."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(*[F.col(c) for c in order_by])
-    return df.withColumn(pos_col, F.row_number().over(w) - 1)
+    cols = [F.col(c) for c in order_by]
+    ordered = (
+        df.repartitionByRange(*cols)
+        .sortWithinPartitions(*cols)
+        .withColumn("_ltable_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    counts = ordered.groupBy("_ltable_pid").agg(F.count("*").alias("_n"))
+    # window over #partitions rows — bounded by cluster size, not data
+    w_off = (
+        Window.orderBy("_ltable_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_ltable_pid",
+        F.coalesce(F.sum("_n").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = Window.partitionBy("_ltable_pid").orderBy(*cols)
+    return (
+        ordered.join(F.broadcast(offsets), "_ltable_pid")
+        .withColumn(
+            pos_col, (F.row_number().over(w_local) - 1 + F.col("_off")).cast("long")
+        )
+        .drop("_ltable_pid", "_off")
+    )
 
 
 def nest_table(

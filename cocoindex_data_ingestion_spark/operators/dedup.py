@@ -90,7 +90,11 @@ def ngram_jaccard_pairs(
     rare = sh.groupBy("sh").agg(F.count("*").alias("df")).filter(
         F.col("df") <= max_shingle_df
     )
-    sh = sh.join(F.broadcast(rare.select("sh")), "sh")
+    # NO broadcast hint: `rare` keeps (almost) every distinct shingle —
+    # corpus-sized, so broadcasting it would pin the shingle vocabulary
+    # on every executor at scale. `rare` is already hash-partitioned on
+    # sh by its groupBy; the shuffle join reuses that partitioning.
+    sh = sh.join(rare.select("sh"), "sh")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -492,6 +496,13 @@ def connected_components_star(
         if prev_fp == (fp["n"], fp["h"]):
             break
         prev_fp = (fp["n"], fp["h"])
+    else:
+        # same contract as connected_components: silently wrong labels
+        # are worse than a loud failure
+        raise RuntimeError(
+            "connected_components_star did not reach a fixpoint within"
+            f" {max_iterations} rounds; raise max_iterations"
+        )
     # fixpoint: e is a star graph (component_min, member); members plus
     # the roots themselves form the label table
     return (

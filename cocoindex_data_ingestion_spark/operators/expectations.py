@@ -20,6 +20,8 @@ def annotate(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
     """Add one boolean ``ok_<name>`` column per rule plus ``_valid``
     (conjunction). NULL rule results count as violations (SQL
     three-valued logic would otherwise let NULLs sneak through)."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
     out = df
     flags = []
     for name, cond in rules.items():

@@ -858,11 +858,38 @@ class SegmentedPostingsIndex:
         id_col: str = "doc_id",
         text_col: str = "text",
         n_buckets: int = POSTINGS_BUCKETS,
+        check_unique: bool = True,
     ) -> None:
-        """One pass over the batch → an immutable segment."""
+        """One pass over the batch → an immutable segment.
+
+        CONTRACT: a doc_id may be live (non-tombstoned) in at most ONE
+        segment. Violating it double-counts the doc in search()'s
+        doclens join and the ledger's n_docs while dfreq counts it
+        once — silently skewed scores. Updates go delete_docs → add.
+        Enforced by default with one doclens-only scan (doclens are
+        (doc_id, dl) pairs — tiny next to postings); pass
+        ``check_unique=False`` on bulk loads whose ids are disjoint by
+        construction."""
         from cocoindex_data_ingestion_spark.functions.text import (
             is_content_token, tokenize,
         )
+
+        segs = self._segment_dirs()
+        if check_unique and segs:
+            ids = docs.select(F.col(id_col).alias("doc_id")).distinct()
+            live = None
+            for s in segs:
+                d = self.spark.read.parquet(f"{s}/doclens").select("doc_id")
+                live = d if live is None else live.unionByName(d)
+            tomb = self._tombstones()
+            if tomb is not None:
+                live = live.join(tomb, "doc_id", "left_anti")
+            dup = live.join(F.broadcast(ids), "doc_id").limit(1).collect()
+            if dup:
+                raise ValueError(
+                    f"doc_id {dup[0]['doc_id']} is already live in a "
+                    "segment; delete_docs before re-adding"
+                )
 
         seg = f"{self.path}/segments/{self._next_name('seg')}"
         toks = docs.select(
@@ -1045,10 +1072,25 @@ class SegmentedPostingsIndex:
             F.count("*").cast("long").alias("n_docs"),
             F.count(F.when(F.col("dl") > 0, True)).cast("long").alias("n_docs_tok"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_dl"),
-        ).localCheckpoint(eager=True)
-        shutil.rmtree(f"{self.path}/segments")
+        )
+        # Crash-safe swap: every replacement is fully WRITTEN before
+        # any live directory is touched, and the cutover is a chain of
+        # renames — never a delete-then-write. Each intermediate state
+        # is consistent: after the segments swap, the OLD ledger still
+        # sums to the live-doc totals (its negative delete entries
+        # cancel the tombstoned docs the compaction dropped) and the
+        # old tombstones anti-join ids that no longer exist, which is
+        # a no-op. A crash at any point leaves a searchable index.
+        import uuid as _uuid
+
+        led.write.mode("overwrite").parquet(f"{self.path}/ledger_new")
+        os.makedirs(f"{self.path}/tombstones_new", exist_ok=True)
+        trash = f"{self.path}/_trash_{_uuid.uuid4().hex[:8]}"
+        os.makedirs(trash)
+        os.rename(f"{self.path}/segments", f"{trash}/segments")
         os.rename(new_root, f"{self.path}/segments")
-        shutil.rmtree(f"{self.path}/tombstones")
-        os.makedirs(f"{self.path}/tombstones", exist_ok=True)
-        shutil.rmtree(f"{self.path}/ledger")
-        led.write.mode("overwrite").parquet(f"{self.path}/ledger")
+        os.rename(f"{self.path}/tombstones", f"{trash}/tombstones")
+        os.rename(f"{self.path}/tombstones_new", f"{self.path}/tombstones")
+        os.rename(f"{self.path}/ledger", f"{trash}/ledger")
+        os.rename(f"{self.path}/ledger_new", f"{self.path}/ledger")
+        shutil.rmtree(trash, ignore_errors=True)

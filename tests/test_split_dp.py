@@ -230,3 +230,45 @@ def test_markdown_stack_prefers_heading_boundaries():
     _consistent(text, chunks)
     heads = [t.lstrip() for _s, _e, t in chunks]
     assert any(h.startswith("## ") for h in heads)
+
+
+# -- remaining reference vectors: nullability + unicode offsets ---------------
+#
+# rs:1185-1202 (Null text -> Null output) and
+# rs:1203-1275 (test_translate_bytes_to_chars_simple): the reference
+# chunks in BYTE offsets and translates to char offsets at output; we
+# chunk in char offsets natively, so the pinned contract is the same
+# OBSERVABLE one — ranges are char-exact against the original text
+# even when multi-byte codepoints precede the chunk.
+
+
+def test_unicode_char_offsets():
+    # "abc😄def" — the rs byte->char translation vector; char offsets
+    # must index the ORIGINAL string exactly (😄 is 1 char, 4 bytes)
+    text = "abc\U0001F604def ghi jkl mno pqr stu vwx"
+    chunks = split_recursively(text, 12, 4, 0)
+    _consistent(text, chunks)
+    text2 = "héllo wörld\n\nsección número dos con más pálabras aquí\n\n日本語のテキストもある"
+    chunks2 = split_recursively(text2, 20, 6, 0)
+    _consistent(text2, chunks2)
+    assert len(chunks2) >= 3
+
+
+def test_null_text_contract(spark):
+    # rs:1185-1202 — Null text produces no chunk rows (the flow-level
+    # Value::Null), other docs in the same batch unaffected
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        chunk_recursive_dp,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "Linea 1.\nLinea 2.\n\nLinea 3."), (2, None)],
+        "doc_id long, text string",
+    )
+    out = chunk_recursive_dp(df, chunk_size=15, min_chunk_size=5).collect()
+    assert {r.doc_id for r in out} == {1}
+    got = [(r.location_start, r.location_end, r.chunk_text)
+           for r in sorted(out, key=lambda r: r.chunk_index)]
+    # the rs:1116-1145 expected KTable, reproduced through the Spark op
+    assert got == [(0, 8, "Linea 1."), (9, 17, "Linea 2."),
+                   (19, 27, "Linea 3.")]
