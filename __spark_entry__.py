@@ -5298,57 +5298,11 @@ def _q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout's row rank provides this); the near-dup anti-filter is
     two joins against the (band, bucket) table the dedup layer
     already computes."""
-    docs = _t(spark, sf_dir, "documents")
-    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
-
-    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
-    buckets = dedup.minhash_buckets(
-        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
-    )
-    n = docs.agg(F.count("*").alias("n"))
-    cand = (
-        docs.select("doc_id")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.lit(j) for j in range(1, _NEG_PER_DOC + 1)])
-            ).alias("j"),
-            "n",
-        )
-        .withColumn(
-            "raw",
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", F.lit("neg"), F.col("doc_id"), F.col("j"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.col("n"),
-        )
-        .withColumn(
-            "neg_id",
-            F.when(F.col("raw") == F.col("doc_id"), (F.col("raw") + 1) % F.col("n"))
-            .otherwise(F.col("raw")),
-        )
-    )
-    ba = buckets.select(F.col("id").alias("doc_id"), "bucket")
-    bb = buckets.select(F.col("id").alias("neg_id"), F.col("bucket"))
-    # NO broadcast hints here: `buckets` is bands × corpus-sized, so a
-    # forced broadcast would pin a multi-GB table on every executor at
-    # scale. Shuffle joins on doc_id / (neg_id, bucket) partition both
-    # sides; AQE is free to pick shuffle-hash at runtime.
-    near_dup = (
-        cand.join(ba, "doc_id")
-        .join(bb, ["neg_id", "bucket"])
-        .select("doc_id", "j", "neg_id")
-        .distinct()
-    )
-    return cand.select("doc_id", "j", "neg_id").join(
-        near_dup, ["doc_id", "j", "neg_id"], "left_anti"
+    return curation.negative_samples(
+        _t(spark, sf_dir, "documents"),
+        k=_NEG_PER_DOC,
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
     )
 
 
@@ -6691,6 +6645,213 @@ def _q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+# -- paragraph-level exact dedup (RefinedWeb/MassiveText rule) ----------------
+
+_PARA_NORM_SQL = "trim(regexp_replace(p, '\\s+', ' ', 'g'))"
+
+_PARA_DEDUP_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS p
+  FROM documents
+),
+paras AS (
+  SELECT doc_id, md5({_PARA_NORM_SQL}) AS ph
+  FROM raw WHERE length({_PARA_NORM_SQL}) > 0
+),
+occ AS (SELECT ph, count(*) AS occ FROM paras GROUP BY 1)
+SELECT p.doc_id,
+       count(*) AS n_paras,
+       count(CASE WHEN o.occ > 1 THEN 1 END) AS n_dup_paras,
+       {_R("count(CASE WHEN o.occ > 1 THEN 1 END)::DOUBLE / count(*)", 4)}
+         AS dup_para_ratio
+FROM paras p JOIN occ o USING (ph)
+GROUP BY p.doc_id
+"""
+
+
+@_register("dedup_paragraph", _PARA_DEDUP_SQL)
+def _q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup accounting (RefinedWeb /
+    MassiveText): whitespace-normalized paragraph fingerprints,
+    global occurrence counts, per-doc duplicated-paragraph ratio —
+    the signal behind both boilerplate-paragraph stripping and
+    template-doc dropping. Two shuffles (fingerprint wordcount +
+    doc rollup); the corpus-sized count join is NEVER broadcast
+    (dedup.paragraph_dedup_stats)."""
+    return dedup.paragraph_dedup_stats(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
+# -- line-level boilerplate audit (C4/RefinedWeb line rules) ------------------
+
+_LINE_RULES_SQL = """
+WITH l AS (
+  SELECT doc_id, trim(line) AS tl
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        FROM documents)
+  WHERE length(trim(line)) > 0
+),
+f AS (
+  SELECT doc_id,
+         (length(tl) < 15) AS is_short,
+         regexp_matches(tl, '^[-*•·]') AS is_bullet,
+         (tl = upper(tl) AND regexp_matches(tl, '[A-Za-z]')) AS is_caps,
+         regexp_matches(tl, '(\\.\\.\\.|…)$') AS is_ell
+  FROM l
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       count(CASE WHEN is_short THEN 1 END) AS n_short,
+       count(CASE WHEN is_bullet THEN 1 END) AS n_bullet,
+       count(CASE WHEN is_caps THEN 1 END) AS n_caps,
+       count(CASE WHEN is_ell THEN 1 END) AS n_ellipsis,
+       {ratio} AS boilerplate_ratio
+FROM f GROUP BY doc_id
+""".replace("{ratio}", _R(
+    "count(CASE WHEN is_short OR is_bullet OR is_caps OR is_ell "
+    "THEN 1 END)::DOUBLE / count(*)", 4))
+
+
+@_register("quality_line_rules", _LINE_RULES_SQL)
+def _q_line_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate audit (the C4/RefinedWeb line rules):
+    per doc, counts of too-short / bullet / ALL-CAPS / ellipsis
+    lines and the any-rule boilerplate ratio. One explode + one
+    codegen'd conditional-aggregate shuffle on doc_id
+    (quality.line_quality)."""
+    return quality.line_quality(
+        _t(spark, sf_dir, "documents")
+    ).withColumnRenamed("id", "doc_id")
+
+
+# -- per-language token-budget greedy fill ------------------------------------
+
+_TOKEN_BUDGET = 5_000
+
+_TOKEN_BUDGET_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_toks
+  FROM documents
+)
+SELECT doc_id, lang, n_toks,
+       CAST(coalesce(sum(n_toks) OVER (
+         PARTITION BY lang ORDER BY n_toks DESC, doc_id ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         AS cum_before
+FROM t
+QUALIFY cum_before < {_TOKEN_BUDGET}
+"""
+
+
+@_register("curate_token_budget", _TOKEN_BUDGET_SQL)
+def _q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget greedy fill (the mT5/ROOTS cap-each-
+    language step, reproducible): longest-first ranking, running
+    token total PARTITIONED BY lang (never a global window), select
+    while the pre-doc cumsum is under budget
+    (curation.token_budget_select)."""
+    return curation.token_budget_select(
+        _t(spark, sf_dir, "documents"),
+        budget_per_group=_TOKEN_BUDGET,
+        group_col="lang",
+    )
+
+
+# -- deterministic multi-epoch shuffle ----------------------------------------
+
+_EPOCHS, _EPOCH_HEAD = 3, 10
+
+_EPOCH_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT e.epoch, d.doc_id,
+         md5('ep' || '#' || e.epoch || '#' || d.doc_id) AS skey
+  FROM documents d, (SELECT unnest([1, 2, 3]) AS epoch) e
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY epoch ORDER BY skey, doc_id)
+         AS rn
+  FROM k
+)
+SELECT epoch, doc_id, skey FROM r WHERE rn <= {_EPOCH_HEAD}
+"""
+
+
+@_register("curate_epoch_shuffle", _EPOCH_SHUFFLE_SQL)
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-epoch shuffle: md5(seed#epoch#id) order
+    keys (curation.epoch_shuffle_keys) — writing each epoch sorted
+    by key IS its permutation, reproducible and resumable with no
+    stored RNG state and no global row-number. Registered check:
+    each epoch's head-{_EPOCH_HEAD} by key (per-epoch partitioned
+    window; epochs are few, rows per epoch bounded by the corpus)."""
+    from pyspark.sql import Window
+
+    keys = curation.epoch_shuffle_keys(
+        _t(spark, sf_dir, "documents"), epochs=_EPOCHS
+    )
+    w = Window.partitionBy("epoch").orderBy("skey", "doc_id")
+    return (
+        keys.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _EPOCH_HEAD)
+        .select("epoch", "doc_id", "skey")
+    )
+
+
+# -- per-group z-score anomaly detection --------------------------------------
+
+_Z_THRESH, _Z_MIN_GROUP = 2.5, 5
+
+_ZSCORE_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type, count(*) AS n,
+         {_S("value", 6)} AS sv, {_S("value * value", 6)} AS ssv
+  FROM events GROUP BY 1, 2
+  HAVING count(*) >= {_Z_MIN_GROUP}
+),
+j AS (
+  SELECT e.user_id, e.event_type, e.event_id,
+         {_R("(e.value - s.sv / s.n) / sqrt((s.ssv - s.n * (s.sv / s.n) * (s.sv / s.n)) / (s.n - 1))", 4)}
+           AS zscore
+  FROM events e
+  JOIN s ON s.user_id = e.user_id AND s.event_type = e.event_type
+  WHERE (s.ssv - s.sv * s.sv / s.n) > 0
+)
+SELECT user_id, event_type, event_id, zscore
+FROM j WHERE abs(zscore) > {_Z_THRESH}
+"""
+
+
+@_register("events_anomaly_zscore", _ZSCORE_SQL)
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) z-score outliers over event values —
+    moments from stable-rounded Σx/Σx² so both engines agree at
+    threshold boundaries; one groupBy + one shuffle join back, no
+    broadcast of the key-sized moment table
+    (relational.zscore_outliers)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "value"
+    )
+    return relational.zscore_outliers(
+        ev, ["user_id", "event_type"], "value",
+        threshold=_Z_THRESH, min_group=_Z_MIN_GROUP,
+    ).select("user_id", "event_type", "event_id", "zscore")
+
+
+@_register("embedding_pca_project", None)
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-8
+    principal axes: distributed (count, Σx, XᵀX) reduction via
+    Arrow-batched BLAS, driver-side eigh over the dim-bounded
+    covariance, BLAS projection back over the corpus
+    (vector_search.pca_fit/pca_project). Rows-only: DuckDB has no
+    eigendecomposition — the model is pinned against numpy's full
+    PCA in tests/test_operators.py."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    mean, comps, _ = vector_search.pca_fit(emb, q=8)
+    return vector_search.pca_project(emb, mean, comps)
 
 
 # ------------------------------------------------------------- driver surface

@@ -573,3 +573,145 @@ def pii_redact(
     for label, pat in patterns.items():
         red = F.regexp_replace(red, pat, f"[{label.upper()}]")
     return out.withColumn(f"{text_col}_redacted", red)
+
+
+def negative_samples(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    seed: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    ``k`` pseudo-random negatives per anchor via an md5 hash of
+    (seed, anchor, j) — stable under repartitioning and re-runs, so a
+    pair never flips between epochs — with FALSE negatives removed by
+    dropping candidates that share a MinHash-LSH bucket with their
+    anchor (a random negative that is a near-dup of the anchor
+    poisons a contrastive objective).
+
+    Dense-id contract: ids are 0..N−1 (at scale the layout's row rank
+    provides this). NO broadcast hints anywhere: the LSH bucket table
+    is bands × corpus-sized, so the anti-filter runs as shuffle joins
+    on the bucket key — at 100 TB a pre-bucketed layout makes the
+    probe co-located.
+
+    Returns (id_col, j, neg_id).
+    """
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+    from cocoindex_data_ingestion_spark.operators import dedup
+
+    nonempty = docs.filter(F.size(bm25_tokens(text_col)) > 0)
+    buckets = dedup.minhash_buckets(
+        nonempty, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col,
+    )
+    n = docs.agg(F.count("*").alias("n"))
+    cand = (
+        docs.select(id_col)
+        .crossJoin(F.broadcast(n))
+        .select(
+            id_col,
+            F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+            "n",
+        )
+        .withColumn(
+            "raw",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.lit(seed), F.col(id_col), F.col("j"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % F.col("n"),
+        )
+        .withColumn(
+            "neg_id",
+            F.when(F.col("raw") == F.col(id_col), (F.col("raw") + 1) % F.col("n"))
+            .otherwise(F.col("raw")),
+        )
+    )
+    ba = buckets.select(F.col("id").alias(id_col), "bucket")
+    bb = buckets.select(F.col("id").alias("neg_id"), F.col("bucket"))
+    near_dup = (
+        cand.join(ba, id_col)
+        .join(bb, ["neg_id", "bucket"])
+        .select(id_col, "j", "neg_id")
+        .distinct()
+    )
+    return cand.select(id_col, "j", "neg_id").join(
+        near_dup, [id_col, "j", "neg_id"], "left_anti"
+    )
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_per_group: int,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill a per-group token budget greedily, longest documents
+    first — the deterministic "cap each language/source at N tokens"
+    step of assembling a pretraining mix (the mT5/ROOTS per-language
+    cap, made reproducible).
+
+    A doc is selected when the running token total of its group
+    BEFORE it is still under the budget (so the budget may be
+    overshot by at most one document — the standard greedy-fill
+    contract). Ranking is (token count DESC, id ASC) — fully
+    deterministic.
+
+    Scale shape: the running sum is a window PARTITIONED BY the group
+    column (per-group sorted partitions, never a global single-
+    partition window); one shuffle on the group key.
+
+    Returns (id, group, n_toks, cum_before) for selected docs.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("n_toks").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(group_col),
+            F.size(tokenize(text_col)).cast("long").alias("n_toks"),
+        )
+        .withColumn(
+            "cum_before", F.coalesce(F.sum("n_toks").over(w), F.lit(0)).cast("long")
+        )
+        .filter(F.col("cum_before") < budget_per_group)
+        .select(id_col, group_col, "n_toks", "cum_before")
+    )
+
+
+def epoch_shuffle_keys(
+    docs: DataFrame,
+    epochs: int = 3,
+    id_col: str = "doc_id",
+    seed: str = "ep",
+) -> DataFrame:
+    """Deterministic multi-epoch shuffle ORDER KEYS: for each epoch e,
+    key = md5(seed#e#id). Writing each epoch sorted by its key IS the
+    epoch's permutation — reproducible across runs and resumable
+    mid-epoch (the key is a pure function of (seed, epoch, id), no
+    stored RNG state), with no global row-number window anywhere.
+    Sorting by key at write time is a range-partitioned sort — the
+    scalable global order primitive.
+
+    Returns (epoch, id, skey) — one row per doc per epoch.
+    """
+    return docs.select(F.col(id_col)).select(
+        F.explode(
+            F.array(*[F.lit(e) for e in range(1, epochs + 1)])
+        ).alias("epoch"),
+        F.col(id_col),
+    ).withColumn(
+        "skey",
+        F.md5(F.concat_ws("#", F.lit(seed), F.col("epoch"), F.col(id_col))),
+    )

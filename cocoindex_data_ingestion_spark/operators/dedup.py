@@ -992,3 +992,51 @@ def semantic_dedup_cells(
             stable_round(F.col("_w._cos"), 4).alias("cos_sim"),
         )
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Paragraph-level exact dedup accounting (the RefinedWeb /
+    MassiveText repetition rule): split each document on blank lines,
+    fingerprint each whitespace-normalized paragraph, count global
+    occurrences, and report per document how much of it is made of
+    corpus-duplicated paragraphs — the signal used both to strip
+    boilerplate paragraphs and to drop template-dominated docs.
+
+    Two shuffles at any corpus size: one groupBy on the paragraph
+    fingerprint (map-side combined wordcount shape), one on the doc
+    id; the count join runs as a shuffle join (the fingerprint table
+    is corpus-sized — never broadcast).
+
+    Returns (id, n_paras, n_dup_paras, dup_para_ratio).
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\n{2,}")).alias("para"),
+        )
+        .select(
+            "id",
+            F.trim(F.regexp_replace("para", r"\s+", " ")).alias("pnorm"),
+        )
+        .filter(F.length("pnorm") > 0)
+        .select("id", F.md5("pnorm").alias("ph"))
+    )
+    occ = paras.groupBy("ph").agg(F.count("*").alias("occ"))
+    return (
+        paras.join(occ, "ph")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.count(F.when(F.col("occ") > 1, True)).alias("n_dup_paras"),
+            stable_round(
+                F.count(F.when(F.col("occ") > 1, True))
+                / F.count("*").cast("double"),
+                round_to,
+            ).alias("dup_para_ratio"),
+        )
+    )

@@ -252,3 +252,47 @@ def bigram_logprob(
             (F.sum(F.col("k") * q) / F.lit(1e6)) / F.sum("k"), 4
         ).alias("avg_nll"),
     )
+
+
+def line_quality(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 15,
+    round_to: int = 4,
+) -> DataFrame:
+    """Line-level boilerplate audit (the C4/RefinedWeb line rules):
+    per document, how many lines are too short, bullet items,
+    ALL-CAPS, or trail off with an ellipsis — the signals a line
+    filter strips and a doc filter thresholds on.
+
+    Shape: explode lines → one codegen'd conditional-aggregate pass
+    (map-side combined, one shuffle on the doc id). No lambdas — the
+    per-line predicates are plain Column expressions, so the whole
+    scan stays in whole-stage codegen at any corpus size.
+
+    Returns (id, n_lines, n_short, n_bullet, n_caps, n_ellipsis,
+    boilerplate_ratio) where a line is boilerplate if ANY rule fires;
+    blank lines are excluded from the universe.
+    """
+    line = F.trim(F.col("line"))
+    short = F.length(line) < min_line_chars
+    bullet = line.rlike(r"^[-*•·]")
+    caps = (line == F.upper(line)) & line.rlike("[A-Za-z]")
+    ellipsis = line.rlike(r"(\.\.\.|…)$")
+    boiler = short | bullet | caps | ellipsis
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), r"\n")).alias("line"),
+    ).filter(F.length(line) > 0)
+    return lines.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.count(F.when(short, True)).alias("n_short"),
+        F.count(F.when(bullet, True)).alias("n_bullet"),
+        F.count(F.when(caps, True)).alias("n_caps"),
+        F.count(F.when(ellipsis, True)).alias("n_ellipsis"),
+        stable_round(
+            F.count(F.when(boiler, True)) / F.count("*").cast("double"),
+            round_to,
+        ).alias("boilerplate_ratio"),
+    )

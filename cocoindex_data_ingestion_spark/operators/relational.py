@@ -312,3 +312,52 @@ def point_in_time_join(
         )
     )
     return f.join(d, cond, how)
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    threshold: float = 2.5,
+    min_group: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose value deviates
+    more than ``threshold`` sample standard deviations from their
+    group mean (the per-user/per-metric outlier pass of an event
+    analytics pipeline).
+
+    Numerics are engine-portable BY CONSTRUCTION: mean and variance
+    derive from stable-rounded Σx and Σx² (never an engine's own
+    avg/stddev, whose summation orders differ), so the Spark result
+    and a DuckDB oracle agree bit-for-bit including at threshold
+    boundaries. Variance uses the sample (n−1) form.
+
+    Plan: one groupBy on the group key for the moment table, one
+    shuffle join back — group moments are corpus-key-sized, so NO
+    broadcast. Groups under ``min_group`` rows are skipped (a z-score
+    over 2 points is noise).
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    v = F.col(value_col).cast("double")
+    stats = df.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        stable_sum(v, 6).alias("_s"),
+        stable_sum(v * v, 6).alias("_ss"),
+    ).filter(F.col("_n") >= min_group)
+    mean = F.col("_s") / F.col("_n")
+    var = (F.col("_ss") - F.col("_n") * mean * mean) / (F.col("_n") - 1)
+    z = (v - mean) / F.sqrt(var)
+    # var > 0 filtered BEFORE sqrt so no NaN is ever produced — DuckDB
+    # orders NaN above everything while Spark's comparison is false, so
+    # a NaN reaching the threshold comparison would diverge engines
+    return (
+        df.join(stats, group_cols)
+        .filter(
+            (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")) > 0
+        )
+        .withColumn("zscore", stable_round(z, round_to))
+        .filter(F.abs(F.col("zscore")) > threshold)
+        .drop("_n", "_s", "_ss")
+    )

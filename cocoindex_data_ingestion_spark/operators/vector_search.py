@@ -821,3 +821,106 @@ def knn_lsh_multitable(
         df.filter(cond), query_vec, k=k, vec_col=vec_col, id_col=id_col,
         round_to=round_to,
     )
+
+
+def pca_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    q: int = 8,
+    whiten: bool = False,
+    eps: float = 1e-9,
+):
+    """Fit a PCA (optionally whitening) model over an embedding
+    column — the standard preprocessing for embedding compression,
+    ANN quantization, and drift monitoring at corpus scale.
+
+    Distributed pass: each Arrow batch reduces to (count, Σx, XᵀX)
+    with BLAS inside ``mapInPandas``; the partials explode to
+    (index, value) rows and ONE groupBy sums them — total driver-side
+    state is d + d² numbers (bounded by the embedding dim, never the
+    corpus), from which mean/covariance/eigenvectors come out of one
+    ``numpy.linalg.eigh``. Eigenvector signs are fixed (largest-|·|
+    coordinate positive) so the model is fully deterministic.
+
+    Returns (mean: np.ndarray[d], components: np.ndarray[q, d],
+    eigvals: np.ndarray[q]) with components scaled to whiten when
+    requested.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _acc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [float(len(X))],
+                    "s": [X.sum(axis=0).tolist()],
+                    "ss": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        _acc, "n double, s array<double>, ss array<double>"
+    )
+    flat = parts.select(
+        F.posexplode(F.concat(F.array(F.col("n")), "s", "ss")).alias("i", "v"),
+    )
+    sums = (
+        flat.groupBy("i").agg(F.sum("v").alias("v")).orderBy("i").collect()
+    )
+    vals = np.array([r["v"] for r in sums])
+    n = vals[0]
+    # len(vals) = 1 + d + d²  →  d = (-1 + sqrt(1 + 4(len-1))) / 2
+    d = int(round((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2))
+    mean = vals[1 : 1 + d] / n
+    cov = vals[1 + d :].reshape(d, d) / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:q]
+    eigvals, comps = w[order], v[:, order].T  # (q, d)
+    # deterministic sign: largest-|coord| entry positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    if whiten:
+        comps = comps / np.sqrt(np.maximum(eigvals, eps))[:, None]
+    return mean, comps, eigvals
+
+
+def pca_project(
+    emb: DataFrame,
+    mean,
+    components,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Project embeddings onto a fitted PCA basis: (x − mean) @ Wᵀ per
+    row, BLAS-batched inside ``mapInPandas`` (the model is a few KB —
+    closure-captured, effectively a broadcast). Zero shuffles.
+
+    Returns (id, comps array<double>) rounded for cross-run
+    stability."""
+    import numpy as np
+    import pandas as pd
+
+    mu = np.asarray(mean, dtype=np.float64)
+    W = np.asarray(components, dtype=np.float64)
+
+    def _proj(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            P = np.round((X - mu) @ W.T, round_to)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "comps": list(map(list, P))}
+            )
+
+    out = emb.select(id_col, vec_col).mapInPandas(
+        _proj, f"id long, comps array<double>"
+    )
+    return out.withColumnRenamed("id", id_col)

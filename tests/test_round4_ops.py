@@ -1,0 +1,161 @@
+"""Round-4 operators: paragraph dedup, line rules, token budget,
+epoch shuffle, z-score anomalies, PCA."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.operators import (
+    curation, dedup, quality, relational, vector_search,
+)
+from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+
+# -- paragraph dedup ----------------------------------------------------------
+
+
+def test_paragraph_dedup_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "shared para here\n\nunique one alpha"),
+            (2, "shared   para  here\n\nunique two beta\n\nunique three"),
+            (3, "totally different text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["id"]: r
+        for r in dedup.paragraph_dedup_stats(docs).collect()
+    }
+    # whitespace-normalized: doc2's double-spaced copy matches doc1's
+    assert out[1]["n_paras"] == 2 and out[1]["n_dup_paras"] == 1
+    assert out[2]["n_paras"] == 3 and out[2]["n_dup_paras"] == 1
+    assert out[3]["n_dup_paras"] == 0
+    assert out[1]["dup_para_ratio"] == 0.5
+
+
+# -- line rules ---------------------------------------------------------------
+
+
+def test_line_quality_rules(spark):
+    text = "\n".join(
+        [
+            "A perfectly reasonable prose line that is long enough.",
+            "short",                      # short
+            "- bullet item long enough to dodge the short rule",
+            "THIS LINE IS ALL CAPS AND LONG ENOUGH TO COUNT",
+            "This one trails off into nothing at all...",
+            "",                            # blank: excluded
+        ]
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = quality.line_quality(docs).collect()[0]
+    assert r["n_lines"] == 5
+    assert r["n_short"] == 1
+    assert r["n_bullet"] == 1
+    assert r["n_caps"] == 1
+    assert r["n_ellipsis"] == 1
+    assert r["boilerplate_ratio"] == 0.8
+
+
+# -- token budget -------------------------------------------------------------
+
+
+def test_token_budget_select(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    budget = 3_000
+    sel = curation.token_budget_select(docs, budget, group_col="lang")
+    pdf = sel.toPandas()
+    # every selected doc started within budget
+    assert (pdf["cum_before"] < budget).all()
+    # brute-force greedy per group reproduces the selection exactly
+    full = docs.select(
+        "doc_id", "lang",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .cast("long").alias("n_toks"),
+    ).toPandas()
+    for lang, g in full.groupby("lang"):
+        g = g.sort_values(["n_toks", "doc_id"], ascending=[False, True])
+        cum, want = 0, []
+        for _, row in g.iterrows():
+            if cum < budget:
+                want.append(row["doc_id"])
+            cum += row["n_toks"]
+        got = sorted(pdf[pdf["lang"] == lang]["doc_id"])
+        assert got == sorted(want), lang
+
+
+# -- epoch shuffle ------------------------------------------------------------
+
+
+def test_epoch_shuffle_keys(spark):
+    docs = spark.createDataFrame(
+        [(i, "x") for i in range(50)], "doc_id long, text string"
+    )
+    k1 = curation.epoch_shuffle_keys(docs, epochs=2).toPandas()
+    k2 = curation.epoch_shuffle_keys(docs, epochs=2).toPandas()
+    # deterministic across runs
+    assert sorted(map(tuple, k1.values.tolist())) == sorted(
+        map(tuple, k2.values.tolist())
+    )
+    # every epoch covers every doc, orders differ between epochs
+    by_epoch = {
+        e: g.sort_values("skey")["doc_id"].tolist()
+        for e, g in k1.groupby("epoch")
+    }
+    assert all(sorted(v) == list(range(50)) for v in by_epoch.values())
+    assert by_epoch[1] != by_epoch[2]
+
+
+# -- z-score outliers ---------------------------------------------------------
+
+
+def test_zscore_outliers(spark):
+    rows = [(1, "a", i, 10.0) for i in range(9)] + [(1, "a", 9, 100.0)]
+    rows += [(2, "a", 10, 5.0), (2, "a", 11, 500.0)]          # group of 2: skipped
+    rows += [(3, "a", 12 + i, 7.0) for i in range(6)]          # zero variance: skipped
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, value double"
+    )
+    out = relational.zscore_outliers(
+        df, ["user_id", "event_type"], "value", threshold=2.5, min_group=5
+    ).collect()
+    assert [(r["user_id"], r["event_id"]) for r in out] == [(1, 9)]
+    assert out[0]["zscore"] > 2.5
+
+
+# -- PCA ----------------------------------------------------------------------
+
+
+def test_pca_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    mean, comps, eigvals = vector_search.pca_fit(emb, q=4)
+
+    X = np.stack(
+        emb.orderBy("vec_id").toPandas()["embedding"].to_numpy()
+    ).astype(np.float64)
+    mu = X.mean(axis=0)
+    cov = (X - mu).T @ (X - mu) / len(X)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    ref = v[:, order].T
+    for i in range(4):
+        j = int(np.argmax(np.abs(ref[i])))
+        if ref[i, j] < 0:
+            ref[i] = -ref[i]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(np.sort(eigvals)[::-1], np.sort(w[order])[::-1], atol=1e-9)
+    assert np.allclose(comps, ref, atol=1e-7)
+
+    proj = vector_search.pca_project(emb, mean, comps).orderBy("vec_id")
+    P = np.stack(proj.toPandas()["comps"].to_numpy())
+    assert np.allclose(P, np.round((X - mu) @ ref.T, 6), atol=1e-6)
+
+
+def test_pca_partition_invariance(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    m1, c1, _ = vector_search.pca_fit(emb, q=3)
+    m2, c2, _ = vector_search.pca_fit(emb.repartition(7), q=3)
+    assert np.allclose(m1, m2, atol=1e-9)
+    assert np.allclose(c1, c2, atol=1e-7)
