@@ -3,6 +3,14 @@
 
 Each query is a full plan execution (action = count or collect for
 top-k results); times are per-query wall clock, `value` is the sum.
+
+Index amortization caveat: the first `indexed_*` query at a FRESH
+scale directory builds its index layout lazily (measured 17.9s at
+sf0.01; 0.56s on every later call) — a deliberate one-time cost, the
+same amortization a deployment gets from its background index build
+(SCALING.md reports `index_build` as its own column). The per-query
+minimum over N_REPS therefore reports the warm (steady-state) query
+cost; rep 1 of a cold run carries the build.
 """
 
 from __future__ import annotations
@@ -108,6 +116,13 @@ HEADLINE = [
     "vector_knn_lsh_multitable",
     "curate_negative_samples",
     "corpus_source_profile",
+    # round-4 additions
+    "dedup_paragraph",
+    "quality_line_rules",
+    "curate_token_budget",
+    "curate_epoch_shuffle",
+    "events_anomaly_zscore",
+    "embedding_pca_project",
 ]
 
 SMALL_RESULT = {
@@ -147,6 +162,10 @@ SMALL_RESULT = {
     "expectations_audit", "kanonymity_audit",
     "curate_split_assign", "vector_knn_lsh_multitable",
     "corpus_source_profile",
+    # round-4: per-doc profiles (count() would prune the aggregate
+    # expressions) and bounded selections/outlier sets
+    "dedup_paragraph", "quality_line_rules", "curate_token_budget",
+    "curate_epoch_shuffle", "events_anomaly_zscore",
 }
 
 

@@ -159,11 +159,19 @@ def text_profile(
         F.explode_outer(tokenize(text_col)).alias("token"),
     )
     # level 1: distinct (doc, token) with occurrence count; a null
-    # token (empty doc) keeps its row with c=0
-    lvl1 = per_tok.groupBy(id_col, "n_chars", "token").agg(
-        F.count("token").alias("c")
+    # token (empty doc) keeps its row with c=0. n_chars rides as a
+    # max() aggregate, NOT a grouping key — doc-constant columns in
+    # the key only widen the shuffle rows. The content-token flag is
+    # projected ONCE here and reused by both its level-2 consumers
+    # (occurrence count + fingerprint list) — measured 0.91→0.59s at
+    # sf0.1 for the two changes together.
+    lvl1 = (
+        per_tok.groupBy(id_col, "token")
+        .agg(F.count("token").alias("c"), F.max("n_chars").alias("n_chars"))
+        .withColumn("ct", F.when(is_content_token("token"), tok))
     )
-    aggs = lvl1.groupBy(id_col, "n_chars").agg(
+    aggs = lvl1.groupBy(id_col).agg(
+        F.max("n_chars").alias("n_chars"),
         F.coalesce(F.sum(c), F.lit(0)).alias("n_tokens"),
         F.coalesce(F.sum(c * F.length(tok)), F.lit(0)).alias("sum_len"),
         F.count(tok).alias("n_distinct"),
@@ -171,7 +179,7 @@ def text_profile(
             F.sum(F.when(tok.isin(*sorted(STOPWORDS)), c)), F.lit(0)
         ).alias("n_stop"),
         F.coalesce(
-            F.sum(F.when(is_content_token("token"), c)), F.lit(0)
+            F.sum(F.when(F.col("ct").isNotNull(), c)), F.lit(0)
         ).alias("n_content"),
         *[
             F.coalesce(
@@ -182,9 +190,7 @@ def text_profile(
         # tokens are already distinct here; collect_list ignores the
         # nulls the content filter produces, array_sort fixes order →
         # same sorted-distinct content-token list as doc_fingerprint
-        F.array_sort(
-            F.collect_list(F.when(is_content_token("token"), tok))
-        ).alias("ctoks_sorted"),
+        F.array_sort(F.collect_list("ct")).alias("ctoks_sorted"),
     )
 
     n = F.col("n_tokens")
