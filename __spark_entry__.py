@@ -6840,6 +6840,270 @@ def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "event_type", "event_id", "zscore")
 
 
+# -- offline search-relevance evaluation --------------------------------------
+
+_EVAL_K, _EVAL_NQ = 10, 5
+
+_EVAL_COS = cosine_sim_sql("c.emb", "q.qvec")
+
+_EVAL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec, label AS qlabel
+  FROM embeddings WHERE vec_id < {_EVAL_NQ}
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb, label
+  FROM embeddings WHERE vec_id >= {_EVAL_NQ}
+),
+scored AS (
+  SELECT q.query_id, c.vec_id AS doc_id, {_R(_EVAL_COS, 6)} AS score
+  FROM c, q
+),
+topk AS (
+  SELECT * FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id ASC) AS rnk
+    FROM scored
+  ) WHERE rnk <= {_EVAL_K}
+),
+qrels AS (
+  SELECT q.query_id, c.vec_id AS doc_id, 1 AS rel
+  FROM c JOIN q ON c.label = q.qlabel
+),
+hits AS (
+  SELECT t.query_id, t.rnk, coalesce(r.rel, 0)::DOUBLE AS rel
+  FROM topk t LEFT JOIN qrels r USING (query_id, doc_id)
+),
+perq AS (
+  SELECT query_id,
+         {_S("(pow(2.0, rel) - 1.0) / log2(rnk + 1)", 6)} AS dcg,
+         min(CASE WHEN rel > 0 THEN rnk END) AS frr,
+         count(CASE WHEN rel > 0 THEN 1 END) AS n_rel_ret
+  FROM hits GROUP BY 1
+),
+ideal AS (
+  SELECT query_id,
+         {_S("(pow(2.0, rel::DOUBLE) - 1.0) / log2(irank + 1)", 6)} AS idcg
+  FROM (SELECT query_id, rel,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY rel DESC, doc_id ASC) AS irank
+        FROM qrels WHERE rel > 0)
+  WHERE irank <= {_EVAL_K} GROUP BY 1
+),
+tot AS (
+  SELECT query_id, count(*) AS n_rel_total FROM qrels WHERE rel > 0 GROUP BY 1
+)
+SELECT p.query_id,
+  {_R("CASE WHEN i.idcg > 0 THEN p.dcg / i.idcg ELSE 0.0 END", 4)} AS ndcg_at_k,
+  {_R("coalesce(1.0 / p.frr, 0.0)", 4)} AS rr_at_k,
+  {_R(f"p.n_rel_ret / {float(_EVAL_K)}", 4)} AS precision_at_k,
+  {_R("CASE WHEN t.n_rel_total > 0 THEN p.n_rel_ret / t.n_rel_total::DOUBLE ELSE 0.0 END", 4)}
+    AS recall_at_k
+FROM perq p LEFT JOIN ideal i USING (query_id) LEFT JOIN tot t USING (query_id)
+"""
+
+
+@_register("search_eval_metrics", _EVAL_SQL)
+def _q_search_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline relevance evaluation of the exact-cosine ranking
+    against label-derived qrels: per query nDCG@{_EVAL_K}, MRR,
+    precision and recall (operators/evaluation.py). The batch-query
+    pattern: {_EVAL_NQ} query vectors broadcast against the corpus,
+    ranks from a window PARTITIONED BY query — the offline
+    grading pass a deployed search stack runs over its query log."""
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.functions.similarity import (
+        cosine_sim,
+    )
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < _EVAL_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= _EVAL_NQ)
+    scored = corpus.crossJoin(F.broadcast(qs)).withColumn(
+        "score", stable_round(cosine_sim(F.col("embedding"), F.col("qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    ranking = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _EVAL_K)
+        .select("query_id", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    qrels = corpus.join(
+        F.broadcast(qs.select("query_id", "qlabel")),
+        corpus.label == F.col("qlabel"),
+    ).select(
+        "query_id", F.col("vec_id").alias("doc_id"), F.lit(1).alias("rel")
+    )
+    return evaluation.ranking_metrics(ranking, qrels, k=_EVAL_K)
+
+
+# -- tokenizer fertility per language -----------------------------------------
+
+_FERTILITY_SQL = """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(regexp_extract_all(text, '{bpe}'),
+                         x -> regexp_matches(x, '\\S'))) AS nb,
+         len(regexp_extract_all(text, '\\S+')) AS nw
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, {avg} AS fertility
+FROM t WHERE nw > 0 GROUP BY lang
+"""
+
+
+@_register(
+    "corpus_fertility",
+    None,  # SQL bound below once _BPE_RE_SQL exists (defined earlier in file)
+)
+def _q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the statistic multilingual tokenizer reports (mT5,
+    XLM-R) track to spot languages the vocabulary serves poorly
+    (fertility ≫ 1 → docs cost more sequence length per word). One
+    codegen scan + a lang-sized groupBy; per-doc ratios go through
+    stable_avg so engines agree."""
+    docs = _t(spark, sf_dir, "documents")
+    nb = text_analysis.bpe_token_count("text")
+    nw = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), F.lit(0))
+    )
+    return (
+        docs.select("lang", nb.alias("nb"), nw.alias("nw"))
+        .filter(F.col("nw") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            stable_avg(F.col("nb") / F.col("nw"), 4).alias("fertility"),
+        )
+    )
+
+
+# bind the fertility oracle now that the shared BPE fragment exists
+_REGISTRY["corpus_fertility"] = (
+    _REGISTRY["corpus_fertility"][0],
+    _FERTILITY_SQL.format(bpe=_BPE_RE_SQL, avg=_A("nb::DOUBLE / nw", 4)),
+)
+
+
+# -- character-script profile -------------------------------------------------
+
+_SCRIPT_SQL = """
+SELECT doc_id,
+  len(regexp_extract_all(text, '[\\p{{Cyrillic}}]')) AS n_cyrillic,
+  len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+  len(regexp_extract_all(text, '[\\p{{Han}}]')) AS n_han,
+  len(regexp_extract_all(text, '[\\p{{Latin}}]')) AS n_latin,
+  CASE
+    WHEN len(regexp_extract_all(text, '[\\p{{Latin}}]')) >
+         greatest(len(regexp_extract_all(text, '[\\p{{Cyrillic}}]')),
+                  len(regexp_extract_all(text, '[0-9]')),
+                  len(regexp_extract_all(text, '[\\p{{Han}}]')), 0)
+      THEN 'latin'
+    WHEN len(regexp_extract_all(text, '[\\p{{Han}}]')) >
+         greatest(len(regexp_extract_all(text, '[\\p{{Cyrillic}}]')),
+                  len(regexp_extract_all(text, '[0-9]')), 0)
+      THEN 'han'
+    WHEN len(regexp_extract_all(text, '[0-9]')) >
+         greatest(len(regexp_extract_all(text, '[\\p{{Cyrillic}}]')), 0)
+      THEN 'digit'
+    WHEN len(regexp_extract_all(text, '[\\p{{Cyrillic}}]')) > 0
+      THEN 'cyrillic'
+    ELSE 'none'
+  END AS dominant_script
+FROM documents
+""".replace("{{", "{").replace("}}", "}")
+
+
+@_register("text_script_profile", _SCRIPT_SQL)
+def _q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-script profile per doc (Latin/Cyrillic/Han/digit
+    counts + deterministic dominant script) — the script-level sanity
+    check beside token language-ID: a 'lang=en' doc that is mostly
+    Han characters is mislabeled. Pure regex Columns, one scan, no
+    shuffle (text_analysis.script_profile). Oracle note: Java spells
+    the property \\p{IsLatin}, RE2 \\p{Latin} — same Unicode script
+    tables. The oracle's CASE chain is the unrolled form of the
+    operator's alphabetical-tie-break argmax fold."""
+    return text_analysis.script_profile(_t(spark, sf_dir, "documents"))
+
+
+# -- embedding drift (PSI) between corpus cohorts -----------------------------
+
+_PSI_BUCKETS, _PSI_EPS = 8, 1e-6
+
+_PSI_SQL = f"""
+WITH la AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+lb AS (
+  SELECT unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         unnest(embedding::DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+ca AS (
+  SELECT dim, least(greatest(floor((v - (-1.0)) / 0.25), 0), {_PSI_BUCKETS - 1})
+           AS bucket, count(*) AS c_a
+  FROM la GROUP BY 1, 2
+),
+cb AS (
+  SELECT dim, least(greatest(floor((v - (-1.0)) / 0.25), 0), {_PSI_BUCKETS - 1})
+           AS bucket, count(*) AS c_b
+  FROM lb GROUP BY 1, 2
+),
+ta AS (SELECT dim, sum(c_a) AS t_a FROM ca GROUP BY 1),
+tb AS (SELECT dim, sum(c_b) AS t_b FROM cb GROUP BY 1),
+g AS (
+  SELECT dim, bucket
+  FROM (SELECT DISTINCT dim FROM (SELECT dim FROM ca UNION SELECT dim FROM cb)),
+       (SELECT unnest(generate_series(0, {_PSI_BUCKETS - 1})) AS bucket)
+),
+j AS (
+  SELECT g.dim, g.bucket,
+         coalesce(ca.c_a, 0) AS c_a, coalesce(cb.c_b, 0) AS c_b
+  FROM g LEFT JOIN ca USING (dim, bucket) LEFT JOIN cb USING (dim, bucket)
+),
+t AS (
+  SELECT j.dim,
+         (j.c_a / ta.t_a + {_PSI_EPS}) AS p_a,
+         (j.c_b / tb.t_b + {_PSI_EPS}) AS p_b
+  FROM j JOIN ta ON ta.dim = j.dim JOIN tb ON tb.dim = j.dim
+)
+SELECT dim, {_R(_S("(p_a - p_b) * ln(p_a / p_b)", 9), 6)} AS psi
+FROM t GROUP BY dim ORDER BY dim
+"""
+
+
+@_register("embedding_drift_psi", _PSI_SQL)
+def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension Population Stability Index between two corpus
+    cohorts (even vs odd vec_id standing in for old/new snapshots) —
+    the drift gate an embedding pipeline runs before trusting an
+    index refresh. Fixed ε-smoothed buckets, dense (dim, bucket)
+    grid so one-sided buckets still contribute, stable sums
+    (operators/evaluation.py::embedding_drift_psi)."""
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return evaluation.embedding_drift_psi(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        n_buckets=_PSI_BUCKETS,
+        eps=_PSI_EPS,
+    )
+
+
 @_register("embedding_pca_project", None)
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-8

@@ -123,6 +123,10 @@ HEADLINE = [
     "curate_epoch_shuffle",
     "events_anomaly_zscore",
     "embedding_pca_project",
+    "search_eval_metrics",
+    "embedding_drift_psi",
+    "corpus_fertility",
+    "text_script_profile",
 ]
 
 SMALL_RESULT = {
@@ -166,6 +170,8 @@ SMALL_RESULT = {
     # expressions) and bounded selections/outlier sets
     "dedup_paragraph", "quality_line_rules", "curate_token_budget",
     "curate_epoch_shuffle", "events_anomaly_zscore",
+    "search_eval_metrics", "embedding_drift_psi",
+    "corpus_fertility", "text_script_profile",
 }
 
 

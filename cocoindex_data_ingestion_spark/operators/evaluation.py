@@ -1,0 +1,197 @@
+"""Offline search-relevance evaluation: nDCG@k, MRR@k, precision@k,
+recall@k over (ranking, qrels) tables.
+
+The measurement half of the reference's search surface
+(app/services/search_service.py exposes the rankings; a deployment
+grades them offline against editorial or click-derived relevance
+judgments). Everything is DataFrame-native and runs at any query-log
+size: metrics are per-query aggregates joined on (query, doc), the
+ideal-DCG ranking is a window PARTITIONED BY query (never global),
+and every floating sum goes through ``stable_sum`` so results are
+bit-identical across engines and partitionings — a DuckDB oracle can
+grade the same tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import (
+    stable_round,
+    stable_sum,
+)
+
+
+def ranking_metrics(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    rel_col: str = "rel",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-query IR metrics for a 1-based ranking against graded
+    relevance judgments.
+
+    - ``ndcg_at_k``  — DCG@k / ideal-DCG@k with the standard
+      (2^rel − 1)/log2(rank+1) gain; 0.0 for queries with no
+      relevant docs.
+    - ``rr_at_k``    — reciprocal rank of the first relevant hit in
+      the top k (mean over queries = MRR@k).
+    - ``precision_at_k`` / ``recall_at_k`` — relevant-in-top-k over
+      k / over total relevant.
+
+    One join on (query, doc) + two per-query aggregations; the ideal
+    ranking's row_number window is partitioned by query. Per-query
+    DCG sums run through ``stable_sum`` (order-independent), so a
+    re-partitioned rerun or a SQL oracle produces identical doubles.
+    """
+    q, d, r = F.col(query_col), F.col(id_col), F.col(rank_col)
+    rel = F.col(rel_col)
+
+    topk = ranking.filter(r <= k).select(query_col, id_col, rank_col)
+    hits = (
+        topk.join(qrels, [query_col, id_col], "left")
+        .withColumn("_rel", F.coalesce(rel, F.lit(0)).cast("double"))
+    )
+    gain = (F.pow(F.lit(2.0), F.col("_rel")) - 1.0) / F.log2(r + 1)
+    per_q = hits.groupBy(query_col).agg(
+        stable_sum(gain, 6).alias("_dcg"),
+        F.min(F.when(F.col("_rel") > 0, r)).alias("_first_rel_rank"),
+        F.count(F.when(F.col("_rel") > 0, True)).alias("_n_rel_ret"),
+    )
+
+    relevant = qrels.filter(rel > 0)
+    w_ideal = Window.partitionBy(query_col).orderBy(rel.desc(), d.asc())
+    ideal = (
+        relevant.withColumn("_irank", F.row_number().over(w_ideal))
+        .filter(F.col("_irank") <= k)
+        .groupBy(query_col)
+        .agg(
+            stable_sum(
+                (F.pow(F.lit(2.0), rel.cast("double")) - 1.0)
+                / F.log2(F.col("_irank") + 1),
+                6,
+            ).alias("_idcg")
+        )
+    )
+    totals = relevant.groupBy(query_col).agg(
+        F.count("*").alias("_n_rel_total")
+    )
+
+    out = (
+        per_q.join(ideal, query_col, "left")
+        .join(totals, query_col, "left")
+        .select(
+            q,
+            stable_round(
+                F.when(
+                    F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg")
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("ndcg_at_k"),
+            stable_round(
+                F.coalesce(1.0 / F.col("_first_rel_rank"), F.lit(0.0)),
+                round_to,
+            ).alias("rr_at_k"),
+            stable_round(
+                F.col("_n_rel_ret") / F.lit(float(k)), round_to
+            ).alias("precision_at_k"),
+            stable_round(
+                F.when(
+                    F.col("_n_rel_total") > 0,
+                    F.col("_n_rel_ret") / F.col("_n_rel_total").cast("double"),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("recall_at_k"),
+        )
+    )
+    return out
+
+
+def embedding_drift_psi(
+    emb_a: DataFrame,
+    emb_b: DataFrame,
+    vec_col: str = "embedding",
+    lo: float = -1.0,
+    hi: float = 1.0,
+    n_buckets: int = 8,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between two embedding cohorts,
+    per dimension — the drift monitor a production embedding pipeline
+    runs between snapshots (model upgrades, corpus shifts, encoder
+    regressions) before trusting an index refresh.
+
+    PSI_d = Σ_buckets (p_a − p_b) · ln(p_a / p_b) over fixed-width
+    value buckets on [lo, hi] (edge-clamped, ε-smoothed so empty
+    buckets don't blow up the log). Deterministic by construction:
+    fixed bucket edges (no data-dependent quantiles), integer counts,
+    and the per-dim sum runs over a bounded bucket set.
+
+    Shape: one posexplode to long format (dim, value) per cohort —
+    the same long-format pattern as the centroid ops — then ONE
+    groupBy (dim, bucket) per cohort with map-side combine and a
+    dim×bucket-sized join; output is dim rows. At 100 TB the
+    explode's shuffle volume is rows×dim counts, the canonical
+    histogram pass.
+
+    Returns (dim, psi) sorted by dimension.
+    """
+    width = (hi - lo) / n_buckets
+
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        v = F.col("v")
+        bucket = F.least(
+            F.greatest(
+                F.floor((v.cast("double") - F.lit(lo)) / F.lit(width)),
+                F.lit(0),
+            ),
+            F.lit(n_buckets - 1),
+        )
+        long = df.select(
+            F.posexplode(F.col(vec_col)).alias("dim", "v")
+        ).select("dim", bucket.alias("bucket"))
+        counts = long.groupBy("dim", "bucket").agg(
+            F.count("*").alias(f"c_{name}")
+        )
+        tot = counts.groupBy("dim").agg(
+            F.sum(f"c_{name}").alias(f"t_{name}")
+        )
+        return counts.join(tot, "dim")
+
+    # dense (dim, bucket) frame so ε-smoothing covers EMPTY buckets on
+    # either side — a bucket present in one cohort only must still
+    # contribute its (p − ε)·ln(p/ε) term
+    ha, hb = hist(emb_a, "a"), hist(emb_b, "b")
+    grid = (
+        ha.select("dim").union(hb.select("dim")).distinct()
+        .crossJoin(
+            F.broadcast(
+                ha.sparkSession.range(n_buckets).select(
+                    F.col("id").alias("bucket")
+                )
+            )
+        )
+    )
+    j = (
+        grid.join(ha, ["dim", "bucket"], "left")
+        .join(hb, ["dim", "bucket"], "left")
+    )
+    # per-dim totals ride on every row of that dim; fill from any row
+    w = Window.partitionBy("dim")
+    j = j.withColumn("t_a", F.max("t_a").over(w)).withColumn(
+        "t_b", F.max("t_b").over(w)
+    )
+    p_a = F.coalesce(F.col("c_a"), F.lit(0)) / F.col("t_a") + F.lit(eps)
+    p_b = F.coalesce(F.col("c_b"), F.lit(0)) / F.col("t_b") + F.lit(eps)
+    term = (p_a - p_b) * F.log(p_a / p_b)
+    return (
+        j.groupBy("dim")
+        .agg(stable_round(stable_sum(term, 9), round_to).alias("psi"))
+        .orderBy("dim")
+    )

@@ -333,19 +333,29 @@ def zscore_outliers(
     and a DuckDB oracle agree bit-for-bit including at threshold
     boundaries. Variance uses the sample (n−1) form.
 
-    Plan: one groupBy on the group key for the moment table, one
-    shuffle join back — group moments are corpus-key-sized, so NO
-    broadcast. Groups under ``min_group`` rows are skipped (a z-score
-    over 2 points is noise).
+    Plan: the group moments come from an unbounded window PARTITIONED
+    BY the group key — ONE shuffle total (a groupBy + join-back shape
+    would shuffle twice and the moment table is corpus-key-sized, so
+    it could never broadcast). The fixed-point element rounding makes
+    the windowed sums order-independent, so the result matches a
+    GROUP-BY oracle exactly. Groups under ``min_group`` rows are
+    skipped (a z-score over 2 points is noise).
     """
-    from ..functions.compare import stable_round, stable_sum
+    from pyspark.sql import Window
 
+    from ..functions.compare import stable_round
+
+    w = Window.partitionBy(*group_cols)
     v = F.col(value_col).cast("double")
-    stats = df.groupBy(*group_cols).agg(
-        F.count("*").alias("_n"),
-        stable_sum(v, 6).alias("_s"),
-        stable_sum(v * v, 6).alias("_ss"),
-    ).filter(F.col("_n") >= min_group)
+    p = 1e6  # stable_sum's elem scale, inlined for the window form
+    q = F.floor(v * F.lit(p) + F.lit(0.5)).cast("long")
+    qq = F.floor(v * v * F.lit(p) + F.lit(0.5)).cast("long")
+    ann = (
+        df.withColumn("_n", F.count("*").over(w))
+        .withColumn("_s", F.sum(q).over(w) / F.lit(p))
+        .withColumn("_ss", F.sum(qq).over(w) / F.lit(p))
+        .filter(F.col("_n") >= min_group)
+    )
     mean = F.col("_s") / F.col("_n")
     var = (F.col("_ss") - F.col("_n") * mean * mean) / (F.col("_n") - 1)
     z = (v - mean) / F.sqrt(var)
@@ -353,8 +363,7 @@ def zscore_outliers(
     # orders NaN above everything while Spark's comparison is false, so
     # a NaN reaching the threshold comparison would diverge engines
     return (
-        df.join(stats, group_cols)
-        .filter(
+        ann.filter(
             (F.col("_ss") - F.col("_s") * F.col("_s") / F.col("_n")) > 0
         )
         .withColumn("zscore", stable_round(z, round_to))

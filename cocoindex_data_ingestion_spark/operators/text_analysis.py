@@ -304,3 +304,45 @@ def fuzzy_suggest(
         .limit(k)
         .select("term", "dist", "df")
     )
+
+
+# Unicode script classes: (Java regex class, RE2/DuckDB regex class).
+# The property NAMES differ (Java \p{IsLatin} vs RE2 \p{Latin}) but
+# both resolve to the same Unicode script tables.
+SCRIPT_CLASSES: dict[str, tuple[str, str]] = {
+    "cyrillic": (r"[\p{IsCyrillic}]", r"[\p{Cyrillic}]"),
+    "digit": (r"[0-9]", r"[0-9]"),
+    "han": (r"[\p{IsHan}]", r"[\p{Han}]"),
+    "latin": (r"[\p{IsLatin}]", r"[\p{Latin}]"),
+}
+
+
+def script_profile(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Character-script profile per document: counts of Latin /
+    Cyrillic / Han / digit characters and the dominant script — the
+    script-level sanity check run next to token-based language ID
+    (a 'lang=en' doc that is 90% Han characters is mislabeled, and
+    script mixtures flag transliteration/spam).
+
+    Pure Column regexes in one codegen scan, no shuffle, no explode —
+    a narrow single pass at any corpus size. Dominant script is a
+    deterministic argmax (alphabetical tie-break, 'none' when no
+    class matches)."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(java_re), F.lit(0)))
+        for name, (java_re, _) in SCRIPT_CLASSES.items()
+    }
+    best = F.lit("none")
+    best_n = F.lit(0)
+    for name in sorted(counts):
+        take = counts[name] > best_n
+        best = F.when(take, F.lit(name)).otherwise(best)
+        best_n = F.when(take, counts[name]).otherwise(best_n)
+    return docs.select(
+        F.col(id_col),
+        *[counts[n].alias(f"n_{n}") for n in sorted(counts)],
+        best.alias("dominant_script"),
+    )

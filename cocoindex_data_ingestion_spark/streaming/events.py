@@ -307,3 +307,44 @@ def ordinal_upsert_stream_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+def foreach_batch_expectations(
+    rules_factory,
+    good_path: str,
+    quarantine_path: str,
+    audit_path: str | None = None,
+):
+    """Streaming data-quality gate for ``writeStream.foreachBatch``:
+    each micro-batch is split by the declarative expectation rules
+    (operators/expectations.py) — passing rows append to the good
+    sink, violating rows (with their per-rule flags) to the
+    quarantine sink, and optionally a one-row per-batch audit record
+    (batch_id + violation counts) to an audit log.
+
+    ``rules_factory`` is a zero-arg callable returning the rules dict
+    (Column expressions can't cross the closure into executors
+    pre-built against another DataFrame, so they're constructed per
+    batch — negligible: rule construction is driver-side analysis).
+
+    Idempotence note: appends are at-least-once under redelivery (the
+    standard parquet-append caveat); wrap the paths in a
+    BucketedParquetState / MERGE-capable table for exactly-once, as
+    foreach_batch_upsert does. The split itself is one codegen'd
+    scan per batch — the audit is conditional aggregates in the same
+    pass shape as expectations.summarize.
+    """
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        rules = rules_factory()
+        good, bad = expectations.split(batch_df, rules)
+        good.write.mode("append").parquet(good_path)
+        bad.write.mode("append").parquet(quarantine_path)
+        if audit_path is not None:
+            audit = expectations.summarize(batch_df, rules).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            )
+            audit.write.mode("append").parquet(audit_path)
+
+    return _sink

@@ -159,3 +159,81 @@ def test_pca_partition_invariance(spark, sf_dir):
     m2, c2, _ = vector_search.pca_fit(emb.repartition(7), q=3)
     assert np.allclose(m1, m2, atol=1e-9)
     assert np.allclose(c1, c2, atol=1e-7)
+
+
+# -- IR evaluation metrics ----------------------------------------------------
+
+
+def test_ranking_metrics_hand_computed(spark):
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    # query 1: rel docs {10, 11, 12}; ranking puts rel at ranks 1, 3
+    ranking = spark.createDataFrame(
+        [(1, 10, 1), (1, 20, 2), (1, 11, 3), (1, 21, 4),
+         (2, 30, 1), (2, 31, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 1), (1, 12, 1), (2, 99, 1)],
+        "query_id long, doc_id long, rel long",
+    )
+    out = {
+        r["query_id"]: r
+        for r in evaluation.ranking_metrics(ranking, qrels, k=4).collect()
+    }
+    import math
+
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+    assert abs(out[1]["ndcg_at_k"] - round(dcg / idcg, 4)) < 2e-4
+    assert out[1]["rr_at_k"] == 1.0
+    assert out[1]["precision_at_k"] == 0.5
+    assert abs(out[1]["recall_at_k"] - 0.6667) < 1e-4
+    # query 2 found nothing relevant
+    assert out[2]["ndcg_at_k"] == 0.0
+    assert out[2]["rr_at_k"] == 0.0
+    assert out[2]["precision_at_k"] == 0.0
+    assert out[2]["recall_at_k"] == 0.0
+
+
+def test_embedding_drift_psi_detects_shift(spark):
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    rng = np.random.RandomState(7)
+    base = rng.uniform(-0.9, 0.9, size=(400, 4))
+    shifted = base.copy()
+    shifted[:, 2] = np.clip(shifted[:, 2] + 0.6, -1, 1)  # drift dim 2 only
+    mk = lambda X: spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    out = evaluation.embedding_drift_psi(mk(base), mk(shifted)).collect()
+    psi = {r["dim"]: r["psi"] for r in out}
+    assert len(psi) == 4
+    # the shifted dimension dominates; unshifted dims are near zero
+    assert psi[2] > 0.5
+    assert all(psi[d] < 0.05 for d in (0, 1, 3))
+    # identical cohorts -> ~zero everywhere
+    same = evaluation.embedding_drift_psi(mk(base), mk(base)).collect()
+    assert all(abs(r["psi"]) < 1e-9 for r in same)
+
+
+def test_script_profile_detection(spark):
+    from cocoindex_data_ingestion_spark.operators import text_analysis
+
+    docs = spark.createDataFrame(
+        [
+            (1, "plain english words here"),
+            (2, "Привет мир это кириллица"),
+            (3, "这是一些中文文本内容"),
+            (4, "123 456 7890"),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_analysis.script_profile(docs).collect()}
+    assert out[1]["dominant_script"] == "latin" and out[1]["n_latin"] > 0
+    assert out[2]["dominant_script"] == "cyrillic"
+    assert out[3]["dominant_script"] == "han" and out[3]["n_han"] == 10
+    assert out[4]["dominant_script"] == "digit"
+    assert out[5]["dominant_script"] == "none"

@@ -476,3 +476,60 @@ def test_stream_refreshes_incremental_vector_index(spark, tmp_path, sf_dir):
     a = [(r.vec_id, r.score) for r in idx.query(qv, k=10, nprobe=3).collect()]
     b = [(r.vec_id, r.score) for r in idx2.query(qv, k=10, nprobe=3).collect()]
     assert a == b and len(a) > 0
+
+
+def test_streaming_expectations_gate(spark, tmp_path, sf_dir):
+    """foreach_batch_expectations splits a replayed event stream into
+    good/quarantine sinks whose union is the input and whose good
+    side equals the batch-mode expectations filter."""
+    from cocoindex_data_ingestion_spark.operators import expectations
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+    from cocoindex_data_ingestion_spark.streaming.events import (
+        foreach_batch_expectations,
+    )
+
+    events = load_table(spark, "events", sf_dir).limit(2000)
+    src = str(tmp_path / "src")
+    events.repartition(4).write.parquet(src)
+
+    def rules():
+        return {
+            "value_nonneg": F.col("value") >= 0,
+            "known_type": F.col("event_type").isin(
+                "view", "click", "purchase", "refund", "signup"
+            ),
+        }
+
+    good_p = str(tmp_path / "good")
+    bad_p = str(tmp_path / "bad")
+    audit_p = str(tmp_path / "audit")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            foreach_batch_expectations(rules, good_p, bad_p, audit_p)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    good = spark.read.parquet(good_p)
+    bad = spark.read.parquet(bad_p)
+    n_in = events.count()
+    assert good.count() + bad.count() == n_in
+    # stream split == batch split
+    batch_good, _ = expectations.split(events, rules())
+    assert good.count() == batch_good.count()
+    assert set(good.columns) == set(events.columns)
+    assert "ok_value_nonneg" in bad.columns
+    # audit totals add up across batches
+    audit = spark.read.parquet(audit_p)
+    tot = audit.agg(
+        F.sum("n_rows").alias("r"), F.sum("n_valid").alias("v")
+    ).collect()[0]
+    assert tot["r"] == n_in and tot["v"] == good.count()
