@@ -7104,6 +7104,33 @@ def _q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ivm_drift_monitor", _PSI_SQL)
+def _q_ivm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin of embedding_drift_psi: the reference
+    histogram accumulates through TWO delta refreshes of the even
+    cohort into a MaterializedAgg state (histograms are mergeable —
+    each refresh is O(delta)), then the odd cohort is PSI-scored
+    against the state without rescanning history
+    (evaluation.IncrementalDriftMonitor). The oracle is the SAME
+    two-cohort PSI SQL — equality IS the incremental-maintenance
+    contract."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mon = evaluation.IncrementalDriftMonitor(
+        spark, tempfile.mkdtemp(prefix="drift_query_"),
+        n_buckets=_PSI_BUCKETS,
+    )
+    even = emb.filter(F.col("vec_id") % 2 == 0)
+    mon.refresh(inserts=even.filter(F.col("vec_id") % 4 == 0))
+    mon.refresh(inserts=even.filter(F.col("vec_id") % 4 != 0))
+    return mon.psi_vs(
+        emb.filter(F.col("vec_id") % 2 == 1), eps=_PSI_EPS
+    )
+
+
 @_register("embedding_pca_project", None)
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection of the embedding corpus onto its top-8

@@ -237,3 +237,55 @@ def test_script_profile_detection(spark):
     assert out[3]["dominant_script"] == "han" and out[3]["n_han"] == 10
     assert out[4]["dominant_script"] == "digit"
     assert out[5]["dominant_script"] == "none"
+
+
+def test_incremental_drift_monitor(spark, tmp_path):
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    rng = np.random.RandomState(11)
+    ref = rng.uniform(-0.9, 0.9, size=(300, 4))
+    shifted = np.clip(ref + np.array([0, 0, 0.6, 0]), -1, 1)
+    mk = lambda X, off=0: spark.createDataFrame(
+        [(i + off, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    mon = evaluation.IncrementalDriftMonitor(
+        spark, str(tmp_path / "drift"), n_buckets=8
+    )
+    # reference accumulates across THREE delta refreshes
+    mon.refresh(inserts=mk(ref[:100]))
+    mon.refresh(inserts=mk(ref[100:200], 100))
+    mon.refresh(inserts=mk(ref[200:], 200))
+
+    inc = {r["dim"]: r["psi"] for r in mon.psi_vs(mk(shifted)).collect()}
+    # identical numbers to the batch two-cohort operator
+    batch = {
+        r["dim"]: r["psi"]
+        for r in evaluation.embedding_drift_psi(
+            mk(ref), mk(shifted), n_buckets=8
+        ).collect()
+    }
+    assert inc == batch
+    assert inc[2] > 0.5 and inc[0] < 0.05
+    # delete-refresh keeps the state exact: removing the last chunk
+    # reproduces the 200-row reference histogram
+    mon.refresh(deletes=mk(ref[200:], 200))
+    two = {
+        r["dim"]: r["psi"]
+        for r in evaluation.embedding_drift_psi(
+            mk(ref[:200]), mk(shifted), n_buckets=8
+        ).collect()
+    }
+    inc2 = {r["dim"]: r["psi"] for r in mon.psi_vs(mk(shifted)).collect()}
+    assert inc2 == two
+
+
+def test_pca_whiten_unit_variance(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir).filter("vec_id <> 0")
+    mean, comps, _ = vector_search.pca_fit(emb, q=3, whiten=True)
+    P = np.stack(
+        vector_search.pca_project(emb, mean, comps)
+        .toPandas()["comps"].to_numpy()
+    )
+    # whitened projections have (population) unit variance per axis
+    assert np.allclose(P.var(axis=0), 1.0, atol=1e-3)
