@@ -2026,6 +2026,78 @@ def _q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vector_search.centroid_outliers(_t(spark, sf_dir, "embeddings"))
 
 
+# -- distributed k-means (Lloyd's, fixed iterations, oracle-exact) ------------
+
+_KMEANS_K, _KMEANS_ITERS = 4, 3
+
+
+def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+    """Unrolled Lloyd's as pure SQL: one dist/argmin/recompute CTE
+    trio per iteration (the iteration count is a query constant).
+    Distances and means go through the fixed-point stable_sum /
+    stable_avg recipes, so every intermediate double is bit-identical
+    to the Spark trainer's."""
+    ctes = [
+        """longf AS MATERIALIZED (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+)""",
+        f"""cent0 AS MATERIALIZED (
+  SELECT vec_id - 1 AS cluster, dim, val AS c
+  FROM longf WHERE vec_id BETWEEN 1 AND {k}
+)""",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(f"""dist{i} AS (
+  SELECT l.vec_id, c.cluster,
+         {_S("(l.val - c.c) * (l.val - c.c)", 9)} AS dist
+  FROM longf l JOIN cent{i - 1} c USING (dim)
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""asg{i} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist ASC, cluster ASC
+           ) AS rn
+    FROM dist{i}
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""cent{i} AS MATERIALIZED (
+  SELECT a.cluster, l.dim, {_A("l.val", 6)} AS c,
+         CAST(count(*) AS BIGINT) AS n
+  FROM longf l JOIN asg{i} a USING (vec_id)
+  GROUP BY 1, 2
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT cluster, dim, c AS centroid, n
+FROM cent{iters}
+ORDER BY cluster, dim
+"""
+    )
+
+
+@_register("embedding_kmeans", _kmeans_sql())
+def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means, fixed {K=4, iters=3},
+    deterministic seed vectors (ids 1..k) — the explicit trainer
+    behind the IVF coarse quantizer / SemDeDup cells. Per-iteration:
+    broadcast k×dim centroids, one (vec_id, cluster) distance
+    shuffle, argmin via min(struct), one (cluster, dim) fixed-point
+    mean shuffle; centroids are the only driver state (MLlib's own
+    discipline). Oracle unrolls the identical iterations as CTE
+    stages (clustering.kmeans_fit)."""
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    return clustering.kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
 # -- §2.6 MMR diversification (Carbonell & Goldstein SIGIR'98) ----------------
 
 _MMR_N, _MMR_K, _MMR_LAM = 20, 10, 0.7

@@ -1,0 +1,151 @@
+"""Distributed clustering over embedding corpora.
+
+The reference trains cluster structure implicitly (IVF coarse
+quantizers, semantic-dedup cells — app/services/search_service.py's
+ANN path and the SemDeDup-style cells in dedup); this module provides
+the explicit iterative trainer those consumers share: Lloyd's k-means
+re-expressed as DataFrame programs.
+
+Scale shape (the MLlib discipline, reimplemented oracle-stable):
+
+- Vectors live in LONG format ``(vec_id, dim, val)`` — posexplode →
+  groupBy is one partial-agg-friendly shuffle per iteration; no
+  whole-vector aggregation buffers.
+- Centroids are the ONLY driver-side state: k×dim rows collected per
+  iteration (k-bounded — this is not a corpus collect) and broadcast
+  back, which also truncates the iteration lineage exactly where
+  MLlib's trainer does.
+- All floating aggregation goes through ``stable_sum``/``stable_avg``
+  (fixed-point integer accumulation), so assignments and centroids
+  are bit-identical across partitionings AND engines — the DuckDB
+  oracle unrolls the same iterations as CTE stages and must agree
+  exactly, which is the correctness contract for an iterative op
+  that plain SQL can't express directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.compare import (
+    stable_avg,
+    stable_sum,
+)
+
+
+def _long_form(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, dim, val) with 1-based dims — the label_centroids
+    convention."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(F.col(vec_col)).alias("dim0", "v"),
+    ).select(
+        "vec_id",
+        (F.col("dim0") + 1).alias("dim"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+    cent_round: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means with FIXED iteration count and DETERMINISTIC
+    init (the vectors with ids 1..k seed clusters 0..k-1), so the
+    whole fit is a pure function of the input — reproducible and
+    oracle-checkable.
+
+    Per iteration: assignment is a broadcast join of the k×dim
+    centroid table against the long corpus + one (vec_id, cluster)
+    partial-agg shuffle for the squared distances; argmin via
+    ``min(struct(dist, cluster))`` (ties break to the lowest cluster
+    id); recompute is one (cluster, dim) shuffle of fixed-point
+    means. Cost per iteration is the canonical Lloyd's bound —
+    O(rows·dim·k) map work, two map-side-combined shuffles, nothing
+    driver-sized except the k×dim centroids.
+
+    Returns the final model in long format
+    ``(cluster, dim, centroid, n)`` where ``n`` is the cluster size
+    under the final assignment. Clusters that lose every member
+    disappear from the output (deterministically, on both engines).
+    """
+    spark = emb.sparkSession
+    long = _long_form(emb, id_col, vec_col)
+    # reused 2x per iteration — cut recomputation of the explode
+    long = long.localCheckpoint(eager=False)
+
+    cent_rows = [
+        (int(r["vec_id"]) - 1, int(r["dim"]), float(r["val"]))
+        for r in long.filter(F.col("vec_id").between(1, k)).collect()
+    ]
+    schema = "cluster long, dim int, c double"
+    assign = None
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cent_rows, schema)
+        diff = F.col("val") - F.col("c")
+        dist = (
+            long.join(F.broadcast(cdf), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(stable_sum(diff * diff, dist_scale).alias("dist"))
+        )
+        assign = (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
+        )
+        newc = (
+            long.join(assign, "vec_id")
+            .groupBy("cluster", "dim")
+            .agg(
+                stable_avg(F.col("val"), cent_round).alias("c"),
+                F.count("val").alias("n"),
+            )
+        )
+        rows = newc.collect()  # k*dim driver state, NOT a corpus collect
+        cent_rows = [(int(r["cluster"]), int(r["dim"]), float(r["c"])) for r in rows]
+        sizes = {int(r["cluster"]): int(r["n"]) for r in rows}
+
+    out = spark.createDataFrame(
+        [(c, d, v, sizes[c]) for c, d, v in cent_rows],
+        "cluster long, dim int, centroid double, n long",
+    )
+    return out.orderBy("cluster", "dim")
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    model: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+) -> DataFrame:
+    """Assign every vector to its nearest model centroid (same
+    distance + tie-break discipline as the trainer). ``model`` is
+    ``kmeans_fit`` output (or any ``(cluster, dim, centroid)`` long
+    table); it is k-bounded, hence legitimately broadcast.
+
+    Returns ``(vec_id, cluster, dist)`` with ``dist`` the stable
+    squared L2 distance."""
+    long = _long_form(emb, id_col, vec_col)
+    cent = model.select("cluster", "dim", F.col("centroid").alias("c"))
+    diff = F.col("val") - F.col("c")
+    dist = (
+        long.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(stable_sum(diff * diff, dist_scale).alias("dist"))
+    )
+    return (
+        dist.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("cluster"),
+            F.col("m.dist").alias("dist"),
+        )
+    )

@@ -289,3 +289,57 @@ def test_pca_whiten_unit_variance(spark, sf_dir):
     )
     # whitened projections have (population) unit variance per axis
     assert np.allclose(P.var(axis=0), 1.0, atol=1e-3)
+
+
+# -- distributed k-means ------------------------------------------------------
+
+
+def test_kmeans_recovers_blobs(spark):
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    rng = np.random.RandomState(7)
+    centers = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.5]])
+    pts = np.concatenate(
+        [c + 0.08 * rng.randn(40, 2) for c in centers]
+    )
+    # ids 1..k seed the clusters: plant one point per blob up front
+    seed = np.array([[1.05, 0.02], [-0.95, -0.03], [0.02, 1.48]])
+    allp = np.concatenate([[[9.0, 9.0]], seed, pts])  # id 0 unused filler
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(allp)],
+        "vec_id long, embedding array<double>",
+    )
+    model = clustering.kmeans_fit(emb, k=3, iters=4)
+    rows = model.collect()
+    assert {r["cluster"] for r in rows} == {0, 1, 2}
+    cent = {
+        (r["cluster"], r["dim"]): r["centroid"] for r in rows
+    }
+    got = np.array(
+        [[cent[(c, 1)], cent[(c, 2)]] for c in range(3)]
+    )
+    # each recovered centroid lands on its blob center (id 0's (9,9)
+    # outlier joins SOME cluster but can't move a 40-point mean far)
+    for c, target in enumerate(centers):
+        assert np.linalg.norm(got[c] - target) < 0.3, (c, got[c])
+    # sizes cover all points
+    sizes = {r["cluster"]: r["n"] for r in rows if r["dim"] == 1}
+    assert sum(sizes.values()) == len(allp)
+
+    # assignment op agrees with the trainer's final partition sizes
+    asg = clustering.kmeans_assign(emb, model)
+    by = {
+        r["cluster"]: r["n"]
+        for r in asg.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    # one extra Lloyd step can move a few boundary points; blob bulk stays
+    assert all(abs(by[c] - sizes[c]) <= 3 for c in range(3))
+
+
+def test_kmeans_partition_invariant(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    a = clustering.kmeans_fit(emb, k=3, iters=2).collect()
+    b = clustering.kmeans_fit(emb.repartition(13), k=3, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
