@@ -3182,6 +3182,78 @@ def _q_suggest_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- tf-idf retrieval + keyword extraction ------------------------------------
+
+_TFIDF_PROBE = 1
+
+_TFIDF_W_SQL = f"""
+post AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token FROM documents)
+  GROUP BY 1, 2
+),
+stats AS (SELECT count(*) AS n_docs FROM documents),
+dfq AS (SELECT token, count(*) AS df FROM post GROUP BY 1),
+w AS MATERIALIZED (
+  SELECT doc_id, token,
+         tf * (ln((s.n_docs + 1.0) / (f.df + 1.0)) + 1.0) AS w
+  FROM post JOIN dfq f USING (token), stats s
+)"""
+
+_TFIDF_SIMILAR_SQL = f"""
+WITH {_TFIDF_W_SQL},
+norms AS MATERIALIZED (
+  SELECT doc_id, sqrt({_S("w * w", 9)}) AS nrm FROM w GROUP BY doc_id
+),
+qw AS (SELECT token, w AS qw FROM w WHERE doc_id = {_TFIDF_PROBE}),
+qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = {_TFIDF_PROBE}),
+dots AS (
+  SELECT w.doc_id, {_S("w.w * qw.qw", 9)} AS dot
+  FROM w JOIN qw USING (token)
+  WHERE w.doc_id <> {_TFIDF_PROBE}
+  GROUP BY 1
+)
+SELECT d.doc_id, {_R("d.dot / (n.nrm * q.qnrm)", 4)} AS score
+FROM dots d JOIN norms n USING (doc_id), qn q
+ORDER BY score DESC, d.doc_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("tfidf_similar_docs", _TFIDF_SIMILAR_SQL)
+def _q_tfidf_similar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'More like this' retrieval: corpus ranked by tf-idf cosine to
+    one probe document. The probe's sparse vector is doc-bounded →
+    broadcast; the dot product is an inverted-index join touching
+    only the probe terms' postings (bm25.tfidf_similar_docs)."""
+    return bm25_ops.tfidf_similar_docs(
+        _t(spark, sf_dir, "documents"), probe_id=_TFIDF_PROBE, k=KNN_K
+    )
+
+
+_TFIDF_KEYWORDS_SQL = f"""
+WITH {_TFIDF_W_SQL}
+SELECT doc_id, rank, token, w FROM (
+  SELECT doc_id, token,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY {_R("w", 6)} DESC, token ASC
+         ) AS BIGINT) AS rank,
+         {_R("w", 4)} AS w
+  FROM w
+) WHERE rank <= 3
+"""
+
+
+@_register("keywords_tfidf", _TFIDF_KEYWORDS_SQL)
+def _q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document — corpus-statistical
+    document tagging (the reference's entity keyword hints,
+    generalized). Per-doc window over the doc's own distinct tokens;
+    6-digit stable weight + token text tie-break keeps the ranking
+    engine-exact (bm25.tfidf_keywords)."""
+    return bm25_ops.tfidf_keywords(_t(spark, sf_dir, "documents"), k=3)
+
+
 # -- §2.6 RAG context assembly (app/api/query.py:26-171, minus the LLM) -------
 
 

@@ -344,3 +344,131 @@ def phrase_snippets(
         .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --- tf-idf: weights, query-by-document retrieval, keyword extraction --------
+#
+# The tf-idf complement to BM25 over the same postings: sklearn-style
+# smoothed idf = ln((N+1)/(df+1)) + 1 (never zero, so every present
+# token contributes). Same scale discipline as bm25_search — the
+# vocabulary-sized df table broadcasts, the corpus crosses one
+# (doc, token) shuffle, and retrieval touches only the probe's
+# postings.
+
+
+def tfidf_weights(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Sparse tf-idf representation ``(id, token, w)``.
+
+    One postings shuffle; df and the doc count are vocabulary-/scalar-
+    sized broadcasts (the unigram_logprob pattern)."""
+    post = build_postings(docs, id_col, text_col)
+    stats = docs.agg(F.count(F.col(id_col)).alias("n_docs"))
+    dfreq = post.groupBy("token").agg(F.count("*").alias("df"))
+    return (
+        post.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col,
+            "token",
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("w"),
+        )
+    )
+
+
+def tfidf_norms(weights: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-doc L2 norm of the tf-idf vector (fixed-point sum of
+    squares → engine-exact sqrt)."""
+    w = F.col("w")
+    return weights.groupBy(id_col).agg(
+        F.sqrt(stable_sum(w * w, 9)).alias("nrm")
+    )
+
+
+def tfidf_similar_docs(
+    docs: DataFrame,
+    probe_id: int,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Query-by-document: rank the corpus by tf-idf cosine to one
+    probe document — "more like this" retrieval.
+
+    The probe's sparse vector is one document's distinct tokens
+    (k-bounded → broadcast); the dot product is an inverted-index
+    join touching only those tokens' postings, then one per-doc
+    aggregation. Linear in the probe terms' posting lists, never
+    quadratic in the corpus — the all-pairs variant is deliberately
+    absent (near-dup pairing is served by the LSH/SimHash/embedding
+    dedup family, which prunes candidates before pairing).
+    """
+    w = tfidf_weights(docs, id_col, text_col)
+    norms = tfidf_norms(w, id_col)
+    qw = w.filter(F.col(id_col) == probe_id).select(
+        "token", F.col("w").alias("qw")
+    )
+    qn = norms.filter(F.col(id_col) == probe_id).select(
+        F.col("nrm").alias("qnrm")
+    )
+    dots = (
+        w.filter(F.col(id_col) != probe_id)
+        .join(F.broadcast(qw), "token")
+        .groupBy(id_col)
+        .agg(stable_sum(F.col("w") * F.col("qw"), 9).alias("dot"))
+    )
+    score = stable_round(
+        F.col("dot") / (F.col("nrm") * F.col("qnrm")), round_to
+    )
+    return (
+        dots.join(norms, id_col)
+        .crossJoin(F.broadcast(qn))
+        .select(id_col, score.alias("score"))
+        .orderBy(F.desc("score"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``k`` keywords per document by tf-idf weight — the
+    document-tagging primitive (the reference attaches keyword hints
+    to entities; this is the corpus-statistical version).
+
+    Rank inside each doc's own partition (a per-doc window over the
+    doc's distinct tokens — bounded by doc vocabulary, no global
+    window). Ties rank on the 6-digit stable weight then token text,
+    so ordering is engine-exact."""
+    from pyspark.sql import Window
+
+    w = tfidf_weights(docs, id_col, text_col)
+    w6 = stable_round(F.col("w"), 6)
+    win = Window.partitionBy(id_col).orderBy(
+        w6.desc(), F.col("token").asc()
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "rank",
+            "token",
+            stable_round(F.col("w"), round_to).alias("w"),
+        )
+    )

@@ -343,3 +343,35 @@ def test_kmeans_partition_invariant(spark, sf_dir):
     a = clustering.kmeans_fit(emb, k=3, iters=2).collect()
     b = clustering.kmeans_fit(emb.repartition(13), k=3, iters=2).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+# -- tf-idf -------------------------------------------------------------------
+
+
+def test_tfidf_similar_and_keywords(spark):
+    from cocoindex_data_ingestion_spark.operators import bm25
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join shuffle zebra"),
+            (2, "spark shuffle join shuffle zebra"),  # near-copy of probe
+            (3, "spark window filter scan"),
+            (4, "unrelated giraffe penguin walrus"),
+        ],
+        "doc_id long, text string",
+    )
+    sim = bm25.tfidf_similar_docs(docs, probe_id=1, k=3).collect()
+    assert sim[0]["doc_id"] == 2 and sim[0]["score"] == 1.0
+    assert all(r["score"] < 1.0 for r in sim[1:])
+    # doc 4 shares no tokens -> absent entirely
+    assert 4 not in {r["doc_id"] for r in sim}
+
+    kw = bm25.tfidf_keywords(docs, k=2).collect()
+    by_doc = {}
+    for r in kw:
+        by_doc.setdefault(r["doc_id"], {})[r["rank"]] = r["token"]
+    # tf=2 'shuffle' tops doc 1; join/zebra (both df=2, tf=1) tie
+    # exactly -> token asc; doc 4's all equally rare -> token asc
+    assert by_doc[1] == {1: "shuffle", 2: "join"}
+    assert by_doc[4] == {1: "giraffe", 2: "penguin"}
+    assert all(r["rank"] in (1, 2) for r in kw)
