@@ -6493,6 +6493,52 @@ def _q_quality_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality.unigram_logprob(_t(spark, sf_dir, "documents"))
 
 
+_PPL_BUCKETS = 3
+
+_QUALITY_PPL_BUCKETS_SQL = f"""
+WITH
+{_QPOS_SQL},
+vocab AS (SELECT token, count(*) AS cnt FROM pos GROUP BY 1),
+tot AS (SELECT sum(cnt) AS tot FROM vocab),
+nll AS (SELECT token, -ln(CAST(cnt AS DOUBLE) / tot) AS nll FROM vocab, tot),
+doc AS MATERIALIZED (
+  SELECT doc_id, {_A("nll.nll", 4)} AS avg_nll
+  FROM pos JOIN nll USING (token)
+  GROUP BY doc_id
+),
+n AS (SELECT count(*) AS total FROM doc),
+rk AS (
+  SELECT avg_nll,
+         CAST(floor(
+           (row_number() OVER (ORDER BY avg_nll ASC, doc_id ASC) - 1)
+           * {_PPL_BUCKETS} * 1.0 / n.total
+         ) AS BIGINT) AS bucket
+  FROM doc, n
+)
+SELECT bucket,
+       CASE WHEN bucket = 0 THEN 'head'
+            WHEN bucket = {_PPL_BUCKETS - 1} THEN 'tail'
+            ELSE 'middle' END AS label,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       {_A("avg_nll", 4)} AS bucket_avg_nll
+FROM rk
+GROUP BY 1, 2
+ORDER BY bucket
+"""
+
+
+@_register("quality_ppl_buckets", _QUALITY_PPL_BUCKETS_SQL)
+def _q_quality_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity tiers (Wenzek LREC'20): rank
+    docs by unigram NLL, cut into equal-frequency thirds. The global
+    rank runs on the as_ltable partition-offset shape (range
+    repartition + broadcast offsets), never a no-partition window
+    (quality.perplexity_buckets)."""
+    return quality.perplexity_buckets(
+        _t(spark, sf_dir, "documents"), n_buckets=_PPL_BUCKETS
+    )
+
+
 # -- winnowing fingerprints: substring-level near-dup (dedup.py) --------------
 
 _WINNOW_K = 4  # tokens per gram

@@ -296,3 +296,54 @@ def line_quality(
             round_to,
         ).alias("boilerplate_ratio"),
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC'20): rank
+    every document by its LM negative log-likelihood (here the corpus
+    unigram proxy from :func:`unigram_logprob`) and cut the ranking
+    into ``n_buckets`` equal-frequency tiers — head (most typical),
+    middle, tail. Downstream pipelines keep head+middle or sample the
+    tail.
+
+    The global rank uses the ``as_ltable`` partition-offset shape
+    (range repartition + per-partition row_number + broadcast
+    offsets), NOT a no-partition window — rank assignment stays
+    distributed at any corpus size. bucket = floor(rank·B / N).
+
+    Returns one row per bucket: ``(bucket, label, n_docs,
+    bucket_avg_nll)``, bucket ascending. Docs with zero content
+    tokens have no NLL and are excluded (both engines)."""
+    from cocoindex_data_ingestion_spark.datamodel import as_ltable
+
+    nll = unigram_logprob(docs, id_col, text_col).select(
+        id_col, "avg_nll"
+    )
+    ranked = as_ltable(nll, ["avg_nll", id_col], pos_col="_pos")
+    total = nll.agg(F.count("*").alias("_total"))
+    bucket = F.floor(
+        F.col("_pos") * F.lit(n_buckets) / F.col("_total")
+    ).cast("long")
+    label = (
+        F.when(F.col("bucket") == 0, F.lit("head"))
+        .when(F.col("bucket") == n_buckets - 1, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(bucket.alias("bucket"), F.col("avg_nll"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            stable_avg(F.col("avg_nll"), round_to).alias("bucket_avg_nll"),
+        )
+        .withColumn("label", label)
+        .select("bucket", "label", "n_docs", "bucket_avg_nll")
+        .orderBy("bucket")
+    )

@@ -375,3 +375,22 @@ def test_tfidf_similar_and_keywords(spark):
     assert by_doc[1] == {1: "shuffle", 2: "join"}
     assert by_doc[4] == {1: "giraffe", 2: "penguin"}
     assert all(r["rank"] in (1, 2) for r in kw)
+
+
+# -- perplexity buckets -------------------------------------------------------
+
+
+def test_perplexity_buckets(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.operators import quality
+
+    out = quality.perplexity_buckets(
+        load_table(spark, "documents", sf_dir), n_buckets=3
+    ).collect()
+    assert [r["bucket"] for r in out] == [0, 1, 2]
+    assert [r["label"] for r in out] == ["head", "middle", "tail"]
+    # equal-frequency tiers (within 1 for non-divisible N)
+    sizes = [r["n_docs"] for r in out]
+    assert max(sizes) - min(sizes) <= 1
+    # NLL grows head -> tail by construction
+    nlls = [r["bucket_avg_nll"] for r in out]
+    assert nlls[0] < nlls[1] < nlls[2]
