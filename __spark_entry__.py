@@ -2595,6 +2595,38 @@ GROUP BY event_type
 """
 
 
+_SKEW_TOP = 10
+
+_KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1
+),
+s AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts),
+topn AS (
+  SELECT key, n,
+         CAST(row_number() OVER (ORDER BY n DESC, key ASC) AS BIGINT) AS rank
+  FROM counts ORDER BY n DESC, key ASC LIMIT {_SKEW_TOP}
+)
+SELECT rank, key, n,
+       {_R("n * 1.0 / s.total", 4)} AS share,
+       {_R("sum(n) OVER (ORDER BY rank) * 1.0 / s.total", 4)} AS cum_share,
+       CAST((n * s.n_keys + s.total - 1) // s.total AS BIGINT) AS salt_factor
+FROM topn, s
+"""
+
+
+@_register("events_key_skew", _KEY_SKEW_SQL)
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics for events.user_id: top heavy
+    hitters with table share, cumulative share, and the exact-integer
+    suggested salt factor (how many reducers this key needs to look
+    average) — the planning input for salted_agg/salted_join and the
+    AQE-skew-split sanity check (relational.key_skew_profile)."""
+    return relational.key_skew_profile(
+        _t(spark, sf_dir, "events"), "user_id", top=_SKEW_TOP
+    )
+
+
 @_register("salted_agg_events", _SALTED_AGG_SQL)
 def _q_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events has 5 hot keys — the salted two-phase agg spreads each

@@ -370,3 +370,59 @@ def zscore_outliers(
         .filter(F.abs(F.col("zscore")) > threshold)
         .drop("_n", "_s", "_ss")
     )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Shuffle-key skew diagnostics: the top heavy-hitter keys with
+    their share of the table and a suggested salt factor — the
+    planning input for :func:`salted_agg` / :func:`salted_join` (and
+    for judging whether AQE's skew-join split will engage).
+
+    One map-side-combined groupBy on the key; the per-key count table
+    is keys-sized, its summary (total rows, key count) a broadcast
+    scalar; the top-N is a distributed TakeOrdered, and the only
+    window runs over the N returned rows. salt_factor =
+    ceil(n·n_keys/total) in exact integer arithmetic — how many
+    partitions this key's rows need to look like an average key.
+
+    Returns ``(rank, key, n, share, cum_share, salt_factor)`` rank
+    ascending."""
+    from cocoindex_data_ingestion_spark.functions.compare import stable_round
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    summary = counts.agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_keys")
+    )
+    topn = (
+        counts.orderBy(F.desc("n"), F.asc("key"))
+        .limit(top)
+        .crossJoin(F.broadcast(summary))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("key")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        topn.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("n"), F.asc("key"))
+            ).cast("long"),
+        )
+        .select(
+            "rank",
+            "key",
+            "n",
+            stable_round(F.col("n") / F.col("total"), round_to).alias("share"),
+            stable_round(F.sum("n").over(w) / F.col("total"), round_to).alias(
+                "cum_share"
+            ),
+            F.expr("(n * n_keys + total - 1) div total").alias("salt_factor"),
+        )
+    )

@@ -394,3 +394,18 @@ def test_perplexity_buckets(spark, sf_dir):
     # NLL grows head -> tail by construction
     nlls = [r["bucket_avg_nll"] for r in out]
     assert nlls[0] < nlls[1] < nlls[2]
+
+
+# -- key skew profile ---------------------------------------------------------
+
+
+def test_key_skew_profile(spark):
+    rows = [(1,)] * 60 + [(2,)] * 30 + [(k,) for k in range(3, 13)]
+    df = spark.createDataFrame(rows, "user_id long")
+    out = relational.key_skew_profile(df, "user_id", top=3).collect()
+    assert [(r["rank"], r["key"], r["n"]) for r in out] == [
+        (1, 1, 60), (2, 2, 30), (3, 3, 1),
+    ]
+    assert out[0]["share"] == 0.6 and out[1]["cum_share"] == 0.9
+    # 12 keys, 100 rows: key 1 needs ceil(60*12/100)=8 average-key slots
+    assert out[0]["salt_factor"] == 8 and out[2]["salt_factor"] == 1
