@@ -89,3 +89,28 @@ def read_csv(
         .select("*", "_metadata")
     )
     return _split_quarantine(_with_ordinal(df).drop("_metadata"))
+
+
+def read_orc(
+    spark: SparkSession,
+    path: str,
+    schema_ddl: str | None = None,
+) -> DataFrame:
+    """ORC rows with the mtime ordinal + source_path contract columns.
+
+    ORC (like parquet) is self-describing and binary — a malformed
+    file fails the stripe read rather than yielding rescuable rows,
+    so there is no quarantine frame here; schema (when given) is
+    enforced on read for batch-to-batch type stability. Columnar
+    pushdown/pruning work as for parquet (ORC carries min/max stripe
+    stats Spark's reader uses)."""
+    r = spark.read
+    if schema_ddl:
+        r = r.schema(schema_ddl)
+    df = r.orc(path).select("*", "_metadata")
+    return _with_ordinal(df).drop("_metadata")
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink twin (snappy by default, like the parquet sinks)."""
+    df.write.mode(mode).orc(path)

@@ -235,3 +235,23 @@ def test_csv_source_quarantine(spark, tmp_path):
     assert {r.id for r in good.collect()} == {1, 3}
     b = bad.collect()
     assert len(b) == 1 and "not_a_number" in b[0]._corrupt_record
+
+
+def test_orc_round_trip(spark, tmp_path, sf_dir):
+    from cocoindex_data_ingestion_spark.sources import files as fsrc
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = str(tmp_path / "docs_orc")
+    fsrc.write_orc(docs, out)
+    back = fsrc.read_orc(
+        spark, out, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert {"ordinal", "source_path"} <= set(back.columns)
+    assert back.count() == docs.count()
+    a = sorted(r["doc_id"] for r in back.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert a == b
+    # predicate reaches the ORC scan (pushdown, like parquet)
+    plan = back.filter("doc_id = 7")._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "doc_id" in plan
