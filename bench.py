@@ -127,6 +127,12 @@ HEADLINE = [
     "embedding_drift_psi",
     "corpus_fertility",
     "text_script_profile",
+    "ivm_drift_monitor",
+    "embedding_kmeans",
+    "tfidf_similar_docs",
+    "keywords_tfidf",
+    "quality_ppl_buckets",
+    "events_key_skew",
 ]
 
 SMALL_RESULT = {
@@ -172,6 +178,9 @@ SMALL_RESULT = {
     "curate_epoch_shuffle", "events_anomaly_zscore",
     "search_eval_metrics", "embedding_drift_psi",
     "corpus_fertility", "text_script_profile",
+    # k-bounded model/ranking/profile outputs
+    "ivm_drift_monitor", "embedding_kmeans", "tfidf_similar_docs",
+    "quality_ppl_buckets", "events_key_skew",
 }
 
 

@@ -414,8 +414,11 @@ def tfidf_similar_docs(
     absent (near-dup pairing is served by the LSH/SimHash/embedding
     dedup family, which prunes candidates before pairing).
     """
-    w = tfidf_weights(docs, id_col, text_col)
-    norms = tfidf_norms(w, id_col)
+    # four consumers (probe vector, probe norm, dots, norms) would
+    # otherwise each replay the postings pipeline — measured 19
+    # exchanges vs 6 with the weights materialized once
+    w = tfidf_weights(docs, id_col, text_col).localCheckpoint(eager=False)
+    norms = tfidf_norms(w, id_col).localCheckpoint(eager=False)
     qw = w.filter(F.col(id_col) == probe_id).select(
         "token", F.col("w").alias("qw")
     )

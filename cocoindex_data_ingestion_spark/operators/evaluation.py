@@ -273,11 +273,20 @@ class IncrementalDriftMonitor:
             .groupBy("dim", "bucket")
             .agg(F.count("*").alias("c_b"))
         )
-        counts = self.reference_counts().join(
-            bh, ["dim", "bucket"], "full_outer"
-        ).select(
-            "dim", "bucket",
-            F.coalesce("c_a", F.lit(0)).alias("c_a"),
-            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        # union-aggregate, not a full-outer join: stitching two
+        # dim×bucket-bounded tables with a join planned SMJ + 6
+        # exchanges; one tagged union + groupBy plans 1 bounded
+        # shuffle and needs no null-side coalesce
+        counts = (
+            self.reference_counts()
+            .select("dim", "bucket", "c_a", F.lit(0).cast("long").alias("c_b"))
+            .unionByName(
+                bh.select(
+                    "dim", "bucket",
+                    F.lit(0).cast("long").alias("c_a"), "c_b",
+                )
+            )
+            .groupBy("dim", "bucket")
+            .agg(F.sum("c_a").alias("c_a"), F.sum("c_b").alias("c_b"))
         )
         return psi_from_counts(counts, self.n_buckets, eps, round_to)

@@ -322,8 +322,11 @@ def perplexity_buckets(
     tokens have no NLL and are excluded (both engines)."""
     from cocoindex_data_ingestion_spark.datamodel import as_ltable
 
-    nll = unigram_logprob(docs, id_col, text_col).select(
-        id_col, "avg_nll"
+    # two consumers (rank + total) — materialize the NLL table once
+    nll = (
+        unigram_logprob(docs, id_col, text_col)
+        .select(id_col, "avg_nll")
+        .localCheckpoint(eager=False)
     )
     ranked = as_ltable(nll, ["avg_nll", id_col], pos_col="_pos")
     total = nll.agg(F.count("*").alias("_total"))
