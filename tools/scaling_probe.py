@@ -293,6 +293,49 @@ def main() -> None:
         sidx.search(TERMS, k=10).collect()
         t["segq_1seg"] = time.time() - t0
 
+        # round-4 session ops: k-means (per-iteration cost is the
+        # O(rows·dim·k) map + two bounded shuffles), tf-idf retrieval
+        # and keywords (postings-shaped), perplexity buckets
+        # (NLL + distributed rank), key skew (one combine shuffle),
+        # drift monitor (O(delta) refresh + bounded PSI)
+        from cocoindex_data_ingestion_spark.operators import (
+            clustering, evaluation, relational,
+        )
+
+        t0 = time.time()
+        clustering.kmeans_fit(emb.filter("vec_id <> 0"), k=8, iters=2).collect()
+        t["kmeans_2it"] = time.time() - t0
+
+        t0 = time.time()
+        bm25.tfidf_similar_docs(docs, probe_id=1, k=10).collect()
+        t["tfidf_similar"] = time.time() - t0
+
+        t0 = time.time()
+        bm25.tfidf_keywords(docs, k=3).count()
+        t["tfidf_keywords"] = time.time() - t0
+
+        t0 = time.time()
+        quality.perplexity_buckets(docs, n_buckets=3).collect()
+        t["ppl_buckets"] = time.time() - t0
+
+        t0 = time.time()
+        relational.key_skew_profile(li, "l_orderkey", top=10).collect()
+        t["key_skew"] = time.time() - t0
+
+        mon = evaluation.IncrementalDriftMonitor(
+            spark, f"{fdir}/drift", n_buckets=8
+        )
+        mon.refresh(inserts=emb.filter("vec_id % 2 = 0"))
+        t0 = time.time()
+        # steady-state refresh: a fixed-size delta against grown state
+        mon.refresh(
+            inserts=emb.filter("vec_id % 2 = 1 AND vec_id < 5000")
+        )
+        t["drift_refresh"] = time.time() - t0
+        t0 = time.time()
+        mon.psi_vs(emb.filter("vec_id % 2 = 1")).collect()
+        t["drift_psi"] = time.time() - t0
+
         rows.append((factor, n_docs, n_vec, n_li, t))
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
@@ -305,7 +348,9 @@ def main() -> None:
            "cluster_bal", "semantic_dedup", "ivm_init", "ivm_refresh",
            "components_prop", "components_star", "dsir", "bigram_nll",
            "phrase", "vidx_init", "vidx_refresh", "incr_dedup",
-           "neg_samples", "segq_8seg", "seg_compact", "segq_1seg"]
+           "neg_samples", "segq_8seg", "seg_compact", "segq_1seg",
+           "kmeans_2it", "tfidf_similar", "tfidf_keywords",
+           "ppl_buckets", "key_skew", "drift_refresh", "drift_psi"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
