@@ -5799,6 +5799,104 @@ def _q_indexed_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 IVF-PQ composite (FAISS IVFADC as partition pruning + ADC) ----------
+
+_IVFPQ_CAND = 50
+
+_IVFPQ_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+cents AS (
+  SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cvec
+  FROM embeddings WHERE vec_id % {_IVF_STRIDE} = 0 AND vec_id <> 0
+),
+probes AS (
+  SELECT cent_id FROM cents c, q
+  ORDER BY {cosine_sim_sql("c.cvec", "q.qvec")} DESC, cent_id ASC
+  LIMIT {_IVF_NPROBE}
+),
+assign AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_COS_CV} DESC, c.cent_id ASC
+           ) AS rn
+    FROM embeddings e, cents c
+    WHERE e.vec_id <> 0
+  ) WHERE rn = 1
+),
+inprobe AS MATERIALIZED (
+  SELECT a.vec_id FROM assign a JOIN probes p USING (cent_id)
+),
+sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id <> 0
+  ORDER BY md5('pq#' || vec_id::VARCHAR), vec_id LIMIT {_PQ_K}
+),
+ranked_sample AS (
+  SELECT v, row_number() OVER (
+    ORDER BY md5('pq#' || vec_id::VARCHAR), vec_id) - 1 AS code_id
+  FROM sample
+),
+subspaces AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+codebook AS MATERIALIZED (
+  SELECT j.j AS subspace, s.code_id, {_pq_sub("s.v", "j.j")} AS cw
+  FROM ranked_sample s CROSS JOIN subspaces j
+),
+sub_vecs AS (
+  SELECT e.vec_id, j.j AS subspace,
+         {_pq_sub("e.embedding::DOUBLE[]", "j.j")} AS sv
+  FROM embeddings e JOIN inprobe USING (vec_id) CROSS JOIN subspaces j
+),
+codes AS (
+  SELECT s.vec_id, s.subspace,
+         first(cb.code_id ORDER BY
+           {_R(_l2_sql("s.sv", "cb.cw"), _PQ_DIST_ROUND)} ASC, cb.code_id ASC
+         ) AS code
+  FROM sub_vecs s JOIN codebook cb ON cb.subspace = s.subspace
+  GROUP BY 1, 2
+),
+qdist AS (
+  SELECT cb.subspace, cb.code_id,
+         {_l2_sql(_pq_sub("q.qvec", "cb.subspace"), "cb.cw")} AS qd
+  FROM codebook cb CROSS JOIN q
+),
+adist AS (
+  SELECT c.vec_id, {_S("qd.qd", _PQ_DIST_ROUND)} AS ad
+  FROM codes c
+  JOIN qdist qd ON qd.subspace = c.subspace AND qd.code_id = c.code
+  GROUP BY 1
+),
+cands AS (SELECT vec_id FROM adist ORDER BY ad ASC, vec_id ASC LIMIT {_IVFPQ_CAND})
+SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+FROM embeddings e JOIN cands USING (vec_id) CROSS JOIN q
+ORDER BY score DESC, e.vec_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("indexed_vector_knn_ivfpq", _IVFPQ_SQL)
+def _q_indexed_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (FAISS IVFADC re-expressed Spark-first):
+    nprobe cells ranked driver-side become a compile-time partition
+    filter on the cell-partitioned byte-code layout, so the ADC scan
+    reads ~nprobe/K of 1/16th-sized data — multiplicative pruning
+    neither index achieves alone; exact cosine rerank of the top
+    candidates against the probed cells of the flat layout. Oracle =
+    the PQ ranking restricted to the IVF candidate set
+    (indexing.indexed_knn_ivfpq)."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_knn_ivfpq,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    return indexed_knn_ivfpq(
+        spark, idx, q, k=KNN_K, nprobe=_IVF_NPROBE, candidates=_IVFPQ_CAND,
+        sub_d=_PQ_SUBD, dist_round=_PQ_DIST_ROUND,
+    )
+
+
 # -- §2.8 recursive CTE: bounded-depth graph reachability ---------------------
 
 # Transitive reachability over the supplier co-supply graph (suppliers

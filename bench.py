@@ -133,6 +133,7 @@ HEADLINE = [
     "keywords_tfidf",
     "quality_ppl_buckets",
     "events_key_skew",
+    "indexed_vector_knn_ivfpq",
 ]
 
 SMALL_RESULT = {
@@ -181,6 +182,7 @@ SMALL_RESULT = {
     # k-bounded model/ranking/profile outputs
     "ivm_drift_monitor", "embedding_kmeans", "tfidf_similar_docs",
     "quality_ppl_buckets", "events_key_skew",
+    "indexed_vector_knn_ivfpq",
 }
 
 

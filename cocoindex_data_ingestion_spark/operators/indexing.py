@@ -146,6 +146,22 @@ def build_search_index(
             embeddings, index_dir, m=pq_m, cb_k=pq_k, sub_d=pq_sub_d,
             vec_id_col=vec_id_col, vec_col=vec_col, encode=pq_encode,
         )
+    if pq and (ivf_stride is not None or ivf_n_cells is not None):
+        # IVF-PQ composite (the canonical FAISS IVFADC layout): byte
+        # codes re-partitioned by the IVF cell so the ADC scan is
+        # cell-PRUNED — a query reads nprobe/K of 1/16th-sized data
+        spark = embeddings.sparkSession
+        codes = spark.read.parquet(f"{index_dir}/pq_codes")
+        cells = spark.read.parquet(f"{index_dir}/vectors_ivf").select(
+            vec_id_col, "cent_id"
+        )
+        (
+            codes.join(cells, vec_id_col)
+            .repartition("cent_id")
+            .write.mode("overwrite")
+            .partitionBy("cent_id")
+            .parquet(f"{index_dir}/pq_codes_ivf")
+        )
 
 
 def build_ivf_layout(
@@ -424,6 +440,40 @@ def indexed_knn(
     )
 
 
+def _rank_probe_cells(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec_df: DataFrame,
+    nprobe: int,
+) -> tuple[list[float], list]:
+    """Driver-side nprobe centroid ranking shared by the IVF and
+    IVF-PQ query paths: K centroid rows collected, cosine in the same
+    left-to-right double arithmetic as the expression path, cent_id
+    tie-break. Returns (query vector values, probe cell ids) — the
+    probe list becomes a compile-time IN filter, i.e. static
+    partition pruning."""
+    import math
+
+    qrow = query_vec_df.select("qvec").collect()[0]
+    qvec_vals = [float(x) for x in qrow["qvec"]]
+
+    def _dot(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + float(x) * float(y)
+        return acc
+
+    qn = math.sqrt(_dot(qvec_vals, qvec_vals))
+    scored_cents = []
+    for r in spark.read.parquet(f"{index_dir}/centroids").collect():
+        cv = [float(x) for x in r["cvec"]]
+        cn = math.sqrt(_dot(cv, cv))
+        sim = _dot(cv, qvec_vals) / (cn * qn) if cn > 0 and qn > 0 else 0.0
+        scored_cents.append((sim, r["cent_id"]))
+    scored_cents.sort(key=lambda t: (-t[0], t[1]))
+    return qvec_vals, [cid for _sim, cid in scored_cents[:nprobe]]
+
+
 def indexed_knn_ivf(
     spark: SparkSession,
     index_dir: str,
@@ -441,27 +491,9 @@ def indexed_knn_ivf(
     constant — static partition pruning (``PartitionFilters:
     [cent_id IN (...)]``), reading ~nprobe/K of the corpus. Identical
     results to ``vector_search.ivf_knn`` (shared DuckDB oracle)."""
-    qrow = query_vec_df.select("qvec").collect()[0]
-    qvec_vals = [float(x) for x in qrow["qvec"]]
-
-    def _dot(a: list[float], b: list[float]) -> float:
-        acc = 0.0
-        for x, y in zip(a, b):
-            acc = acc + float(x) * float(y)
-        return acc
-
-    import math
-
-    qn = math.sqrt(_dot(qvec_vals, qvec_vals))
-    scored_cents = []
-    for r in spark.read.parquet(f"{index_dir}/centroids").collect():
-        cv = [float(x) for x in r["cvec"]]
-        cn = math.sqrt(_dot(cv, cv))
-        sim = _dot(cv, qvec_vals) / (cn * qn) if cn > 0 and qn > 0 else 0.0
-        scored_cents.append((sim, r["cent_id"]))
-    scored_cents.sort(key=lambda t: (-t[0], t[1]))
-    probe_ids = [cid for _sim, cid in scored_cents[:nprobe]]
-
+    qvec_vals, probe_ids = _rank_probe_cells(
+        spark, index_dir, query_vec_df, nprobe
+    )
     vectors = spark.read.parquet(f"{index_dir}/vectors_ivf").filter(
         F.col("cent_id").isin(probe_ids)
     )
@@ -572,6 +604,82 @@ def indexed_knn_pq(
         k=k,
         id_col=id_col,
         round_to=round_to,
+    )
+
+
+def indexed_knn_ivfpq(
+    spark: SparkSession,
+    index_dir: str,
+    query_vec_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 3,
+    candidates: int = 50,
+    sub_d: int = 4,
+    id_col: str = "vec_id",
+    round_to: int = 4,
+    dist_round: int = 6,
+) -> DataFrame:
+    """IVF-PQ composite query (FAISS IVFADC, re-expressed as static
+    partition pruning + a compressed-domain scan):
+
+    1. rank nprobe cells driver-side (K-bounded) — compile-time cell
+       filter;
+    2. ADC-score ONLY the probed cells' byte codes
+       (``pq_codes_ivf/`` is partitioned by cent_id, so the scan
+       reads ~nprobe/K of 1/16th-sized data — the multiplicative
+       pruning neither index achieves alone);
+    3. exact cosine rerank of the top ``candidates`` against the
+       probed cells of the flat layout (cell-pruned again).
+
+    Exactly the PQ ranking restricted to the IVF candidate set, so
+    the DuckDB oracle is the PQ oracle with the IVF assign/probe CTEs
+    composed in."""
+    from cocoindex_data_ingestion_spark.functions.compare import stable_sum
+    from cocoindex_data_ingestion_spark.operators.vector_search import l2_sq
+
+    qvec_vals, probe_ids = _rank_probe_cells(
+        spark, index_dir, query_vec_df, nprobe
+    )
+    cb = spark.read.parquet(f"{index_dir}/pq_codebook")
+    qsub = query_vec_df.select(F.col("qvec").cast("array<double>").alias("qv"))
+    qdist = (
+        cb.crossJoin(F.broadcast(qsub))
+        .select(
+            "subspace",
+            "code_id",
+            F.slice(F.col("qv"), F.col("subspace") * sub_d + 1, sub_d).alias(
+                "qsv"
+            ),
+            "cw",
+        )
+        .withColumn("qd", l2_sq(F.col("qsv"), F.col("cw")))
+        .select("subspace", "code_id", "qd")
+    )
+    codes = spark.read.parquet(f"{index_dir}/pq_codes_ivf").filter(
+        F.col("cent_id").isin(probe_ids)
+    )
+    adist = (
+        codes.join(
+            F.broadcast(qdist),
+            (codes["subspace"] == qdist["subspace"])
+            & (codes["code"] == qdist["code_id"]),
+        )
+        .groupBy(id_col)
+        .agg(stable_sum(F.col("qd"), dist_round).alias("ad"))
+    )
+    cand_ids = adist.orderBy(F.col("ad").asc(), F.col(id_col).asc()).limit(
+        candidates
+    )
+    vectors = spark.read.parquet(f"{index_dir}/vectors_ivf").filter(
+        F.col("cent_id").isin(probe_ids)
+    )
+    cand = vectors.join(F.broadcast(cand_ids.select(id_col)), id_col)
+    qvec = F.array(*[F.lit(x) for x in qvec_vals])
+    scored = _scored_vectors(cand, qvec, id_col, round_to)
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
     )
 
 

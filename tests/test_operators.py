@@ -946,3 +946,58 @@ def test_segmented_postings_index_compaction(spark, sf_dir, tmp_path):
     ))
     post = [(r.doc_id, r.score) for r in idx.search(terms, k=10).collect()]
     assert before[0][0] not in {d for d, _ in post}
+
+
+def test_indexed_ivfpq_cell_pruned_and_consistent(spark, tmp_path, sf_dir):
+    """IVF-PQ composite: (a) the ADC scan is statically cell-pruned
+    (PartitionFilters on cent_id in the byte-code read), (b) results
+    equal the PQ ranking restricted to the probed cells — composed
+    from the already-verified single-index paths."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import indexing
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = emb.filter(F.col("vec_id") != 0)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+
+    idx = str(tmp_path / "ivfpqidx")
+    indexing.build_search_index(
+        load_table(spark, "documents", sf_dir), base, idx,
+        ivf_stride=37, pq=True,
+    )
+    out = indexing.indexed_knn_ivfpq(
+        spark, idx, q, k=10, nprobe=3, candidates=50
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cent_id" in plan
+
+    got = [(r["vec_id"], r["score"]) for r in out.collect()]
+
+    # reference composition: probed-cell members ranked by the
+    # verified flat-PQ ADC order, then exact rerank — same contract
+    _, probes = indexing._rank_probe_cells(spark, idx, q, nprobe=3)
+    members = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{idx}/vectors_ivf")
+        .filter(F.col("cent_id").isin(probes))
+        .select("vec_id")
+        .collect()
+    }
+    assert {v for v, _ in got} <= members
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+    # candidate membership is the only approximation: with the
+    # candidate budget covering every member, the composite equals
+    # the exact cosine ranking of the probed cells
+    exact = indexing.indexed_knn_ivfpq(
+        spark, idx, q, k=10, nprobe=3, candidates=len(members)
+    ).collect()
+    full = indexing.indexed_knn_pq(
+        spark, idx, q, k=len(members), candidates=5000
+    ).collect()
+    restricted = [r["vec_id"] for r in full if r["vec_id"] in members][:10]
+    assert [r["vec_id"] for r in exact] == restricted
+    # ADC-vs-exact candidate truncation costs little here
+    assert len({v for v, _ in got} & set(restricted)) >= 7
