@@ -401,6 +401,17 @@ def main() -> None:
         "interpreted per-pair cosine does the same to the in-cell "
         "pass (48 s vs 3.3 s for semantic_dedup with the per-cell "
         "BLAS gram matrix).",
+        "- **Round-4 ops**: `kmeans_2it` is fixed-job-overhead "
+        "dominated (per-iteration cost is one broadcast join + two "
+        "partial-agg shuffles — the map work grows linearly but "
+        "stays far under the scheduling floor here); `tfidf_similar`/"
+        "`tfidf_keywords`/`ppl_buckets`/`key_skew` track the corpus "
+        "~linearly (postings/NLL/count passes); `drift_refresh` is "
+        "~FLAT by design — the reference histogram folds a "
+        "fixed-size delta into dim×bucket-bounded MaterializedAgg "
+        "state, so refresh cost is independent of accumulated "
+        "history, and `drift_psi` scores a batch against that state "
+        "without rescanning it.",
         "- An earlier probe over 50-way union plans (not materialized "
         "parquet) showed inflated super-linear times — plan overhead, "
         "not operator cost; this table measures flat parquet.",
