@@ -147,21 +147,27 @@ def build_search_index(
             vec_id_col=vec_id_col, vec_col=vec_col, encode=pq_encode,
         )
     if pq and (ivf_stride is not None or ivf_n_cells is not None):
-        # IVF-PQ composite (the canonical FAISS IVFADC layout): byte
-        # codes re-partitioned by the IVF cell so the ADC scan is
-        # cell-PRUNED — a query reads nprobe/K of 1/16th-sized data
-        spark = embeddings.sparkSession
-        codes = spark.read.parquet(f"{index_dir}/pq_codes")
-        cells = spark.read.parquet(f"{index_dir}/vectors_ivf").select(
-            vec_id_col, "cent_id"
-        )
-        (
-            codes.join(cells, vec_id_col)
-            .repartition("cent_id")
-            .write.mode("overwrite")
-            .partitionBy("cent_id")
-            .parquet(f"{index_dir}/pq_codes_ivf")
-        )
+        build_ivfpq_codes(embeddings.sparkSession, index_dir, vec_id_col)
+
+
+def build_ivfpq_codes(
+    spark: SparkSession, index_dir: str, vec_id_col: str = "vec_id"
+) -> None:
+    """IVF-PQ composite (the canonical FAISS IVFADC layout): the PQ
+    byte codes re-partitioned by their vector's IVF cell so the ADC
+    scan is cell-PRUNED — a query reads ~nprobe/K of 1/16th-sized
+    data. Requires the ``vectors_ivf`` and ``pq_codes`` layouts."""
+    codes = spark.read.parquet(f"{index_dir}/pq_codes")
+    cells = spark.read.parquet(f"{index_dir}/vectors_ivf").select(
+        vec_id_col, "cent_id"
+    )
+    (
+        codes.join(cells, vec_id_col)
+        .repartition("cent_id")
+        .write.mode("overwrite")
+        .partitionBy("cent_id")
+        .parquet(f"{index_dir}/pq_codes_ivf")
+    )
 
 
 def build_ivf_layout(

@@ -50,8 +50,25 @@ def main() -> int:
 
     recalls: dict[str, list[float]] = {
         "lsh": [], "lsh_multiprobe": [], "lsh_multitable": [],
-        "ivf": [], "pq": [],
+        "ivf": [], "pq": [], "ivfpq": [],
     }
+
+    # IVF-PQ runs from the index layouts (it IS an index composite);
+    # built ONCE on the full corpus — per-query the probe's own id is
+    # dropped from the result instead of rebuilding the index
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators import indexing
+
+    idx = tempfile.mkdtemp(prefix="ann_recall_idx_")
+    indexing.build_ivf_layout(
+        emb, idx, stride=entrymod._IVF_STRIDE, assign="numpy"
+    )
+    indexing.build_pq_layout(
+        emb, idx, m=entrymod._PQ_M, cb_k=entrymod._PQ_K,
+        sub_d=entrymod._PQ_SUBD, encode="numpy",
+    )
+    indexing.build_ivfpq_codes(spark, idx)
     for qid, qvec in sorted(qvecs.items()):
         base = emb.filter(F.col("vec_id") != qid)
         qdf = spark.createDataFrame([(qvec,)], "qvec array<float>")
@@ -98,10 +115,19 @@ def main() -> int:
             ).collect()
         }
 
+        ivfpq_rows = indexing.indexed_knn_ivfpq(
+            spark, idx, qdf.select(F.col("qvec")), k=K + 1,
+            nprobe=entrymod._IVF_NPROBE, candidates=entrymod._IVFPQ_CAND,
+            sub_d=entrymod._PQ_SUBD, dist_round=entrymod._PQ_DIST_ROUND,
+        ).collect()
+        got_ivfpq = set(
+            [r.vec_id for r in ivfpq_rows if r.vec_id != qid][:K]
+        )
+
         for name, got in (
             ("lsh", got_lsh), ("lsh_multiprobe", got_lsh_mp),
             ("lsh_multitable", got_lsh_mt),
-            ("ivf", got_ivf), ("pq", got_pq),
+            ("ivf", got_ivf), ("pq", got_pq), ("ivfpq", got_ivfpq),
         ):
             recalls[name].append(len(got & exact) / len(exact))
 
