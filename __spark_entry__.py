@@ -5356,6 +5356,63 @@ SELECT lang, split, count(*) AS n FROM a GROUP BY 1, 2
 """
 
 
+_TSPLIT_TRAIN, _TSPLIT_VAL = 0.8, 0.1
+
+_TEMPORAL_SPLIT_SQL = f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+n AS (SELECT count(*) AS total FROM e),
+rk AS (
+  SELECT user_id, us,
+         row_number() OVER (ORDER BY us ASC, event_id ASC) - 1 AS r
+  FROM e
+),
+lab AS (
+  SELECT user_id, us,
+         CASE WHEN r < floor(n.total * {_TSPLIT_TRAIN}) THEN 'train'
+              WHEN r < floor(n.total * {_TSPLIT_TRAIN + _TSPLIT_VAL})
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM rk, n
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(min(us) AS BIGINT) AS min_us,
+       CAST(max(us) AS BIGINT) AS max_us
+FROM lab
+GROUP BY split
+ORDER BY min_us
+"""
+
+
+@_register("curate_temporal_split", _TEMPORAL_SPLIT_SQL)
+def _q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe TEMPORAL 80/10/10 split: exact time-rank cutoffs
+    so train is strictly the past and test strictly the future — the
+    split discipline time-dependent evaluation needs, complementing
+    the hash split (curate_split_assign) which is time-blind. Rank
+    via the as_ltable partition-offset shape, never a global window
+    (curation.temporal_split_assign). Reported as per-split counts,
+    user coverage, and time spans."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ts_us("ts").alias("us")
+    )
+    out = curation.temporal_split_assign(
+        ev, "us", "event_id",
+        train_frac=_TSPLIT_TRAIN, val_frac=_TSPLIT_VAL,
+    )
+    return (
+        out.groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("us").alias("min_us"),
+            F.max("us").alias("max_us"),
+        )
+        .orderBy("min_us")
+    )
+
+
 @_register("curate_split_assign", _SPLIT_SQL)
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment via the

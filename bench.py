@@ -134,6 +134,7 @@ HEADLINE = [
     "quality_ppl_buckets",
     "events_key_skew",
     "indexed_vector_knn_ivfpq",
+    "curate_temporal_split",
 ]
 
 SMALL_RESULT = {
@@ -182,7 +183,7 @@ SMALL_RESULT = {
     # k-bounded model/ranking/profile outputs
     "ivm_drift_monitor", "embedding_kmeans", "tfidf_similar_docs",
     "quality_ppl_buckets", "events_key_skew",
-    "indexed_vector_knn_ivfpq",
+    "indexed_vector_knn_ivfpq", "curate_temporal_split",
 }
 
 

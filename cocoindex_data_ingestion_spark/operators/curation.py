@@ -715,3 +715,43 @@ def epoch_shuffle_keys(
         "skey",
         F.md5(F.concat_ws("#", F.lit(seed), F.col("epoch"), F.col(id_col))),
     )
+
+
+def temporal_split_assign(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Leakage-safe TEMPORAL train/val/test assignment: rank every
+    row by event time (id tie-break) and cut at exact rank quantiles
+    — train is strictly the past, test strictly the future, which is
+    the split discipline evaluation on time-dependent data needs
+    (the hash split of ``hash_rank`` deliberately ignores time and
+    WOULD leak future context into training here).
+
+    Rank assignment uses the ``as_ltable`` partition-offset shape
+    (range repartition + per-partition row_number + broadcast
+    offsets) — no global single-partition window at any size. Cutoffs
+    are exact integer ranks (floor(N·frac)), so the split sizes are
+    deterministic to the row.
+
+    Returns each row with its ``split`` label plus the rank (useful
+    for windowed retraining audits)."""
+    from cocoindex_data_ingestion_spark.datamodel import as_ltable
+
+    ranked = as_ltable(df, [ts_col, id_col], pos_col="_rank")
+    total = df.agg(F.count("*").alias("_total"))
+    c1 = F.floor(F.col("_total") * F.lit(train_frac)).cast("long")
+    c2 = F.floor(F.col("_total") * F.lit(train_frac + val_frac)).cast("long")
+    split = (
+        F.when(F.col("_rank") < c1, F.lit("train"))
+        .when(F.col("_rank") < c2, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("split", split)
+        .drop("_total")
+    )

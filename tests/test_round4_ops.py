@@ -409,3 +409,21 @@ def test_key_skew_profile(spark):
     assert out[0]["share"] == 0.6 and out[1]["cum_share"] == 0.9
     # 12 keys, 100 rows: key 1 needs ceil(60*12/100)=8 average-key slots
     assert out[0]["salt_factor"] == 8 and out[2]["salt_factor"] == 1
+
+
+# -- temporal split -----------------------------------------------------------
+
+
+def test_temporal_split_no_leakage(spark):
+    rows = [(i, i % 7, 1000 + i) for i in range(100)]  # id, user, ts
+    df = spark.createDataFrame(rows, "event_id long, user_id long, us long")
+    out = curation.temporal_split_assign(
+        df, "us", "event_id", train_frac=0.8, val_frac=0.1
+    ).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], []).append(r["us"])
+    assert len(by["train"]) == 80 and len(by["val"]) == 10
+    assert len(by["test"]) == 10
+    # strict temporal ordering: every train ts < every val ts < test
+    assert max(by["train"]) < min(by["val"]) < max(by["val"]) < min(by["test"])
