@@ -1468,6 +1468,41 @@ def _q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_MATRIX_SQL = (
+    _minhash_sql()
+    + """,
+starred AS (
+  SELECT id, min(id) OVER (PARTITION BY bucket) AS id_a FROM buckets
+),
+edges AS (SELECT DISTINCT id_a, id AS id_b FROM starred WHERE id_a <> id)
+SELECT least(da.source, db.source) AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM edges e
+JOIN documents da ON da.doc_id = e.id_a
+JOIN documents db ON db.doc_id = e.id_b
+GROUP BY 1, 2
+ORDER BY n_pairs DESC, src_a, src_b
+"""
+)
+
+
+@_register("dedup_source_matrix", _SOURCE_MATRIX_SQL)
+def _q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup LSH edge counts per
+    (source, source) pair — which feeds copy from each other, the
+    double-counting audit run before mixture weights are chosen.
+    O(n) star edges + two id-keyed joins + a sources²-bounded groupBy
+    (dedup.cross_source_matrix)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    return dedup.cross_source_matrix(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+
+
 @_register("dedup_minhash_fast", None)
 def _q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production minhash: xxhash64 signatures (64-bit long compare,

@@ -135,6 +135,7 @@ HEADLINE = [
     "events_key_skew",
     "indexed_vector_knn_ivfpq",
     "curate_temporal_split",
+    "dedup_source_matrix",
 ]
 
 SMALL_RESULT = {
@@ -184,6 +185,7 @@ SMALL_RESULT = {
     "ivm_drift_monitor", "embedding_kmeans", "tfidf_similar_docs",
     "quality_ppl_buckets", "events_key_skew",
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
+    "dedup_source_matrix",
 }
 
 

@@ -1040,3 +1040,56 @@ def paragraph_dedup_stats(
             ).alias("dup_para_ratio"),
         )
     )
+
+
+def cross_source_matrix(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-source duplication matrix: for every (source, source)
+    pair, how many near-dup LSH edges connect them — the
+    "which feeds copy from each other" report a multi-source corpus
+    needs before mixing weights are chosen (a source whose content is
+    largely duplicated INTO another should not be double-counted by
+    the mixer, and heavy off-diagonal mass flags scraped mirrors).
+
+    Shape: the O(n) star edges from :func:`minhash_lsh_edges`, two
+    id-keyed joins against the (id, source) projection, then one
+    bounded groupBy (≤ sources² rows). Pairs are normalized to
+    (least, greatest) so the matrix is upper-triangular; the diagonal
+    counts intra-source near-dups."""
+    edges = minhash_lsh_edges(
+        docs, num_hashes=num_hashes, bands=bands,
+        id_col=id_col, text_col=text_col, hash_fn=hash_fn,
+    )
+    src = docs.select(F.col(id_col), F.col(source_col))
+    j = (
+        edges.join(
+            src.select(
+                F.col(id_col).alias("id_a"),
+                F.col(source_col).alias("sa"),
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col(id_col).alias("id_b"),
+                F.col(source_col).alias("sb"),
+            ),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "src_a", "src_b")
+    )

@@ -427,3 +427,24 @@ def test_temporal_split_no_leakage(spark):
     assert len(by["test"]) == 10
     # strict temporal ordering: every train ts < every val ts < test
     assert max(by["train"]) < min(by["val"]) < max(by["val"]) < min(by["test"])
+
+
+# -- cross-source duplication matrix -----------------------------------------
+
+
+def test_cross_source_matrix(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [
+            (1, base, "mirrorA"),
+            (2, base + " tail", "mirrorB"),       # near-dup of 1
+            (3, base + " tails", "mirrorB"),      # near-dup of 1/2
+            (4, "completely different content about spark shuffles", "solo"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = dedup.cross_source_matrix(docs, num_hashes=16, bands=8).collect()
+    m = {(r["src_a"], r["src_b"]): r["n_pairs"] for r in out}
+    # mirrorA<->mirrorB near-dup mass exists; solo joins nothing
+    assert m.get(("mirrorA", "mirrorB"), 0) >= 1
+    assert not any("solo" in k for pair in m for k in pair)
