@@ -86,3 +86,34 @@ def test_no_python_udfs_on_relational_paths(spark, qs):
                  "text_profile", "bpe_token_count"):
         plan = _plan(qs[name](spark, SF))
         assert "EvalPython" not in plan, name
+
+
+def test_indexed_ivfpq_code_cell_pruning(spark, qs):
+    """The IVF-PQ ADC scan must read only the probed cells' byte
+    codes — cent_id partition pruning on the pq_codes_ivf layout."""
+    plan = _plan(qs["indexed_vector_knn_ivfpq"](spark, SF))
+    assert re.search(r"PartitionFilters: \[cent_id#\d+ IN", plan), plan[:800]
+
+
+def test_tfidf_similar_single_corpus_shuffle(spark, qs):
+    """With weights/norms materialized once, the visible plan tail is
+    broadcast-only (no corpus-sized exchange downstream of the
+    checkpointed postings)."""
+    plan = _plan(qs["tfidf_similar_docs"](spark, SF))
+    assert _shuffles(plan) <= 1, plan[:1200]
+    assert "SortMergeJoin" not in plan
+
+
+def test_kmeans_no_global_window(spark, qs):
+    """The k-means output (and every per-iteration plan before it)
+    must never plan a no-partition corpus window; the final model is
+    a k×dim local relation."""
+    plan = _plan(qs["embedding_kmeans"](spark, SF))
+    assert "Window" not in plan
+
+
+def test_source_matrix_bounded_output_agg(spark, qs):
+    """Cross-source matrix: the last aggregate runs on edge rows
+    (O(n) star edges), never a pairwise blowup; no cartesian join."""
+    plan = _plan(qs["dedup_source_matrix"](spark, SF))
+    assert "CartesianProduct" not in plan
