@@ -229,7 +229,12 @@ class IncrementalDriftMonitor:
         self.vec_col = vec_col
         self.lo, self.hi, self.n_buckets = lo, hi, n_buckets
         self.width = (hi - lo) / n_buckets
-        self.view = MaterializedAgg(spark, path, group_col="db")
+        # 4 state buckets, not the 32 default: the histogram state is
+        # dim×bucket-bounded (≤ a few hundred rows) and every refresh
+        # touches every cell, so bucket pruning has nothing to prune —
+        # fewer buckets just means fewer files per generation
+        # (measured 7.8→5.3 s for the 2-refresh+PSI cycle at sf0.1)
+        self.view = MaterializedAgg(spark, path, group_col="db", n_buckets=4)
 
     def _long(self, emb: DataFrame) -> DataFrame:
         v = F.col("v")
