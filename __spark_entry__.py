@@ -2066,23 +2066,67 @@ def _q_emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KMEANS_K, _KMEANS_ITERS = 4, 3
 
 
-def _kmeans_sql(k: int = _KMEANS_K, iters: int = _KMEANS_ITERS) -> str:
+def _kmeans_sql(
+    k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, init: str = "ids"
+) -> str:
     """Unrolled Lloyd's as pure SQL: one dist/argmin/recompute CTE
     trio per iteration (the iteration count is a query constant).
     Distances and means go through the fixed-point stable_sum /
     stable_avg recipes, so every intermediate double is bit-identical
-    to the Spark trainer's."""
+    to the Spark trainer's. ``init="ff"`` prepends the deterministic
+    farthest-first seed-selection rounds (same stable distances, same
+    id tie-breaks as clustering.farthest_first_seeds)."""
     ctes = [
         """longf AS MATERIALIZED (
   SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
          CAST(unnest(embedding) AS DOUBLE) AS val
   FROM embeddings
 )""",
-        f"""cent0 AS MATERIALIZED (
+    ]
+    if init == "ids":
+        ctes.append(f"""cent0 AS MATERIALIZED (
   SELECT vec_id - 1 AS cluster, dim, val AS c
   FROM longf WHERE vec_id BETWEEN 1 AND {k}
-)""",
-    ]
+)""")
+    else:
+        ctes.append("""pick0 AS (SELECT min(vec_id) AS vec_id FROM embeddings)""")
+        prior = ["pick0"]
+        for j in range(1, k):
+            dsel = f"""sd{j} AS (
+  SELECT l.vec_id, {_S("(l.val - s.val) * (l.val - s.val)", 9)} AS d
+  FROM longf l
+  JOIN pick{j - 1} p ON TRUE
+  JOIN longf s ON s.vec_id = p.vec_id AND s.dim = l.dim
+  GROUP BY 1
+)"""
+            ctes.append(dsel)
+            if j == 1:
+                ctes.append(
+                    f"mind{j} AS (SELECT vec_id, d AS mind FROM sd{j})"
+                )
+            else:
+                ctes.append(f"""mind{j} AS (
+  SELECT m.vec_id, least(m.mind, s.d) AS mind
+  FROM mind{j - 1} m JOIN sd{j} s USING (vec_id)
+)""")
+            excl = " UNION ALL ".join(
+                f"SELECT vec_id FROM {p}" for p in prior
+            )
+            ctes.append(f"""pick{j} AS (
+  SELECT vec_id FROM mind{j}
+  WHERE vec_id NOT IN ({excl})
+  ORDER BY mind DESC, vec_id ASC
+  LIMIT 1
+)""")
+            prior.append(f"pick{j}")
+        seed_union = " UNION ALL ".join(
+            f"SELECT {i} AS cluster, vec_id FROM pick{i}" for i in range(k)
+        )
+        ctes.append(f"seeds AS ({seed_union})")
+        ctes.append("""cent0 AS MATERIALIZED (
+  SELECT s.cluster, l.dim, l.val AS c
+  FROM seeds s JOIN longf l USING (vec_id)
+)""")
     for i in range(1, iters + 1):
         ctes.append(f"""dist{i} AS (
   SELECT l.vec_id, c.cluster,
@@ -2129,6 +2173,22 @@ def _q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_data_ingestion_spark.operators import clustering
 
     return clustering.kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+
+
+@_register("embedding_kmeans_pp", _kmeans_sql(init="ff"))
+def _q_embedding_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means with deterministic farthest-first seeding (Gonzalez
+    1985, the derandomized k-means++): k-1 seed rounds (broadcast
+    join + per-vector min-distance update, mind table checkpointed)
+    then the same fixed-iteration Lloyd trainer. Fixes naive
+    id-seeding's failure when ids 1..k share a cluster. Oracle
+    unrolls seed selection AND the iterations as CTE stages
+    (clustering.kmeans_fit_pp)."""
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    return clustering.kmeans_fit_pp(
         _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
 

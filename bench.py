@@ -136,6 +136,7 @@ HEADLINE = [
     "indexed_vector_knn_ivfpq",
     "curate_temporal_split",
     "dedup_source_matrix",
+    "embedding_kmeans_pp",
 ]
 
 SMALL_RESULT = {
@@ -185,7 +186,7 @@ SMALL_RESULT = {
     "ivm_drift_monitor", "embedding_kmeans", "tfidf_similar_docs",
     "quality_ppl_buckets", "events_key_skew",
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
-    "dedup_source_matrix",
+    "dedup_source_matrix", "embedding_kmeans_pp",
 }
 
 

@@ -84,8 +84,22 @@ def kmeans_fit(
         (int(r["vec_id"]) - 1, int(r["dim"]), float(r["val"]))
         for r in long.filter(F.col("vec_id").between(1, k)).collect()
     ]
+    return _lloyd_iterate(spark, long, cent_rows, iters, dist_scale, cent_round)
+
+
+def _lloyd_iterate(
+    spark,
+    long: DataFrame,
+    cent_rows: list,
+    iters: int,
+    dist_scale: int,
+    cent_round: int,
+) -> DataFrame:
+    """The shared Lloyd loop: ``cent_rows`` is the (cluster, dim, c)
+    driver-side seed state; see :func:`kmeans_fit` for the
+    per-iteration plan shape."""
     schema = "cluster long, dim int, c double"
-    assign = None
+    sizes: dict = {}
     for _ in range(iters):
         cdf = spark.createDataFrame(cent_rows, schema)
         diff = F.col("val") - F.col("c")
@@ -148,4 +162,85 @@ def kmeans_assign(
             F.col("m.cluster").alias("cluster"),
             F.col("m.dist").alias("dist"),
         )
+    )
+
+
+def farthest_first_seeds(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+) -> list[int]:
+    """Deterministic farthest-first traversal (Gonzalez 1985 — the
+    derandomized k-means++ seeding): start from the smallest id, then
+    repeatedly take the vector maximizing its distance to the nearest
+    chosen seed (id tie-break). Fixes the real failure of naive
+    id-based seeding — if ids 1..k all sit in one cluster, Lloyd's
+    cannot split the others.
+
+    Each of the k-1 rounds is one broadcast join against the new
+    seed's dim rows + one per-vector min-distance update; the running
+    ``mind`` table is localCheckpointed so lineage stays flat. All
+    distances go through ``stable_sum`` — seed choice is bit-exact
+    across partitionings and engines (the unrolled-CTE oracle makes
+    the same picks).
+
+    Returns the chosen seed ids in selection order (cluster 0..k-1).
+    """
+    long = _long_form(emb, id_col, vec_col).localCheckpoint(eager=False)
+    first = emb.agg(F.min(F.col(id_col))).collect()[0][0]
+    seeds = [int(first)]
+    mind = None
+    for _ in range(k - 1):
+        seed_long = long.filter(F.col("vec_id") == seeds[-1]).select(
+            "dim", F.col("val").alias("sval")
+        )
+        diff = F.col("val") - F.col("sval")
+        d = (
+            long.join(F.broadcast(seed_long), "dim")
+            .groupBy("vec_id")
+            .agg(stable_sum(diff * diff, dist_scale).alias("d"))
+        )
+        if mind is None:
+            mind = d.select("vec_id", F.col("d").alias("mind"))
+        else:
+            mind = (
+                mind.join(d, "vec_id")
+                .select("vec_id", F.least("mind", "d").alias("mind"))
+            )
+        mind = mind.localCheckpoint(eager=False)
+        nxt = (
+            mind.filter(~F.col("vec_id").isin(seeds))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        seeds.append(int(nxt[0]["vec_id"]))
+    return seeds
+
+
+def kmeans_fit_pp(
+    emb: DataFrame,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+    cent_round: int = 6,
+) -> DataFrame:
+    """Lloyd's k-means with farthest-first seeding: the seeds from
+    :func:`farthest_first_seeds` become clusters 0..k-1 (selection
+    order), then the same fixed-iteration trainer as
+    :func:`kmeans_fit` runs. Deterministic end to end."""
+    seeds = farthest_first_seeds(emb, k, id_col, vec_col, dist_scale)
+    spark = emb.sparkSession
+    long = _long_form(emb, id_col, vec_col).localCheckpoint(eager=False)
+    order = {sid: i for i, sid in enumerate(seeds)}
+    cent_rows = [
+        (order[int(r["vec_id"])], int(r["dim"]), float(r["val"]))
+        for r in long.filter(F.col("vec_id").isin(seeds)).collect()
+    ]
+    return _lloyd_iterate(
+        spark, long, cent_rows, iters, dist_scale, cent_round
     )

@@ -448,3 +448,37 @@ def test_cross_source_matrix(spark):
     # mirrorA<->mirrorB near-dup mass exists; solo joins nothing
     assert m.get(("mirrorA", "mirrorB"), 0) >= 1
     assert not any("solo" in k for pair in m for k in pair)
+
+
+def test_kmeans_pp_splits_blobs_naive_init_cannot(spark):
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    rng = np.random.RandomState(3)
+    centers = np.array([[2.0, 0.0], [-2.0, 0.0], [0.0, 2.0]])
+    blobs = np.concatenate([c + 0.05 * rng.randn(30, 2) for c in centers])
+    # ids 1..3 (the naive seeds) are ALL members of blob 0
+    emb = spark.createDataFrame(
+        [(i + 1, [float(x) for x in row]) for i, row in enumerate(blobs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    def spread(model_rows):
+        cent = {}
+        for r in model_rows:
+            cent.setdefault(r["cluster"], {})[r["dim"]] = r["centroid"]
+        pts = np.array(
+            [[cent[c][1], cent[c][2]] for c in sorted(cent)]
+        )
+        return min(
+            np.linalg.norm(pts[i] - pts[j])
+            for i in range(len(pts)) for j in range(i + 1, len(pts))
+        )
+
+    naive = clustering.kmeans_fit(emb, k=3, iters=4).collect()
+    ff = clustering.kmeans_fit_pp(emb, k=3, iters=4).collect()
+    # farthest-first seeds land one per blob -> centroids are far
+    # apart; naive seeds all in blob 0 leave >=2 centroids stuck there
+    assert spread(ff) > 1.5, spread(ff)
+    assert spread(naive) < 1.0, spread(naive)
+    sizes = sorted(r["n"] for r in ff if r["dim"] == 1)
+    assert sizes == [30, 30, 30]
