@@ -2067,7 +2067,10 @@ _KMEANS_K, _KMEANS_ITERS = 4, 3
 
 
 def _kmeans_sql(
-    k: int = _KMEANS_K, iters: int = _KMEANS_ITERS, init: str = "ids"
+    k: int = _KMEANS_K,
+    iters: int = _KMEANS_ITERS,
+    init: str = "ids",
+    final: str = "model",
 ) -> str:
     """Unrolled Lloyd's as pure SQL: one dist/argmin/recompute CTE
     trio per iteration (the iteration count is a query constant).
@@ -2149,15 +2152,51 @@ def _kmeans_sql(
   FROM longf l JOIN asg{i} a USING (vec_id)
   GROUP BY 1, 2
 )""")
-    return (
-        "WITH "
-        + ",\n".join(ctes)
-        + f"""
+    if final == "model":
+        tail = f"""
 SELECT cluster, dim, c AS centroid, n
 FROM cent{iters}
 ORDER BY cluster, dim
 """
-    )
+    else:  # simplified-silhouette quality of the fitted model
+        ctes.append(f"""qd AS MATERIALIZED (
+  SELECT l.vec_id, c.cluster,
+         {_S("(l.val - c.c) * (l.val - c.c)", 9)} AS dist
+  FROM longf l JOIN cent{iters} c USING (dim)
+  GROUP BY 1, 2
+)""")
+        ctes.append("""qa AS (
+  SELECT vec_id, cluster AS own, dist AS a FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (
+             PARTITION BY vec_id ORDER BY dist ASC, cluster ASC
+           ) AS rn
+    FROM qd
+  ) WHERE rn = 1
+)""")
+        ctes.append("""qb AS (
+  SELECT d.vec_id, min(d.dist) AS b
+  FROM qd d JOIN qa USING (vec_id)
+  WHERE d.cluster <> qa.own
+  GROUP BY 1
+)""")
+        sil = (
+            "CASE WHEN greatest(sqrt(a), sqrt(b)) > 0 THEN "
+            "(sqrt(b) - sqrt(a)) / greatest(sqrt(a), sqrt(b)) "
+            "ELSE 0.0 END"
+        )
+        ctes.append(f"""sil AS (
+  SELECT qa.own AS cluster, {sil} AS s
+  FROM qa JOIN qb USING (vec_id)
+)""")
+        tail = f"""
+SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       {_A("s", 4)} AS avg_silhouette
+FROM sil
+GROUP BY cluster
+ORDER BY cluster
+"""
+    return "WITH " + ",\n".join(ctes) + tail
 
 
 @_register("embedding_kmeans", _kmeans_sql())
@@ -2191,6 +2230,25 @@ def _q_embedding_kmeans_pp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.kmeans_fit_pp(
         _t(spark, sf_dir, "embeddings"), k=_KMEANS_K, iters=_KMEANS_ITERS
     )
+
+
+@_register(
+    "embedding_cluster_quality", _kmeans_sql(init="ff", final="quality")
+)
+def _q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified-silhouette quality of the farthest-first k-means
+    model: per vector s = (b−a)/max(a,b) on euclidean distances to
+    the own vs nearest-other centroid — the O(rows·k) silhouette
+    (the O(rows²) pairwise original does not exist at 100 TB).
+    One model broadcast, one distance shuffle reused for a and b,
+    bounded output (clustering.cluster_quality)."""
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    model = clustering.kmeans_fit_pp(
+        emb, k=_KMEANS_K, iters=_KMEANS_ITERS
+    )
+    return clustering.cluster_quality(emb, model)
 
 
 # -- §2.6 MMR diversification (Carbonell & Goldstein SIGIR'98) ----------------

@@ -137,6 +137,7 @@ HEADLINE = [
     "curate_temporal_split",
     "dedup_source_matrix",
     "embedding_kmeans_pp",
+    "embedding_cluster_quality",
 ]
 
 SMALL_RESULT = {
@@ -187,6 +188,7 @@ SMALL_RESULT = {
     "quality_ppl_buckets", "events_key_skew",
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
     "dedup_source_matrix", "embedding_kmeans_pp",
+    "embedding_cluster_quality",
 }
 
 

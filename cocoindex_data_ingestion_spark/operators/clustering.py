@@ -244,3 +244,64 @@ def kmeans_fit_pp(
     return _lloyd_iterate(
         spark, long, cent_rows, iters, dist_scale, cent_round
     )
+
+
+def cluster_quality(
+    emb: DataFrame,
+    model: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dist_scale: int = 9,
+    round_to: int = 4,
+) -> DataFrame:
+    """Simplified-silhouette cluster quality against a fitted model:
+    per vector s = (b − a) / max(a, b) with a = euclidean distance to
+    the OWN centroid and b = distance to the nearest OTHER centroid
+    (the centroid-based silhouette — O(rows·k), not the O(rows²)
+    pairwise original, which is the only version that exists at
+    100 TB). s near 1 = tight and well-separated; near 0 =
+    boundary; negative = probably mis-assigned.
+
+    One broadcast of the k×dim model, one (vec_id, cluster) distance
+    shuffle (reused for a and b via a cheap self-aggregate), one
+    bounded output groupBy. Returns (cluster, n, avg_silhouette).
+    """
+    long = _long_form(emb, id_col, vec_col)
+    cent = model.select("cluster", "dim", F.col("centroid").alias("c"))
+    diff = F.col("val") - F.col("c")
+    d = (
+        long.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "cluster")
+        .agg(stable_sum(diff * diff, dist_scale).alias("dist"))
+        .localCheckpoint(eager=False)  # consumed by own + b
+    )
+    own = (
+        d.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cluster").alias("own"),
+            F.col("m.dist").alias("a"),
+        )
+    )
+    b = (
+        d.join(own, "vec_id")
+        .filter(F.col("cluster") != F.col("own"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("b"))
+    )
+    sa, sb = F.sqrt(F.col("a")), F.sqrt(F.col("b"))
+    denom = F.greatest(sa, sb)
+    s = F.when(denom > 0, (sb - sa) / denom).otherwise(F.lit(0.0))
+    from cocoindex_data_ingestion_spark.functions.compare import stable_avg
+
+    return (
+        own.join(b, "vec_id")
+        .select("own", s.alias("s"))
+        .groupBy(F.col("own").alias("cluster"))
+        .agg(
+            F.count("*").alias("n"),
+            stable_avg(F.col("s"), round_to).alias("avg_silhouette"),
+        )
+        .orderBy("cluster")
+    )

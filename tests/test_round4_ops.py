@@ -482,3 +482,23 @@ def test_kmeans_pp_splits_blobs_naive_init_cannot(spark):
     assert spread(naive) < 1.0, spread(naive)
     sizes = sorted(r["n"] for r in ff if r["dim"] == 1)
     assert sizes == [30, 30, 30]
+
+
+def test_cluster_quality_silhouette(spark):
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    rng = np.random.RandomState(5)
+    tight = np.concatenate([
+        c + 0.02 * rng.randn(25, 2)
+        for c in np.array([[3.0, 0.0], [-3.0, 0.0]])
+    ])
+    emb = spark.createDataFrame(
+        [(i + 1, [float(x) for x in r]) for i, r in enumerate(tight)],
+        "vec_id long, embedding array<double>",
+    )
+    model = clustering.kmeans_fit_pp(emb, k=2, iters=3)
+    q = {r["cluster"]: r for r in
+         clustering.cluster_quality(emb, model).collect()}
+    # tight well-separated blobs: silhouette near 1 for both clusters
+    assert all(r["avg_silhouette"] > 0.95 for r in q.values()), q
+    assert sum(r["n"] for r in q.values()) == 50
