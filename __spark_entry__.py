@@ -188,6 +188,46 @@ def _q_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BATCH_QIDS = (0, 7, 99)
+
+_KNN_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+  FROM embeddings WHERE vec_id IN {_BATCH_QIDS}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, {_R(_COS_SQL, 4)} AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, vec_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS BIGINT) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, score
+FROM ranked WHERE rank <= {KNN_K}
+ORDER BY query_id, rank
+"""
+
+
+@_register("vector_knn_batch", _KNN_BATCH_SQL)
+def _q_vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact k-NN: a whole query table scored against the
+    corpus in ONE scan (nq queries, one pass — the batch-serving /
+    offline-eval shape). Per-query top-k is two-phase local-then-
+    global (TakeOrderedAndProject's discipline as windows), so no
+    task ever sorts the corpus (vector_search.knn_batch)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(*_BATCH_QIDS)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+    )
+    return vector_search.knn_batch(emb, queries, k=KNN_K)
+
+
 # -- §2.6 LSH-bucketed ANN (scale path for vector search) ---------------------
 
 _LSH_BITS = 8

@@ -138,6 +138,7 @@ HEADLINE = [
     "dedup_source_matrix",
     "embedding_kmeans_pp",
     "embedding_cluster_quality",
+    "vector_knn_batch",
 ]
 
 SMALL_RESULT = {
@@ -188,7 +189,7 @@ SMALL_RESULT = {
     "quality_ppl_buckets", "events_key_skew",
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
     "dedup_source_matrix", "embedding_kmeans_pp",
-    "embedding_cluster_quality",
+    "embedding_cluster_quality", "vector_knn_batch",
 }
 
 

@@ -924,3 +924,63 @@ def pca_project(
         _proj, f"id long, comps array<double>"
     )
     return out.withColumnRenamed("id", id_col)
+
+
+def knn_batch(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    qvec_col: str = "qvec",
+    round_to: int = 4,
+) -> DataFrame:
+    """Batched exact k-NN: score a WHOLE query table against the
+    corpus in ONE scan — the batch-serving / offline-eval shape
+    (nq queries in one pass instead of nq corpus scans; on a real
+    cluster this is the difference between an hour of repeated scans
+    and one matrix-multiply-shaped job).
+
+    ``queries`` is (query_id, qvec) — request-batch-sized, hence
+    legitimately broadcast. Per-query top-k is TWO-PHASE, mirroring
+    TakeOrderedAndProject: phase 1 keeps each INPUT partition's local
+    top-k per query (window over (query, spark_partition_id) —
+    bounded by partition size, fully parallel, no shuffle of the
+    scored corpus); phase 2 ranks the surviving ≤ k·n_partitions
+    rows per query. A single per-query window would instead drag the
+    whole corpus through one sort task per query — the
+    topk_per_group skew caveat at its worst when nq is small. The
+    result is partitioning-invariant: every global top-k row is by
+    definition in its partition's local top-k. A query's own id is
+    excluded (self-match) when present in the corpus.
+
+    Returns (query_id, rank, vec_id, score), rank 1..k per query.
+    """
+    from pyspark.sql import Window
+
+    j = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col(id_col) != F.col(qid_col)
+    )
+    scored = j.select(
+        qid_col,
+        id_col,
+        stable_round(
+            cosine_sim(F.col(vec_col), F.col(qvec_col)), round_to
+        ).alias("score"),
+    )
+    order = [F.desc("score"), F.asc(id_col)]
+    w_local = Window.partitionBy(
+        qid_col, F.spark_partition_id()
+    ).orderBy(*order)
+    pruned = (
+        scored.withColumn("_lrn", F.row_number().over(w_local))
+        .filter(F.col("_lrn") <= k)
+        .drop("_lrn")
+    )
+    w_global = Window.partitionBy(qid_col).orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w_global).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, "rank", id_col, "score")
+    )

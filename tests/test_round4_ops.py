@@ -502,3 +502,25 @@ def test_cluster_quality_silhouette(spark):
     # tight well-separated blobs: silhouette near 1 for both clusters
     assert all(r["avg_silhouette"] > 0.95 for r in q.values()), q
     assert sum(r["n"] for r in q.values()) == 50
+
+
+def test_knn_batch_matches_per_query_knn(spark, sf_dir):
+    emb = load_table(spark, "embeddings", sf_dir)
+    qids = [0, 7, 99]
+    queries = emb.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    batch = vector_search.knn_batch(emb.repartition(9), queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["vec_id"], r["score"]))
+    for qid in qids:
+        q = emb.filter(F.col("vec_id") == qid).select(
+            F.col("embedding").alias("qvec")
+        )
+        solo = vector_search.knn(
+            emb.filter(F.col("vec_id") != qid).crossJoin(F.broadcast(q)),
+            F.col("qvec"), k=5,
+        ).collect()
+        want = [(i + 1, r["vec_id"], r["score"]) for i, r in enumerate(solo)]
+        assert sorted(got[qid]) == want, qid
