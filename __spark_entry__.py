@@ -1251,6 +1251,52 @@ def _q_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINDOWED_TOPK_SQL = """
+WITH w AS (
+  SELECT CAST((epoch_us(ts) // 300000000) * 300 AS BIGINT)
+           AS window_start_s,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start_s, event_type, n, rank FROM (
+  SELECT window_start_s, event_type, n,
+         CAST(row_number() OVER (
+           PARTITION BY window_start_s ORDER BY n DESC, event_type ASC
+         ) AS BIGINT) AS rank
+  FROM w
+) WHERE rank <= 3
+ORDER BY window_start_s, rank
+"""
+
+
+@_register("events_windowed_topk", _WINDOWED_TOPK_SQL)
+def _q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tumbling-window heavy hitters: top-3 event types per 5-min
+    window — the trend/dashboard aggregation. Counts shrink the
+    stream to windows×types BEFORE ranking, so the window function
+    sees a bounded group (relational.topk_per_group over the count
+    table; windows grow with time → linear scale-out)."""
+    ev = _t(spark, sf_dir, "events")
+    counts = (
+        ev.withColumn("_us", _ts_us("ts"))
+        .withColumn(
+            "window_start_s", (F.expr("_us div 300000000") * 300).cast("long")
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    out = relational.topk_per_group(
+        counts, ["window_start_s"], "n", k=3, tiebreak_col="event_type"
+    )
+    return (
+        out.select(
+            "window_start_s", "event_type", "n",
+            F.col("rn").cast("long").alias("rank"),
+        )
+        .orderBy("window_start_s", "rank")
+    )
+
+
 _SLIDING_SQL = f"""
 SELECT ((epoch_us(ts) // 300000000) - k) * 300 AS window_start_s,
        count(*) AS n_events, {_S("value", 2)} AS sum_value

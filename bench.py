@@ -139,6 +139,7 @@ HEADLINE = [
     "embedding_kmeans_pp",
     "embedding_cluster_quality",
     "vector_knn_batch",
+    "events_windowed_topk",
 ]
 
 SMALL_RESULT = {
