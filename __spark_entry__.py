@@ -6474,6 +6474,22 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("bpe_train_merges", None)
+def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (Sennrich ACL'16): one
+    corpus pass to the word-frequency table, then merge rounds that
+    touch only the vocabulary table (pair counts = bounded shuffle;
+    merge applied via codegen regexp_replace; driver state = the
+    merge list). Rows-only: iterative with a data-dependent stop —
+    pinned against a pure-Python reference BPE in
+    test_round4_ops.py (tokenizer.bpe_merges_df)."""
+    from cocoindex_data_ingestion_spark.operators import tokenizer
+
+    return tokenizer.bpe_merges_df(
+        _t(spark, sf_dir, "documents"), n_merges=20
+    )
+
+
 # -- incremental view maintenance (delta-maintained aggregate) ----------------
 
 # value is fixed-pointed with floor(value*100): the product is the

@@ -524,3 +524,65 @@ def test_knn_batch_matches_per_query_knn(spark, sf_dir):
         ).collect()
         want = [(i + 1, r["vec_id"], r["score"]) for i, r in enumerate(solo)]
         assert sorted(got[qid]) == want, qid
+
+
+# -- BPE tokenizer training ---------------------------------------------------
+
+
+def _reference_bpe(word_counts, n_merges, min_pair_count=2):
+    """Pure-Python Sennrich BPE with the same deterministic
+    tie-break (count desc, pair string asc)."""
+    vocab = {
+        " ".join(list(w)) + " </w>": c for w, c in word_counts.items()
+    }
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = {}
+        for syms, c in vocab.items():
+            s = syms.split(" ")
+            for i in range(len(s) - 1):
+                p = s[i] + " " + s[i + 1]
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] < min_pair_count:
+            break
+        left, right = best[0].split(" ", 1)
+        merges.append((rank, left, right, best[1]))
+        new = {}
+        import re as _re
+
+        pat = _re.compile(
+            r"(?<!\S)" + _re.escape(left + " " + right) + r"(?!\S)"
+        )
+        for syms, c in vocab.items():
+            new[pat.sub(left + right, syms)] = (
+                new.get(pat.sub(left + right, syms), 0) + c
+            )
+        vocab = new
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    from cocoindex_data_ingestion_spark.operators import tokenizer
+
+    corpus = [
+        "low lower lowest low low",
+        "newer newest new new newer",
+        "wider wide wide widest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = tokenizer.bpe_train(docs, n_merges=12)
+
+    wc = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    want = _reference_bpe(wc, 12)
+    assert got == want, (got, want)
+    # sanity: the frequent 'low'/'new' stems merge early
+    merged = ["".join((l, r)) for _, l, r, _ in got]
+    assert any(m.startswith("lo") or m.startswith("ne") for m in merged[:4])
