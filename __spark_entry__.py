@@ -6490,6 +6490,23 @@ def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("bpe_learned_fertility", None)
+def _q_bpe_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer lifecycle — train → encode → evaluate:
+    fertility (tokens/word, chars/token) per language under the
+    merges LEARNED from this corpus, not the regex approximation.
+    The 20-merge sequence compiles into one chained codegen
+    regexp_replace evaluated over the distinct (lang, word) table
+    only; the corpus pays a wordcount. Rows-only (depends on the
+    iterative trainer); encode pinned against the reference BPE in
+    tests (tokenizer.learned_fertility)."""
+    from cocoindex_data_ingestion_spark.operators import tokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = tokenizer.bpe_train(docs, n_merges=20)
+    return tokenizer.learned_fertility(docs, merges)
+
+
 # -- incremental view maintenance (delta-maintained aggregate) ----------------
 
 # value is fixed-pointed with floor(value*100): the product is the

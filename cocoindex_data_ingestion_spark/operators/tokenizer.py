@@ -133,3 +133,82 @@ def bpe_merges_df(
         [(r, l, rt, l + rt, n) for r, l, rt, n in merges],
         "rank long, left string, right string, merged string, pair_count long",
     )
+
+
+def encode_words(
+    words: DataFrame, merges: list[tuple[int, str, str, int]]
+) -> DataFrame:
+    """Apply a learned merge list to a word table: the encode path.
+
+    The merge sequence compiles into ONE chained codegen
+    ``regexp_replace`` expression (n_merges nested replaces, no
+    loop at runtime), evaluated over the DISTINCT-word table — the
+    scale discipline: encoding cost is vocabulary-sized, and the
+    corpus only pays a wordcount + join. Returns the input plus
+    ``n_tokens`` (symbols after all merges; includes the ``</w>``
+    fold into the final token, as in the trainer)."""
+    syms = F.concat(
+        F.array_join(F.split(F.col("word"), ""), " "),
+        F.lit(" " + END_OF_WORD),
+    )
+    for _rank, left, right, _n in merges:
+        pat = (
+            r"(?<=(^| ))"
+            + re.escape(left)
+            + " "
+            + re.escape(right)
+            + r"(?=( |$))"
+        )
+        syms = F.regexp_replace(syms, pat, left + right)
+    return words.withColumn(
+        "n_tokens", F.size(F.split(syms, " ")).cast("long")
+    )
+
+
+def learned_fertility(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    group_col: str = "lang",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Tokenizer-quality evaluation with the LEARNED merges: tokens
+    per word and characters per token per group — the fertility
+    statistic computed against the trained tokenizer instead of the
+    regex approximation (the full train → encode → evaluate
+    lifecycle).
+
+    Corpus side is one wordcount pass per group; the encode runs on
+    the distinct (group, word) table only."""
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round,
+    )
+
+    wc = (
+        docs.select(
+            F.col(group_col), F.explode(tokenize(text_col)).alias("word")
+        )
+        .groupBy(group_col, "word")
+        .agg(F.count("*").alias("c"))
+    )
+    enc = encode_words(wc, merges)
+    return (
+        enc.groupBy(group_col)
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("n_tokens") * F.col("c")).alias("n_tokens"),
+            F.sum(F.length("word") * F.col("c")).alias("n_chars"),
+        )
+        .select(
+            group_col,
+            "n_words",
+            "n_tokens",
+            stable_round(
+                F.col("n_tokens") / F.col("n_words").cast("double"), round_to
+            ).alias("tokens_per_word"),
+            stable_round(
+                F.col("n_chars") / F.col("n_tokens").cast("double"), round_to
+            ).alias("chars_per_token"),
+        )
+        .orderBy(group_col)
+    )

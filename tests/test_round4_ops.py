@@ -586,3 +586,42 @@ def test_bpe_train_matches_reference(spark):
     # sanity: the frequent 'low'/'new' stems merge early
     merged = ["".join((l, r)) for _, l, r, _ in got]
     assert any(m.startswith("lo") or m.startswith("ne") for m in merged[:4])
+
+
+def test_bpe_encode_and_fertility(spark):
+    from cocoindex_data_ingestion_spark.operators import tokenizer
+
+    corpus = ["low lower low", "lowest newer new"]
+    docs = spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(corpus)],
+        "doc_id long, text string, lang string",
+    )
+    merges = tokenizer.bpe_train(docs, n_merges=8)
+
+    # reference encode: same greedy sequential merge application
+    def ref_encode(word):
+        syms = list(word) + ["</w>"]
+        s = " ".join(syms)
+        import re as _re
+
+        for _r, l, rt, _n in merges:
+            s = _re.sub(
+                r"(?<!\S)" + _re.escape(l + " " + rt) + r"(?!\S)", l + rt, s
+            )
+        return len(s.split(" "))
+
+    wc = {}
+    for t in corpus:
+        for w in t.split():
+            wc[w] = wc.get(w, 0) + 1
+    words = spark.createDataFrame(list(wc.items()), "word string, c long")
+    enc = {r["word"]: r["n_tokens"] for r in
+           tokenizer.encode_words(words, merges).collect()}
+    for w in wc:
+        assert enc[w] == ref_encode(w), w
+
+    fert = tokenizer.learned_fertility(docs, merges).collect()
+    assert len(fert) == 1 and fert[0]["lang"] == "en"
+    want_tokens = sum(ref_encode(w) * c for w, c in wc.items())
+    assert fert[0]["n_tokens"] == want_tokens
+    assert fert[0]["n_words"] == sum(wc.values())
