@@ -348,3 +348,38 @@ def foreach_batch_expectations(
             audit.write.mode("append").parquet(audit_path)
 
     return _sink
+
+
+def foreach_batch_drift(monitor, applied_path: str | None = None):
+    """Streaming drift-reference maintenance: fold each micro-batch
+    of embedding rows into an
+    :class:`..operators.evaluation.IncrementalDriftMonitor`'s
+    reference histogram. Between batches the monitor can PSI-score
+    any candidate batch against the accumulated reference without
+    rescanning the stream's history — the production monitoring
+    loop (reference grows online; alerts score against it).
+
+    Histogram deltas are not idempotent (a re-delivered batch would
+    double-count its bucket increments), so the same batchId fence
+    as :func:`foreach_batch_ivm` provides exactly-once."""
+    import os
+
+    path = applied_path or os.path.join(
+        monitor.view.state.path, "_LAST_BATCH"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            with open(path) as f:
+                last = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        if batch_id <= last:
+            return
+        monitor.refresh(inserts=batch_df)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, path)
+
+    return _sink

@@ -533,3 +533,41 @@ def test_streaming_expectations_gate(spark, tmp_path, sf_dir):
         F.sum("n_rows").alias("r"), F.sum("n_valid").alias("v")
     ).collect()[0]
     assert tot["r"] == n_in and tot["v"] == good.count()
+
+
+def test_foreach_batch_drift_fences_and_matches_batch_psi(spark, tmp_path):
+    """Micro-batches folded into the drift monitor's reference
+    histogram equal the batch two-cohort PSI; a re-delivered batchId
+    is a no-op (histogram deltas are not idempotent — the fence is
+    what makes the stream exactly-once)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    import cocoindex_data_ingestion_spark.streaming.events as se
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    rng = np.random.RandomState(23)
+    ref = rng.uniform(-0.9, 0.9, size=(200, 4))
+    shifted = np.clip(ref + np.array([0.5, 0, 0, 0]), -1, 1)
+    mk = lambda X, off=0: spark.createDataFrame(
+        [(i + off, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+
+    mon = evaluation.IncrementalDriftMonitor(
+        spark, str(tmp_path / "sdrift"), n_buckets=8
+    )
+    sink = se.foreach_batch_drift(mon)
+    sink(mk(ref[:120]), 0)
+    sink(mk(ref[:120]), 0)          # redelivery: must not double-count
+    sink(mk(ref[120:], 120), 1)
+
+    stream_psi = {r["dim"]: r["psi"] for r in mon.psi_vs(mk(shifted)).collect()}
+    batch_psi = {
+        r["dim"]: r["psi"]
+        for r in evaluation.embedding_drift_psi(
+            mk(ref), mk(shifted), n_buckets=8
+        ).collect()
+    }
+    assert stream_psi == batch_psi
+    assert stream_psi[0] > 0.3 and stream_psi[2] < 0.05
