@@ -2337,6 +2337,101 @@ def _q_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.cluster_quality(emb, model)
 
 
+def _online_kmeans_sql(k: int = _KMEANS_K) -> str:
+    """Two-refresh online k-means as unrolled SQL: cold-start seeds
+    (k smallest even ids) → assign evens → fixed-point sums →
+    interim centroids → assign odds → folded sums. Value sums are
+    integer-valued doubles (quantized at 10^-6), so accumulation is
+    exact and order-free on both engines."""
+    dist = _S("(l.val - c.c) * (l.val - c.c)", 9)
+    return f"""
+WITH longf AS MATERIALIZED (
+  SELECT vec_id, unnest(generate_series(1, len(embedding))) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS val
+  FROM embeddings
+),
+b1 AS (SELECT * FROM longf WHERE vec_id % 2 = 0),
+b2 AS (SELECT * FROM longf WHERE vec_id % 2 = 1),
+sids AS (
+  SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cluster
+  FROM (SELECT DISTINCT vec_id FROM b1 ORDER BY vec_id LIMIT {k})
+),
+cent0 AS MATERIALIZED (
+  SELECT s.cluster, l.dim, l.val AS c
+  FROM sids s JOIN longf l USING (vec_id)
+),
+d1 AS (
+  SELECT l.vec_id, c.cluster, {dist} AS dist
+  FROM b1 l JOIN cent0 c USING (dim) GROUP BY 1, 2
+),
+asg1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+sums1 AS MATERIALIZED (
+  SELECT a.cluster, l.dim, count(*) AS n,
+         sum(floor(l.val * 1000000.0 + 0.5)) AS sq
+  FROM b1 l JOIN asg1 a USING (vec_id) GROUP BY 1, 2
+),
+cent1 AS MATERIALIZED (
+  SELECT cluster, dim,
+         {_R("sq / 1000000.0 / n", 6)} AS c
+  FROM sums1
+),
+d2 AS (
+  SELECT l.vec_id, c.cluster, {dist} AS dist
+  FROM b2 l JOIN cent1 c USING (dim) GROUP BY 1, 2
+),
+asg2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster, row_number() OVER (
+      PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+sums2 AS (
+  SELECT a.cluster, l.dim, count(*) AS n,
+         sum(floor(l.val * 1000000.0 + 0.5)) AS sq
+  FROM b2 l JOIN asg2 a USING (vec_id) GROUP BY 1, 2
+),
+total AS (
+  SELECT cluster, dim, CAST(sum(n) AS BIGINT) AS n, sum(sq) AS sq
+  FROM (SELECT * FROM sums1 UNION ALL SELECT * FROM sums2)
+  GROUP BY 1, 2
+)
+SELECT cluster, dim,
+       {_R("sq / 1000000.0 / n", 6)} AS centroid, n
+FROM total
+ORDER BY cluster, dim
+"""
+
+
+@_register("ivm_kmeans_online", _online_kmeans_sql())
+def _q_ivm_kmeans_online(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online (mini-batch) k-means on MaterializedAgg state (Sculley
+    WWW'10 shape): per cluster#dim the state holds member counts +
+    fixed-point value sums, so each batch folds in with O(batch)
+    work and centroids are always sum/count — no history rescans.
+    Two refreshes (even then odd vectors) accumulate through disk
+    state; the oracle unrolls the same two stages, and equality IS
+    the incremental-maintenance contract
+    (clustering.OnlineKMeans)."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ok = clustering.OnlineKMeans(
+        spark, tempfile.mkdtemp(prefix="okmeans_"), k=_KMEANS_K
+    )
+    ok.refresh(emb.filter(F.col("vec_id") % 2 == 0))
+    ok.refresh(emb.filter(F.col("vec_id") % 2 == 1))
+    return ok.centroids()
+
+
 # -- §2.6 MMR diversification (Carbonell & Goldstein SIGIR'98) ----------------
 
 _MMR_N, _MMR_K, _MMR_LAM = 20, 10, 0.7

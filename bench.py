@@ -140,6 +140,7 @@ HEADLINE = [
     "embedding_cluster_quality",
     "vector_knn_batch",
     "events_windowed_topk",
+    "ivm_kmeans_online",
 ]
 
 SMALL_RESULT = {
@@ -191,6 +192,7 @@ SMALL_RESULT = {
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
     "dedup_source_matrix", "embedding_kmeans_pp",
     "embedding_cluster_quality", "vector_knn_batch",
+    "ivm_kmeans_online",
 }
 
 

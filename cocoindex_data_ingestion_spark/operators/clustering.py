@@ -305,3 +305,117 @@ def cluster_quality(
         )
         .orderBy("cluster")
     )
+
+
+class OnlineKMeans:
+    """Mini-batch / online k-means (Sculley, WWW'10 shape): cluster
+    state lives in a :class:`..plans.ivm.MaterializedAgg` as per
+    ``cluster#dim`` member counts + FIXED-POINT value sums, so each
+    arriving batch folds in with O(batch) work and the centroids are
+    always ``sum / count`` — no revisiting of history.
+
+    Per refresh: current centroids (k×dim, driver-collected) are
+    broadcast against the batch's long form; assignment uses the
+    SAME stable distance + tie-break discipline as the batch
+    trainer; the assigned rows become (cluster#dim, quantized-value)
+    deltas for the state. Values are quantized to 10^-6 BEFORE
+    summation — integer-valued doubles sum exactly in any order, so
+    the accumulated centroids are bit-identical across partitionings
+    AND engines. First refresh seeds clusters 0..k-1 from the
+    batch's k smallest ids (deterministic cold start).
+
+    ``centroids()`` returns the live ``(cluster, dim, centroid, n)``
+    model (same shape as :func:`kmeans_fit` output — directly usable
+    by :func:`kmeans_assign` / :func:`cluster_quality`).
+    """
+
+    Q = 1_000_000.0  # fixed-point scale for value sums
+
+    def __init__(
+        self,
+        spark,
+        path: str,
+        k: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        dist_scale: int = 9,
+        cent_round: int = 6,
+    ):
+        from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+
+        self.spark = spark
+        self.k = k
+        self.id_col, self.vec_col = id_col, vec_col
+        self.dist_scale, self.cent_round = dist_scale, cent_round
+        self.view = MaterializedAgg(
+            spark, path, group_col="cd", sum_cols=("vq",), n_buckets=4
+        )
+
+    def centroids(self) -> DataFrame:
+        from cocoindex_data_ingestion_spark.functions.compare import (
+            stable_round,
+        )
+
+        return self.view.read().select(
+            F.split("cd", "#")[0].cast("long").alias("cluster"),
+            F.split("cd", "#")[1].cast("int").alias("dim"),
+            stable_round(
+                F.col("sum_vq") / F.lit(self.Q) / F.col("n"),
+                self.cent_round,
+            ).alias("centroid"),
+            F.col("n"),
+        ).orderBy("cluster", "dim")
+
+    def refresh(self, batch: DataFrame) -> None:
+        long = _long_form(batch, self.id_col, self.vec_col)
+        cent = self.centroids()
+        if cent.limit(1).count() == 0:
+            # cold start: k smallest batch ids seed clusters 0..k-1
+            seed_ids = [
+                int(r[0])
+                for r in batch.select(self.id_col)
+                .orderBy(self.id_col)
+                .limit(self.k)
+                .collect()
+            ]
+            order = {sid: i for i, sid in enumerate(seed_ids)}
+            mapping = F.create_map(
+                *[F.lit(x) for kv in order.items() for x in kv]
+            )
+            # cold-start centroids ARE the seed vectors; every batch
+            # row (seeds included, at distance 0) assigns to the
+            # nearest seed
+            seeds_long = long.filter(F.col("vec_id").isin(seed_ids)).select(
+                F.col("vec_id").alias("sid"), "dim", F.col("val").alias("c")
+            )
+            cent0 = seeds_long.withColumn(
+                "cluster", mapping[F.col("sid")]
+            ).select("cluster", "dim", "c")
+            assign = self._assign(long, cent0)
+        else:
+            assign = self._assign(
+                long, cent.select("cluster", "dim", F.col("centroid").alias("c"))
+            )
+        delta = (
+            long.join(assign, "vec_id")
+            .select(
+                F.concat_ws("#", F.col("cluster"), F.col("dim")).alias("cd"),
+                (
+                    F.floor(F.col("val") * F.lit(self.Q) + F.lit(0.5))
+                ).cast("double").alias("vq"),
+            )
+        )
+        self.view.refresh(inserts=delta)
+
+    def _assign(self, long: DataFrame, cent: DataFrame) -> DataFrame:
+        diff = F.col("val") - F.col("c")
+        dist = (
+            long.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "cluster")
+            .agg(stable_sum(diff * diff, self.dist_scale).alias("dist"))
+        )
+        return (
+            dist.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cluster")).alias("m"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"))
+        )

@@ -625,3 +625,53 @@ def test_bpe_encode_and_fertility(spark):
     want_tokens = sum(ref_encode(w) * c for w, c in wc.items())
     assert fert[0]["n_tokens"] == want_tokens
     assert fert[0]["n_words"] == sum(wc.values())
+
+
+def test_online_kmeans_matches_reference(spark, tmp_path):
+    from cocoindex_data_ingestion_spark.operators import clustering
+
+    rng = np.random.RandomState(31)
+    b1 = rng.uniform(-1, 1, size=(60, 3))
+    b2 = rng.uniform(-1, 1, size=(40, 3))
+    mk = lambda X, off: spark.createDataFrame(
+        [(i + off, [float(x) for x in r]) for i, r in enumerate(X)],
+        "vec_id long, embedding array<double>",
+    )
+    ok = clustering.OnlineKMeans(spark, str(tmp_path / "okm"), k=3)
+    ok.refresh(mk(b1, 0))
+    ok.refresh(mk(b2, 100))
+    got = {
+        (r["cluster"], r["dim"]): (r["centroid"], r["n"])
+        for r in ok.centroids().collect()
+    }
+
+    # numpy reference with the identical semantics: quantize at 1e-6,
+    # stable-round interim centroids at 6, squared-L2 argmin with
+    # cluster-asc tie-break
+    def q(x):
+        return np.floor(x * 1e6 + 0.5)
+
+    def rnd6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    seeds = b1[:3]  # ids 0,1,2 are the 3 smallest
+    def assign(X, C):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2)
+        d = (np.floor(d * 1e9 + 0.5).sum(axis=2)) / 1e9
+        return d.argmin(axis=1)  # argmin takes first (lowest cluster) on ties
+
+    a1 = assign(b1, seeds)
+    n = np.zeros(3); s = np.zeros((3, 3))
+    for x, c in zip(b1, a1):
+        n[c] += 1; s[c] += q(x)
+    cent1 = rnd6(s / 1e6 / n[:, None])
+    a2 = assign(b2, cent1)
+    for x, c in zip(b2, a2):
+        n[c] += 1; s[c] += q(x)
+    final = rnd6(s / 1e6 / n[:, None])
+
+    for c in range(3):
+        for d in range(3):
+            cv, cn = got[(c, d + 1)]
+            assert cn == int(n[c]), (c, d)
+            assert abs(cv - final[c, d]) < 2e-6, (c, d, cv, final[c, d])
