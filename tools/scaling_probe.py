@@ -322,6 +322,39 @@ def main() -> None:
         relational.key_skew_profile(li, "l_orderkey", top=10).collect()
         t["key_skew"] = time.time() - t0
 
+        t0 = time.time()
+        qids = [1, 2, 3]
+        queries_df = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qvec"),
+        )
+        vector_search.knn_batch(emb, queries_df, k=10).count()
+        t["knn_batch3"] = time.time() - t0
+
+        t0 = time.time()
+        curation.temporal_split_assign(
+            docs.select("doc_id", (F.col("doc_id") % 997).alias("us")),
+            "us", "doc_id",
+        ).groupBy("split").count().collect()
+        t["temporal_split"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.cross_source_matrix(
+            docs.filter(F.length("text") > 0)
+        ).count()
+        t["source_matrix"] = time.time() - t0
+
+        t0 = time.time()
+        okm = clustering.OnlineKMeans(
+            spark, f"{fdir}/okmeans", k=8
+        )
+        okm.refresh(emb.filter("vec_id % 2 = 0"))
+        t["okmeans_cold"] = time.time() - t0
+        t0 = time.time()
+        # steady-state: fixed-size delta against existing state
+        okm.refresh(emb.filter("vec_id % 2 = 1 AND vec_id < 5000"))
+        t["okmeans_refresh"] = time.time() - t0
+
         mon = evaluation.IncrementalDriftMonitor(
             spark, f"{fdir}/drift", n_buckets=8
         )
@@ -350,7 +383,9 @@ def main() -> None:
            "phrase", "vidx_init", "vidx_refresh", "incr_dedup",
            "neg_samples", "segq_8seg", "seg_compact", "segq_1seg",
            "kmeans_2it", "tfidf_similar", "tfidf_keywords",
-           "ppl_buckets", "key_skew", "drift_refresh", "drift_psi"]
+           "ppl_buckets", "key_skew", "knn_batch3", "temporal_split",
+           "source_matrix", "okmeans_cold", "okmeans_refresh",
+           "drift_refresh", "drift_psi"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
