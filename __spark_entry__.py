@@ -2929,6 +2929,54 @@ GROUP BY event_type
 """
 
 
+_TREND_SQL = f"""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS us, value FROM events
+),
+m AS (SELECT min(us) AS mus FROM e),
+xy AS (
+  SELECT event_type,
+         (us - m.mus) / 3600000000.0 AS x, value AS y
+  FROM e, m
+),
+g AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         {_S("x", 6)} AS sx, {_S("y", 6)} AS sy,
+         {_S("x * y", 6)} AS sxy, {_S("x * x", 6)} AS sxx,
+         {_S("y * y", 6)} AS syy
+  FROM xy GROUP BY 1
+)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {_R("CASE WHEN n * sxx - sx * sx > 0 THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END", 6)} AS slope,
+       {_R("CASE WHEN n * sxx - sx * sx > 0 THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END", 6)} AS intercept,
+       {_R("CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN (((n * sxy - sx * sy) / (n * sxx - sx * sx)) * ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n * sxx - sx * sx)) / (n * syy - sy * sy) END", 6)} AS r2
+FROM g
+ORDER BY event_type
+"""
+
+
+@_register("events_trend_fit", _TREND_SQL)
+def _q_events_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend (value over hours-since-corpus-
+    start): closed-form moment sums in ONE map-side-combined groupBy
+    — the billions-of-rows "is this metric drifting" fit with no
+    window and no per-group iteration
+    (relational.group_linear_trend)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _ts_us("ts").alias("us"), "value"
+    )
+    mus = ev.agg(F.min("us").alias("mus"))
+    xy = ev.crossJoin(F.broadcast(mus)).select(
+        "event_type",
+        ((F.col("us") - F.col("mus")) / F.lit(3.6e9)).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return relational.group_linear_trend(
+        xy, ["event_type"], "x", "y"
+    ).orderBy("event_type")
+
+
 _SKEW_TOP = 10
 
 _KEY_SKEW_SQL = f"""

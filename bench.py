@@ -141,6 +141,7 @@ HEADLINE = [
     "vector_knn_batch",
     "events_windowed_topk",
     "ivm_kmeans_online",
+    "events_trend_fit",
 ]
 
 SMALL_RESULT = {
@@ -192,7 +193,7 @@ SMALL_RESULT = {
     "indexed_vector_knn_ivfpq", "curate_temporal_split",
     "dedup_source_matrix", "embedding_kmeans_pp",
     "embedding_cluster_quality", "vector_knn_batch",
-    "ivm_kmeans_online",
+    "ivm_kmeans_online", "events_trend_fit",
 }
 
 

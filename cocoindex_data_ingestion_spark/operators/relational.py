@@ -426,3 +426,55 @@ def key_skew_profile(
             F.expr("(n * n_keys + total - 1) div total").alias("salt_factor"),
         )
     )
+
+
+def group_linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ordinary-least-squares trend line from closed-form
+    moment sums — the scale shape for "is this metric drifting up"
+    over billions of rows: ONE map-side-combined groupBy collecting
+    (n, Σx, Σy, Σxy, Σx², Σy²), slope/intercept/R² derived from the
+    six scalars. No window, no per-group iteration.
+
+    The x values should be pre-normalized to a small range (e.g.
+    hours since the group's start) — the fixed-point moment sums
+    need |x·y|·10⁶ within long headroom. All six moments go through
+    ``stable_sum``, so the derived coefficients are bit-identical
+    across partitionings and engines.
+
+    Returns (group..., n, slope, intercept, r2); groups with zero
+    x-variance report null slope/intercept/r2 (vertical line)."""
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round, stable_sum,
+    )
+
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    g = df.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("n"),
+        stable_sum(x, 6).alias("sx"),
+        stable_sum(y, 6).alias("sy"),
+        stable_sum(x * y, 6).alias("sxy"),
+        stable_sum(x * x, 6).alias("sxx"),
+        stable_sum(y * y, 6).alias("syy"),
+    )
+    n = F.col("n")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    ssr = slope * slope * denom
+    r2 = F.when(sst > 0, ssr / sst)
+    return g.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        stable_round(F.when(denom > 0, slope), round_to).alias("slope"),
+        stable_round(F.when(denom > 0, intercept), round_to).alias(
+            "intercept"
+        ),
+        stable_round(F.when(denom > 0, r2), round_to).alias("r2"),
+    )

@@ -675,3 +675,19 @@ def test_online_kmeans_matches_reference(spark, tmp_path):
             cv, cn = got[(c, d + 1)]
             assert cn == int(n[c]), (c, d)
             assert abs(cv - final[c, d]) < 2e-6, (c, d, cv, final[c, d])
+
+
+def test_group_linear_trend_recovers_line(spark):
+    rows = []
+    for i in range(50):
+        rows.append(("up", float(i), 2.0 * i + 5.0))      # exact line
+        rows.append(("flat", float(i), 7.0))              # zero slope
+    rows += [("point", 1.0, 3.0)] * 4                     # zero x-variance
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in
+           relational.group_linear_trend(df, ["g"], "x", "y").collect()}
+    assert abs(out["up"]["slope"] - 2.0) < 1e-5
+    assert abs(out["up"]["intercept"] - 5.0) < 1e-5
+    assert abs(out["up"]["r2"] - 1.0) < 1e-6
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["r2"] is None
+    assert out["point"]["slope"] is None  # vertical: no fit
