@@ -38,6 +38,7 @@ from cocoindex_data_ingestion_spark.functions.text import (
 from cocoindex_data_ingestion_spark.operators import (
     bm25 as bm25_ops,
     chunking,
+    classifier,
     curation,
     dedup,
     fusion,
@@ -7935,6 +7936,79 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     mean, comps, _ = vector_search.pca_fit(emb, q=8)
     return vector_search.pca_project(emb, mean, comps)
+
+
+# -- distributed Naive Bayes text classifier (classifier.py) ------------------
+
+_NB_SCALE = "1000000.0"
+
+_NB_LANG_SQL = f"""
+WITH
+tok AS MATERIALIZED (
+  SELECT doc_id, lang, unnest({_TOKS_SQL}) AS token FROM documents),
+cnt AS MATERIALIZED (
+  SELECT lang AS label, token, count(*) AS c
+  FROM tok WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+vocab AS (SELECT DISTINCT token FROM cnt),
+v AS (SELECT count(*) AS v FROM vocab),
+labels AS (SELECT DISTINCT label FROM cnt),
+ctot AS (SELECT label, CAST(sum(c) AS DOUBLE) AS ctot FROM cnt GROUP BY 1),
+model AS MATERIALIZED (
+  SELECT g.token, g.label,
+         CAST(floor(ln((coalesce(cnt.c, 0) + 1.0) / (ctot.ctot + v.v))
+                    * {_NB_SCALE} + 0.5) AS BIGINT) AS lq
+  FROM (SELECT vocab.token, labels.label
+        FROM vocab CROSS JOIN labels) g
+  LEFT JOIN cnt ON cnt.token = g.token AND cnt.label = g.label
+  JOIN ctot ON ctot.label = g.label, v),
+pri AS (
+  SELECT lang AS label,
+         CAST(floor(ln(count(*) * 1.0 /
+                       (SELECT count(*) FROM documents WHERE doc_id % 5 <> 0))
+                    * {_NB_SCALE} + 0.5) AS BIGINT) AS prq
+  FROM documents WHERE doc_id % 5 <> 0 GROUP BY 1),
+sc AS (
+  SELECT t.doc_id, m.label, sum(m.lq) AS sq, count(*) AS n_toks
+  FROM tok t JOIN model m USING (token)
+  WHERE t.doc_id % 5 = 0 GROUP BY 1, 2),
+fin AS (
+  SELECT sc.doc_id, sc.label, sc.n_toks, sc.sq + pri.prq AS score_q,
+         row_number() OVER (
+           PARTITION BY sc.doc_id
+           ORDER BY (sc.sq + pri.prq) DESC, sc.label ASC) AS rk
+  FROM sc JOIN pri USING (label))
+SELECT f.doc_id, d.lang, f.label AS pred, (f.label = d.lang) AS correct,
+       CAST(f.n_toks AS BIGINT) AS n_toks,
+       {_R(f"CAST(f.score_q AS DOUBLE) / {_NB_SCALE}", 4)} AS score
+FROM fin f JOIN documents d USING (doc_id)
+WHERE f.rk = 1
+"""
+
+
+@_register("classify_nb_language", _NB_LANG_SQL)
+def _q_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier — the fastText-style
+    corpus-routing model (CCNet language/quality filtering shape):
+    train on an 80% doc_id-hash split, score the held-out 20%, report
+    per-doc argmax vs actual. Training is two vocabulary-sized
+    aggregates; the fitted model broadcasts; inference shuffles only
+    (doc, label) partial sums. Log-likelihoods are fixed-point
+    quantized per model cell, so scores are exact integer sums —
+    partitioning-invariant and engine-exact (classifier.nb_train /
+    nb_predict)."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model, priors = classifier.nb_train(train, label_col="lang")
+    pred = classifier.nb_predict(test, model, priors)
+    return pred.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "pred",
+        (F.col("pred") == F.col("lang")).alias("correct"),
+        "n_toks",
+        "score",
+    )
 
 
 # ------------------------------------------------------------- driver surface

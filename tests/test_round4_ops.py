@@ -691,3 +691,47 @@ def test_group_linear_trend_recovers_line(spark):
     assert abs(out["up"]["r2"] - 1.0) < 1e-6
     assert out["flat"]["slope"] == 0.0 and out["flat"]["r2"] is None
     assert out["point"]["slope"] is None  # vertical: no fit
+
+
+# -- Naive Bayes classifier ---------------------------------------------------
+
+
+def test_nb_classifier_separates_vocabularies(spark):
+    from cocoindex_data_ingestion_spark.operators import classifier
+
+    rows = []
+    # two classes with disjoint core vocab + shared filler
+    for i in range(20):
+        rows.append((i, "spark shuffle partition executor common word", "eng"))
+        rows.append((100 + i, "fromage voiture maison soleil common word", "fra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, priors = classifier.nb_train(docs, label_col="lang")
+    test = spark.createDataFrame(
+        [(500, "shuffle executor word"), (501, "maison soleil word")],
+        "doc_id long, text string",
+    )
+    pred = {r["doc_id"]: r["pred"] for r in
+            classifier.nb_predict(test, model, priors).collect()}
+    assert pred == {500: "eng", 501: "fra"}
+
+
+def test_nb_scores_partitioning_invariant(spark):
+    from cocoindex_data_ingestion_spark.operators import classifier
+
+    rows = [(i, f"tok{i % 7} tok{i % 3} alpha beta", "a" if i % 2 else "b")
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, priors = classifier.nb_train(docs, label_col="lang")
+    test = docs.select("doc_id", "text")
+    a = classifier.nb_predict(test, model, priors)
+    b = classifier.nb_predict(test.repartition(13), model, priors)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_nb_max_vocab_caps_model(spark):
+    from cocoindex_data_ingestion_spark.operators import classifier
+
+    rows = [(i, "w1 w2 w3 w4 w5 w6 w7 w8", "x") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    model, _ = classifier.nb_train(docs, label_col="lang", max_vocab=3)
+    assert model.count() == 3  # 3 tokens x 1 label
