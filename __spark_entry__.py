@@ -8011,6 +8011,59 @@ def _q_nb_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- snapshot diff (relational.snapshot_diff) ---------------------------------
+
+_SNAPDIFF_SQL = """
+WITH
+v1 AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 97 <> 0),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 89 = 0
+              THEN o_totalprice + 1.5 ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 83 = 0
+              THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 101 <> 0)
+SELECT coalesce(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+       CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+            WHEN v2.o_orderkey IS NULL THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       v1.o_totalprice AS old_o_totalprice,
+       v2.o_totalprice AS new_o_totalprice,
+       v1.o_orderstatus AS old_o_orderstatus,
+       v2.o_orderstatus AS new_o_orderstatus
+FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+   OR v1.o_totalprice IS DISTINCT FROM v2.o_totalprice
+   OR v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus
+"""
+
+
+@_register("orders_snapshot_diff", _SNAPDIFF_SQL)
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two deterministic snapshots of orders
+    (inserts: keys divisible by 97 absent from v1; deletes: keys
+    divisible by 101 absent from v2; updates: price correction on
+    %89, status overwrite on %83). One co-partitioned full-outer
+    join; output proportional to churn (relational.snapshot_diff)."""
+    orders = _t(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 97 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 101 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 83 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+    )
+    return relational.snapshot_diff(
+        v1, v2, ["o_orderkey"], ["o_totalprice", "o_orderstatus"]
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -478,3 +478,57 @@ def group_linear_trend(
         ),
         stable_round(F.when(denom > 0, r2), round_to).alias("r2"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    pk: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """CDC-style diff of two snapshots of the same table: one row per
+    pk whose state differs, tagged ``added`` / ``removed`` /
+    ``changed``, with the old/new value of every compared column
+    (nulls on the absent side).
+
+    The reference's export targets reconcile snapshots the same way
+    before MERGE (src/execution/row_indexer.rs precommit diff;
+    sinks.py reproduces the apply side) — this is the standalone
+    diff operator for auditing/driving that reconciliation.
+
+    Physical plan: ONE co-partitioned full-outer join on the pk (SMJ;
+    shuffle-free when both sides are bucketed by pk, skew handled by
+    AQE). Change detection is null-safe column comparison — no window,
+    no second pass. At 100 TB the diff output is proportional to the
+    churn, not the table.
+    """
+    o = old.select(
+        *[F.col(c) for c in pk],
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(c) for c in pk],
+        F.lit(True).alias("_in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in compare_cols],
+    )
+    j = o.join(n, pk, "full_outer")
+    differs = None
+    for c in compare_cols:
+        d = ~(F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")))
+        differs = d if differs is None else (differs | d)
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.withColumn("change_type", change)
+        .filter(F.col("change_type") != "unchanged")
+        .select(
+            *pk,
+            "change_type",
+            *[c for cc in compare_cols for c in (f"old_{cc}", f"new_{cc}")],
+        )
+    )

@@ -735,3 +735,30 @@ def test_nb_max_vocab_caps_model(spark):
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     model, _ = classifier.nb_train(docs, label_col="lang", max_vocab=3)
     assert model.count() == 3  # 3 tokens x 1 label
+
+
+# -- snapshot diff ------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c"), (4, None, "d")],
+        "id long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0, "b"), (3, 31.0, "c"), (4, None, "d"), (5, 50.0, "e")],
+        "id long, price double, status string",
+    )
+    out = {r["id"]: r for r in relational.snapshot_diff(
+        old, new, ["id"], ["price", "status"]).collect()}
+    assert set(out) == {1, 3, 5}  # 2 and 4 unchanged (4: null==null)
+    assert out[1]["change_type"] == "removed" and out[1]["new_price"] is None
+    assert out[3]["change_type"] == "changed" and out[3]["new_price"] == 31.0
+    assert out[5]["change_type"] == "added" and out[5]["old_status"] is None
+
+
+def test_snapshot_diff_null_transitions(spark):
+    old = spark.createDataFrame([(1, None)], "id long, v string")
+    new = spark.createDataFrame([(1, "x")], "id long, v string")
+    rows = relational.snapshot_diff(old, new, ["id"], ["v"]).collect()
+    assert len(rows) == 1 and rows[0]["change_type"] == "changed"
