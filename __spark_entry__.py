@@ -8064,6 +8064,42 @@ def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- 2-D Pareto skyline (relational.skyline_2d) -------------------------------
+
+_SKYLINE_SQL = """
+WITH pts AS (
+  SELECT p_retailprice AS price, p_size AS size, count(*) AS n_parts
+  FROM part GROUP BY 1, 2)
+SELECT price, size, CAST(n_parts AS BIGINT) AS n_parts
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts q
+  WHERE q.price <= p.price AND q.size >= p.size
+    AND (q.price < p.price OR q.size > p.size))
+"""
+
+
+@_register("parts_pareto_frontier", _SKYLINE_SQL)
+def _q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts on (minimize retail price, maximize
+    size) — the skyline query. The oracle is the O(n^2) NOT-EXISTS
+    domination test; the Spark plan is the scale path: two
+    domain-bounded aggregations then a distributed prefix-scan
+    running max (per-partition window + broadcast prefix of
+    partition maxima — no global window, no self-join)
+    (relational.skyline_2d)."""
+    part = _t(spark, sf_dir, "part")
+    return relational.skyline_2d(
+        part.select(
+            F.col("p_retailprice").alias("price"),
+            F.col("p_size").alias("size"),
+        ),
+        "price",
+        "size",
+        count_col="n_parts",
+    ).select("price", "size", F.col("n_parts").cast("long").alias("n_parts"))
+
+
 # ------------------------------------------------------------- driver surface
 
 

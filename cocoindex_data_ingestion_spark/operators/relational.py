@@ -532,3 +532,55 @@ def snapshot_diff(
             *[c for cc in compare_cols for c in (f"old_{cc}", f"new_{cc}")],
         )
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    min_col: str,
+    max_col: str,
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): the (min_col, max_col) pairs not
+    dominated by any other row — q dominates p when q.min <= p.min and
+    q.max >= p.max with at least one strict. Returns one row per
+    frontier point with the number of source rows at that point.
+
+    Scale shape — NOT the O(n^2) domination anti-join and NOT a global
+    no-partition window:
+    1. collapse to per-pair counts, then the per-min_col max curve
+       (two domain-bounded aggregations);
+    2. range-repartition the curve so partition order == global order,
+       freeze partition ids, and compute the strictly-preceding
+       running max as per-partition window + broadcast prefix-max of
+       the preceding partitions (distributed prefix scan, the
+       as_ltable discipline — datamodel.as_ltable);
+    3. a curve point survives iff every strictly-cheaper point has a
+       strictly-smaller max.
+    """
+    pairs = df.groupBy(min_col, max_col).agg(F.count("*").alias(count_col))
+    curve = pairs.groupBy(min_col).agg(F.max(max_col).alias("_ymax"))
+    part = (
+        curve.repartitionByRange(F.col(min_col).asc())
+        .sortWithinPartitions(F.col(min_col).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pmax = part.groupBy("_pid").agg(F.max("_ymax").alias("_pm"))
+    # window over #partitions rows — bounded by cluster size
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    prev = pmax.select("_pid", F.max("_pm").over(w_prev).alias("_prev_max"))
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(F.col(min_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = F.greatest(
+        F.max("_ymax").over(w_local), F.col("_prev_max")
+    )
+    sky = (
+        part.join(F.broadcast(prev), "_pid")
+        .withColumn("_run", run)
+        .filter(F.col("_run").isNull() | (F.col("_run") < F.col("_ymax")))
+        .select(min_col, F.col("_ymax").alias(max_col))
+    )
+    return sky.join(pairs, [min_col, max_col])

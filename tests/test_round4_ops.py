@@ -762,3 +762,34 @@ def test_snapshot_diff_null_transitions(spark):
     new = spark.createDataFrame([(1, "x")], "id long, v string")
     rows = relational.snapshot_diff(old, new, ["id"], ["v"]).collect()
     assert len(rows) == 1 and rows[0]["change_type"] == "changed"
+
+
+# -- 2-D skyline --------------------------------------------------------------
+
+
+def test_skyline_2d_matches_bruteforce(spark):
+    import itertools, random
+    rng = random.Random(7)
+    pts = [(rng.randint(0, 30) * 1.0, rng.randint(0, 30)) for _ in range(300)]
+    df = spark.createDataFrame(pts, "price double, size long")
+    got = {(r["price"], r["size"])
+           for r in relational.skyline_2d(df, "price", "size").collect()}
+    uniq = set(pts)
+    want = {
+        p for p in uniq
+        if not any(
+            q[0] <= p[0] and q[1] >= p[1] and (q[0] < p[0] or q[1] > p[1])
+            for q in uniq)
+    }
+    assert got == want
+
+
+def test_skyline_2d_counts_and_partition_invariance(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5), (1.0, 5), (2.0, 6), (2.0, 4), (0.5, 1)],
+        "price double, size long",
+    )
+    for d in (df, df.repartition(7)):
+        rows = {(r["price"], r["size"]): r["n_rows"]
+                for r in relational.skyline_2d(d, "price", "size").collect()}
+        assert rows == {(1.0, 5): 2, (2.0, 6): 1, (0.5, 1): 1}
