@@ -8100,6 +8100,41 @@ def _q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("price", "size", F.col("n_parts").cast("long").alias("n_parts"))
 
 
+# -- ANALYZE-style column profile (relational.column_profile) -----------------
+
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _colstats_sql() -> str:
+    legs = []
+    for c in _PROFILE_COLS:
+        legs.append(f"""
+SELECT '{c}' AS col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS ndv,
+       CAST(min({c}) AS DOUBLE) AS min_v,
+       CAST(max({c}) AS DOUBLE) AS max_v,
+       {_R(f"quantile_cont(CAST({c} AS DOUBLE), 0.25)", 4)} AS p25,
+       {_R(f"quantile_cont(CAST({c} AS DOUBLE), 0.5)", 4)} AS p50,
+       {_R(f"quantile_cont(CAST({c} AS DOUBLE), 0.75)", 4)} AS p75
+FROM lineitem""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@_register("lineitem_column_stats", _colstats_sql())
+def _q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table statistics over lineitem's measures —
+    count/nulls/exact-NDV/min/max/quartiles per column, all from ONE
+    wide aggregate in a single scan (the long format explodes the
+    one result row). The optimizer-stats primitive behind CBO join
+    ordering and the data-quality dashboard
+    (relational.column_profile)."""
+    return relational.column_profile(
+        _t(spark, sf_dir, "lineitem"), list(_PROFILE_COLS)
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

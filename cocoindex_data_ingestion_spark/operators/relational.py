@@ -584,3 +584,50 @@ def skyline_2d(
         .select(min_col, F.col("_ymax").alias(max_col))
     )
     return sky.join(pairs, [min_col, max_col])
+
+
+def column_profile(
+    df: DataFrame, cols: list[str], round_to: int = 4
+) -> DataFrame:
+    """ANALYZE-style numeric column profile: one row per column with
+    ``(col_name, n_rows, n_null, ndv, min_v, max_v, p25, p50, p75)``.
+    The optimizer-statistics / data-quality-dashboard primitive.
+
+    Physical plan: ONE wide aggregate over a single table scan — every
+    statistic for every column is a scalar agg in the same pass, and
+    the long format comes from exploding the single result row (free).
+    The exact ``count(distinct)`` per column plans as Expand (stream
+    x C); at 100 TB swap ``exact_ndv=False``-style profiling in by
+    replacing it with ``approx_count_distinct`` (HLL, no Expand) —
+    exact here because the oracle compares values.
+    """
+    from ..functions.compare import stable_round
+
+    aggs: list = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        col = F.col(c).cast("double")
+        aggs += [
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias(f"{c}__nnull"),
+            F.countDistinct(col).alias(f"{c}__ndv"),
+            F.min(col).alias(f"{c}__min"),
+            F.max(col).alias(f"{c}__max"),
+            F.percentile(col, F.lit(0.25)).alias(f"{c}__p25"),
+            F.percentile(col, F.lit(0.5)).alias(f"{c}__p50"),
+            F.percentile(col, F.lit(0.75)).alias(f"{c}__p75"),
+        ]
+    row = df.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("__n").cast("long").alias("n_rows"),
+            F.col(f"{c}__nnull").cast("long").alias("n_null"),
+            F.col(f"{c}__ndv").cast("long").alias("ndv"),
+            F.col(f"{c}__min").alias("min_v"),
+            F.col(f"{c}__max").alias("max_v"),
+            stable_round(F.col(f"{c}__p25"), round_to).alias("p25"),
+            stable_round(F.col(f"{c}__p50"), round_to).alias("p50"),
+            stable_round(F.col(f"{c}__p75"), round_to).alias("p75"),
+        )
+        for c in cols
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

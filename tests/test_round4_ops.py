@@ -793,3 +793,21 @@ def test_skyline_2d_counts_and_partition_invariance(spark):
         rows = {(r["price"], r["size"]): r["n_rows"]
                 for r in relational.skyline_2d(d, "price", "size").collect()}
         assert rows == {(1.0, 5): 2, (2.0, 6): 1, (0.5, 1): 1}
+
+
+# -- column profile -----------------------------------------------------------
+
+
+def test_column_profile_stats(spark):
+    df = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, None), (2.0, 30.0), (4.0, 40.0)],
+        "a double, b double",
+    )
+    out = {r["col_name"]: r
+           for r in relational.column_profile(df, ["a", "b"]).collect()}
+    a = out["a"]
+    assert (a["n_rows"], a["n_null"], a["ndv"]) == (4, 0, 3)
+    assert (a["min_v"], a["max_v"], a["p50"]) == (1.0, 4.0, 2.0)
+    b = out["b"]
+    assert (b["n_rows"], b["n_null"], b["ndv"]) == (4, 1, 3)
+    assert b["p50"] == 30.0  # percentile ignores nulls
