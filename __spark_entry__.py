@@ -8135,6 +8135,72 @@ def _q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mergeable histogram quantile sketch (sketches.histogram_*) ---------------
+
+_HQ_BINS = 32
+
+_HIST_QUANTILE_SQL = f"""
+WITH
+rng AS (SELECT CAST(min(value) AS DOUBLE) AS lo,
+               CAST(max(value) AS DOUBLE) AS hi
+        FROM events WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             least({_HQ_BINS - 1}, greatest(0,
+               CAST(floor((value - lo) / (hi - lo) * {_HQ_BINS}.0) AS INT)))
+               AS bin
+      FROM events, rng WHERE value IS NOT NULL),
+h AS (SELECT event_type, bin, count(*) AS c FROM b GROUP BY 1, 2),
+hu AS (SELECT event_type, bin, CAST(c AS BIGINT) AS c FROM h
+       UNION ALL
+       SELECT 'ALL' AS event_type, bin, CAST(sum(c) AS BIGINT) AS c
+       FROM h GROUP BY bin),
+cum AS (SELECT event_type, bin, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM hu),
+k AS (SELECT event_type, max(n) AS n,
+             min(CASE WHEN cum >= ceil(0.5 * n) THEN bin END) AS k50,
+             min(CASE WHEN cum >= ceil(0.95 * n) THEN bin END) AS k95,
+             min(CASE WHEN cum >= ceil(0.99 * n) THEN bin END) AS k99
+      FROM cum GROUP BY 1)
+SELECT event_type, CAST(n AS BIGINT) AS n,
+       {_R(f"lo + k50 * ((hi - lo) / {_HQ_BINS}.0)", 6)} AS p50_est,
+       {_R(f"lo + k95 * ((hi - lo) / {_HQ_BINS}.0)", 6)} AS p95_est,
+       {_R(f"lo + k99 * ((hi - lo) / {_HQ_BINS}.0)", 6)} AS p99_est
+FROM k, rng
+"""
+
+
+@_register("events_quantile_sketch", _HIST_QUANTILE_SQL)
+def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch: per-event-type fixed-bin histograms
+    plus an 'ALL' rollup built by SUMMING the per-type bin counts —
+    the merge that makes pre-aggregated quantiles O(cells) at 100 TB
+    (the t-digest/KLL role with an exact, engine-checkable merge).
+    Estimates are deterministic lower bin edges at ceil(q*n) rank
+    (sketches.histogram_sketch / histogram_quantiles)."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    hist = sketches.histogram_sketch(ev, "value", ["event_type"], _HQ_BINS)
+    merged = (
+        hist.groupBy("bin", "_lo", "_hi")
+        .agg(F.sum("c").alias("c"))
+        .withColumn("event_type", F.lit("ALL"))
+    )
+    hu = hist.unionByName(merged)
+    out = sketches.histogram_quantiles(
+        hu, ["event_type"], [0.5, 0.95, 0.99], _HQ_BINS
+    )
+    return out.select(
+        "event_type",
+        "n",
+        stable_round(F.col("p50_est"), 6).alias("p50_est"),
+        stable_round(F.col("p95_est"), 6).alias("p95_est"),
+        stable_round(F.col("p99_est"), 6).alias("p99_est"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

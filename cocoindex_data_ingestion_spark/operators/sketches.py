@@ -52,3 +52,90 @@ def rollup_estimate(
     if group_cols:
         return sketches.groupBy(*[F.col(c) for c in group_cols]).agg(est, n)
     return sketches.agg(est, n)
+
+
+# -- mergeable fixed-bin histogram quantiles ----------------------------------
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_bins: int = 32,
+    lo: Column | float | None = None,
+    hi: Column | float | None = None,
+) -> DataFrame:
+    """Per-group fixed-bin histogram — the mergeable quantile sketch:
+    ``(group..., bin, c)`` where ``bin = clamp(floor((v-lo)/(hi-lo)
+    * B))``. Merging groups = summing bin counts (exact), so rollups
+    across any dimension cost O(cells), never O(rows) — the same
+    pre-aggregation discipline as the HLL sketch table above, for
+    quantiles. ``lo``/``hi`` default to the global min/max folded in
+    as broadcast scalars (one extra scalar-agg pass)."""
+    v = F.col(value_col).cast("double")
+    if lo is None or hi is None:
+        rng = df.agg(
+            F.min(v).alias("_lo"), F.max(v).alias("_hi")
+        )
+        df = df.crossJoin(F.broadcast(rng))
+        lo_c, hi_c = F.col("_lo"), F.col("_hi")
+    else:
+        lo_c = lo if isinstance(lo, Column) else F.lit(float(lo))
+        hi_c = hi if isinstance(hi, Column) else F.lit(float(hi))
+        df = df.withColumn("_lo", lo_c).withColumn("_hi", hi_c)
+    b = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((v - F.col("_lo")) / (F.col("_hi") - F.col("_lo"))
+                    * F.lit(float(n_bins))).cast("int"),
+        ),
+    )
+    return (
+        df.withColumn("bin", b)
+        .groupBy(*group_cols, "bin", "_lo", "_hi")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    n_bins: int = 32,
+) -> DataFrame:
+    """Quantile estimates from a (possibly merged) histogram sketch:
+    for each q, the LOWER EDGE of the first bin whose cumulative count
+    reaches ``ceil(q * n)`` — a deterministic, engine-exact rule
+    (integer ranks, one multiply per edge). Cumulation is a window
+    over at most ``n_bins`` rows per group."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = F.sum("c")
+    aggs = [n.cast("long").alias("n")]
+    for q in qs:
+        target = F.ceil(F.lit(q) * F.sum("c").over(
+            Window.partitionBy(*group_cols)
+        ))
+        cum = cum.withColumn(f"_t_{int(q*100)}", target)
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("cum") >= F.col(f"_t_{int(q*100)}"), F.col("bin")
+                )
+            ).alias(f"_k_{int(q*100)}")
+        )
+    out = cum.groupBy(*group_cols, "_lo", "_hi").agg(*aggs)
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    sel = [*group_cols, F.col("n")]
+    for q in qs:
+        sel.append(
+            (F.col("_lo") + F.col(f"_k_{int(q*100)}") * width)
+            .alias(f"p{int(q*100)}_est")
+        )
+    return out.select(*sel)

@@ -811,3 +811,38 @@ def test_column_profile_stats(spark):
     b = out["b"]
     assert (b["n_rows"], b["n_null"], b["ndv"]) == (4, 1, 3)
     assert b["p50"] == 30.0  # percentile ignores nulls
+
+
+# -- histogram quantile sketch ------------------------------------------------
+
+
+def test_histogram_sketch_merge_equals_direct(spark):
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    rows = [(("a" if i % 2 else "b"), float(i)) for i in range(1, 201)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    hist = sketches.histogram_sketch(df, "v", ["g"], n_bins=16,
+                                     lo=0.0, hi=200.0)
+    # merging per-group sketches == sketching the union directly
+    merged = (hist.groupBy("bin", "_lo", "_hi")
+              .agg(F.sum("c").alias("c"))
+              .withColumn("g", F.lit("ALL")))
+    direct = sketches.histogram_sketch(
+        df.withColumn("g", F.lit("ALL")), "v", ["g"], n_bins=16,
+        lo=0.0, hi=200.0)
+    assert sorted(map(tuple, merged.select("g", "bin", "c").collect())) == \
+        sorted(map(tuple, direct.select("g", "bin", "c").collect()))
+
+
+def test_histogram_quantiles_accuracy(spark):
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    df = spark.createDataFrame(
+        [("x", float(i)) for i in range(1, 1001)], "g string, v double")
+    hist = sketches.histogram_sketch(df, "v", ["g"], n_bins=100,
+                                     lo=0.0, hi=1000.0)
+    q = sketches.histogram_quantiles(hist, ["g"], [0.5, 0.95], 100).collect()[0]
+    # lower-edge estimate within one bin width of the exact quantile
+    assert abs(q["p50_est"] - 500.0) <= 10.0
+    assert abs(q["p95_est"] - 950.0) <= 10.0
+    assert q["n"] == 1000
