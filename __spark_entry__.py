@@ -8201,6 +8201,42 @@ def _q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- weekly seasonal baseline (relational.seasonal_profile) -------------------
+
+_SEASONAL_SQL = f"""
+WITH
+e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+c2 AS (SELECT event_type,
+              (CAST((us - us % 86400000000) / 86400000000 AS BIGINT) + 4) % 7
+                AS dow,
+              CAST((us - us % 3600000000) / 3600000000 AS BIGINT) % 24
+                AS hour,
+              value AS v
+       FROM e),
+prof AS (SELECT event_type, dow, hour, CAST(count(*) AS BIGINT) AS n,
+                {_A("v", 4)} AS seasonal_avg
+         FROM c2 GROUP BY 1, 2, 3)
+SELECT p.event_type, p.dow, p.hour, p.n, p.seasonal_avg,
+       {_A("abs(c2.v - p.seasonal_avg)", 4)} AS mae
+FROM c2 JOIN prof p USING (event_type, dow, hour)
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
+@_register("events_seasonal_baseline", _SEASONAL_SQL)
+def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal decomposition baseline per event type: the
+    (dow, hour) seasonal mean plus mean absolute residual — the
+    seasonal-naive anomaly/forecast baseline. Pure integer epoch
+    arithmetic for calendar cells (engine-convention-proof); the
+    cell-bounded profile broadcasts back onto the stream
+    (relational.seasonal_profile)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "value", _ts_us("ts").alias("us")
+    )
+    return relational.seasonal_profile(ev, "us", "value", ["event_type"])
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -631,3 +631,50 @@ def column_profile(
         for c in cols
     ]
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    us_col: str,
+    value_col: str,
+    group_cols: list[str],
+    round_to: int = 4,
+) -> DataFrame:
+    """Weekly seasonal decomposition baseline: per (group, day-of-week,
+    hour-of-day) the seasonal mean of ``value_col`` and the mean
+    absolute residual against it — the seasonal-naive forecaster /
+    anomaly baseline for event streams.
+
+    Time fields come from pure integer epoch arithmetic
+    (``(us - us%D)/D`` is an exact-integer-valued double, so both
+    engines agree bit-for-bit; no calendar functions whose week
+    conventions differ). Plan: one cell aggregation (bounded:
+    |groups| x 168 rows), the profile BROADCAST back onto the stream
+    (no re-shuffle of the events), then the residual aggregation —
+    two stream-sized exchanges total.
+    """
+    from ..functions.compare import stable_avg
+
+    day_us = 86_400_000_000
+    hr_us = 3_600_000_000
+    us = F.col(us_col)
+    cells = df.select(
+        *group_cols,
+        (((us - us % day_us) / day_us).cast("long") + 4).alias("_day4"),
+        (((us - us % hr_us) / hr_us).cast("long") % 24).alias("hour"),
+        F.col(value_col).alias("_v"),
+    ).withColumn("dow", F.col("_day4") % 7).drop("_day4")
+    keys = [*group_cols, "dow", "hour"]
+    prof = cells.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n"),
+        stable_avg(F.col("_v"), round_to).alias("seasonal_avg"),
+    )
+    return (
+        cells.join(F.broadcast(prof), keys)
+        .groupBy(*keys, "n", "seasonal_avg")
+        .agg(
+            stable_avg(
+                F.abs(F.col("_v") - F.col("seasonal_avg")), round_to
+            ).alias("mae")
+        )
+    )

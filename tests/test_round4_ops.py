@@ -846,3 +846,22 @@ def test_histogram_quantiles_accuracy(spark):
     assert abs(q["p50_est"] - 500.0) <= 10.0
     assert abs(q["p95_est"] - 950.0) <= 10.0
     assert q["n"] == 1000
+
+
+# -- seasonal baseline --------------------------------------------------------
+
+
+def test_seasonal_profile_cells_and_residuals(spark):
+    day = 86_400_000_000
+    hr = 3_600_000_000
+    # thursday 1970-01-01 (dow=(0+4)%7=4) hour 0: values 10, 20
+    # friday hour 1: value 6
+    rows = [("a", 0, 10.0), ("a", 30 * 60_000_000, 20.0),
+            ("a", day + hr, 6.0)]
+    df = spark.createDataFrame(rows, "g string, us long, v double")
+    out = {(r["dow"], r["hour"]): r for r in relational.seasonal_profile(
+        df, "us", "v", ["g"]).collect()}
+    c = out[(4, 0)]
+    assert c["n"] == 2 and c["seasonal_avg"] == 15.0 and c["mae"] == 5.0
+    c2 = out[(5, 1)]
+    assert c2["n"] == 1 and c2["seasonal_avg"] == 6.0 and c2["mae"] == 0.0
