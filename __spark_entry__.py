@@ -8237,6 +8237,32 @@ def _q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.seasonal_profile(ev, "us", "value", ["event_type"])
 
 
+# -- incremental connected components (dedup.incremental_components) ----------
+
+
+@_register("ivm_components_incremental", _MINHASH_COMPONENTS_SQL)
+def _q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CC maintenance: the LSH edge graph is split
+    deterministically into a historical set and a batch; CC labels
+    are computed for the historical set, then the batch folds in via
+    dedup.incremental_components — touching only affected components
+    (star re-encoding), never the full graph. The oracle is the full
+    recompute over ALL edges: equality IS the incremental contract
+    (same discipline as ivm_drift_monitor)."""
+    docs = _t(spark, sf_dir, "documents")
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    edges = dedup.minhash_lsh_edges(
+        nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
+    )
+    batch_pred = (F.col("id_a") + F.col("id_b")) % 5 == 0
+    hist = edges.filter(~batch_pred)
+    batch = edges.filter(batch_pred)
+    labels = dedup.connected_components(hist)
+    return dedup.incremental_components(labels, batch)
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -1093,3 +1093,44 @@ def cross_source_matrix(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy(F.desc("n_pairs"), "src_a", "src_b")
     )
+
+
+def incremental_components(
+    labels: DataFrame, new_edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Incremental connected-components maintenance: fold a batch of
+    new edges into an existing ``(node_id, component)`` labeling
+    WITHOUT re-running CC over the full graph.
+
+    The prior labeling is itself a star-edge encoding of each
+    component (node -> min-id), so the merge only needs CC over
+    (star edges of the components touched by the batch) ∪ (the batch
+    edges); every untouched component passes through unchanged. Work
+    is proportional to the affected components + batch — the daily-
+    increment shape at 100 TB, where the graph is billions of nodes
+    and the batch touches a sliver.
+
+    With a small batch, the touched-node and affected-component sets
+    are small: AQE plans the semi/anti joins as broadcasts, so the
+    full label table is never shuffled. Result is exactly
+    ``connected_components(old_edges ∪ new_edges)`` (min-id labels
+    are invariant to the star re-encoding) — that equivalence is the
+    oracle contract.
+    """
+    touched = (
+        new_edges.select(F.col("id_a").alias("node_id"))
+        .unionByName(new_edges.select(F.col("id_b").alias("node_id")))
+        .distinct()
+    )
+    aff_comps = labels.join(touched, "node_id").select("component").distinct()
+    aff = labels.join(aff_comps, "component")
+    star = aff.select(
+        F.col("component").alias("id_a"), F.col("node_id").alias("id_b")
+    ).filter(F.col("id_a") != F.col("id_b"))
+    sub_edges = star.unionByName(new_edges.select("id_a", "id_b"))
+    sub = connected_components(sub_edges, max_iterations=max_iterations)
+    keep = labels.join(aff_comps, "component", "left_anti")
+    # the using-join moved the key first; restore the labels layout
+    return keep.select("node_id", "component").unionByName(
+        sub.select("node_id", "component")
+    )

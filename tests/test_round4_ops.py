@@ -865,3 +865,37 @@ def test_seasonal_profile_cells_and_residuals(spark):
     assert c["n"] == 2 and c["seasonal_avg"] == 15.0 and c["mae"] == 5.0
     c2 = out[(5, 1)]
     assert c2["n"] == 1 and c2["seasonal_avg"] == 6.0 and c2["mae"] == 0.0
+
+
+# -- incremental connected components -----------------------------------------
+
+
+def test_incremental_components_equals_full(spark):
+    import random
+    rng = random.Random(11)
+    all_edges = list({(rng.randint(0, 40), rng.randint(0, 40))
+                      for _ in range(60)})
+    all_edges = [(a, b) for a, b in all_edges if a != b]
+    hist = [(a, b) for a, b in all_edges if (a + b) % 4 != 0]
+    batch = [(a, b) for a, b in all_edges if (a + b) % 4 == 0]
+    e_all = spark.createDataFrame(all_edges, "id_a long, id_b long")
+    e_h = spark.createDataFrame(hist, "id_a long, id_b long")
+    e_b = spark.createDataFrame(batch, "id_a long, id_b long")
+    full = sorted(map(tuple, dedup.connected_components(e_all).collect()))
+    labels = dedup.connected_components(e_h)
+    inc = sorted(map(tuple,
+                     dedup.incremental_components(labels, e_b).collect()))
+    assert inc == full
+
+
+def test_incremental_components_merges_and_new_nodes(spark):
+    # two components {1,2} {10,11}; batch bridges them and adds {100,101}
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (10, 10), (11, 10), (50, 50)],
+        "node_id long, component long",
+    )
+    batch = spark.createDataFrame(
+        [(2, 10), (100, 101)], "id_a long, id_b long")
+    out = {r["node_id"]: r["component"] for r in
+           dedup.incremental_components(labels, batch).collect()}
+    assert out == {1: 1, 2: 1, 10: 1, 11: 1, 50: 50, 100: 100, 101: 100}
