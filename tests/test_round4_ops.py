@@ -899,3 +899,40 @@ def test_incremental_components_merges_and_new_nodes(spark):
     out = {r["node_id"]: r["component"] for r in
            dedup.incremental_components(labels, batch).collect()}
     assert out == {1: 1, 2: 1, 10: 1, 11: 1, 50: 50, 100: 100, 101: 100}
+
+
+# -- int8 quantization --------------------------------------------------------
+
+
+def test_int8_codes_bounds_and_error(spark):
+    import math
+    rng = np.random.default_rng(3)
+    vecs = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    qz = vector_search.with_int8_codes(df).collect()
+    for r in qz:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        # dequantized reconstruction error bounded by scale/2 per coord
+        for x, c in zip(r["embedding"], r["codes"]):
+            assert abs(x - c * r["scale"]) <= r["scale"] / 2 + 1e-12
+
+    # quantized cosine close to exact cosine
+    a, b = qz[0], qz[1]
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        return d / math.sqrt(sum(x * x for x in u) * sum(y * y for y in v))
+    exact = cos(a["embedding"], b["embedding"])
+    q8 = cos(a["codes"], b["codes"])
+    assert abs(exact - q8) < 0.02
+
+
+def test_int8_zero_vector_safe(spark):
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    qz = {r["vec_id"]: r for r in
+          vector_search.with_int8_codes(df).collect()}
+    assert qz[0]["codes"] == [0, 0] and qz[0]["scale"] == 1.0
+    out = vector_search.with_int8_codes(df).select(
+        vector_search.int8_cosine("codes", "codes").alias("c")).collect()
+    assert [r["c"] for r in out] == [0.0, 1.0]
