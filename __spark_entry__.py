@@ -8342,6 +8342,58 @@ def _q_vector_knn_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- blocked fuzzy record linkage (dedup.fuzzy_string_pairs) ------------------
+
+_LINKAGE_MAX_DIST = 3
+_LINKAGE_DF_CAP = 10_000
+
+_LINKAGE_SQL = f"""
+WITH
+names AS MATERIALIZED (
+  SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
+t AS (SELECT name,
+             unnest(list_distinct(regexp_extract_all(lower(name),
+               '{TOKEN_RE}'))) AS tok
+      FROM names),
+tc AS (SELECT tok, count(*) AS dfb FROM t GROUP BY 1),
+tf AS (SELECT t.name, t.tok FROM t JOIN tc USING (tok)
+       WHERE dfb <= {_LINKAGE_DF_CAP}),
+cand AS (
+  SELECT DISTINCT x.name AS name_a, y.name AS name_b
+  FROM tf x JOIN tf y ON x.tok = y.tok AND x.name < y.name),
+v AS (
+  SELECT name_a, name_b,
+         CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+  FROM cand)
+SELECT v.name_a, v.name_b, v.dist,
+       CAST(na.n_rows AS BIGINT) AS n_a, CAST(nb.n_rows AS BIGINT) AS n_b
+FROM v JOIN names na ON na.name = v.name_a
+       JOIN names nb ON nb.name = v.name_b
+WHERE v.dist BETWEEN 1 AND {_LINKAGE_MAX_DIST}
+"""
+
+
+@_register("linkage_part_names", _LINKAGE_SQL)
+def _q_linkage_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy record linkage over part names: collapse to the
+    value dictionary FIRST (the quadratic candidate step runs over
+    distinct strings, not rows — multiplicities rejoin at the end),
+    then token blocking with a df cap, then exact Levenshtein
+    verification. The entity-resolution shape for catalog/vendor
+    matching at 100 TB (dedup.fuzzy_string_pairs)."""
+    part = _t(spark, sf_dir, "part")
+    return dedup.fuzzy_string_pairs(
+        part.select(F.col("p_name")),
+        "p_name",
+        max_dist=_LINKAGE_MAX_DIST,
+        block_df_cap=_LINKAGE_DF_CAP,
+    ).select(
+        "name_a", "name_b", "dist",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -1134,3 +1134,60 @@ def incremental_components(
     return keep.select("node_id", "component").unionByName(
         sub.select("node_id", "component")
     )
+
+
+def fuzzy_string_pairs(
+    df: DataFrame,
+    str_col: str,
+    max_dist: int = 2,
+    block_df_cap: int = 10_000,
+) -> DataFrame:
+    """Blocked string-similarity join (record linkage): pairs of
+    DISTINCT values of ``str_col`` within edit distance ``max_dist``,
+    with each value's row multiplicity carried along.
+
+    The two scale levers that make linkage tractable at 100 TB:
+    1. collapse to the value dictionary first — the quadratic
+       candidate step runs over distinct strings (often thousands)
+       rather than rows (billions), and multiplicities rejoin at the
+       end for free;
+    2. token blocking with a document-frequency cap — candidates are
+       generated only within shared-token blocks, and blocks larger
+       than ``block_df_cap`` are skipped (the minhash hot-bucket-cap
+       discipline), so no single stop-token explodes the self-join.
+    Verification is exact Levenshtein on the surviving candidates.
+    """
+    from ..functions.text import tokenize
+
+    names = df.groupBy(F.col(str_col).alias("name")).agg(
+        F.count("*").alias("n_rows")
+    )
+    toks = names.select(
+        "name", F.explode(F.array_distinct(tokenize("name"))).alias("tok")
+    )
+    tc = toks.groupBy("tok").agg(F.count("*").alias("_dfb"))
+    tf = toks.join(tc, "tok").filter(F.col("_dfb") <= block_df_cap)
+    a, b = tf.alias("a"), tf.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .select(
+            F.col("a.name").alias("name_a"), F.col("b.name").alias("name_b")
+        )
+        .distinct()
+    )
+    out = cand.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+    na = names.select(
+        F.col("name").alias("name_a"), F.col("n_rows").alias("n_a")
+    )
+    nb = names.select(
+        F.col("name").alias("name_b"), F.col("n_rows").alias("n_b")
+    )
+    return out.join(na, "name_a").join(nb, "name_b").select(
+        "name_a", "name_b", "dist", "n_a", "n_b"
+    )

@@ -936,3 +936,28 @@ def test_int8_zero_vector_safe(spark):
     out = vector_search.with_int8_codes(df).select(
         vector_search.int8_cosine("codes", "codes").alias("c")).collect()
     assert [r["c"] for r in out] == [0.0, 1.0]
+
+
+# -- fuzzy record linkage -----------------------------------------------------
+
+
+def test_fuzzy_string_pairs_links_typos(spark):
+    df = spark.createDataFrame(
+        [("red widget",), ("red widgit",), ("red widget",),
+         ("blue bolt",), ("green gear",)],
+        "name string",
+    )
+    rows = {(r["name_a"], r["name_b"]): r for r in
+            dedup.fuzzy_string_pairs(df, "name", max_dist=2).collect()}
+    assert set(rows) == {("red widgit", "red widget")}
+    r = rows[("red widgit", "red widget")]
+    assert r["dist"] == 1 and {r["n_a"], r["n_b"]} == {1, 2}
+
+
+def test_fuzzy_string_pairs_df_cap_blocks_stop_tokens(spark):
+    # every name shares 'the'; cap excludes that block entirely
+    df = spark.createDataFrame(
+        [("the aa",), ("the ab",), ("the zz",)], "name string")
+    out = dedup.fuzzy_string_pairs(df, "name", max_dist=2, block_df_cap=2)
+    # 'the' block (df=3) skipped; aa/ab/zz blocks are singletons
+    assert out.count() == 0
