@@ -949,8 +949,8 @@ def test_fuzzy_string_pairs_links_typos(spark):
     )
     rows = {(r["name_a"], r["name_b"]): r for r in
             dedup.fuzzy_string_pairs(df, "name", max_dist=2).collect()}
-    assert set(rows) == {("red widgit", "red widget")}
-    r = rows[("red widgit", "red widget")]
+    assert set(rows) == {("red widget", "red widgit")}
+    r = rows[("red widget", "red widgit")]
     assert r["dist"] == 1 and {r["n_a"], r["n_b"]} == {1, 2}
 
 
