@@ -8394,6 +8394,78 @@ def _q_linkage_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- personalized PageRank (graph.ppr_fixedpoint) -----------------------------
+
+_PPR_SEEDS = (1, 2, 3, 4, 5)
+
+
+def _ppr_fp_sql(n_iter: int = 3) -> str:
+    """Unrolled-CTE DuckDB twin of graph.ppr_fixedpoint — restart and
+    dangling mass teleport to the seed set; exact integers."""
+    s = "1000000000000"
+    ns = len(_PPR_SEEDS)
+    inlist = ", ".join(str(x) for x in _PPR_SEEDS)
+    head = f"""
+WITH e AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+),
+nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+r0 AS (SELECT node_id,
+              CASE WHEN node_id IN ({inlist})
+                   THEN ({s} // {ns})::BIGINT ELSE 0::BIGINT END AS r
+       FROM nodes)"""
+    blocks = []
+    for i in range(1, n_iter + 1):
+        prev = f"r{i - 1}"
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.dst AS node_id, sum({prev}.r // deg.out_deg) AS m
+  FROM e JOIN deg ON e.src = deg.src JOIN {prev} ON {prev}.node_id = e.src
+  GROUP BY e.dst
+),
+d{i} AS (
+  SELECT coalesce(sum(r), 0) AS d FROM {prev}
+  WHERE node_id NOT IN (SELECT src FROM deg)
+),
+r{i} AS (
+  SELECT nodes.node_id,
+         (CASE WHEN nodes.node_id IN ({inlist})
+               THEN ({s} - (85 * {s}) // 100) // {ns} ELSE 0 END
+          + (85 * (coalesce(c{i}.m, 0)
+                   + CASE WHEN nodes.node_id IN ({inlist})
+                          THEN d{i}.d // {ns} ELSE 0 END)) // 100)::BIGINT
+           AS r
+  FROM nodes LEFT JOIN c{i} ON nodes.node_id = c{i}.node_id, d{i}
+)""")
+    return (
+        head + "".join(blocks)
+        + f"\nSELECT node_id, r AS rank_fp FROM r{n_iter}"
+        + "\nWHERE r > 0 ORDER BY rank_fp DESC, node_id ASC LIMIT 25"
+    )
+
+
+@_register("graph_ppr_fixed", _ppr_fp_sql(3))
+def _q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 5-supplier seed set over the
+    supplier→part graph — proximity-to-seeds ranking (the
+    related-entities / recommendation primitive), in exact
+    fixed-point integers with an unrolled-CTE oracle
+    (graph.ppr_fixedpoint)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = graph_ops.bipartite_edges(li, "l_suppkey", "l_partkey")
+    ranks = graph_ops.ppr_fixedpoint(
+        edges.select("src", (F.col("dst") + 1000000).alias("dst")),
+        seeds=list(_PPR_SEEDS),
+        n_iter=3,
+    )
+    return (
+        ranks.filter(F.col("rank_fp") > 0)
+        .orderBy(F.col("rank_fp").desc(), F.col("node_id").asc())
+        .limit(25)
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -961,3 +961,34 @@ def test_fuzzy_string_pairs_df_cap_blocks_stop_tokens(spark):
     out = dedup.fuzzy_string_pairs(df, "name", max_dist=2, block_df_cap=2)
     # 'the' block (df=3) skipped; aa/ab/zz blocks are singletons
     assert out.count() == 0
+
+
+# -- personalized PageRank ----------------------------------------------------
+
+
+def test_ppr_concentrates_on_seed_neighborhood(spark):
+    from cocoindex_data_ingestion_spark.operators import graph as graph_ops
+    # two disjoint 3-cycles; seed in the first
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)],
+        "src long, dst long",
+    )
+    r = {row["node_id"]: row["rank_fp"] for row in
+         graph_ops.ppr_fixedpoint(edges, seeds=[1], n_iter=5).collect()}
+    # all mass stays in the seed component
+    assert r[10] == 0 and r[11] == 0 and r[12] == 0
+    assert r[1] > r[2] > 0 and r[3] > 0
+
+
+def test_ppr_partitioning_invariant(spark):
+    from cocoindex_data_ingestion_spark.operators import graph as graph_ops
+    import random
+    rng = random.Random(5)
+    e = list({(rng.randint(0, 30), rng.randint(0, 30)) for _ in range(80)})
+    df = spark.createDataFrame([p for p in e if p[0] != p[1]],
+                               "src long, dst long")
+    a = sorted(map(tuple, graph_ops.ppr_fixedpoint(
+        df, seeds=[0, 1], n_iter=3).collect()))
+    b = sorted(map(tuple, graph_ops.ppr_fixedpoint(
+        df.repartition(11), seeds=[0, 1], n_iter=3).collect()))
+    assert a == b
