@@ -8256,13 +8256,18 @@ def _q_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 
     nonempty = docs.filter(F.size(bm25_tokens("text")) > 0)
+    # the LSH edge pipeline feeds the hist/batch split, the initial
+    # CC AND the fold — checkpoint so it runs once, not per leg
     edges = dedup.minhash_lsh_edges(
         nonempty, num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS
-    )
+    ).localCheckpoint(eager=False)
     batch_pred = (F.col("id_a") + F.col("id_b")) % 5 == 0
     hist = edges.filter(~batch_pred)
     batch = edges.filter(batch_pred)
-    labels = dedup.connected_components(hist)
+    # initial state via star contraction (O(log² n) rounds — the
+    # fast path for the big historical graph); the incremental fold
+    # then only touches affected components
+    labels = dedup.connected_components_star(hist)
     return dedup.incremental_components(labels, batch)
 
 

@@ -142,6 +142,17 @@ HEADLINE = [
     "events_windowed_topk",
     "ivm_kmeans_online",
     "events_trend_fit",
+    # round-4 second wave
+    "classify_nb_language",
+    "orders_snapshot_diff",
+    "parts_pareto_frontier",
+    "lineitem_column_stats",
+    "events_quantile_sketch",
+    "events_seasonal_baseline",
+    "vector_knn_int8",
+    "linkage_part_names",
+    "graph_ppr_fixed",
+    "ivm_components_incremental",
 ]
 
 SMALL_RESULT = {

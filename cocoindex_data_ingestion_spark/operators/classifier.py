@@ -68,13 +68,18 @@ def nb_train(
         F.col(label_col).alias("label"),
         F.explode(tokenize(text_col)).alias("token"),
     )
-    cnt = toks.groupBy("label", "token").agg(F.count("*").alias("c"))
+    # cnt feeds the vocab, the kept counts and the label list — three
+    # legs; checkpoint so the token-stream aggregation runs once
+    cnt = toks.groupBy("label", "token").agg(
+        F.count("*").alias("c")
+    ).localCheckpoint(eager=False)
     vocab = cnt.groupBy("token").agg(F.sum("c").alias("gc"))
     if max_vocab is not None:
         # k-bounded global ordering: plans as TakeOrderedAndProject,
         # no full sort materializes
         vocab = vocab.orderBy(F.desc("gc"), F.asc("token")).limit(max_vocab)
-    vocab = vocab.select("token")
+    # vocab feeds the size scalar, the kept filter and the grid
+    vocab = vocab.select("token").localCheckpoint(eager=False)
     vsize = vocab.agg(F.count("*").alias("v"))
     labels = cnt.select("label").distinct()
     kept = cnt.join(vocab, "token")
