@@ -8471,6 +8471,203 @@ def _q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- winsorization (curation.winsorize) ---------------------------------------
+
+_WINSOR_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         {_R("quantile_cont(CAST(value AS DOUBLE), 0.01)", 4)} AS lo_bound,
+         {_R("quantile_cont(CAST(value AS DOUBLE), 0.99)", 4)} AS hi_bound
+  FROM events GROUP BY 1)
+SELECT e.event_id, e.event_type, b.lo_bound, b.hi_bound,
+       {_R("least(greatest(CAST(e.value AS DOUBLE), b.lo_bound), b.hi_bound)", 4)}
+         AS value_w
+FROM events e JOIN b USING (event_type)
+"""
+
+
+@_register("events_winsorize", _WINSOR_SQL)
+def _q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization: clamp value to the group's exact
+    [p1, p99] — robust-feature preprocessing. Bounds are a bounded
+    aggregate broadcast back onto the stream; rows never re-shuffle
+    (curation.winsorize)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return curation.winsorize(
+        ev, "value", ["event_type"], 0.01, 0.99
+    ).select("event_id", "event_type", "lo_bound", "hi_bound", "value_w")
+
+
+# -- NB classification report (classifier.classification_report) --------------
+
+_NB_REPORT_SQL = f"""
+WITH nbres AS ({_NB_LANG_SQL}),
+pa AS (SELECT lang AS label, CAST(count(*) AS BIGINT) AS n_actual,
+              CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_correct
+       FROM nbres GROUP BY 1),
+pp AS (SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_predicted
+       FROM nbres GROUP BY 1)
+SELECT pa.label, pa.n_actual,
+       CAST(coalesce(pp.n_predicted, 0) AS BIGINT) AS n_predicted,
+       pa.n_correct,
+       {_R("CASE WHEN coalesce(pp.n_predicted, 0) > 0 THEN CAST(pa.n_correct AS DOUBLE) / pp.n_predicted ELSE 0.0 END", 4)} AS precision,
+       {_R("CAST(pa.n_correct AS DOUBLE) / pa.n_actual", 4)} AS recall,
+       {_R("CASE WHEN pa.n_correct > 0 THEN 2.0 * (CAST(pa.n_correct AS DOUBLE) / pp.n_predicted) * (CAST(pa.n_correct AS DOUBLE) / pa.n_actual) / (CAST(pa.n_correct AS DOUBLE) / pp.n_predicted + CAST(pa.n_correct AS DOUBLE) / pa.n_actual) ELSE 0.0 END", 4)} AS f1
+FROM pa LEFT JOIN pp USING (label)
+"""
+
+
+@_register("classify_nb_report", _NB_REPORT_SQL)
+def _q_nb_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the NB language classifier on
+    the held-out split — the model-evaluation aggregate over the
+    classify_nb_language pipeline (classifier.classification_report).
+    Two class-bounded aggregates; ratios of exact integer counts."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    model, priors = classifier.nb_train(train, label_col="lang")
+    pred = classifier.nb_predict(test, model, priors).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return classifier.classification_report(pred, "lang", "pred")
+
+
+# -- time-series resample with gap fill ---------------------------------------
+
+_GAPFILL_SQL = f"""
+WITH
+e AS (SELECT event_type,
+             CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+                  / 86400000000 AS BIGINT) AS day,
+             value
+      FROM events),
+daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+                 {_S("value", 2)} AS total
+          FROM e GROUP BY 1, 2),
+spans AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+          FROM daily GROUP BY 1),
+grid AS (SELECT event_type, unnest(generate_series(d0, d1)) AS day
+         FROM spans)
+SELECT g.event_type, g.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+       coalesce(d.total, 0.0) AS total
+FROM grid g LEFT JOIN daily d USING (event_type, day)
+"""
+
+
+@_register("events_resample_gapfill", _GAPFILL_SQL)
+def _q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample of the event stream with explicit zero rows for
+    missing days — the gap-filled series every downstream
+    trend/seasonal/anomaly consumer needs. The dense grid comes from
+    exploding per-group day sequences (span-bounded, never
+    row-bounded); integer epoch-day arithmetic keeps cells
+    engine-exact."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((_ts_us("ts") - _ts_us("ts") % 86_400_000_000) / 86_400_000_000)
+        .cast("long").alias("day"),
+        "value",
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        stable_sum(F.col("value"), 2).alias("total"),
+    )
+    spans = daily.groupBy("event_type").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    return (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+            .alias("n_events"),
+            F.coalesce(F.col("total"), F.lit(0.0)).alias("total"),
+        )
+    )
+
+
+# -- Z-order layout buckets (functions/layout.zorder_key) ---------------------
+
+_Z_BITS = 8
+
+
+def _z_sql(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """Morton interleave as a sum of disjoint bit terms (engine-exact;
+    + == | on non-overlapping bits)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+_ZORDER_SQL = f"""
+WITH
+o AS (SELECT o_custkey AS c,
+             CAST((epoch_us(o_orderdate)
+                   - epoch_us(o_orderdate) % 86400000000)
+                  / 86400000000 AS BIGINT) AS d
+      FROM orders),
+r AS (SELECT min(c) AS c0, max(c) AS c1, min(d) AS d0, max(d) AS d1 FROM o),
+n AS (SELECT CAST(((o.c - r.c0) * 256) // (r.c1 - r.c0 + 1) AS BIGINT) AS a8,
+             CAST(((o.d - r.d0) * 256) // (r.d1 - r.d0 + 1) AS BIGINT) AS b8,
+             o.c, o.d
+      FROM o, r),
+z AS (SELECT c, d, {_z_sql("a8", "b8")} >> 10 AS bucket FROM n)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+       min(c) AS cust_lo, max(c) AS cust_hi,
+       min(d) AS day_lo, max(d) AS day_hi
+FROM z GROUP BY 1
+"""
+
+
+@_register("orders_zorder_buckets", _ZORDER_SQL)
+def _q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering profile: orders keyed by the
+    interleaved (custkey, order-day) curve, bucketed by the top 6
+    z-bits — each bucket's min/max shows BOTH dimensions bounded
+    (the property that makes min/max file pruning work for either
+    predicate after a Delta-OPTIMIZE-ZORDER-style rewrite;
+    functions/layout.zorder_key + write_zordered, pruning pinned in
+    tests/test_functions.py)."""
+    from cocoindex_data_ingestion_spark.functions.layout import zorder_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        ((_ts_us("o_orderdate") - _ts_us("o_orderdate") % 86_400_000_000)
+         / 86_400_000_000).cast("long").alias("d"),
+    )
+    r = o.agg(
+        F.min("c").alias("c0"), F.max("c").alias("c1"),
+        F.min("d").alias("d0"), F.max("d").alias("d1"),
+    )
+    n = o.crossJoin(F.broadcast(r)).select(
+        "c", "d",
+        F.expr("((c - c0) * 256) div (c1 - c0 + 1)").alias("a8"),
+        F.expr("((d - d0) * 256) div (d1 - d0 + 1)").alias("b8"),
+    )
+    z = n.select(
+        "c", "d",
+        F.shiftright(zorder_key(["a8", "b8"], bits=_Z_BITS), 10)
+        .alias("bucket"),
+    )
+    return z.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.min("c").alias("cust_lo"), F.max("c").alias("cust_hi"),
+        F.min("d").alias("day_lo"), F.max("d").alias("day_hi"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

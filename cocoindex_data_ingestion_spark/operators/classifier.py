@@ -152,3 +152,49 @@ def nb_predict(
             ).alias("score"),
         )
     )
+
+
+def classification_report(
+    df: DataFrame,
+    actual_col: str = "label",
+    pred_col: str = "pred",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-class evaluation of a prediction table: one row per actual
+    class with support, predicted count, correct count, precision,
+    recall and F1. Two class-bounded aggregates over one pass of the
+    predictions; ratios of exact integer counts, so engine-exact
+    after stable rounding."""
+    from ..functions.compare import stable_round
+
+    a, p = F.col(actual_col), F.col(pred_col)
+    per_actual = df.groupBy(a.alias("label")).agg(
+        F.count("*").cast("long").alias("n_actual"),
+        F.sum((p == a).cast("long")).cast("long").alias("n_correct"),
+    )
+    per_pred = df.groupBy(p.alias("label")).agg(
+        F.count("*").cast("long").alias("n_predicted")
+    )
+    j = per_actual.join(per_pred, "label", "left").fillna(
+        {"n_predicted": 0}
+    )
+    prec = F.when(
+        F.col("n_predicted") > 0, F.col("n_correct") / F.col("n_predicted")
+    ).otherwise(F.lit(0.0))
+    rec = F.col("n_correct") / F.col("n_actual")
+    f1 = F.when(
+        (F.col("n_correct") > 0),
+        2.0 * (F.col("n_correct") / F.col("n_predicted"))
+        * (F.col("n_correct") / F.col("n_actual"))
+        / (F.col("n_correct") / F.col("n_predicted")
+           + F.col("n_correct") / F.col("n_actual")),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "label",
+        "n_actual",
+        "n_predicted",
+        "n_correct",
+        stable_round(prec, round_to).alias("precision"),
+        stable_round(rec, round_to).alias("recall"),
+        stable_round(f1, round_to).alias("f1"),
+    )

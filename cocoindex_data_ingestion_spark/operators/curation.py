@@ -755,3 +755,42 @@ def temporal_split_assign(
         .withColumn("split", split)
         .drop("_total")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group winsorization (outlier capping): clamp ``value_col``
+    to its group's [p_lo, p_hi] exact percentiles. Returns the rows
+    with ``value_w`` (clamped), plus the group bounds — the standard
+    robust-feature step before scaling/training.
+
+    Plan: one percentile aggregation per group (bounded output), the
+    bounds table BROADCAST back onto the stream — the rows never
+    re-shuffle. Exact percentiles keep the oracle comparison exact;
+    at 100 TB swap in the mergeable histogram sketch
+    (sketches.histogram_quantiles) for the bounds pass.
+    """
+    from ..functions.compare import stable_round
+
+    v = F.col(value_col).cast("double")
+    bounds = df.groupBy(*group_cols).agg(
+        stable_round(F.percentile(v, F.lit(p_lo)), round_to).alias("_lo"),
+        stable_round(F.percentile(v, F.lit(p_hi)), round_to).alias("_hi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_cols)
+        .select(
+            *df.columns,
+            F.col("_lo").alias("lo_bound"),
+            F.col("_hi").alias("hi_bound"),
+            stable_round(
+                F.least(F.greatest(v, F.col("_lo")), F.col("_hi")), round_to
+            ).alias("value_w"),
+        )
+    )

@@ -992,3 +992,37 @@ def test_ppr_partitioning_invariant(spark):
     b = sorted(map(tuple, graph_ops.ppr_fixedpoint(
         df.repartition(11), seeds=[0, 1], n_iter=3).collect()))
     assert a == b
+
+
+# -- winsorize / report / gapfill ---------------------------------------------
+
+
+def test_winsorize_clamps_to_group_bounds(spark):
+    rows = [("a", float(i)) for i in range(1, 101)] + [("a", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = curation.winsorize(df, "value", ["g"], 0.05, 0.95)
+    pdf = out.toPandas()
+    assert (pdf["value_w"] <= pdf["hi_bound"]).all()
+    assert (pdf["value_w"] >= pdf["lo_bound"]).all()
+    assert pdf[pdf["value"] == 1000.0]["value_w"].iloc[0] == \
+        pdf["hi_bound"].iloc[0]
+    assert (pdf[(pdf["value"] > pdf["lo_bound"])
+                & (pdf["value"] < pdf["hi_bound"])]["value_w"]
+            == pdf[(pdf["value"] > pdf["lo_bound"])
+                   & (pdf["value"] < pdf["hi_bound"])]["value"]).all()
+
+
+def test_classification_report_hand_computed(spark):
+    from cocoindex_data_ingestion_spark.operators import classifier
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")],
+        "label string, pred string",
+    )
+    out = {r["label"]: r for r in
+           classifier.classification_report(df).collect()}
+    a = out["a"]
+    assert (a["n_actual"], a["n_predicted"], a["n_correct"]) == (3, 3, 2)
+    assert a["precision"] == round(2 / 3, 4) and a["recall"] == round(2 / 3, 4)
+    b = out["b"]
+    assert (b["n_actual"], b["n_predicted"], b["n_correct"]) == (2, 2, 1)
+    assert b["f1"] == 0.5
