@@ -369,6 +369,84 @@ def main() -> None:
         mon.psi_vs(emb.filter("vec_id % 2 = 1")).collect()
         t["drift_psi"] = time.time() - t0
 
+        from cocoindex_data_ingestion_spark.operators import (
+            classifier, sketches,
+        )
+        from cocoindex_data_ingestion_spark.functions.layout import (
+            zorder_key,
+        )
+
+        t0 = time.time()
+        model, priors = classifier.nb_train(
+            docs.filter("doc_id % 5 <> 0"), label_col="lang"
+        )
+        classifier.nb_predict(
+            docs.filter("doc_id % 5 = 0"), model, priors
+        ).count()
+        t["nb_classify"] = time.time() - t0
+
+        # steady-state incremental CC: edges + initial labels are
+        # amortized state (untimed); the fold is the per-batch cost
+        edges = dedup.minhash_lsh_edges(
+            docs.filter(F.length("text") > 0), hash_fn="xxhash64"
+        ).localCheckpoint(eager=True)
+        bp = (F.col("id_a") + F.col("id_b")) % 5 == 0
+        labels = dedup.connected_components_star(
+            edges.filter(~bp)
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        dedup.incremental_components(labels, edges.filter(bp)).count()
+        t["cc_incremental"] = time.time() - t0
+
+        t0 = time.time()
+        relational.skyline_2d(
+            li.select(F.col("l_extendedprice").alias("price"),
+                      F.col("l_quantity").alias("size")),
+            "price", "size",
+        ).count()
+        t["skyline"] = time.time() - t0
+
+        t0 = time.time()
+        relational.snapshot_diff(
+            li.filter("l_orderkey % 97 <> 0"),
+            li.withColumn(
+                "l_extendedprice",
+                F.when(F.col("l_orderkey") % 89 == 0,
+                       F.col("l_extendedprice") + 1.5)
+                .otherwise(F.col("l_extendedprice")),
+            ).filter("l_orderkey % 101 <> 0"),
+            ["l_orderkey", "l_linenumber"], ["l_extendedprice"],
+        ).count()
+        t["snapshot_diff"] = time.time() - t0
+
+        t0 = time.time()
+        hist = sketches.histogram_sketch(
+            li, "l_extendedprice", ["l_returnflag"], 32
+        )
+        sketches.histogram_quantiles(
+            hist, ["l_returnflag"], [0.5, 0.95], 32
+        ).collect()
+        t["hist_quantile"] = time.time() - t0
+
+        t0 = time.time()
+        li.select(
+            "l_partkey", "l_quantity",
+            F.shiftright(
+                zorder_key(
+                    [F.col("l_partkey") % 256, F.col("l_suppkey") % 256],
+                    bits=8,
+                ), 10,
+            ).alias("bucket"),
+        ).groupBy("bucket").count().collect()
+        t["zorder_bucket"] = time.time() - t0
+
+        t0 = time.time()
+        curation.winsorize(
+            li.select("l_orderkey", "l_returnflag", "l_extendedprice"),
+            "l_extendedprice", ["l_returnflag"],
+        ).count()
+        t["winsorize"] = time.time() - t0
+
         rows.append((factor, n_docs, n_vec, n_li, t))
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
@@ -385,6 +463,8 @@ def main() -> None:
            "kmeans_2it", "tfidf_similar", "tfidf_keywords",
            "ppl_buckets", "key_skew", "knn_batch3", "temporal_split",
            "source_matrix", "okmeans_cold", "okmeans_refresh",
+           "nb_classify", "cc_incremental", "skyline", "snapshot_diff",
+           "hist_quantile", "zorder_bucket", "winsorize",
            "drift_refresh", "drift_psi"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
