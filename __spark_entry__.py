@@ -8668,6 +8668,120 @@ def _q_zorder_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- count-min sketch + trailing range window ---------------------------------
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}' || '#' || {key}), 1, 8)) AS BIGINT)"
+        f" % {_CMS_W}"
+    )
+
+
+def _cms_sql() -> str:
+    pair_legs = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cms_bucket_sql(j, 'event_type')} AS bucket "
+        "FROM events"
+        for j in range(_CMS_D)
+    )
+    probe_legs = " UNION ALL ".join(
+        f"SELECT event_type, {j} AS j, {_cms_bucket_sql(j, 'event_type')}"
+        " AS bucket FROM keys"
+        for j in range(_CMS_D)
+    )
+    return f"""
+WITH
+cms AS MATERIALIZED (
+  SELECT j, bucket, count(*) AS c FROM ({pair_legs}) GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type FROM events),
+probes AS ({probe_legs}),
+est AS (
+  SELECT p.event_type,
+         CAST(min(coalesce(cms.c, 0)) AS BIGINT) AS cms_est
+  FROM probes p LEFT JOIN cms USING (j, bucket)
+  GROUP BY 1),
+exact AS (SELECT event_type, CAST(count(*) AS BIGINT) AS exact_n
+          FROM events GROUP BY 1)
+SELECT e.event_type, e.exact_n, est.cms_est
+FROM exact e JOIN est USING (event_type)
+"""
+
+
+@_register("events_cms_heavy_hitters", _cms_sql())
+def _q_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimates vs exact counts for the
+    event-type keys: a fixed depth x width mergeable summary (merge =
+    cell-wise sum) answering point queries with one-sided collision
+    error — the streaming heavy-hitter sketch, md5-hashed so both
+    engines agree exactly (sketches.cms_table / cms_estimate)."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    ev = _t(spark, sf_dir, "events")
+    cms = sketches.cms_table(ev, "event_type", _CMS_D, _CMS_W)
+    keys = ev.select("event_type").distinct()
+    est = sketches.cms_estimate(cms, keys, "event_type", _CMS_D, _CMS_W)
+    exact = ev.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("exact_n")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_n", "cms_est"
+    )
+
+
+_TRAIL7_SQL = """
+WITH
+e AS (SELECT event_type,
+             CAST((epoch_us(ts) - epoch_us(ts) % 86400000000)
+                  / 86400000000 AS BIGINT) AS day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS q
+      FROM events),
+daily AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+                 sum(q) AS dq
+          FROM e GROUP BY 1, 2)
+SELECT event_type, day, n_events,
+       CAST(dq AS BIGINT) / 100.0 AS total,
+       CAST(sum(dq) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+         AS trail7
+FROM daily
+"""
+
+
+@_register("events_trailing_7d", _TRAIL7_SQL)
+def _q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day totals per event type: a RANGE window over
+    integer epoch days (range frames handle gaps — a rows-frame
+    would silently span missing days). Daily totals are exact
+    fixed-point longs, so the trailing sums are engine-exact. At
+    scale the window partitions by the series key; state per
+    partition is bounded by the day span."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        ((_ts_us("ts") - _ts_us("ts") % 86_400_000_000) / 86_400_000_000)
+        .cast("long").alias("day"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("q"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("q").alias("dq"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = (
+        _W.partitionBy("event_type").orderBy("day").rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("dq") / F.lit(100.0)).alias("total"),
+        (F.sum("dq").over(w) / F.lit(100.0)).alias("trail7"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

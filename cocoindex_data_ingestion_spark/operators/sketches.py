@@ -139,3 +139,88 @@ def histogram_quantiles(
             .alias(f"p{int(q*100)}_est")
         )
     return out.select(*sel)
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+def cms_table(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies: ``depth`` hash
+    rows x ``width`` buckets of exact counts — a fixed
+    ``depth*width``-row mergeable summary (merge = cell-wise sum,
+    like the histogram sketch) answering point frequency queries with
+    one-sided error: estimate >= true count, overshoot bounded by
+    collisions (~2N/width w.p. 1-2^-depth). Hashing is md5-derived,
+    so both engines agree bit-for-bit."""
+    pairs = [
+        F.struct(
+            F.lit(j).alias("j"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("#", F.lit(str(j)), F.col(key_col))),
+                        1, 8,
+                    ),
+                    16, 10,
+                ).cast("long") % width
+            ).alias("bucket"),
+        )
+        for j in range(depth)
+    ]
+    return (
+        df.select(F.explode(F.array(*pairs)).alias("p"))
+        .select("p.j", "p.bucket")
+        .groupBy("j", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point frequency estimates: for each key, min over the depth
+    rows of its bucket's count. The sketch is broadcast (bounded at
+    depth*width rows); keys never shuffle."""
+    probes = keys.select(
+        key_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        (
+                            F.conv(
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            "#", F.lit(str(j)),
+                                            F.col(key_col),
+                                        )
+                                    ),
+                                    1, 8,
+                                ),
+                                16, 10,
+                            ).cast("long") % width
+                        ).alias("bucket"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("p"),
+    ).select(key_col, "p.j", "p.bucket")
+    return (
+        probes.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long")
+            .alias("cms_est")
+        )
+    )

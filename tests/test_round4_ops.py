@@ -1026,3 +1026,33 @@ def test_classification_report_hand_computed(spark):
     b = out["b"]
     assert (b["n_actual"], b["n_predicted"], b["n_correct"]) == (2, 2, 1)
     assert b["f1"] == 0.5
+
+
+# -- count-min sketch ---------------------------------------------------------
+
+
+def test_cms_one_sided_error_and_merge(spark):
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    rows = [(f"k{i % 7}",) for i in range(700)] + [("rare",)]
+    df = spark.createDataFrame(rows, "k string")
+    cms = sketches.cms_table(df, "k", depth=4, width=64)
+    keys = df.select("k").distinct()
+    est = {r["k"]: r["cms_est"] for r in
+           sketches.cms_estimate(cms, keys, "k", 4, 64).collect()}
+    exact = {f"k{i}": 100 for i in range(7)}
+    exact["rare"] = 1
+    for k, n in exact.items():
+        assert est[k] >= n                       # one-sided
+        assert est[k] <= n + 2 * 701 / 64 + 1    # collision bound-ish
+
+    # merge = cell-wise sum: sketch(a) + sketch(b) == sketch(a ∪ b)
+    half1 = spark.createDataFrame(rows[:350], "k string")
+    half2 = spark.createDataFrame(rows[350:], "k string")
+    m1 = sketches.cms_table(half1, "k", 4, 64)
+    m2 = sketches.cms_table(half2, "k", 4, 64)
+    merged = (m1.unionByName(m2).groupBy("j", "bucket")
+              .agg(F.sum("c").alias("c")))
+    direct = sketches.cms_table(df, "k", 4, 64)
+    assert sorted(map(tuple, merged.collect())) == \
+        sorted(map(tuple, direct.collect()))
