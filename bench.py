@@ -153,6 +153,12 @@ HEADLINE = [
     "linkage_part_names",
     "graph_ppr_fixed",
     "ivm_components_incremental",
+    "classify_nb_report",
+    "events_winsorize",
+    "events_resample_gapfill",
+    "orders_zorder_buckets",
+    "events_cms_heavy_hitters",
+    "events_trailing_7d",
 ]
 
 SMALL_RESULT = {

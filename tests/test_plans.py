@@ -117,3 +117,48 @@ def test_source_matrix_bounded_output_agg(spark, qs):
     (O(n) star edges), never a pairwise blowup; no cartesian join."""
     plan = _plan(qs["dedup_source_matrix"](spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_winsorize_bounds_broadcast(spark, qs):
+    """The percentile-bounds table joins back as a broadcast — the
+    event stream itself never re-shuffles for the clamp."""
+    plan = _plan(qs["events_winsorize"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_no_global_window_no_cartesian(spark, qs):
+    """Skyline avoids both failure shapes: the O(n²) domination join
+    and a single-partition global window. The only windows run per
+    partition-id / per range-partition."""
+    plan = _plan(qs["parts_pareto_frontier"](spark, SF))
+    assert "CartesianProduct" not in plan
+    # exactly ONE single-partition exchange survives: the prefix-max
+    # window over per-partition maxima (#partitions rows, bounded by
+    # cluster size) — the data-sized windows are all partition-keyed
+    assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_column_profile_single_scan(spark, qs):
+    """ANALYZE profile: every statistic comes from ONE scan of
+    lineitem (the Expand for multi-distinct still reads once)."""
+    plan = _plan(qs["lineitem_column_stats"](spark, SF))
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_nb_model_broadcast_inference(spark, qs):
+    """NB inference joins the token stream against the model as a
+    broadcast — the stream shuffles only for (doc,label) sums."""
+    plan = _plan(qs["classify_nb_language"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_snapshot_diff_no_cartesian(spark, qs):
+    plan = _plan(qs["orders_snapshot_diff"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"SortMergeJoin \[.*\], \[.*\], FullOuter", plan)
+
+
+def test_cms_sketch_broadcast_probe(spark, qs):
+    """CMS estimates probe a broadcast sketch (depth*width bounded)."""
+    plan = _plan(qs["events_cms_heavy_hitters"](spark, SF))
+    assert "BroadcastHashJoin" in plan
