@@ -167,6 +167,9 @@ def classification_report(
     after stable rounding."""
     from ..functions.compare import stable_round
 
+    # both aggregates consume the prediction table — checkpoint so
+    # the upstream inference pipeline runs once, not per leg
+    df = df.localCheckpoint(eager=False)
     a, p = F.col(actual_col), F.col(pred_col)
     per_actual = df.groupBy(a.alias("label")).agg(
         F.count("*").cast("long").alias("n_actual"),

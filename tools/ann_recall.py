@@ -50,8 +50,22 @@ def main() -> int:
 
     recalls: dict[str, list[float]] = {
         "lsh": [], "lsh_multiprobe": [], "lsh_multitable": [],
-        "ivf": [], "pq": [], "ivfpq": [],
+        "ivf": [], "pq": [], "ivfpq": [], "int8": [],
     }
+
+    # int8 full-scan path: codes computed once (index-build analog)
+    qz = vector_search.with_int8_codes(emb).select(
+        "vec_id", "codes"
+    ).localCheckpoint(eager=True)
+
+    def _int8_codes_py(vec):
+        mx = max(abs(float(x)) for x in vec)
+        scale = mx / 127.0 if mx > 0 else 1.0
+        import math
+        return [
+            int(min(127.0, max(-127.0, math.floor(float(x) / scale + 0.5))))
+            for x in vec
+        ]
 
     # IVF-PQ runs from the index layouts (it IS an index composite);
     # built ONCE on the full corpus — per-query the probe's own id is
@@ -124,10 +138,27 @@ def main() -> int:
             [r.vec_id for r in ivfpq_rows if r.vec_id != qid][:K]
         )
 
+        qc = _int8_codes_py(qvec)
+        got_i8 = {
+            r.vec_id
+            for r in qz.filter(F.col("vec_id") != qid)
+            .select(
+                "vec_id",
+                vector_search.int8_cosine(
+                    F.col("codes"),
+                    F.array(*[F.lit(c) for c in qc]).cast("array<long>"),
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(K)
+            .collect()
+        }
+
         for name, got in (
             ("lsh", got_lsh), ("lsh_multiprobe", got_lsh_mp),
             ("lsh_multitable", got_lsh_mt),
             ("ivf", got_ivf), ("pq", got_pq), ("ivfpq", got_ivfpq),
+            ("int8", got_i8),
         ):
             recalls[name].append(len(got & exact) / len(exact))
 
