@@ -8782,6 +8782,112 @@ def _q_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- top event paths (3-step sequences) ---------------------------------------
+
+_TOP_PATHS_K = 20
+
+_TOP_PATHS_SQL = f"""
+WITH s AS (
+  SELECT user_id, event_type,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+),
+p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path,
+             count(*) AS n
+      FROM s WHERE e3 IS NOT NULL GROUP BY 1)
+SELECT path, CAST(n AS BIGINT) AS n
+FROM p ORDER BY n DESC, path ASC LIMIT {_TOP_PATHS_K}
+"""
+
+
+@_register("events_top_paths", _TOP_PATHS_SQL)
+def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top 3-step user paths (clickstream path mining): per-user
+    ordered windows emit overlapping trigram paths, one path-bounded
+    aggregate ranks them; top-k is TakeOrderedAndProject. The window
+    partitions by user — thousands of small states, never a global
+    sort."""
+    from pyspark.sql import Window as _W
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", _ts_us("ts").alias("us"), "event_id"
+    )
+    w = _W.partitionBy("user_id").orderBy("us", "event_id")
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    p = s.select(
+        F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+    ).groupBy("path").agg(F.count("*").cast("long").alias("n"))
+    return p.orderBy(F.desc("n"), F.asc("path")).limit(_TOP_PATHS_K)
+
+
+# -- Pearson correlation matrix -----------------------------------------------
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql() -> str:
+    legs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            sa = _S(a, 4)
+            sb = _S(b, 4)
+            sab = _S(f"{a} * {b}", 4)
+            saa = _S(f"{a} * {a}", 4)
+            sbb = _S(f"{b} * {b}", 4)
+            legs.append(f"""
+SELECT '{a}' AS col_a, '{b}' AS col_b,
+       {_R(f"(count(*) * {sab} - {sa} * {sb}) / "
+           f"(sqrt(count(*) * {saa} - {sa} * {sa})"
+           f" * sqrt(count(*) * {sbb} - {sb} * {sb}))", 4)} AS corr
+FROM lineitem""")
+    return "\nUNION ALL\n".join(legs)
+
+
+@_register("lineitem_corr_matrix", _corr_sql())
+def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem's measures from
+    closed-form moment sums — every pair's five moments come from ONE
+    wide aggregate in a single scan (the group_linear_trend
+    discipline applied to the full matrix); order-independent
+    fixed-point sums keep it engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("_n")]
+    for a in _CORR_COLS:
+        aggs.append(stable_sum(F.col(a), 4).alias(f"s_{a}"))
+        aggs.append(stable_sum(F.col(a) * F.col(a), 4).alias(f"s_{a}_{a}"))
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            aggs.append(
+                stable_sum(F.col(a) * F.col(b), 4).alias(f"s_{a}_{b}")
+            )
+    row = li.agg(*aggs)
+    structs = []
+    for i, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[i + 1:]:
+            n = F.col("_n")
+            num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            da = F.sqrt(
+                n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+            )
+            db = F.sqrt(
+                n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+            )
+            structs.append(
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    stable_round(num / (da * db), 4).alias("corr"),
+                )
+            )
+    return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
 # ------------------------------------------------------------- driver surface
 
 
