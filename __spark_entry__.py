@@ -7196,6 +7196,58 @@ def _q_dedup_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- exact-substring duplicate spans (dedup.py) --------------------------------
+
+_XSUB_L = 8  # minimum duplicated-span length in tokens
+
+_XSUB_LEADS = ", ".join(
+    f"lead(token, {i}) OVER w AS t{i}" for i in range(1, _XSUB_L)
+)
+_XSUB_CAT = " || ' ' || ".join(["token"] + [f"t{i}" for i in range(1, _XSUB_L)])
+
+_XSUB_SQL = f"""
+WITH
+{_QPOS_SQL},
+g AS (SELECT doc_id, pos, token, {_XSUB_LEADS}
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+grams AS (SELECT doc_id, pos, md5({_XSUB_CAT}) AS h
+          FROM g WHERE t{_XSUB_L - 1} IS NOT NULL),
+dup AS (SELECT h FROM grams GROUP BY h HAVING count(*) >= 2),
+dpos AS (SELECT doc_id, pos, pos + {_XSUB_L - 1} AS e FROM grams JOIN dup USING (h)),
+isl AS (SELECT doc_id, pos, e,
+               CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                    THEN 1 ELSE 0 END AS ni
+        FROM dpos),
+isl2 AS (SELECT doc_id, pos, e,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+         FROM isl),
+spans AS (SELECT doc_id, gid, min(pos) AS s, max(e) AS e FROM isl2 GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS n_tokens FROM pos GROUP BY 1)
+SELECT m.doc_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(m.e - m.s + 1) AS BIGINT) AS dup_tokens,
+       CAST(sz.n_tokens AS BIGINT) AS n_tokens,
+       {_R(f"sum(m.e - m.s + 1) / CAST(sz.n_tokens AS DOUBLE)", 4)} AS dup_ratio
+FROM spans m JOIN sizes sz USING (doc_id)
+GROUP BY m.doc_id, sz.n_tokens
+"""
+
+
+@_register("dedup_exact_substring", _XSUB_SQL)
+def _q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. ACL 2022
+    ExactSubstr, L-gram hash formulation): per-document merged spans
+    of >= L tokens that occur twice anywhere in the corpus. The
+    reference's dedup surface stops at entity/doc granularity
+    (app/utils/entity_deduplication.py); this is the training-data
+    span-level completion of that family. One corpus-wide exchange
+    (gram-hash groupBy); span merge is per-document windowing."""
+    return dedup.exact_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=_XSUB_L
+    )
+
+
 # -- cluster-balanced sampling over IVF cells (curation.py) -------------------
 
 _CBAL_CAP = 25
@@ -8830,16 +8882,33 @@ def _q_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
+# Pearson correlation is invariant to positive linear rescaling of its
+# inputs, so each column is divided by a constant power of ten that
+# brings it to O(1) BEFORE fixed-point accumulation. Without this the
+# second moment of l_extendedprice (values ~1e5, squares ~1e10) at
+# fixed-point scale 4 overflows int64 around 1e6 rows — exactly the
+# sf0.1 bench (long-overflow crash, round 4). Normalized elements are
+# <= 1, so at scale 7 the running long stays < 2^63 out to ~1e12 rows.
+_CORR_NORM = {
+    "l_quantity": 1e2,
+    "l_extendedprice": 1e6,
+    "l_discount": 1.0,
+    "l_tax": 1.0,
+}
+_CORR_SCALE = 7
+
 
 def _corr_sql() -> str:
     legs = []
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
-            sa = _S(a, 4)
-            sb = _S(b, 4)
-            sab = _S(f"{a} * {b}", 4)
-            saa = _S(f"{a} * {a}", 4)
-            sbb = _S(f"{b} * {b}", 4)
+            na = f"({a} / {_CORR_NORM[a]!r})"
+            nb = f"({b} / {_CORR_NORM[b]!r})"
+            sa = _S(na, _CORR_SCALE)
+            sb = _S(nb, _CORR_SCALE)
+            sab = _S(f"{na} * {nb}", _CORR_SCALE)
+            saa = _S(f"{na} * {na}", _CORR_SCALE)
+            sbb = _S(f"{nb} * {nb}", _CORR_SCALE)
             legs.append(f"""
 SELECT '{a}' AS col_a, '{b}' AS col_b,
        {_R(f"(count(*) * {sab} - {sa} * {sb}) / "
@@ -8855,16 +8924,21 @@ def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed-form moment sums — every pair's five moments come from ONE
     wide aggregate in a single scan (the group_linear_trend
     discipline applied to the full matrix); order-independent
-    fixed-point sums keep it engine-exact."""
+    fixed-point sums over constant-normalized columns (corr is
+    rescaling-invariant) keep it engine-exact AND overflow-safe to
+    ~1e12 rows (see _CORR_NORM)."""
     li = _t(spark, sf_dir, "lineitem")
+    norm = {c: F.col(c) / F.lit(_CORR_NORM[c]) for c in _CORR_COLS}
     aggs = [F.count("*").cast("double").alias("_n")]
     for a in _CORR_COLS:
-        aggs.append(stable_sum(F.col(a), 4).alias(f"s_{a}"))
-        aggs.append(stable_sum(F.col(a) * F.col(a), 4).alias(f"s_{a}_{a}"))
+        aggs.append(stable_sum(norm[a], _CORR_SCALE).alias(f"s_{a}"))
+        aggs.append(
+            stable_sum(norm[a] * norm[a], _CORR_SCALE).alias(f"s_{a}_{a}")
+        )
     for i, a in enumerate(_CORR_COLS):
         for b in _CORR_COLS[i + 1:]:
             aggs.append(
-                stable_sum(F.col(a) * F.col(b), 4).alias(f"s_{a}_{b}")
+                stable_sum(norm[a] * norm[b], _CORR_SCALE).alias(f"s_{a}_{b}")
             )
     row = li.agg(*aggs)
     structs = []

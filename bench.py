@@ -159,6 +159,9 @@ HEADLINE = [
     "orders_zorder_buckets",
     "events_cms_heavy_hitters",
     "events_trailing_7d",
+    "events_top_paths",
+    "lineitem_corr_matrix",
+    "dedup_exact_substring",
 ]
 
 SMALL_RESULT = {

@@ -1191,3 +1191,101 @@ def fuzzy_string_pairs(
     return out.join(na, "name_a").join(nb, "name_b").select(
         "name_a", "name_b", "dist", "n_a", "n_b"
     )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better", ACL 2022 — the
+    suffix-array ExactSubstr dedup, re-expressed for Spark): every
+    token position starting an ``min_len``-gram that occurs >= 2
+    times ANYWHERE in the corpus (cross-document or repeated within
+    one document) is a duplicated span; overlapping/adjacent spans
+    are merged per document (gaps-and-islands) and reported as
+    ``(doc_id, n_spans, dup_tokens, n_tokens, dup_ratio)`` for the
+    documents that contain at least one duplicated span.
+
+    Why not a distributed suffix array: the paper's suffix array
+    answers "longest duplicated substring" exactly, but its
+    construction is a global sort of every suffix — at 100 TB that
+    is a multi-petabyte shuffle. Hashing every L-gram answers the
+    decision problem ("is this span of >= L tokens duplicated?") with
+    ONE token-level exchange keyed by the gram hash, which is the
+    same cost class as the winnowing pass above, and the merged-span
+    output is identical to ExactSubstr's for spans >= L (any
+    duplicated run of length m >= L is covered by its m - L + 1
+    duplicated L-grams, which merge back into the full run).
+
+    Plan shape: posexplode -> ``lead`` window builds each gram
+    in codegen (no array slicing) -> ONE global groupBy on the gram
+    hash (count >= 2) -> inverted join back to positions -> per-doc
+    ordered window merges islands. Only the gram-hash exchange is
+    corpus-wide; everything else is partitioned by document. At
+    scale, swap md5 for xxhash64 (cheaper, still 2^-64 collisions)
+    and pre-aggregate counts map-side (partial groupBy is automatic).
+    """
+    from pyspark.sql import Window
+
+    pos = docs.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos0", "token")
+    ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
+    # the explode feeds the gram build AND the per-doc token counts
+    pos = pos.localCheckpoint(eager=False)
+    ow = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(ow) for i in range(1, min_len)
+    ]
+    grams = (
+        pos.withColumn("_last", parts[-1])
+        .withColumn("h", F.md5(F.concat_ws(" ", *parts)))
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, "pos", "h")
+    )
+    dup = (
+        grams.groupBy("h")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("h")
+    )
+    spans = grams.join(dup, "h").select(
+        id_col, "pos", (F.col("pos") + (min_len - 1)).alias("e")
+    )
+    prev_end = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = spans.withColumn(
+        "ni",
+        F.when(
+            F.col("pos") > F.coalesce(F.max("e").over(prev_end), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "gid", F.sum("ni").over(Window.partitionBy(id_col).orderBy("pos"))
+    )
+    merged = isl.groupBy(id_col, "gid").agg(
+        F.min("pos").alias("s"), F.max("e").alias("e")
+    )
+    sizes = pos.groupBy(id_col).agg(F.count("*").alias("n_tokens"))
+    return (
+        merged.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.col("e") - F.col("s") + 1).alias("dup_tokens"),
+        )
+        .join(sizes, id_col)
+        .select(
+            id_col,
+            "n_spans",
+            "dup_tokens",
+            "n_tokens",
+            stable_round(
+                F.col("dup_tokens") / F.col("n_tokens").cast("double"), 4
+            ).alias("dup_ratio"),
+        )
+    )

@@ -120,6 +120,65 @@ class TestWinnowing:
         )  # all C(4,2) pairs
 
 
+class TestExactSubstring:
+    def test_shared_span_reported_in_both_docs(self, spark):
+        span = " ".join(f"s{i}" for i in range(8))  # exactly L=8 tokens
+        d1 = "one two three " + span + " four five"
+        d2 = "alpha beta " + span + " gamma"
+        out = {
+            r.doc_id: r
+            for r in dedup.exact_substring_spans(
+                _docs(spark, [(1, d1), (2, d2)]), min_len=8
+            ).collect()
+        }
+        assert set(out) == {1, 2}
+        for r in out.values():
+            assert r.n_spans == 1
+            assert r.dup_tokens == 8
+        assert out[1].n_tokens == 13
+        assert out[1].dup_ratio == pytest.approx(8 / 13, abs=1e-4)
+
+    def test_long_shared_run_merges_to_full_span(self, spark):
+        # A shared run of 12 tokens is covered by 5 duplicated 8-grams
+        # that must merge back into ONE span of exactly 12 tokens.
+        run = " ".join(f"r{i}" for i in range(12))
+        out = dedup.exact_substring_spans(
+            _docs(spark, [(1, "x0 " + run), (2, run + " y0")]), min_len=8
+        ).collect()
+        assert all(r.n_spans == 1 and r.dup_tokens == 12 for r in out)
+
+    def test_within_doc_repetition_counts(self, spark):
+        run = " ".join(f"w{i}" for i in range(8))
+        d1 = run + " mid1 mid2 " + run
+        out = dedup.exact_substring_spans(
+            _docs(spark, [(1, d1)]), min_len=8
+        ).collect()
+        assert len(out) == 1
+        assert out[0].n_spans == 2
+        assert out[0].dup_tokens == 16
+
+    def test_unique_corpus_is_empty(self, spark):
+        d1 = " ".join(f"a{i}" for i in range(20))
+        d2 = " ".join(f"b{i}" for i in range(20))
+        assert (
+            dedup.exact_substring_spans(
+                _docs(spark, [(1, d1), (2, d2)]), min_len=8
+            ).collect()
+            == []
+        )
+
+    def test_short_shared_span_below_l_ignored(self, spark):
+        span = " ".join(f"t{i}" for i in range(7))  # 7 < L=8
+        d1 = "p0 p1 " + span
+        d2 = "q0 q1 " + span
+        assert (
+            dedup.exact_substring_spans(
+                _docs(spark, [(1, d1), (2, d2)]), min_len=8
+            ).collect()
+            == []
+        )
+
+
 class TestClusterBalance:
     @pytest.fixture(scope="class")
     def emb(self, spark, sf_dir):
