@@ -8962,6 +8962,235 @@ def _q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
 
 
+# -- chi-square test of independence (relational.py) ---------------------------
+
+_CHI2_E = "(CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+
+_CHI2_SQL = f"""
+WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+             FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS ka, count(DISTINCT b) AS kb
+        FROM obs),
+cells AS (SELECT coalesce(o.o, 0) AS o, ra.ra, cb.cb, t.n, t.ka, t.kb
+          FROM ra CROSS JOIN cb CROSS JOIN tot t
+          LEFT JOIN obs o ON o.a = ra.a AND o.b = cb.b),
+stat AS (SELECT n, ka, kb,
+                {_S(f"(o - {_CHI2_E}) * (o - {_CHI2_E}) / {_CHI2_E}", 6)} AS chi2
+         FROM cells GROUP BY 1, 2, 3)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((ka - 1) * (kb - 1) AS BIGINT) AS dof,
+       {_R("chi2", 4)} AS chi2,
+       {_R("sqrt(chi2 / (CAST(n AS DOUBLE) * CAST(least(ka - 1, kb - 1) AS DOUBLE)))", 4)} AS cramers_v
+FROM stat
+"""
+
+
+@_register("orders_chi2_priority_status", _CHI2_SQL)
+def _q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence between order priority and status:
+    one corpus shuffle to the contingency table, margins broadcast
+    back onto it, statistic via order-independent stable_sum of
+    per-cell terms (relational.chi2_independence)."""
+    return relational.chi2_independence(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+# -- merged-interval coverage (relational.py) -----------------------------------
+
+_IVL_LEN_US = 300 * 1_000_000  # each event opens a 5-minute activity window
+
+_IVL_SQL = f"""
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {_IVL_LEN_US} AS e
+            FROM events),
+m AS (SELECT user_id, s, e,
+             CASE WHEN max(e) OVER w IS NULL OR s > max(e) OVER w
+                  THEN 1 ELSE 0 END AS ni
+      FROM iv WINDOW w AS (PARTITION BY user_id ORDER BY s, e
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+g AS (SELECT user_id, s, e,
+             sum(ni) OVER (PARTITION BY user_id ORDER BY s, e) AS gid
+      FROM m),
+sp AS (SELECT user_id, gid, count(*) AS cnt, min(s) AS ms, max(e) AS me
+       FROM g GROUP BY 1, 2)
+SELECT user_id,
+       CAST(sum(cnt) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_merged,
+       CAST(sum(me - ms) AS BIGINT) AS coverage
+FROM sp GROUP BY 1
+"""
+
+
+@_register("events_interval_coverage", _IVL_SQL)
+def _q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user active-time union: every event opens a 5-minute
+    half-open interval; overlapping/touching intervals merge
+    (gaps-and-islands — one exchange keyed by user, two ordered
+    windows, never an O(n^2) interval self-join). The
+    sessionize/coverage dual: sessionize counts islands by gap,
+    this measures the union length."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _ts_us("ts").alias("s"),
+        (_ts_us("ts") + F.lit(_IVL_LEN_US)).alias("e"),
+    )
+    return relational.interval_coverage(ev, "user_id", "s", "e")
+
+
+# -- RFM customer segmentation --------------------------------------------------
+
+_RFM_SQL = f"""
+WITH mx AS (SELECT max(o_orderdate) AS mxd FROM orders),
+per AS (SELECT o_custkey AS custkey,
+               CAST(date_diff('day', max(o_orderdate), mxd) AS BIGINT) AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               {_S("o_totalprice", 2)} AS monetary
+        FROM orders CROSS JOIN mx GROUP BY 1, mxd),
+b AS (SELECT
+        {_R("quantile_cont(CAST(recency_days AS DOUBLE), 0.25)", 6)} AS r1,
+        {_R("quantile_cont(CAST(recency_days AS DOUBLE), 0.50)", 6)} AS r2,
+        {_R("quantile_cont(CAST(recency_days AS DOUBLE), 0.75)", 6)} AS r3,
+        {_R("quantile_cont(CAST(frequency AS DOUBLE), 0.25)", 6)} AS f1,
+        {_R("quantile_cont(CAST(frequency AS DOUBLE), 0.50)", 6)} AS f2,
+        {_R("quantile_cont(CAST(frequency AS DOUBLE), 0.75)", 6)} AS f3,
+        {_R("quantile_cont(monetary, 0.25)", 6)} AS m1,
+        {_R("quantile_cont(monetary, 0.50)", 6)} AS m2,
+        {_R("quantile_cont(monetary, 0.75)", 6)} AS m3
+      FROM per)
+SELECT custkey, recency_days, frequency, monetary,
+       CAST(4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+                 + (recency_days > r3)::INT) AS BIGINT) AS rscore,
+       CAST(1 + (frequency > f1)::INT + (frequency > f2)::INT
+              + (frequency > f3)::INT AS BIGINT) AS fscore,
+       CAST(1 + (monetary > m1)::INT + (monetary > m2)::INT
+              + (monetary > m3)::INT AS BIGINT) AS mscore
+FROM per CROSS JOIN b
+"""
+
+
+@_register("orders_rfm_segments", _RFM_SQL)
+def _q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation. Scale
+    shape: per-customer aggregate (one shuffle), quartile BOUNDARIES
+    from a tiny exact-percentile aggregate broadcast back, scores by
+    comparison — never a global ntile window (which would single-
+    partition the customer table; the as_ltable lesson). Boundaries
+    stable-rounded so integer-vs-boundary comparisons are
+    engine-identical."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderdate").alias("mxd"))
+    per = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("mxd"), F.max("o_orderdate"))
+            .cast("long")
+            .alias("recency_days"),
+            F.count("*").alias("frequency"),
+            stable_sum(F.col("o_totalprice"), 2).alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    b = per.agg(
+        *[
+            stable_round(
+                F.expr(f"percentile({c}, {q})"), 6
+            ).alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    j = per.crossJoin(F.broadcast(b))
+
+    def _score(col: str, p: str, reverse: bool) -> F.Column:
+        hits = sum(
+            (F.col(col) > F.col(f"{p}{i}")).cast("int") for i in (1, 2, 3)
+        )
+        return (
+            (F.lit(4) - hits) if reverse else (F.lit(1) + hits)
+        ).cast("long")
+
+    return j.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        _score("recency_days", "r", True).alias("rscore"),
+        _score("frequency", "f", False).alias("fscore"),
+        _score("monetary", "m", False).alias("mscore"),
+    )
+
+
+# -- MAD-based robust anomalies --------------------------------------------------
+
+_MAD_K = 20
+
+_MAD_SQL = f"""
+WITH med AS (SELECT event_type,
+                    {_R("quantile_cont(value, 0.5)", 6)} AS med
+             FROM events GROUP BY 1),
+dev AS (SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)),
+mad AS (SELECT event_type, {_R("quantile_cont(d, 0.5)", 6)} AS mad
+        FROM dev GROUP BY 1),
+z AS (SELECT d.event_id, d.event_type, d.value, d.med, m.mad,
+             (d.value - d.med) / (1.4826 * m.mad) AS rz
+      FROM dev d JOIN mad m USING (event_type)
+      WHERE m.mad > 0)
+SELECT event_id, event_type, value, med, mad,
+       {_R("rz", 4)} AS robust_z
+FROM z
+ORDER BY {_R("abs(rz)", 4)} DESC, event_id ASC
+LIMIT {_MAD_K}
+"""
+
+
+@_register("events_anomaly_mad", _MAD_SQL)
+def _q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outliers (the zscore_outliers sibling that
+    survives heavy-tailed value distributions — mean/stddev are
+    themselves dragged by the outliers they're meant to catch). Two
+    small per-type percentile aggregates broadcast back onto the
+    stream; top-k by rounded |z| is TakeOrderedAndProject. At 100 TB
+    swap percentile for approx_percentile with documented error."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        stable_round(F.expr("percentile(d, 0.5)"), 6).alias("mad")
+    )
+    z = (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") > 0)
+        .withColumn(
+            "rz", (F.col("value") - F.col("med")) / (F.lit(1.4826) * F.col("mad"))
+        )
+    )
+    return (
+        z.withColumn("az", stable_round(F.abs(F.col("rz")), 4))
+        .orderBy(F.desc("az"), F.asc("event_id"))
+        .limit(_MAD_K)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "med",
+            "mad",
+            stable_round(F.col("rz"), 4).alias("robust_z"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -162,6 +162,10 @@ HEADLINE = [
     "events_top_paths",
     "lineitem_corr_matrix",
     "dedup_exact_substring",
+    "orders_chi2_priority_status",
+    "events_interval_coverage",
+    "orders_rfm_segments",
+    "events_anomaly_mad",
 ]
 
 SMALL_RESULT = {

@@ -678,3 +678,127 @@ def seasonal_profile(
             ).alias("mae")
         )
     )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, returning ONE row ``(n, dof, chi2, cramers_v)`` — the
+    categorical-association profile a data-quality/feature audit runs
+    over label-ish columns (the numeric sibling of
+    ``lineitem_corr_matrix``).
+
+    Plan: one groupBy on ``(a, b)`` reduces the corpus to the
+    contingency table (|A|·|B| rows — tiny by definition of
+    "categorical"); margins and the total are re-aggregations of that
+    table, broadcast back onto it. Exactly one corpus-wide shuffle.
+    The chi-square statistic is a ``stable_sum`` over per-cell terms
+    — each term is the same IEEE expression on the same exact integer
+    counts in both engines, so the statistic is engine-identical
+    before rounding.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    obs = (
+        df.groupBy(col_a, col_b)
+        .agg(F.count("*").alias("o"))
+        # the contingency table feeds four consumers (margins x2,
+        # total, cells); it is tiny — pin it
+        .localCheckpoint(eager=False)
+    )
+    ra = obs.groupBy(col_a).agg(F.sum("o").alias("_ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("o").alias("_cb"))
+    tot = obs.agg(
+        F.sum("o").alias("_n"),
+        F.countDistinct(col_a).alias("_ka"),
+        F.countDistinct(col_b).alias("_kb"),
+    )
+    # double-multiply BEFORE dividing, matching the oracle's
+    # CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) shape exactly — a long
+    # product rounds differently than a double product, and would
+    # overflow int64 near 1e10 rows anyway
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    # expand to the FULL category cross-product: an (a, b) combination
+    # with zero observations still contributes (0 - e)^2 / e = e to the
+    # statistic — dropping empty cells silently halves chi2 on
+    # perfectly-associated data
+    cells = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(F.broadcast(obs), [col_a, col_b], "left")
+        .withColumn("o", F.coalesce(F.col("o"), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    return cells.groupBy("_n", "_ka", "_kb").agg(
+        stable_sum(term, 6).alias("_chi2")
+    ).select(
+        F.col("_n").cast("long").alias("n"),
+        ((F.col("_ka") - 1) * (F.col("_kb") - 1)).cast("long").alias("dof"),
+        stable_round(F.col("_chi2"), round_to).alias("chi2"),
+        stable_round(
+            F.sqrt(
+                F.col("_chi2")
+                / (
+                    F.col("_n").cast("double")
+                    * F.least(F.col("_ka") - 1, F.col("_kb") - 1).cast("double")
+                )
+            ),
+            round_to,
+        ).alias("cramers_v"),
+    )
+
+
+def interval_coverage(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merged-interval coverage per key (gaps-and-islands over
+    half-open numeric intervals ``[start, end)``): overlapping or
+    touching intervals union into islands; returns
+    ``(key, n_intervals, n_merged, coverage)`` where ``coverage`` is
+    the total length of the union — per-user active time, sensor
+    uptime, valid-span audits.
+
+    Plan: everything after the scan is partitioned by ``key`` — one
+    exchange, two ordered windows (running max-end for island breaks,
+    running sum for island ids), one groupBy. No self-joins: the
+    classic interval-overlap self-join is O(n²) per key and
+    unnecessary for union semantics.
+    """
+    from pyspark.sql import Window
+
+    s, e = F.col(start_col).cast("long"), F.col(end_col).cast("long")
+    base = df.select(F.col(key_col), s.alias("_s"), e.alias("_e"))
+    prev = (
+        Window.partitionBy(key_col)
+        .orderBy("_s", "_e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy(key_col).orderBy("_s", "_e")
+    prev_max = F.max("_e").over(prev)
+    isl = base.withColumn(
+        "_ni",
+        F.when(prev_max.isNull() | (F.col("_s") > prev_max), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn("_gid", F.sum("_ni").over(run))
+    merged = isl.groupBy(key_col, "_gid").agg(
+        F.count("*").alias("_cnt"),
+        F.min("_s").alias("_ms"),
+        F.max("_e").alias("_me"),
+    )
+    return merged.groupBy(key_col).agg(
+        F.sum("_cnt").alias("n_intervals"),
+        F.count("*").alias("n_merged"),
+        F.sum(F.col("_me") - F.col("_ms")).alias("coverage"),
+    )

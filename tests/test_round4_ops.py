@@ -1056,3 +1056,80 @@ def test_cms_one_sided_error_and_merge(spark):
     direct = sketches.cms_table(df, "k", 4, 64)
     assert sorted(map(tuple, merged.collect())) == \
         sorted(map(tuple, direct.collect()))
+
+
+# -- chi-square independence ---------------------------------------------------
+
+
+class TestChi2Independence:
+    def test_independent_columns_score_zero(self, spark):
+        # Perfectly proportional table: chi2 = 0, V = 0.
+        rows = []
+        for a in ("x", "y"):
+            for b in ("p", "q"):
+                rows += [(a, b)] * 10
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = relational.chi2_independence(df, "a", "b").collect()[0]
+        assert r.n == 40
+        assert r.dof == 1
+        assert r.chi2 == pytest.approx(0.0, abs=1e-6)
+        assert r.cramers_v == pytest.approx(0.0, abs=1e-6)
+
+    def test_perfect_association(self, spark):
+        # a fully determines b: chi2 = n, Cramer's V = 1.
+        rows = [("x", "p")] * 12 + [("y", "q")] * 12
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = relational.chi2_independence(df, "a", "b").collect()[0]
+        assert r.chi2 == pytest.approx(24.0, abs=1e-4)
+        assert r.cramers_v == pytest.approx(1.0, abs=1e-4)
+
+    def test_known_2x2(self, spark):
+        # observed [[10, 20], [30, 40]]: chi2 = 100^2*(1/30+1/70+1/40+1/60)/...
+        # classic closed form: n(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d))
+        rows = (
+            [("x", "p")] * 10 + [("x", "q")] * 20
+            + [("y", "p")] * 30 + [("y", "q")] * 40
+        )
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = relational.chi2_independence(df, "a", "b").collect()[0]
+        expect = 100 * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+        assert r.chi2 == pytest.approx(expect, abs=1e-3)
+
+
+# -- merged-interval coverage ----------------------------------------------------
+
+
+class TestIntervalCoverage:
+    def _run(self, spark, rows):
+        df = spark.createDataFrame(rows, "k long, s long, e long")
+        return {
+            r.k: r
+            for r in relational.interval_coverage(df, "k", "s", "e").collect()
+        }
+
+    def test_disjoint_intervals_sum(self, spark):
+        out = self._run(spark, [(1, 0, 10), (1, 20, 25)])
+        assert out[1].n_intervals == 2
+        assert out[1].n_merged == 2
+        assert out[1].coverage == 15
+
+    def test_overlap_merges(self, spark):
+        out = self._run(spark, [(1, 0, 10), (1, 5, 20), (1, 18, 30)])
+        assert out[1].n_merged == 1
+        assert out[1].coverage == 30
+
+    def test_touching_intervals_merge(self, spark):
+        # half-open [0,10) + [10,20) union to [0,20)
+        out = self._run(spark, [(1, 0, 10), (1, 10, 20)])
+        assert out[1].n_merged == 1
+        assert out[1].coverage == 20
+
+    def test_contained_interval_absorbed(self, spark):
+        out = self._run(spark, [(1, 0, 100), (1, 10, 20)])
+        assert out[1].n_merged == 1
+        assert out[1].coverage == 100
+
+    def test_keys_independent(self, spark):
+        out = self._run(spark, [(1, 0, 10), (2, 5, 9)])
+        assert out[1].coverage == 10
+        assert out[2].coverage == 4
