@@ -9191,6 +9191,119 @@ def _q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- prefix-filtered exact Jaccard join (dedup.py) ------------------------------
+
+_PPJ_T = 0.8
+
+_PPJ_SQL = f"""
+WITH t AS (SELECT doc_id AS id, {_TOKS_SQL} AS toks FROM documents),
+tok AS (SELECT id, unnest({_SHINGLES_SQL}) AS token FROM t),
+dfr AS (SELECT token, count(*) AS tdf FROM tok GROUP BY 1),
+pre AS (SELECT id, token FROM (
+          SELECT k.id, k.token,
+                 row_number() OVER (PARTITION BY k.id
+                                    ORDER BY d.tdf, k.token) AS rn,
+                 count(*) OVER (PARTITION BY k.id) AS sz
+          FROM tok k JOIN dfr d USING (token))
+        WHERE rn <= sz - ceil({_PPJ_T} * sz) + 1),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM pre a JOIN pre b ON a.token = b.token AND a.id < b.id),
+inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+          FROM cand c JOIN tok ta ON ta.id = c.id_a
+                      JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+          GROUP BY 1, 2),
+sizes AS (SELECT id, count(*) AS n FROM tok GROUP BY 1)
+SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+       {_R("n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE)", 4)} AS jaccard
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE n_inter / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= {_PPJ_T}
+"""
+
+
+@_register("dedup_jaccard_prefix", _PPJ_SQL)
+def _q_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join (Bayardo
+    WWW'07 / Xiao WWW'08): the lossless sibling of
+    dedup_ngram_jaccard — candidates only from each doc's rarest
+    (1-t)|d|+1 shingles, so high-df boilerplate shingles never join,
+    with no recall loss (df-capping can miss pairs)."""
+    return dedup.jaccard_prefix_pairs(
+        _t(spark, sf_dir, "documents"),
+        threshold=_PPJ_T,
+        n=_JACCARD_N,
+    )
+
+
+# -- Flesch readability profile (text_analysis.py) ------------------------------
+
+_READ_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+         len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       {_R("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))"
+           " - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))", 4)} AS flesch
+FROM b WHERE n_words > 0
+"""
+
+
+@_register("text_readability", _READ_SQL)
+def _q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (vowel-group syllable proxy):
+    three regexp counts in ONE codegen span over the scan — no
+    explode, no shuffle (text_analysis.readability)."""
+    return text_analysis.readability(_t(spark, sf_dir, "documents"))
+
+
+# -- faceted search counts -------------------------------------------------------
+
+_FACET_NEEDLE = "spark join"
+
+_FACETS_SQL = f"""
+WITH m AS (SELECT lang, source FROM documents
+           WHERE contains(lower(text), '{_FACET_NEEDLE}'))
+SELECT facet, value, CAST(n_docs AS BIGINT) AS n_docs FROM (
+  SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs FROM m GROUP BY 2
+  UNION ALL
+  SELECT 'source' AS facet, source AS value, count(*) AS n_docs FROM m GROUP BY 2
+)
+"""
+
+
+@_register("search_facets", _FACETS_SQL)
+def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted search counts (the filter sidebar every search UI
+    needs next to quick_search's hit list): ONE scan of the matched
+    set, facet dimensions exploded map-side into (facet, value) rows
+    so a single groupBy covers every facet — versus one scan + one
+    shuffle PER facet in the naive union-of-groupBys shape."""
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.filter(F.lower(F.col("text")).contains(_FACET_NEEDLE))
+    kv = m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lang").alias("facet"),
+                    F.col("lang").alias("value"),
+                ),
+                F.struct(
+                    F.lit("source").alias("facet"),
+                    F.col("source").alias("value"),
+                ),
+            )
+        ).alias("kv")
+    )
+    return kv.groupBy("kv.facet", "kv.value").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

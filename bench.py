@@ -166,6 +166,9 @@ HEADLINE = [
     "events_interval_coverage",
     "orders_rfm_segments",
     "events_anomaly_mad",
+    "dedup_jaccard_prefix",
+    "text_readability",
+    "search_facets",
 ]
 
 SMALL_RESULT = {

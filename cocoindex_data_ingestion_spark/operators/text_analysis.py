@@ -346,3 +346,43 @@ def script_profile(
         *[counts[n].alias(f"n_{n}") for n in sorted(counts)],
         best.alias("dominant_script"),
     )
+
+
+def readability(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Flesch reading-ease profile per document — the classic
+    surface-fluency score a corpus-quality pass runs next to the
+    Gopher/stopword filters: ``206.835 - 1.015 * words/sentences -
+    84.6 * syllables/word``, with syllables approximated by vowel
+    groups (the standard regex proxy; exact hyphenation needs a
+    dictionary the cluster shouldn't ship).
+
+    Pure Column expressions — three regexp counts over one scan, no
+    explode, no shuffle at all (per-doc map work; Catalyst keeps it
+    in a single WholeStageCodegen span over the parquet scan).
+    """
+    from ..functions.compare import stable_round
+    from ..functions.text import TOKEN_RE
+
+    t = F.lower(F.col(text_col))
+    n_words = F.size(F.regexp_extract_all(t, F.lit(TOKEN_RE), F.lit(0)))
+    n_sents = F.greatest(
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]+"), F.lit(0))), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), F.lit(0)))
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words.cast("double") / n_sents.cast("double"))
+        - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double"))
+    )
+    return docs.filter(n_words > 0).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sents.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        stable_round(flesch, round_to).alias("flesch"),
+    )

@@ -1133,3 +1133,79 @@ class TestIntervalCoverage:
         out = self._run(spark, [(1, 0, 10), (2, 5, 9)])
         assert out[1].coverage == 10
         assert out[2].coverage == 4
+
+
+# -- prefix-filtered exact Jaccard ------------------------------------------------
+
+
+class TestJaccardPrefix:
+    def test_near_identical_docs_found(self, spark):
+        base = " ".join(f"w{i}" for i in range(30))
+        docs = spark.createDataFrame(
+            [(1, base), (2, base + " extra"), (3, "totally different text here")],
+            "doc_id long, text string",
+        )
+        out = dedup.jaccard_prefix_pairs(docs, threshold=0.5, n=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.id_a, r.id_b) == (1, 2)
+        # 28 shared shingles of 28 vs 29: J = 28/29
+        assert r.jaccard == pytest.approx(28 / 29, abs=1e-3)
+
+    def test_lossless_vs_bruteforce(self, spark):
+        # prefix filtering must find EXACTLY the pairs a brute-force
+        # all-pairs Jaccard finds (the lossless guarantee df-capping
+        # does not give)
+        import itertools
+        texts = {
+            1: "a b c d e f g h i j",
+            2: "a b c d e f g h i x",
+            3: "a b c d e f g h x y",
+            4: "z1 z2 z3 z4 z5 z6 z7 z8",
+            5: "z1 z2 z3 z4 z5 z6 z7 z8",
+        }
+        def sh(t, n=3):
+            toks = t.split()
+            return set(" ".join(toks[i:i+n]) for i in range(len(toks)-n+1))
+        expect = set()
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                expect.add((a, b))
+        docs = spark.createDataFrame(
+            list(texts.items()), "doc_id long, text string"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in dedup.jaccard_prefix_pairs(
+                docs, threshold=0.5, n=3
+            ).collect()
+        }
+        assert got == expect
+
+
+# -- readability -------------------------------------------------------------------
+
+
+class TestReadability:
+    def test_known_sentence(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        docs = spark.createDataFrame(
+            [(1, "The cat sat. The dog ran!")], "doc_id long, text string"
+        )
+        r = text_analysis.readability(docs).collect()[0]
+        assert r.n_words == 6
+        assert r.n_sentences == 2
+        # vowel groups: e, a, a, e, o, a -> 6
+        assert r.n_syllables == 6
+        expect = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert r.flesch == pytest.approx(expect, abs=1e-3)
+
+    def test_no_terminator_counts_one_sentence(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        docs = spark.createDataFrame(
+            [(1, "no punctuation at all here")], "doc_id long, text string"
+        )
+        r = text_analysis.readability(docs).collect()[0]
+        assert r.n_sentences == 1
