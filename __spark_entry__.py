@@ -9304,6 +9304,124 @@ def _q_search_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mutual information (relational.py) -----------------------------------------
+
+_MI_P = "(CAST(ra AS DOUBLE) / CAST(n AS DOUBLE))"
+_MI_PB = "(CAST(cb AS DOUBLE) / CAST(n AS DOUBLE))"
+_MI_LIFT = (
+    "((CAST(o AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))"
+)
+
+_MI_SQL = f"""
+WITH obs AS (SELECT o_orderpriority AS a, o_orderstatus AS b, count(*) AS o
+             FROM orders GROUP BY 1, 2),
+ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+cb AS (SELECT b, sum(o) AS cb FROM obs GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM obs),
+ha AS (SELECT {_S(f"-{_MI_P} * ln({_MI_P})", 9)} AS h_a FROM ra CROSS JOIN tot),
+hb AS (SELECT {_S(f"-{_MI_PB} * ln({_MI_PB})", 9)} AS h_b FROM cb CROSS JOIN tot),
+mi AS (SELECT n,
+              {_S(f"(CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) * ln({_MI_LIFT})", 9)} AS mi
+       FROM obs JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+       GROUP BY 1)
+SELECT CAST(n AS BIGINT) AS n,
+       {_R("mi", 4)} AS mi, {_R("h_a", 4)} AS h_a, {_R("h_b", 4)} AS h_b,
+       {_R("mi / sqrt(h_a * h_b)", 4)} AS nmi
+FROM mi CROSS JOIN ha CROSS JOIN hb
+"""
+
+
+@_register("orders_mutual_information", _MI_SQL)
+def _q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information + sqrt-normalized NMI between order
+    priority and status — the information-theoretic sibling of
+    orders_chi2_priority_status, same one-shuffle contingency plan
+    (relational.mutual_information)."""
+    return relational.mutual_information(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_orderstatus"
+    )
+
+
+# -- distinct-n diversity profile (text_analysis.py) ------------------------------
+
+_DNG_SQL = f"""
+WITH arr AS (SELECT source, doc_id, {_TOKS_SQL} AS toks FROM documents),
+pos AS (SELECT source, doc_id, unnest(toks) AS tk,
+               unnest(generate_series(1, len(toks))) AS p
+        FROM arr),
+g AS (SELECT source, tk, lead(tk, 1) OVER w AS t1, lead(tk, 2) OVER w AS t2
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY p)),
+kv AS (
+  SELECT source, 1 AS n, tk AS gram FROM g
+  UNION ALL
+  SELECT source, 2 AS n, tk || ' ' || t1 AS gram FROM g WHERE t1 IS NOT NULL
+  UNION ALL
+  SELECT source, 3 AS n, tk || ' ' || t1 || ' ' || t2 AS gram FROM g
+  WHERE t2 IS NOT NULL),
+pg AS (SELECT source, n, gram, count(*) AS cnt FROM kv GROUP BY 1, 2, 3)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       {_R("count(*) / CAST(sum(cnt) AS DOUBLE)", 4)} AS distinct_ratio
+FROM pg GROUP BY 1, 2
+"""
+
+
+@_register("corpus_distinct_ngrams", _DNG_SQL)
+def _q_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3 diversity per source (Li et al. NAACL'16 at
+    corpus scale): one posexplode + lead windows build all n at once,
+    two-level aggregate dodges the countDistinct Expand. Low ratios
+    flag templated sources before they skew a training mix."""
+    return text_analysis.distinct_ngram_profile(
+        _t(spark, sf_dir, "documents"), max_n=3
+    )
+
+
+# -- two-sample Kolmogorov-Smirnov (relational.py) --------------------------------
+
+_KS_A, _KS_B = "click", "error"
+_KS_NE = "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE))"
+_KS_LAM = f"((sqrt({_KS_NE}) + 0.12 + 0.11 / sqrt({_KS_NE})) * dd)"
+_KS_P = (
+    f"2.0 * (exp(-2.0 * {_KS_LAM} * {_KS_LAM})"
+    f" - exp(-8.0 * {_KS_LAM} * {_KS_LAM})"
+    f" + exp(-18.0 * {_KS_LAM} * {_KS_LAM})"
+    f" - exp(-32.0 * {_KS_LAM} * {_KS_LAM})"
+    f" + exp(-50.0 * {_KS_LAM} * {_KS_LAM}))"
+)
+
+_KS_SQL = f"""
+WITH s AS (SELECT value AS v,
+                  CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END AS ia
+           FROM events WHERE event_type IN ('{_KS_A}', '{_KS_B}')),
+per AS (SELECT v, sum(ia) AS ca, count(*) - sum(ia) AS cb FROM s GROUP BY 1),
+tot AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM per),
+cum AS (SELECT sum(ca) OVER (ORDER BY v) AS cuma,
+               sum(cb) OVER (ORDER BY v) AS cumb
+        FROM per),
+d AS (SELECT na, nb,
+             max(abs(cuma / CAST(na AS DOUBLE) - cumb / CAST(nb AS DOUBLE))) AS dd
+      FROM cum CROSS JOIN tot GROUP BY 1, 2)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       {_R("dd", 4)} AS d_stat,
+       {_R(f"greatest(least({_KS_P}, 1.0), 0.0)", 4)} AS p_approx
+FROM d
+"""
+
+
+@_register("events_ks_test", _KS_SQL)
+def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS drift test between the '{a}' and '{b}'
+    value distributions: distinct-value reduction, then the
+    partition-offset global cumsum (never a no-partition window) —
+    relational.ks_test_2samp. Asymptotic p via Stephens' lambda."""
+    return relational.ks_test_2samp(
+        _t(spark, sf_dir, "events"), "event_type", "value", _KS_A, _KS_B
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

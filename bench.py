@@ -169,6 +169,9 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "text_readability",
     "search_facets",
+    "orders_mutual_information",
+    "corpus_distinct_ngrams",
+    "events_ks_test",
 ]
 
 SMALL_RESULT = {

@@ -802,3 +802,173 @@ def interval_coverage(
         F.count("*").alias("n_merged"),
         F.sum(F.col("_me") - F.col("_ms")).alias("coverage"),
     )
+
+
+def ks_test_2samp(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 4,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov test: ``D = sup_v |F_a(v) -
+    F_b(v)|`` over the empirical CDFs, plus the standard asymptotic
+    p-value (Stephens' lambda, five-term Kolmogorov series) — the
+    distribution-drift check a data pipeline runs between two cohorts
+    or two ingestion batches of a numeric column.
+
+    Scale shape: the corpus reduces to per-DISTINCT-VALUE counts in
+    one shuffle; the global running counts then use the ``as_ltable``
+    partition-offset pattern (range repartition on the value,
+    per-partition running sums, per-partition totals broadcast as
+    offsets) — NEVER a no-partition window, so the cumsum stays
+    distributed at any cardinality. The supremum only needs
+    evaluation at distinct observed values (ECDFs are step
+    functions).
+
+    Counts are integers so the running sums are exact; the final
+    ratios/abs/max are identical IEEE ops in any engine.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round
+
+    s = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(value_col).alias("_v"),
+        F.when(F.col(group_col) == group_a, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ia"),
+    )
+    per = (
+        s.groupBy("_v")
+        .agg(
+            F.sum("_ia").alias("_ca"),
+            (F.count("*") - F.sum("_ia")).alias("_cb"),
+        )
+        # feeds the cumsum AND the totals
+        .localCheckpoint(eager=False)
+    )
+    ordered = (
+        per.repartitionByRange(F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    ptot = ordered.groupBy("_pid").agg(
+        F.sum("_ca").alias("_pa"), F.sum("_cb").alias("_pb")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_pa").over(w_off), F.lit(0)).alias("_oa"),
+        F.coalesce(F.sum("_pb").over(w_off), F.lit(0)).alias("_ob"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_v")
+    tot = per.agg(
+        F.sum("_ca").alias("_na"), F.sum("_cb").alias("_nb")
+    )
+    cum = (
+        ordered.join(F.broadcast(offs), "_pid")
+        .select(
+            (F.sum("_ca").over(w_local) + F.col("_oa")).alias("_cuma"),
+            (F.sum("_cb").over(w_local) + F.col("_ob")).alias("_cumb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    diff = F.abs(
+        F.col("_cuma") / F.col("_na").cast("double")
+        - F.col("_cumb") / F.col("_nb").cast("double")
+    )
+    d = cum.groupBy("_na", "_nb").agg(F.max(diff).alias("_d"))
+    ne = (
+        F.col("_na").cast("double")
+        * F.col("_nb").cast("double")
+        / (F.col("_na") + F.col("_nb")).cast("double")
+    )
+    lam = (
+        (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col("_d")
+    )
+    p = F.lit(2.0) * (
+        F.exp(F.lit(-2.0) * lam * lam)
+        - F.exp(F.lit(-8.0) * lam * lam)
+        + F.exp(F.lit(-18.0) * lam * lam)
+        - F.exp(F.lit(-32.0) * lam * lam)
+        + F.exp(F.lit(-50.0) * lam * lam)
+    )
+    return d.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        stable_round(F.col("_d"), round_to).alias("d_stat"),
+        stable_round(F.greatest(F.least(p, F.lit(1.0)), F.lit(0.0)), round_to).alias(
+            "p_approx"
+        ),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 4,
+) -> DataFrame:
+    """Mutual information between two categorical columns with the
+    sqrt-entropy normalization: ``(n, mi, h_a, h_b, nmi)`` — the
+    information-theoretic sibling of :func:`chi2_independence`
+    (chi-square asks "is there association", MI measures how many
+    nats of one column the other reveals; feature-selection and
+    leakage audits want both).
+
+    Same plan as chi2: ONE corpus shuffle to the contingency table;
+    margins, entropies and the MI sum are all re-aggregations of that
+    tiny table. Zero cells contribute 0 to MI by definition (the
+    0·ln 0 limit), so only observed cells are summed. Per-cell/
+    per-margin terms go through ``stable_sum`` so the statistic is
+    order-independent; ``ln`` runs on identical doubles in both
+    engines (the quality_bigram_logprob precedent).
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    obs = (
+        df.groupBy(col_a, col_b)
+        .agg(F.count("*").alias("o"))
+        .localCheckpoint(eager=False)
+    )
+    ra = obs.groupBy(col_a).agg(F.sum("o").alias("_ra"))
+    cb = obs.groupBy(col_b).agg(F.sum("o").alias("_cb"))
+    tot = obs.agg(F.sum("o").alias("_n"))
+
+    def _entropy(margin: DataFrame, cnt: str, out: str) -> DataFrame:
+        p = F.col(cnt).cast("double") / F.col("_n").cast("double")
+        return (
+            margin.crossJoin(F.broadcast(tot))
+            .agg(stable_sum(-p * F.log(p), 9).alias(out))
+        )
+
+    ha = _entropy(ra, "_ra", "h_a")
+    hb = _entropy(cb, "_cb", "h_b")
+    pj = F.col("o").cast("double") / F.col("_n").cast("double")
+    lift = (
+        F.col("o").cast("double") * F.col("_n").cast("double")
+    ) / (F.col("_ra").cast("double") * F.col("_cb").cast("double"))
+    cells = (
+        obs.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(tot))
+    )
+    mi = cells.groupBy("_n").agg(
+        stable_sum(pj * F.log(lift), 9).alias("_mi")
+    )
+    return (
+        mi.crossJoin(F.broadcast(ha))
+        .crossJoin(F.broadcast(hb))
+        .select(
+            F.col("_n").cast("long").alias("n"),
+            stable_round(F.col("_mi"), round_to).alias("mi"),
+            stable_round(F.col("h_a"), round_to).alias("h_a"),
+            stable_round(F.col("h_b"), round_to).alias("h_b"),
+            stable_round(
+                F.col("_mi") / F.sqrt(F.col("h_a") * F.col("h_b")), round_to
+            ).alias("nmi"),
+        )
+    )

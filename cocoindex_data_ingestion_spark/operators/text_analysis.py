@@ -386,3 +386,79 @@ def readability(
         n_syll.cast("long").alias("n_syllables"),
         stable_round(flesch, round_to).alias("flesch"),
     )
+
+
+def distinct_ngram_profile(
+    docs: DataFrame,
+    max_n: int = 3,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Distinct-n diversity profile per group (the corpus-scale form
+    of the "distinct-1/distinct-2" generation-diversity metric, Li et
+    al. NAACL 2016): for each ``group`` and n in 1..``max_n``, total
+    n-gram occurrences, distinct n-grams, and their ratio — low
+    ratios flag templated/boilerplate-heavy sources before they skew
+    a training mix.
+
+    Plan: ONE posexplode + per-doc lead windows build every n at once
+    (grams never cross document boundaries), the (n, gram) pairs
+    explode map-side, and a two-level aggregate avoids the
+    countDistinct-plus-count Expand: groupBy(group, n, gram) then
+    groupBy(group, n).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round
+    from ..functions.text import tokenize
+
+    pos = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("p", "tk"),
+    )
+    ow = Window.partitionBy("id").orderBy("p")
+    # window expressions can't sit inside a generator — project the
+    # lead columns first, then build the (n, gram) structs from them
+    led = pos.select(
+        "grp",
+        "tk",
+        *[F.lead("tk", i).over(ow).alias(f"_t{i}") for i in range(1, max_n)],
+    )
+    leads = [F.col("tk")] + [F.col(f"_t{i}") for i in range(1, max_n)]
+    entries = []
+    for n in range(1, max_n + 1):
+        entries.append(
+            F.struct(
+                F.lit(n).alias("n"),
+                F.concat_ws(" ", *leads[:n]).alias("gram"),
+                leads[n - 1].isNotNull().alias("full"),
+            )
+        )
+    kv = (
+        led.select("grp", F.explode(F.array(*entries)).alias("kv"))
+        .filter(F.col("kv.full"))
+        .select("grp", "kv.n", "kv.gram")
+    )
+    per_gram = kv.groupBy("grp", "n", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    return (
+        per_gram.groupBy("grp", "n")
+        .agg(
+            F.sum("cnt").alias("total_ngrams"),
+            F.count("*").alias("distinct_ngrams"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            F.col("total_ngrams").cast("long").alias("total_ngrams"),
+            F.col("distinct_ngrams").cast("long").alias("distinct_ngrams"),
+            stable_round(
+                F.col("distinct_ngrams") / F.col("total_ngrams").cast("double"),
+                round_to,
+            ).alias("distinct_ratio"),
+        )
+    )

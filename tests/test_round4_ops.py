@@ -1209,3 +1209,103 @@ class TestReadability:
         )
         r = text_analysis.readability(docs).collect()[0]
         assert r.n_sentences == 1
+
+
+# -- mutual information ---------------------------------------------------------
+
+
+class TestMutualInformation:
+    def test_independent_is_zero(self, spark):
+        rows = []
+        for a in ("x", "y"):
+            for b in ("p", "q"):
+                rows += [(a, b)] * 5
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = relational.mutual_information(df, "a", "b").collect()[0]
+        assert r.mi == pytest.approx(0.0, abs=1e-6)
+        assert r.nmi == pytest.approx(0.0, abs=1e-6)
+
+    def test_identical_columns_nmi_one(self, spark):
+        import math
+        rows = [("x", "x")] * 10 + [("y", "y")] * 30
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = relational.mutual_information(df, "a", "b").collect()[0]
+        h = -(0.25 * math.log(0.25) + 0.75 * math.log(0.75))
+        assert r.h_a == pytest.approx(h, abs=1e-4)
+        assert r.mi == pytest.approx(h, abs=1e-4)
+        assert r.nmi == pytest.approx(1.0, abs=1e-4)
+
+
+# -- distinct n-grams -------------------------------------------------------------
+
+
+class TestDistinctNgrams:
+    def test_repetitive_vs_diverse(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        docs = spark.createDataFrame(
+            [
+                (1, "a a a a a a a a", "rep"),
+                (2, "w1 w2 w3 w4 w5 w6 w7 w8", "div"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            (r.source, r.n): r
+            for r in text_analysis.distinct_ngram_profile(docs).collect()
+        }
+        assert out[("rep", 1)].total_ngrams == 8
+        assert out[("rep", 1)].distinct_ngrams == 1
+        assert out[("div", 1)].distinct_ratio == pytest.approx(1.0)
+        assert out[("rep", 2)].total_ngrams == 7
+        assert out[("rep", 2)].distinct_ngrams == 1
+        assert out[("div", 3)].total_ngrams == 6
+        assert out[("div", 3)].distinct_ngrams == 6
+
+    def test_grams_do_not_cross_documents(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        # two docs of the same source: "a b" and "c d" must NOT create
+        # bigram "b c"
+        docs = spark.createDataFrame(
+            [(1, "a b", "s"), (2, "c d", "s")],
+            "doc_id long, text string, source string",
+        )
+        out = {
+            r.n: r
+            for r in text_analysis.distinct_ngram_profile(docs).collect()
+        }
+        assert out[2].total_ngrams == 2
+        assert out[2].distinct_ngrams == 2
+
+
+# -- two-sample KS -----------------------------------------------------------------
+
+
+class TestKsTest:
+    def test_identical_distributions(self, spark):
+        rows = [("a", float(v)) for v in range(10)] + [
+            ("b", float(v)) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = relational.ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+        assert r.n_a == 10 and r.n_b == 10
+        assert r.d_stat == pytest.approx(0.0, abs=1e-6)
+        assert r.p_approx == pytest.approx(1.0, abs=0.05)
+
+    def test_disjoint_distributions(self, spark):
+        rows = [("a", float(v)) for v in range(10)] + [
+            ("b", float(v + 100)) for v in range(10)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = relational.ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+        assert r.d_stat == pytest.approx(1.0, abs=1e-6)
+        assert r.p_approx < 0.01
+
+    def test_known_d(self, spark):
+        # a = {1..8}, b = {5..12}: D is max at v in [4, 5):
+        # F_a(4.x) = 4/8, F_b = 0 -> D = 0.5
+        rows = [("a", float(v)) for v in range(1, 9)] + [
+            ("b", float(v)) for v in range(5, 13)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        r = relational.ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
+        assert r.d_stat == pytest.approx(0.5, abs=1e-6)
