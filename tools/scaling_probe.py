@@ -24,8 +24,8 @@ from pyspark.sql import functions as F
 
 from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 from cocoindex_data_ingestion_spark.operators import (
-    bm25, curation, dedup, hybrid, indexing, quality, text_analysis,
-    vector_search,
+    bm25, curation, dedup, hybrid, indexing, quality, relational,
+    text_analysis, vector_search,
 )
 from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
 from cocoindex_data_ingestion_spark.session import get_spark
@@ -447,6 +447,34 @@ def main() -> None:
         ).count()
         t["winsorize"] = time.time() - t0
 
+        t0 = time.time()
+        dedup.exact_substring_spans(docs, min_len=8).count()
+        t["xsub_spans"] = time.time() - t0
+
+        t0 = time.time()
+        dedup.jaccard_prefix_pairs(docs, threshold=0.8, n=3).count()
+        t["ppjoin"] = time.time() - t0
+
+        t0 = time.time()
+        relational.chi2_independence(
+            li, "l_returnflag", "l_linestatus"
+        ).collect()
+        t["chi2"] = time.time() - t0
+
+        t0 = time.time()
+        relational.ks_test_2samp(
+            li, "l_returnflag", "l_quantity", "A", "N"
+        ).collect()
+        t["ks_2samp"] = time.time() - t0
+
+        t0 = time.time()
+        text_analysis.distinct_ngram_profile(docs, max_n=3).collect()
+        t["distinct_ngrams"] = time.time() - t0
+
+        t0 = time.time()
+        text_analysis.readability(docs).count()
+        t["readability"] = time.time() - t0
+
         rows.append((factor, n_docs, n_vec, n_li, t))
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
@@ -465,6 +493,8 @@ def main() -> None:
            "source_matrix", "okmeans_cold", "okmeans_refresh",
            "nb_classify", "cc_incremental", "skyline", "snapshot_diff",
            "hist_quantile", "zorder_bucket", "winsorize",
+           "xsub_spans", "ppjoin", "chi2", "ks_2samp",
+           "distinct_ngrams", "readability",
            "drift_refresh", "drift_psi"]
     lines = [
         "# SCALING — empirical scale-up of key operators",
