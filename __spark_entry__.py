@@ -9413,12 +9413,121 @@ FROM d
 
 @_register("events_ks_test", _KS_SQL)
 def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact two-sample KS drift test between the '{a}' and '{b}'
+    """Exact two-sample KS drift test between the 'click' and 'error'
     value distributions: distinct-value reduction, then the
     partition-offset global cumsum (never a no-partition window) —
     relational.ks_test_2samp. Asymptotic p via Stephens' lambda."""
     return relational.ks_test_2samp(
         _t(spark, sf_dir, "events"), "event_type", "value", _KS_A, _KS_B
+    )
+
+
+# -- sorted-neighborhood linkage (dedup.py) ---------------------------------------
+
+_SNM_W = 5
+_SNM_D = 3
+
+_SNM_SQL = f"""
+WITH names AS (SELECT p_name AS name, count(*) AS n_rows FROM part GROUP BY 1),
+rk AS (SELECT name, n_rows, row_number() OVER (ORDER BY name) - 1 AS r
+       FROM names),
+cand AS (SELECT a.name AS name_a, b.name AS name_b, b.r - a.r AS rank_gap,
+                a.n_rows AS n_a, b.n_rows AS n_b
+         FROM rk a JOIN rk b ON b.r > a.r AND b.r - a.r <= {_SNM_W})
+SELECT name_a, name_b, CAST(rank_gap AS BIGINT) AS rank_gap,
+       CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+FROM cand WHERE levenshtein(name_a, name_b) BETWEEN 1 AND {_SNM_D}
+"""
+
+
+@_register("linkage_sorted_neighborhood", _SNM_SQL)
+def _q_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo SIGMOD
+    '95) over part names — the prefix-agreement complement to
+    linkage_part_names' token blocking. Global sort order WITHOUT a
+    no-partition window: as_ltable partition-offset ranks + a
+    rank-bucket equi-join (dedup.sorted_neighborhood_pairs)."""
+    return dedup.sorted_neighborhood_pairs(
+        _t(spark, sf_dir, "part"), "p_name", window=_SNM_W, max_dist=_SNM_D
+    )
+
+
+# -- Zipf's-law fit (text_analysis.py) ---------------------------------------------
+
+_ZIPF_K = 500
+
+_ZIPF_SLOPE = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+
+_ZIPF_SQL = f"""
+WITH freq AS (SELECT tk, count(*) AS cnt
+              FROM (SELECT unnest({_TOKS_SQL}) AS tk FROM documents)
+              GROUP BY 1 ORDER BY cnt DESC, tk ASC LIMIT {_ZIPF_K}),
+xy AS (SELECT ln(CAST(row_number() OVER (ORDER BY cnt DESC, tk ASC) AS DOUBLE)) AS x,
+              ln(CAST(cnt AS DOUBLE)) AS y
+       FROM freq),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             {_S("x", 7)} AS sx, {_S("y", 7)} AS sy, {_S("x * y", 7)} AS sxy,
+             {_S("x * x", 7)} AS sxx, {_S("y * y", 7)} AS syy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS k,
+       {_R(_ZIPF_SLOPE, 4)} AS slope,
+       {_R(f"(sy - {_ZIPF_SLOPE} * sx) / n", 4)} AS intercept,
+       {_R(f"({_ZIPF_SLOPE} * {_ZIPF_SLOPE} * (n * sxx - sx * sx)) / (n * syy - sy * sy)", 4)} AS r2
+FROM g
+"""
+
+
+@_register("corpus_zipf_fit", _ZIPF_SQL)
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law OLS over the top-{k} vocabulary (slope ~ -1 is the
+    natural-language signature; synthetic/templated corpora flatten
+    or cliff). One frequency shuffle + TakeOrderedAndProject; the
+    rank window and moment sums run on k rows
+    (text_analysis.zipf_fit)."""
+    return text_analysis.zipf_fit(
+        _t(spark, sf_dir, "documents"), top_k=_ZIPF_K
+    )
+
+
+# -- PMI collocations (text_analysis.py) --------------------------------------------
+
+_PMI_K = 20
+_PMI_MIN = 5
+_PMI_EXPR = (
+    "ln((CAST(cab AS DOUBLE) / CAST(nb AS DOUBLE))"
+    " / ((CAST(ca AS DOUBLE) / CAST(nu AS DOUBLE))"
+    " * (CAST(cb AS DOUBLE) / CAST(nu AS DOUBLE))))"
+)
+
+_PMI_SQL = f"""
+WITH
+{_QPOS_SQL},
+bi0 AS (SELECT token AS a,
+               lead(token, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+        FROM pos),
+bi AS (SELECT a, b FROM bi0 WHERE b IS NOT NULL),
+uni AS (SELECT token AS a, count(*) AS ca FROM pos GROUP BY 1),
+nuni AS (SELECT count(*) AS nu FROM pos),
+pair AS (SELECT a, b, count(*) AS cab FROM bi GROUP BY 1, 2
+         HAVING count(*) >= {_PMI_MIN}),
+nbi AS (SELECT count(*) AS nb FROM bi),
+ub AS (SELECT a AS b, ca AS cb FROM uni)
+SELECT a || ' ' || b AS bigram, CAST(cab AS BIGINT) AS n_pair,
+       {_R(_PMI_EXPR, 4)} AS pmi
+FROM pair JOIN uni USING (a) JOIN ub USING (b) CROSS JOIN nbi CROSS JOIN nuni
+ORDER BY pmi DESC, bigram ASC LIMIT {_PMI_K}
+"""
+
+
+@_register("corpus_collocations", _PMI_SQL)
+def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by PMI (Church & Hanks 1990) — the bound-
+    phrase lens raw bigram counts lack. One posexplode + lead window;
+    unigram/bigram margins re-aggregate the same stream
+    (text_analysis.collocations_pmi)."""
+    return text_analysis.collocations_pmi(
+        _t(spark, sf_dir, "documents"), top_k=_PMI_K, min_count=_PMI_MIN
     )
 
 

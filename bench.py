@@ -172,6 +172,9 @@ HEADLINE = [
     "orders_mutual_information",
     "corpus_distinct_ngrams",
     "events_ks_test",
+    "linkage_sorted_neighborhood",
+    "corpus_zipf_fit",
+    "corpus_collocations",
 ]
 
 SMALL_RESULT = {
@@ -197,6 +200,7 @@ SMALL_RESULT = {
     # prune the measured work away entirely (Catalyst column
     # pruning), leaving a metadata row count
     "bpe_token_count", "text_profile", "curate_pack_sequences",
+    "text_readability",
     # per-doc profiles / bounded pair and sample sets: collect keeps
     # the column computations in the measured plan
     "quality_repetition", "quality_unigram_logprob",

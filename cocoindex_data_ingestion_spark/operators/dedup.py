@@ -1434,3 +1434,73 @@ def jaccard_prefix_pairs(
             stable_round(F.col("jaccard"), 4).alias("jaccard"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    str_col: str,
+    window: int = 5,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood record linkage (Hernandez & Stolfo, SIGMOD
+    1995): sort the DISTINCT values of ``str_col`` lexicographically
+    and compare each value only to its ``window`` successors in the
+    sorted order, verifying with exact Levenshtein <= ``max_dist``.
+    The complementary blocking discipline to
+    :func:`fuzzy_string_pairs`: token blocking links values sharing a
+    whole token; the sorted neighborhood links values that agree on a
+    PREFIX (typos late in the string), each catching pairs the other
+    misses.
+
+    Scale shape — the textbook algorithm's global sort is reproduced
+    WITHOUT a no-partition window: the value dictionary gets a global
+    rank via the ``as_ltable`` partition-offset pattern, and the
+    "within w in sort order" self-join becomes an equi-join on
+    ``floor(rank / w)`` (each side exploded into its own and the
+    neighboring bucket) + a rank-distance filter — O(n·w) candidates,
+    fully distributed, lossless for the SNM contract.
+
+    Returns ``(name_a, name_b, rank_gap, dist, n_a, n_b)``.
+    """
+    from cocoindex_data_ingestion_spark.datamodel import as_ltable
+
+    names = df.groupBy(F.col(str_col).alias("name")).agg(
+        F.count("*").alias("n_rows")
+    )
+    ranked = as_ltable(names, ["name"], pos_col="_rank").localCheckpoint(
+        eager=False
+    )
+    a = ranked.select(
+        F.col("name").alias("name_a"),
+        F.col("n_rows").alias("n_a"),
+        F.col("_rank").alias("ra"),
+        F.floor(F.col("_rank") / window).alias("_bk"),
+    )
+    b = ranked.select(
+        F.col("name").alias("name_b"),
+        F.col("n_rows").alias("n_b"),
+        F.col("_rank").alias("rb"),
+        F.explode(
+            F.array(
+                F.floor(F.col("_rank") / window),
+                F.floor(F.col("_rank") / window) - 1,
+            )
+        ).alias("_bk"),
+    )
+    cand = a.join(b, "_bk").filter(
+        (F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") <= window)
+    )
+    return (
+        cand.withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter((F.col("dist") >= 1) & (F.col("dist") <= max_dist))
+        .select(
+            "name_a",
+            "name_b",
+            (F.col("rb") - F.col("ra")).cast("long").alias("rank_gap"),
+            "dist",
+            "n_a",
+            "n_b",
+        )
+    )

@@ -462,3 +462,131 @@ def distinct_ngram_profile(
             ).alias("distinct_ratio"),
         )
     )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    top_k: int = 500,
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ``ln(freq)``
+    on ``ln(rank)`` for the ``top_k`` most frequent tokens — slope
+    near -1 is the natural-language signature; a flat or cliff-shaped
+    curve flags synthetic/templated corpora (the same role the
+    distinct-n profile plays, from the frequency side).
+
+    Plan: token frequencies in one shuffle; TakeOrderedAndProject
+    keeps the top-k (k-bounded), so the rank window and the five
+    moment sums run on k rows — the closed-form regression discipline
+    of relational.group_linear_trend with ln-transformed coordinates.
+    Deterministic ranking: frequency desc, token asc.
+
+    Returns one row ``(k, slope, intercept, r2)``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round, stable_sum
+    from ..functions.text import tokenize
+
+    freq = (
+        docs.select(F.explode(tokenize(text_col)).alias("tk"))
+        .groupBy("tk")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("tk"))
+        .limit(top_k)
+    )
+    # k-bounded input: the global window is benign (top_k rows)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tk"))
+    xy = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    g = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        stable_sum(F.col("x"), 7).alias("sx"),
+        stable_sum(F.col("y"), 7).alias("sy"),
+        stable_sum(F.col("x") * F.col("y"), 7).alias("sxy"),
+        stable_sum(F.col("x") * F.col("x"), 7).alias("sxx"),
+        stable_sum(F.col("y") * F.col("y"), 7).alias("syy"),
+    )
+    n = F.col("n")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    ssr = slope * slope * denom
+    return g.select(
+        n.cast("long").alias("k"),
+        stable_round(slope, round_to).alias("slope"),
+        stable_round(intercept, round_to).alias("intercept"),
+        stable_round(ssr / sst, round_to).alias("r2"),
+    )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    top_k: int = 20,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Top collocations by pointwise mutual information:
+    ``pmi(a, b) = ln( p(ab) / (p(a) p(b)) )`` over adjacent token
+    bigrams (within documents), restricted to bigrams seen at least
+    ``min_count`` times — the classic collocation extractor (Church &
+    Hanks 1990), and the pair-level lens the corpus_bigrams counts
+    lack (raw counts surface stopword pairs; PMI surfaces bound
+    phrases).
+
+    Plan: one posexplode + lead window builds bigrams; unigram and
+    bigram counts are two aggregates of the same stream; margins join
+    back onto the (min_count-filtered) bigram table. Top-k by rounded
+    PMI is TakeOrderedAndProject with a deterministic tiebreak.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round
+    from ..functions.text import tokenize
+
+    pos = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(text_col)).alias("p", "a"),
+    )
+    ow = Window.partitionBy("id").orderBy("p")
+    bi = (
+        pos.withColumn("b", F.lead("a", 1).over(ow))
+        .filter(F.col("b").isNotNull())
+        # the bigram stream feeds the pair counts AND the total
+        .localCheckpoint(eager=False)
+    )
+    uni = pos.groupBy("a").agg(F.count("*").alias("ca"))
+    nuni = pos.agg(F.count("*").alias("nu"))
+    pair = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("cab"))
+        .filter(F.col("cab") >= min_count)
+    )
+    nbi = bi.agg(F.count("*").alias("nb"))
+    ub = uni.select(F.col("a").alias("b"), F.col("ca").alias("cb"))
+    pmi = (
+        F.col("cab").cast("double") / F.col("nb").cast("double")
+    ) / (
+        (F.col("ca").cast("double") / F.col("nu").cast("double"))
+        * (F.col("cb").cast("double") / F.col("nu").cast("double"))
+    )
+    scored = (
+        pair.join(uni, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nbi))
+        .crossJoin(F.broadcast(nuni))
+        .select(
+            F.concat_ws(" ", "a", "b").alias("bigram"),
+            F.col("cab").cast("long").alias("n_pair"),
+            stable_round(F.log(pmi), round_to).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("bigram")
+    ).limit(top_k)

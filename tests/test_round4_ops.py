@@ -1309,3 +1309,95 @@ class TestKsTest:
         df = spark.createDataFrame(rows, "g string, v double")
         r = relational.ks_test_2samp(df, "g", "v", "a", "b").collect()[0]
         assert r.d_stat == pytest.approx(0.5, abs=1e-6)
+
+
+# -- sorted-neighborhood linkage -----------------------------------------------------
+
+
+class TestSortedNeighborhood:
+    def test_adjacent_typo_found(self, spark):
+        df = spark.createDataFrame(
+            [("widget blue",), ("widget blua",), ("zzz unrelated",)],
+            "name string",
+        )
+        out = dedup.sorted_neighborhood_pairs(df, "name", window=3).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert {r.name_a, r.name_b} == {"widget blue", "widget blua"}
+        assert r.dist == 1
+        assert r.rank_gap == 1
+
+    def test_window_bounds_pairs(self, spark):
+        # five names each 1 edit from neighbors; window=1 only links
+        # sort-adjacent pairs
+        names = [("n%da" % i,) for i in range(5)]
+        df = spark.createDataFrame(names, "name string")
+        out = dedup.sorted_neighborhood_pairs(df, "name", window=1, max_dist=3)
+        assert out.count() == 4
+
+    def test_multiplicities_carried(self, spark):
+        df = spark.createDataFrame(
+            [("abc",), ("abc",), ("abd",)], "name string"
+        )
+        r = dedup.sorted_neighborhood_pairs(df, "name", window=2).collect()[0]
+        assert {r.n_a, r.n_b} == {2, 1}
+
+
+# -- Zipf fit --------------------------------------------------------------------------
+
+
+class TestZipfFit:
+    def test_perfect_zipf_slope(self, spark):
+        # construct frequencies cnt(rank) = round(1000 / rank) for
+        # ranks 1..20 with unique tokens: slope should be ~ -1
+        rows = []
+        for rank in range(1, 21):
+            rows += [(f"t{rank:02d} ",)] * round(1000 / rank)
+        docs = spark.createDataFrame(
+            [(i, r[0]) for i, r in enumerate(rows)], "doc_id long, text string"
+        )
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        r = text_analysis.zipf_fit(docs, top_k=20).collect()[0]
+        assert r.k == 20
+        assert r.slope == pytest.approx(-1.0, abs=0.02)
+        assert r.r2 > 0.999
+
+    def test_uniform_corpus_slope_zero(self, spark):
+        rows = [(i, f"u{i % 10}") for i in range(100)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        r = text_analysis.zipf_fit(docs, top_k=10).collect()[0]
+        assert r.slope == pytest.approx(0.0, abs=1e-6)
+
+
+# -- PMI collocations --------------------------------------------------------------------
+
+
+class TestCollocations:
+    def test_bound_phrase_beats_frequent_pair(self, spark):
+        import math
+        # "alpha beta" always adjacent (perfect collocation);
+        # "the the" frequent but independent filler
+        text_a = " ".join(["alpha beta"] * 10)
+        text_b = " ".join(["the"] * 40)
+        docs = spark.createDataFrame(
+            [(1, text_a), (2, text_b)], "doc_id long, text string"
+        )
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        out = text_analysis.collocations_pmi(
+            docs, top_k=5, min_count=5
+        ).collect()
+        by = {r.bigram: r for r in out}
+        assert "alpha beta" in by
+        assert by["alpha beta"].pmi > by["the the"].pmi
+
+    def test_bigrams_stay_within_documents(self, spark):
+        # doc1 ends with 'x', doc2 starts with 'y': bigram "x y" must
+        # not exist
+        docs = spark.createDataFrame(
+            [(1, " ".join(["a b"] * 6) + " x"), (2, "y " + " ".join(["a b"] * 6))],
+            "doc_id long, text string",
+        )
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+        out = text_analysis.collocations_pmi(docs, top_k=20, min_count=1)
+        assert out.filter(F.col("bigram") == "x y").count() == 0

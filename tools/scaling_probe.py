@@ -584,6 +584,22 @@ def main() -> None:
         "- **Negative sampling** (`neg_samples`): k anchors-side rows "
         "+ two corpus-sized shuffle joins for the LSH anti-filter, NO "
         "broadcasts — expected ~linear.",
+        "- **Round-4 wave-3 ops**: `chi2`/`ks_2samp` are scan + "
+        "tiny-aggregate plans — ~FLAT (fixed-overhead dominated); "
+        "`readability` is a pure projection, linear map work under the "
+        "scheduling floor; `distinct_ngrams` and `xsub_spans` track the "
+        "token stream ~linearly (one gram exchange each).",
+        "- **`ppjoin` (prefix+positional exact Jaccard) is quadratic "
+        "HERE by construction of the probe corpus, not by plan**: "
+        "`scaled()` replicates every document VERBATIM, so each doc "
+        "gains factor−1 identical twins and the TRUE pair volume (the "
+        "operator's output) grows ~factor² (25 pairs at 1× → ~6.1M "
+        "mostly-exact pairs at 50×); per-output-pair cost is flat. In "
+        "the documented pipeline order — `exact_dedup` first, near-dup "
+        "joins after — the replicas collapse before the join; the "
+        "probe measures the worst case of skipping that step. The "
+        "positional filter is what keeps even this case "
+        "verification-bound rather than candidate-bound.",
         "- **Segmented BM25 maintenance**: query across 8 live delta "
         "segments (`segq_8seg`) vs after compaction (`segq_1seg`) — "
         "the per-segment pruned reads cost a roughly constant factor "
