@@ -3217,6 +3217,7 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
             pq_m=_PQ_M,
             pq_k=_PQ_K,
             pq_sub_d=_PQ_SUBD,
+            positions=True,
         )
         _INDEX_CACHE[sf_dir] = idx
     return _INDEX_CACHE[sf_dir]
@@ -9420,6 +9421,24 @@ def _q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.ks_test_2samp(
         _t(spark, sf_dir, "events"), "event_type", "value", _KS_A, _KS_B
     )
+
+
+# -- indexed exact-phrase search (indexing.py) ---------------------------------
+
+
+@_register("indexed_phrase_search", _PHRASE_SQL)
+def _q_indexed_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase search from the prebuilt POSITIONAL postings
+    layout (the indexed twin of phrase_search, sharing its oracle):
+    bucket-pruned per-term occurrence reads + the (id, base) join
+    chain — no corpus scan or tokenization at query time
+    (indexing.build_positions_layout / indexed_phrase)."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_phrase,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    return indexed_phrase(spark, idx, _PHRASE, k=20)
 
 
 # -- sorted-neighborhood linkage (dedup.py) ---------------------------------------

@@ -175,6 +175,7 @@ HEADLINE = [
     "linkage_sorted_neighborhood",
     "corpus_zipf_fit",
     "corpus_collocations",
+    "indexed_phrase_search",
 ]
 
 SMALL_RESULT = {

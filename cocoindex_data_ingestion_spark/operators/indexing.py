@@ -73,6 +73,7 @@ def build_search_index(
     pq_k: int = 16,
     pq_sub_d: int = 4,
     pq_encode: str = "numpy",
+    positions: bool = False,
 ) -> None:
     """One pass over the corpus → queryable index layout on disk.
 
@@ -148,6 +149,11 @@ def build_search_index(
         )
     if pq and (ivf_stride is not None or ivf_n_cells is not None):
         build_ivfpq_codes(embeddings.sparkSession, index_dir, vec_id_col)
+    if positions:
+        build_positions_layout(
+            docs, index_dir, id_col=id_col, text_col=text_col,
+            n_buckets=n_buckets,
+        )
 
 
 def build_ivfpq_codes(
@@ -1208,3 +1214,74 @@ class SegmentedPostingsIndex:
         os.rename(f"{self.path}/ledger", f"{trash}/ledger")
         os.rename(f"{self.path}/ledger_new", f"{self.path}/ledger")
         shutil.rmtree(trash, ignore_errors=True)
+
+
+def build_positions_layout(
+    docs: DataFrame,
+    index_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> None:
+    """Positional postings layout: ``(token, doc_id, pos)`` rows
+    partitioned by ``crc32(token) % n_buckets`` and token-sorted
+    within partitions — the phrase/proximity companion of the BM25
+    postings layout (same bucket discipline, same pruning math:
+    a phrase query reads only its terms' buckets, the token IN-list
+    pushes into row-group stats).
+
+    Positions are the 0-based posexplode offsets over the FULL token
+    stream (phrases contain stopwords; the BM25 layout's
+    content-token filter would break adjacency), matching
+    bm25.phrase_search so the ad-hoc operator remains this layout's
+    correctness oracle.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    pos = docs.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
+    )
+    (
+        pos.withColumn("tbucket", _token_bucket(F.col("token"), n_buckets))
+        .repartition("tbucket")
+        .sortWithinPartitions("token", id_col, "pos")
+        .write.mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(f"{index_dir}/positions")
+    )
+
+
+def indexed_phrase(
+    spark: SparkSession,
+    index_dir: str,
+    phrase: list[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> DataFrame:
+    """Exact-phrase search from the prebuilt positional layout: each
+    term's occurrence list comes from a bucket-pruned read (static
+    PartitionFilters + token row-group pushdown — no corpus scan, no
+    tokenization), then the same (id, base) equi-join chain as
+    bm25.phrase_search: term j must appear at ``base + j``. Ranked by
+    phrase frequency, then id."""
+    terms = [t.lower() for t in phrase]
+    uniq = list(dict.fromkeys(terms))
+    pos = spark.read.parquet(f"{index_dir}/positions").filter(
+        F.col("tbucket").isin(_token_buckets_py(uniq, n_buckets))
+        & F.col("token").isin(uniq)
+    )
+    cur = pos.filter(F.col("token") == terms[0]).select(
+        id_col, F.col("pos").alias("base")
+    )
+    for j, t in enumerate(terms[1:], start=1):
+        nxt = pos.filter(F.col("token") == t).select(
+            id_col, (F.col("pos") - j).alias("base")
+        )
+        cur = cur.join(nxt, [id_col, "base"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count("*").alias("n_phrase"))
+        .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -162,3 +162,11 @@ def test_cms_sketch_broadcast_probe(spark, qs):
     """CMS estimates probe a broadcast sketch (depth*width bounded)."""
     plan = _plan(qs["events_cms_heavy_hitters"](spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_indexed_phrase_position_bucket_pruning(spark, qs):
+    plan = _plan(qs["indexed_phrase_search"](spark, SF))
+    # every per-term read of the positional layout is bucket-pruned
+    # and the token equality pushes into the parquet scan
+    assert re.search(r"PartitionFilters: \[tbucket", plan)
+    assert re.search(r"PushedFilters: \[.*token", plan)
