@@ -9550,6 +9550,104 @@ def _q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- proximity search over the positional layout (indexing.py) ---------------------
+
+_PROX_A, _PROX_B = "spark", "join"
+_PROX_W = 5
+
+_PROX_SQL = f"""
+WITH arr AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+pos AS (SELECT doc_id, unnest(t) AS token,
+               unnest(generate_series(1, len(t))) AS pos
+        FROM arr),
+pr AS (SELECT a.doc_id
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+       WHERE a.token = '{_PROX_A}' AND b.token = '{_PROX_B}'
+         AND abs(a.pos - b.pos) <= {_PROX_W})
+SELECT doc_id, count(*) AS n_near
+FROM pr GROUP BY 1
+ORDER BY n_near DESC, doc_id ASC
+LIMIT 20
+"""
+
+
+@_register("indexed_proximity_search", _PROX_SQL)
+def _q_indexed_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity search ('spark' NEAR 'join', window 5, any order)
+    from the positional postings layout — two bucket-pruned
+    occurrence reads + a per-document band join; the middle ground
+    between exact-phrase and bag-of-words BM25
+    (indexing.indexed_proximity)."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_proximity,
+    )
+
+    idx = _ensure_index(spark, sf_dir)
+    return indexed_proximity(
+        spark, idx, _PROX_A, _PROX_B, window=_PROX_W, k=20
+    )
+
+
+# -- label propagation communities (graph.py) ----------------------------------------
+
+
+def _lpa_sql(n_iter: int = 3) -> str:
+    """DuckDB twin of graph.label_propagation_fixed, iterations
+    unrolled as CTE blocks (the pagerank_fixedpoint discipline) —
+    integer labels, deterministic (count desc, label asc) adoption."""
+    head = """
+WITH e0 AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
+),
+e AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+l0 AS (SELECT DISTINCT src AS node_id, src AS label FROM e)"""
+    blocks = []
+    for i in range(1, n_iter + 1):
+        prev = f"l{i - 1}"
+        blocks.append(f""",
+c{i} AS (
+  SELECT e.dst AS node_id, l.label, count(*) AS cnt
+  FROM e JOIN {prev} l ON l.node_id = e.src
+  GROUP BY 1, 2
+),
+l{i} AS (
+  SELECT node_id, label FROM (
+    SELECT node_id, label,
+           row_number() OVER (PARTITION BY node_id
+                              ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i})
+  WHERE rn = 1
+)""")
+    return (
+        head + "".join(blocks)
+        + f"""
+SELECT label AS community, CAST(count(*) AS BIGINT) AS size
+FROM l{n_iter} GROUP BY 1
+ORDER BY size DESC, community ASC LIMIT 25"""
+    )
+
+
+@_register("graph_label_propagation", _lpa_sql(3))
+def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007), 3 fixed rounds over the symmetrized supplier-part graph;
+    top communities by size. Integer labels + deterministic adoption
+    make the whole iteration exactly oracle-able
+    (graph.label_propagation_fixed)."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    lab = graph_ops.label_propagation_fixed(edges, n_iter=3)
+    return (
+        lab.groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(25)
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -176,6 +176,8 @@ HEADLINE = [
     "corpus_zipf_fit",
     "corpus_collocations",
     "indexed_phrase_search",
+    "indexed_proximity_search",
+    "graph_label_propagation",
 ]
 
 SMALL_RESULT = {

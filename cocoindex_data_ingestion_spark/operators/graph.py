@@ -344,3 +344,60 @@ def ppr_fixedpoint(
             .localCheckpoint(eager=True)
         )
     return ranks.select("node_id", F.col("r").alias("rank_fp"))
+
+
+def label_propagation_fixed(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al., Phys. Rev. E
+    2007) for a FIXED iteration count — community detection as
+    iterated neighbor-majority voting: every node starts as its own
+    label; each round, a node adopts the most frequent label among
+    its neighbors, ties broken by the SMALLEST label. The fixed
+    round count + deterministic tiebreak make the whole iteration
+    exactly oracle-able via unrolled CTEs (the pagerank_fixedpoint
+    discipline; free-running LPA oscillates on bipartite structures
+    and is not a well-defined query).
+
+    Plan: edges symmetrized once and localCheckpoint'd (every round
+    reuses them without replaying the build); per round ONE join to
+    deliver labels + one (node, label) count + one per-node window —
+    all partitioned by node, O(edges) per round. Labels themselves
+    are node ids (integers), so no float drift exists anywhere.
+    """
+    from pyspark.sql import Window
+
+    und = (
+        edges.select(src, dst)
+        .union(
+            edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = (
+        und.select(F.col(src).alias("node_id"))
+        .distinct()
+        .withColumn("label", F.col("node_id"))
+    )
+    w = Window.partitionBy("node_id").orderBy(
+        F.desc("cnt"), F.asc("label")
+    )
+    for _ in range(n_iter):
+        msgs = und.join(
+            lab.withColumnRenamed("node_id", src), src
+        ).select(F.col(dst).alias("node_id"), "label")
+        cnt = msgs.groupBy("node_id", "label").agg(
+            F.count("*").alias("cnt")
+        )
+        lab = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node_id", "label")
+            # cut the per-round lineage (iterative-algo discipline)
+            .localCheckpoint(eager=False)
+        )
+    return lab

@@ -1285,3 +1285,42 @@ def indexed_phrase(
         .orderBy(F.col("n_phrase").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def indexed_proximity(
+    spark: SparkSession,
+    index_dir: str,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    k: int = 20,
+    id_col: str = "doc_id",
+    n_buckets: int = POSTINGS_BUCKETS,
+) -> DataFrame:
+    """Proximity search from the positional layout: documents where
+    ``term_a`` and ``term_b`` co-occur within ``window`` tokens (any
+    order), ranked by the number of such close pairs — the
+    "terms NEAR each other" operator between exact-phrase (order +
+    adjacency) and bag-of-words BM25 (no position signal at all).
+
+    Plan: two bucket-pruned occurrence reads (the same static
+    pruning as indexed_phrase), an equi-join on the document id with
+    the |Δpos| <= window band as a join-time filter — never a
+    positions×positions product across documents.
+    """
+    ta, tb = term_a.lower(), term_b.lower()
+    pos = spark.read.parquet(f"{index_dir}/positions").filter(
+        F.col("tbucket").isin(_token_buckets_py([ta, tb], n_buckets))
+        & F.col("token").isin([ta, tb])
+    )
+    a = pos.filter(F.col("token") == ta).select(id_col, F.col("pos").alias("pa"))
+    b = pos.filter(F.col("token") == tb).select(id_col, F.col("pos").alias("pb"))
+    pairs = a.join(b, id_col).filter(
+        F.abs(F.col("pa") - F.col("pb")) <= window
+    )
+    return (
+        pairs.groupBy(id_col)
+        .agg(F.count("*").alias("n_near"))
+        .orderBy(F.col("n_near").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

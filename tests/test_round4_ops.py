@@ -1401,3 +1401,37 @@ class TestCollocations:
         from cocoindex_data_ingestion_spark.operators import text_analysis
         out = text_analysis.collocations_pmi(docs, top_k=20, min_count=1)
         assert out.filter(F.col("bigram") == "x y").count() == 0
+
+
+# -- label propagation ------------------------------------------------------------------
+
+
+class TestLabelPropagation:
+    def test_two_cliques_two_communities(self, spark):
+        from cocoindex_data_ingestion_spark.operators import graph as g
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+            "src long, dst long",
+        )
+        lab = {r.node_id: r.label for r in
+               g.label_propagation_fixed(edges, n_iter=3).collect()}
+        assert len({lab[1], lab[2], lab[3]}) == 1
+        assert len({lab[10], lab[11], lab[12]}) == 1
+        assert lab[1] != lab[10]
+
+    def test_min_label_tiebreak(self, spark):
+        from cocoindex_data_ingestion_spark.operators import graph as g
+        # single edge 5-9: after round 1 each adopts the other's label
+        # (5 -> 9's only neighbor label is 5... and vice versa); with
+        # fixed synchronous rounds labels swap each round — after 3
+        # (odd) rounds node 5 has label 9 and node 9 has label 5? No:
+        # round 1: 5 adopts 9? its only neighbor is 9 with label 9 ->
+        # 5:9, 9:5. round 2: 5's neighbor 9 has label 5 -> 5:5, 9:9.
+        # round 3: 5:9, 9:5. The oscillation is exactly why the op is
+        # FIXED-round: determinism is the contract, not convergence.
+        lab = {r.node_id: r.label for r in
+               g.label_propagation_fixed(
+                   spark.createDataFrame([(5, 9)], "src long, dst long"),
+                   n_iter=3,
+               ).collect()}
+        assert lab == {5: 9, 9: 5}
