@@ -9648,6 +9648,42 @@ def _q_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- cumulative distinct users (first-occurrence rewrite) ----------------------------
+
+_CUMU_SQL = """
+WITH first AS (SELECT user_id,
+                      CAST(min(epoch_us(ts)) // 86400000000 AS BIGINT) AS day
+               FROM events GROUP BY 1),
+per AS (SELECT day, count(*) AS new_users FROM first GROUP BY 1)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+FROM per
+"""
+
+
+@_register("events_cumulative_users", _CUMU_SQL)
+def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via the first-occurrence
+    rewrite: a RUNNING COUNT DISTINCT is not windowable at scale, but
+    'distinct users through day d' == 'users whose FIRST event is <=
+    d' — one per-user min, one per-day count, one running sum over
+    the DAY-cardinality table (bounded by the calendar, not the
+    corpus, so the ordered window is benign at any data size)."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as _W
+
+    first = ev.groupBy("user_id").agg(
+        F.floor(F.min(_ts_us("ts")) / F.lit(86_400_000_000)).alias("day")
+    )
+    per = first.groupBy("day").agg(F.count("*").alias("new_users"))
+    w = _W.orderBy("day")
+    return per.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
