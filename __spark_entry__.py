@@ -9684,6 +9684,52 @@ def _q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- funnel conversion latency ---------------------------------------------------------
+
+_FLAT_A, _FLAT_B = "view", "purchase"
+
+_FLAT_SQL = f"""
+WITH a AS (SELECT user_id, min(epoch_us(ts)) AS ta FROM events
+           WHERE event_type = '{_FLAT_A}' GROUP BY 1),
+b AS (SELECT user_id, min(epoch_us(ts)) AS tb FROM events
+      WHERE event_type = '{_FLAT_B}' GROUP BY 1),
+d AS (SELECT CAST(tb - ta AS DOUBLE) / 1000000.0 AS dt
+      FROM a JOIN b USING (user_id) WHERE tb > ta)
+SELECT CAST(count(*) AS BIGINT) AS n_converted,
+       {_R("quantile_cont(dt, 0.5)", 4)} AS p50_s,
+       {_R("quantile_cont(dt, 0.9)", 4)} AS p90_s
+FROM d
+"""
+
+
+@_register("events_funnel_latency", _FLAT_SQL)
+def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the view->purchase funnel:
+    per-user first-touch times (two filtered aggregates of one
+    event-type-pruned scan pattern), the positive deltas' exact
+    percentiles. The latency companion to events_sequence_funnel's
+    stage counts."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == _FLAT_A).groupBy("user_id").agg(
+        F.min(_ts_us("ts")).alias("ta")
+    )
+    b = ev.filter(F.col("event_type") == _FLAT_B).groupBy("user_id").agg(
+        F.min(_ts_us("ts")).alias("tb")
+    )
+    d = (
+        a.join(b, "user_id")
+        .filter(F.col("tb") > F.col("ta"))
+        .select(
+            ((F.col("tb") - F.col("ta")).cast("double") / F.lit(1_000_000.0)).alias("dt")
+        )
+    )
+    return d.agg(
+        F.count("*").alias("n_converted"),
+        stable_round(F.expr("percentile(dt, 0.5)"), 4).alias("p50_s"),
+        stable_round(F.expr("percentile(dt, 0.9)"), 4).alias("p90_s"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
