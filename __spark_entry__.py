@@ -9730,6 +9730,95 @@ def _q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- ABC (Pareto) revenue classification -------------------------------------------------
+
+_ABC_A, _ABC_B = 0.7, 0.9
+
+_ABC_SQL = f"""
+WITH rev AS (SELECT l_partkey AS part,
+                    sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5)
+                             AS BIGINT)) AS cents
+             FROM lineitem GROUP BY 1),
+tot AS (SELECT sum(cents) AS tot FROM rev),
+cum AS (SELECT part, cents,
+               sum(cents) OVER (ORDER BY cents DESC, part ASC) AS cum_cents
+        FROM rev),
+cls AS (SELECT part, cents,
+               CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) <= {_ABC_A}
+                    THEN 'A'
+                    WHEN CAST(cum_cents AS DOUBLE) / CAST(tot AS DOUBLE) <= {_ABC_B}
+                    THEN 'B' ELSE 'C' END AS abc
+        FROM cum CROSS JOIN tot)
+SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+       {_R("CAST(sum(cents) AS DOUBLE) / 100.0", 2)} AS class_revenue
+FROM cls GROUP BY 1
+"""
+
+
+@_register("parts_abc_classes", _ABC_SQL)
+def _q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto inventory classification: parts ranked by revenue,
+    class A = first 70% of cumulative revenue, B to 90%, C the tail.
+    The cumulative sum runs on EXACT integer cents (floats would make
+    a running sum order-dependent) via the partition-offset pattern —
+    range-repartition on (revenue desc, part), per-partition running
+    sums, per-partition totals broadcast as offsets — never a
+    no-partition window over the part-cardinality table."""
+    from pyspark.sql import Window as _W
+
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    rev = (
+        li.groupBy(F.col("l_partkey").alias("part"))
+        .agg(F.sum(cents).alias("cents"))
+        .localCheckpoint(eager=False)
+    )
+    tot = rev.agg(F.sum("cents").alias("tot"))
+    ordered = (
+        rev.repartitionByRange(F.col("cents").desc(), F.col("part").asc())
+        .sortWithinPartitions(F.col("cents").desc(), F.col("part").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    ptot = ordered.groupBy("_pid").agg(F.sum("cents").alias("_pc"))
+    w_off = _W.orderBy("_pid").rowsBetween(_W.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_local = _W.partitionBy("_pid").orderBy(
+        F.col("cents").desc(), F.col("part").asc()
+    )
+    share = (
+        ordered.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            "cum_cents", F.sum("cents").over(w_local) + F.col("_off")
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "_share",
+            F.col("cum_cents").cast("double") / F.col("tot").cast("double"),
+        )
+    )
+    abc = (
+        F.when(F.col("_share") <= _ABC_A, F.lit("A"))
+        .when(F.col("_share") <= _ABC_B, F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        share.select(abc.alias("abc"), "cents")
+        .groupBy("abc")
+        .agg(
+            F.count("*").alias("n_parts"),
+            stable_round(
+                F.sum("cents").cast("double") / F.lit(100.0), 2
+            ).alias("class_revenue"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 
