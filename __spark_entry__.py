@@ -9819,6 +9819,182 @@ def _q_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- Kaplan-Meier time-to-conversion (relational.survival_km) ------------------
+
+_KM_SQL = f"""
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
+entries AS (SELECT u, min(us) AS entry FROM ev WHERE t = 'signup' GROUP BY 1),
+firsts AS (
+  SELECT e.u, min(v.us) AS ev_us
+  FROM entries e JOIN ev v ON v.u = e.u
+  WHERE v.t = 'purchase' AND v.us >= e.entry
+  GROUP BY 1),
+cmax AS (SELECT max(us) AS cm FROM ev),
+subj AS (
+  SELECT CAST(floor((coalesce(f.ev_us, c.cm) - e.entry) / 86400000000.0) AS BIGINT) AS t_day,
+         CASE WHEN f.ev_us IS NOT NULL THEN 1 ELSE 0 END AS obs
+  FROM entries e LEFT JOIN firsts f ON f.u = e.u CROSS JOIN cmax c),
+km AS (SELECT t_day, sum(obs) AS d, count(*) - sum(obs) AS c FROM subj GROUP BY 1),
+tot AS (SELECT count(*) AS n0 FROM subj),
+stepped AS (
+  SELECT t_day, d, c,
+         n0 - coalesce(sum(d + c) OVER (
+           ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+  FROM km CROSS JOIN tot),
+q AS (
+  SELECT *,
+         CASE WHEN d > 0 AND n_risk > d
+              THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+              ELSE 0 END AS lnq,
+         CASE WHEN d > 0 AND n_risk <= d THEN 1 ELSE 0 END AS dead
+  FROM stepped),
+s AS (
+  SELECT *,
+         max(dead) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cumdead,
+         sum(lnq) OVER (ORDER BY t_day ROWS UNBOUNDED PRECEDING) AS cumln
+  FROM q)
+SELECT t_day,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events,
+       CAST(c AS BIGINT) AS n_censored,
+       {_R("CASE WHEN cumdead = 1 THEN 0.0 ELSE exp(CAST(cumln AS DOUBLE) / 1e9) END", 6)} AS survival
+FROM s WHERE d > 0 ORDER BY t_day
+"""
+
+
+@_register("events_survival_km", _KM_SQL)
+def _q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier signup→purchase survival curve with right-
+    censoring at the stream's end (relational.survival_km): the
+    time-to-event analysis funnels can't do (funnels drop censored
+    users; KM keeps them in the risk set until their last
+    observation). Corpus reduces to one row per subject in two
+    user-keyed aggs; the product-limit runs over the calendar-bounded
+    duration table with exact fixed-point log accumulation."""
+    return relational.survival_km(
+        _t(spark, sf_dir, "events"),
+        entry_type="signup",
+        event_type="purchase",
+    )
+
+
+# -- Welch's t-test (relational.welch_ttest) -----------------------------------
+
+_TT_NORM = 100000.0
+_TT_V = f"(o_totalprice / {_TT_NORM!r})"
+
+_TTEST_SQL = f"""
+WITH m AS (
+  SELECT
+    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS na_,
+    CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS nb_,
+    {_S(f"CASE WHEN o_orderpriority = '1-URGENT' THEN {_TT_V} ELSE 0.0 END", 6)} AS sa,
+    {_S(f"CASE WHEN o_orderpriority = '5-LOW' THEN {_TT_V} ELSE 0.0 END", 6)} AS sb,
+    {_S(f"CASE WHEN o_orderpriority = '1-URGENT' THEN {_TT_V} * {_TT_V} ELSE 0.0 END", 6)} AS qa,
+    {_S(f"CASE WHEN o_orderpriority = '5-LOW' THEN {_TT_V} * {_TT_V} ELSE 0.0 END", 6)} AS qb
+  FROM orders
+  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+d AS (
+  SELECT na_, nb_,
+         CAST(na_ AS DOUBLE) AS na, CAST(nb_ AS DOUBLE) AS nb,
+         sa, sb, qa, qb
+  FROM m),
+v AS (
+  SELECT *,
+         sa / na AS ma, sb / nb AS mb,
+         ((qa - sa * sa / na) / (na - 1.0)) / na AS sea,
+         ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS seb
+  FROM d)
+SELECT na_ AS n_a, nb_ AS n_b,
+       {_R(f"ma * {_TT_NORM!r}", 4)} AS mean_a,
+       {_R(f"mb * {_TT_NORM!r}", 4)} AS mean_b,
+       {_R("(ma - mb) / sqrt(sea + seb)", 4)} AS t_stat,
+       {_R("(sea + seb) * (sea + seb) / (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0))", 4)} AS dof
+FROM v
+"""
+
+
+@_register("orders_welch_ttest", _TTEST_SQL)
+def _q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between urgent and low-priority
+    orders on total price (relational.welch_ttest): the A/B numeric
+    primitive beside chi2 (categorical) and KS (distributional). ONE
+    conditional-aggregate scan; t is rescaling-invariant so values
+    are constant-normalized before fixed-point summation (long
+    headroom to ~1e12 rows, the corr-matrix discipline)."""
+    return relational.welch_ttest(
+        _t(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        "1-URGENT",
+        "5-LOW",
+        value_norm=_TT_NORM,
+    )
+
+
+# -- sweep-line peak concurrency (relational.concurrency_profile) --------------
+
+_CONC_SQL = """
+WITH ev AS (
+  SELECT user_id AS u, epoch_us(ts) AS us,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day
+  FROM events),
+spans AS (SELECT u, day, min(us) AS s, max(us) AS e FROM ev GROUP BY 1, 2),
+bounds AS (
+  SELECT day, u, s AS bus, 1 AS d FROM spans
+  UNION ALL
+  SELECT day, u, e AS bus, -1 AS d FROM spans),
+walked AS (
+  SELECT day, sum(d) OVER (
+    PARTITION BY day ORDER BY bus ASC, d DESC, u ASC
+    ROWS UNBOUNDED PRECEDING) AS cur
+  FROM bounds)
+SELECT day,
+       CAST(max(cur) AS BIGINT) AS peak_concurrent,
+       CAST(count(*) // 2 AS BIGINT) AS n_active_users
+FROM walked GROUP BY day ORDER BY day
+"""
+
+
+@_register("events_concurrency", _CONC_SQL)
+def _q_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous active users per day by sweep line over
+    per-(user, day) activity spans (relational.concurrency_profile):
+    +1/-1 boundaries walked in exact integer time order, windowed PER
+    DAY so the cumulative count parallelizes across the calendar —
+    the capacity-planning curve over any interval set."""
+    return relational.concurrency_profile(_t(spark, sf_dir, "events"))
+
+
+# -- length-2 sequential pattern support (relational.sequence_pair_support) ----
+
+_SEQ_SQL = f"""
+WITH ev AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS t FROM events),
+per AS (SELECT u, t, min(us) AS mn, max(us) AS mx FROM ev GROUP BY 1, 2),
+nu AS (SELECT count(DISTINCT u) AS n FROM per),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, count(*) AS n_users
+  FROM per a JOIN per b ON a.u = b.u
+  WHERE a.t <> b.t AND a.mn < b.mx
+  GROUP BY 1, 2)
+SELECT type_a, type_b, CAST(n_users AS BIGINT) AS n_users,
+       {_R("CAST(n_users AS DOUBLE) / CAST(nu.n AS DOUBLE)", 6)} AS support
+FROM pairs, nu
+ORDER BY n_users DESC, type_a, type_b
+"""
+
+
+@_register("events_pattern_pairs", _SEQ_SQL)
+def _q_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support for every ordered length-2 event-type pattern a→b
+    (relational.sequence_pair_support, PrefixSpan level 1): the
+    subsequence test collapses to min_ts(a) < max_ts(b), so one
+    user-keyed agg to per-(user,type) extremes replaces any scan of
+    raw orderings; the pair join is within-user over k-row groups."""
+    return relational.sequence_pair_support(_t(spark, sf_dir, "events"))
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -972,3 +972,307 @@ def mutual_information(
             ).alias("nmi"),
         )
     )
+
+
+def survival_km(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    entry_type: str = "signup",
+    event_type: str = "purchase",
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimate of time-to-conversion: subjects
+    enter at their first ``entry_type`` event; the "death" is their
+    first ``event_type`` at or after entry; subjects with no
+    conversion are right-censored at the stream's last observed
+    timestamp. Returns one row per event time ``t_day`` (days since
+    entry) with the risk set, event/censor counts and the KM
+    product-limit estimate — the time-to-event view a growth or
+    reliability pipeline layers over raw funnels (funnel counts
+    ignore censoring; KM does not).
+
+    Scale shape: two user-keyed aggregations (entry leg, first-event
+    leg — co-partitioned after the first shuffle) reduce the corpus
+    to ONE ROW PER SUBJECT; the KM table itself then groups those
+    rows by duration-in-days, which is CALENDAR-BOUNDED (the window
+    over it is k-bounded, never corpus-sized — same adjudication as
+    pq_codebook). The product limit is computed exactly: per-step
+    log factors are fixed-point-quantized at 1e9 and cumulative-
+    summed in integer arithmetic, so the running product is
+    order-independent and engine-identical; a risk set that hits
+    zero survivors switches to an exact 0.0 via a cumulative flag
+    rather than ln(0).
+    """
+    from ..functions.compare import stable_round
+
+    us = ts_us(F.col(ts_col))
+    ev = df.select(
+        F.col(user_col).alias("_u"), us.alias("_us"), F.col(type_col).alias("_t")
+    )
+    entries = (
+        ev.filter(F.col("_t") == entry_type)
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_entry"))
+    )
+    firsts = (
+        ev.filter(F.col("_t") == event_type)
+        .join(entries, "_u")
+        .filter(F.col("_us") >= F.col("_entry"))
+        .groupBy("_u")
+        .agg(F.min("_us").alias("_event"))
+    )
+    cmax = ev.agg(F.max("_us").alias("_cmax"))
+    subj = (
+        entries.join(firsts, "_u", "left")
+        .crossJoin(F.broadcast(cmax))
+        .select(
+            F.floor(
+                (F.coalesce(F.col("_event"), F.col("_cmax")) - F.col("_entry"))
+                / F.lit(86_400_000_000.0)
+            )
+            .cast("long")
+            .alias("t_day"),
+            F.when(F.col("_event").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("_obs"),
+        )
+    )
+    km = subj.groupBy("t_day").agg(
+        F.sum("_obs").alias("d_events"),
+        (F.count("*") - F.sum("_obs")).alias("n_censored"),
+    )
+    tot = subj.agg(F.count("*").alias("_n0"))
+    w_prev = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t_day").rowsBetween(Window.unboundedPreceding, 0)
+    stepped = (
+        km.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("_n0")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_lnq",
+            F.when(
+                (F.col("d_events") > 0) & (F.col("n_risk") > F.col("d_events")),
+                F.floor(
+                    F.log(
+                        (F.col("n_risk") - F.col("d_events")).cast("double")
+                        / F.col("n_risk").cast("double")
+                    )
+                    * F.lit(1e9)
+                    + F.lit(0.5)
+                ).cast("long"),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "_dead",
+            F.when(
+                (F.col("d_events") > 0) & (F.col("n_risk") <= F.col("d_events")),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "survival",
+            F.when(F.max("_dead").over(w_cum) == 1, F.lit(0.0)).otherwise(
+                F.exp(F.sum("_lnq").over(w_cum) / F.lit(1e9))
+            ),
+        )
+    )
+    return (
+        stepped.filter(F.col("d_events") > 0)
+        .select(
+            "t_day",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d_events").cast("long").alias("d_events"),
+            F.col("n_censored").cast("long").alias("n_censored"),
+            stable_round(F.col("survival"), round_to).alias("survival"),
+        )
+        .orderBy("t_day")
+    )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    value_norm: float = 1.0,
+    round_to: int = 4,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two cohorts of a
+    numeric column: ``(n_a, n_b, mean_a, mean_b, t_stat, dof)`` with
+    the Welch-Satterthwaite degrees of freedom — the A/B-test
+    primitive next to :func:`chi2_independence` (categorical) and
+    :func:`ks_test_2samp` (full-distribution).
+
+    ONE corpus scan: both cohorts' count/sum/sum-of-squares come from
+    a single conditional aggregate. The t statistic is invariant
+    under constant rescaling of the values, so inputs are divided by
+    ``value_norm`` first (pick ~the column's magnitude) — with O(1)
+    normalized values the fixed-point element quantization at 1e6
+    keeps the exact integer running sums inside long headroom to
+    ~1e12 rows (the lineitem_corr_matrix overflow discipline).
+    Means are reported on the original scale.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    v = F.col(value_col) / F.lit(float(value_norm))
+    ia = F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+    ib = F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
+    row = df.filter(F.col(group_col).isin([group_a, group_b])).agg(
+        F.sum(ia).alias("_na"),
+        F.sum(ib).alias("_nb"),
+        stable_sum(F.when(ia == 1, v).otherwise(F.lit(0.0)), 6).alias("_sa"),
+        stable_sum(F.when(ib == 1, v).otherwise(F.lit(0.0)), 6).alias("_sb"),
+        stable_sum(F.when(ia == 1, v * v).otherwise(F.lit(0.0)), 6).alias("_qa"),
+        stable_sum(F.when(ib == 1, v * v).otherwise(F.lit(0.0)), 6).alias("_qb"),
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    ma, mb = F.col("_sa") / na, F.col("_sb") / nb
+    va = (F.col("_qa") - F.col("_sa") * F.col("_sa") / na) / (na - F.lit(1.0))
+    vb = (F.col("_qb") - F.col("_sb") * F.col("_sb") / nb) / (nb - F.lit(1.0))
+    sea, seb = va / na, vb / nb
+    t = (ma - mb) / F.sqrt(sea + seb)
+    dof = (sea + seb) * (sea + seb) / (
+        sea * sea / (na - F.lit(1.0)) + seb * seb / (nb - F.lit(1.0))
+    )
+    nrm = F.lit(float(value_norm))
+    return row.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        stable_round(ma * nrm, round_to).alias("mean_a"),
+        stable_round(mb * nrm, round_to).alias("mean_b"),
+        stable_round(t, round_to).alias("t_stat"),
+        stable_round(dof, round_to).alias("dof"),
+    )
+
+
+def concurrency_profile(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Peak concurrency per day via the sweep line: each user's
+    active span within a day ([first event, last event], inclusive)
+    contributes a +1 boundary at its start and a -1 at its end; the
+    running sum of boundaries in time order is the number of
+    simultaneously-active users, and its per-day max is the day's
+    peak — capacity planning's standard question over any interval
+    set. Ties resolve starts before ends (inclusive-overlap
+    convention), then by user id, so the walk is deterministic.
+
+    Scale shape: one shuffle reduces events to per-(user, day) spans;
+    boundaries double that (map-side explode); the running sum is
+    windowed PER DAY — partition-parallel across the calendar, never
+    a global window. All integers, so every engine walks the same
+    exact counts.
+    """
+    us = ts_us(F.col(ts_col))
+    day_us = 86_400_000_000
+    spans = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            us.alias("_us"),
+            # integer epoch day (not a DATE column: int output columns
+            # canonicalize identically in every engine/pandas path)
+            F.floor(us / F.lit(float(day_us))).cast("long").alias("day"),
+        )
+        .groupBy("_u", "day")
+        .agg(F.min("_us").alias("_s"), F.max("_us").alias("_e"))
+    )
+    bounds = spans.select(
+        "day",
+        "_u",
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("_bus"), F.lit(1).alias("_d")),
+                F.struct(F.col("_e").alias("_bus"), F.lit(-1).alias("_d")),
+            )
+        ).alias("b"),
+    ).select("day", "_u", F.col("b._bus").alias("_bus"), F.col("b._d").alias("_d"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("_bus").asc(), F.col("_d").desc(), F.col("_u").asc()
+    )
+    walked = bounds.withColumn(
+        "_cur", F.sum("_d").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        walked.groupBy("day")
+        .agg(
+            F.max("_cur").cast("long").alias("peak_concurrent"),
+            (F.count("*") / F.lit(2)).cast("long").alias("n_active_users"),
+        )
+        .orderBy("day")
+    )
+
+
+def sequence_pair_support(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    round_to: int = 6,
+) -> DataFrame:
+    """Frequent length-2 behavioral patterns: for every ordered pair
+    of event types (a → b, a ≠ b), the number and share of users
+    whose stream contains SOME ``a`` strictly before SOME ``b`` —
+    the support table sequential-pattern mining (PrefixSpan's first
+    level) starts from, and the direct "do users who X later Y?"
+    answer.
+
+    The subsequence test needs no per-user scan of the raw stream:
+    ``∃ t_a < t_b  ⇔  min_ts(a) < max_ts(b)``, so ONE user-keyed
+    aggregation to per-(user, type) min/max timestamps (k types per
+    user, k tiny) suffices; the pair test is a within-user self-join
+    of that k-row-per-user table (co-partitioned on the user key, no
+    second corpus shuffle of raw events). Exact integer
+    microsecond comparisons; support share rounds at the end.
+    """
+    from ..functions.compare import stable_round
+
+    us = ts_us(F.col(ts_col))
+    per = (
+        df.select(
+            F.col(user_col).alias("_u"), us.alias("_us"), F.col(type_col).alias("_t")
+        )
+        .groupBy("_u", "_t")
+        .agg(F.min("_us").alias("_mn"), F.max("_us").alias("_mx"))
+    )
+    n_users = per.select("_u").distinct().agg(
+        F.count("*").alias("_nu")
+    )
+    a = per.select(
+        F.col("_u"), F.col("_t").alias("type_a"), F.col("_mn").alias("_mna")
+    )
+    b = per.select(
+        F.col("_u"), F.col("_t").alias("type_b"), F.col("_mx").alias("_mxb")
+    )
+    pairs = (
+        a.join(b, "_u")
+        .filter(
+            (F.col("type_a") != F.col("type_b"))
+            & (F.col("_mna") < F.col("_mxb"))
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_users"))
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_users",
+            stable_round(
+                F.col("n_users").cast("double") / F.col("_nu").cast("double"),
+                round_to,
+            ).alias("support"),
+        )
+        .orderBy(F.desc("n_users"), "type_a", "type_b")
+    )

@@ -1435,3 +1435,202 @@ class TestLabelPropagation:
                    n_iter=3,
                ).collect()}
         assert lab == {5: 9, 9: 5}
+
+
+# -- Kaplan-Meier survival ------------------------------------------------------
+
+
+class TestSurvivalKM:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+
+    def test_hand_computed_curve(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(days):
+            return t0 + dt.timedelta(days=days)
+
+        # 4 subjects: u1 converts day 1, u2 day 1, u3 day 3,
+        # u4 never (censored at last obs = day 5)
+        rows = [
+            (1, at(0), "signup"), (1, at(1), "purchase"),
+            (2, at(0), "signup"), (2, at(1.2), "purchase"),
+            (3, at(0), "signup"), (3, at(3), "purchase"),
+            (4, at(0), "signup"), (4, at(5), "click"),
+        ]
+        out = {
+            r["t_day"]: r
+            for r in relational.survival_km(self._events(spark, rows)).collect()
+        }
+        # day 1: n_risk=4, d=2 -> S = 2/4 = 0.5
+        assert out[1]["n_risk"] == 4 and out[1]["d_events"] == 2
+        assert abs(out[1]["survival"] - 0.5) < 1e-6
+        # day 3: n_risk=2, d=1 -> S = 0.5 * 1/2 = 0.25
+        assert out[3]["n_risk"] == 2 and out[3]["d_events"] == 1
+        assert abs(out[3]["survival"] - 0.25) < 1e-6
+        # censored subject never appears as an event row
+        assert set(out) == {1, 3}
+
+    def test_risk_set_exhausted_is_exact_zero(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0, "signup"),
+            (1, t0 + dt.timedelta(days=2), "purchase"),
+        ]
+        out = relational.survival_km(self._events(spark, rows)).collect()
+        assert len(out) == 1
+        assert out[0]["survival"] == 0.0
+
+    def test_pre_entry_events_ignored(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # purchase BEFORE signup must not count as conversion
+        rows = [
+            (1, t0 + dt.timedelta(days=2), "signup"),
+            (1, t0, "purchase"),
+            (2, t0, "signup"),
+            (2, t0 + dt.timedelta(days=4), "purchase"),
+        ]
+        out = relational.survival_km(self._events(spark, rows)).collect()
+        # u1 censored (no post-entry purchase): censored at max ts (day 4
+        # = 2 days after u1's entry); u2 converts at day 4
+        assert [(r["t_day"], r["d_events"]) for r in out] == [(4, 1)]
+
+
+# -- Welch t-test ---------------------------------------------------------------
+
+
+class TestWelchTtest:
+    def test_matches_scipy_shape(self, spark):
+        # hand-computable: a = [1,2,3], b = [2,4,6,8]
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0),
+             ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 8.0)],
+            "g string, v double",
+        )
+        r = relational.welch_ttest(df, "g", "v", "a", "b").collect()[0]
+        assert r["n_a"] == 3 and r["n_b"] == 4
+        assert abs(r["mean_a"] - 2.0) < 1e-9
+        assert abs(r["mean_b"] - 5.0) < 1e-9
+        # Welch: va=1, vb=20/3; se=1/3+5/3=2; t=-3/sqrt(2)
+        assert abs(r["t_stat"] - (-3.0 / 2.0**0.5)) < 1e-3
+        # dof = 4 / (1/18 + 25/27) = 4.0755...
+        assert abs(r["dof"] - 4.0755) < 1e-3
+
+    def test_rescaling_invariance(self, spark):
+        rows = [("a", float(i)) for i in range(1, 20)] + [
+            ("b", float(i * 1.7)) for i in range(1, 25)
+        ]
+        df = spark.createDataFrame(rows, "g string, v double")
+        t1 = relational.welch_ttest(df, "g", "v", "a", "b").collect()[0]
+        t2 = relational.welch_ttest(
+            df, "g", "v", "a", "b", value_norm=10.0
+        ).collect()[0]
+        assert abs(t1["t_stat"] - t2["t_stat"]) < 1e-3
+        assert abs(t1["dof"] - t2["dof"]) < 1e-2
+
+
+# -- sweep-line concurrency ------------------------------------------------------
+
+
+class TestConcurrency:
+    def test_overlapping_spans(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(minutes):
+            return t0 + dt.timedelta(minutes=minutes)
+
+        # u1 active [0, 60], u2 [30, 90], u3 [120, 130]:
+        # peak 2 (u1 and u2 overlap), 3 active users that day
+        rows = [
+            (1, at(0)), (1, at(60)),
+            (2, at(30)), (2, at(90)),
+            (3, at(120)), (3, at(130)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = relational.concurrency_profile(df).collect()
+        assert len(out) == 1
+        assert out[0]["peak_concurrent"] == 2
+        assert out[0]["n_active_users"] == 3
+
+    def test_touching_endpoints_count_as_overlap(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # u2 starts exactly when u1 ends: inclusive convention -> peak 2
+        rows = [
+            (1, t0), (1, t0 + dt.timedelta(minutes=10)),
+            (2, t0 + dt.timedelta(minutes=10)),
+            (2, t0 + dt.timedelta(minutes=20)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = relational.concurrency_profile(df).collect()
+        assert out[0]["peak_concurrent"] == 2
+
+    def test_days_partition_independently(self, spark):
+        import datetime as dt
+
+        rows = []
+        for day in range(3):
+            base = dt.datetime(2024, 1, 1 + day)
+            for u in range(day + 1):
+                rows.append((u, base))
+                rows.append((u, base + dt.timedelta(hours=1)))
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        out = sorted(
+            relational.concurrency_profile(df).collect(),
+            key=lambda r: r["day"],
+        )
+        assert [r["peak_concurrent"] for r in out] == [1, 2, 3]
+
+
+# -- sequence pair support --------------------------------------------------------
+
+
+class TestSequencePairs:
+    def test_subsequence_rewrite(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        rows = [
+            # u1: view -> click -> view  (view<click YES via first view;
+            #                             click<view YES via last view)
+            (1, at(0), "view"), (1, at(1), "click"), (1, at(2), "view"),
+            # u2: click only
+            (2, at(0), "click"),
+            # u3: click -> view (view->click NO, click->view YES)
+            (3, at(0), "click"), (3, at(1), "view"),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_type string"
+        )
+        out = {
+            (r["type_a"], r["type_b"]): r
+            for r in relational.sequence_pair_support(df).collect()
+        }
+        assert out[("view", "click")]["n_users"] == 1
+        assert out[("click", "view")]["n_users"] == 2
+        assert abs(out[("click", "view")]["support"] - 2 / 3) < 1e-5
+
+    def test_same_timestamp_not_before(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, t0, "view"), (1, t0, "click")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        assert relational.sequence_pair_support(df).count() == 0
