@@ -9591,10 +9591,10 @@ def _q_indexed_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- label propagation communities (graph.py) ----------------------------------------
 
 
-def _lpa_sql(n_iter: int = 3) -> str:
-    """DuckDB twin of graph.label_propagation_fixed, iterations
-    unrolled as CTE blocks (the pagerank_fixedpoint discipline) —
-    integer labels, deterministic (count desc, label asc) adoption."""
+def _lpa_core_sql(n_iter: int = 3) -> str:
+    """Shared CTE core: supplier-part LPA iterations unrolled (the
+    pagerank_fixedpoint discipline) — integer labels, deterministic
+    (count desc, label asc) adoption. Final labels are in l{n_iter}."""
     head = """
 WITH e0 AS (
   SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst FROM lineitem
@@ -9618,8 +9618,13 @@ l{i} AS (
     FROM c{i})
   WHERE rn = 1
 )""")
+    return head + "".join(blocks)
+
+
+def _lpa_sql(n_iter: int = 3) -> str:
+    """DuckDB twin of graph.label_propagation_fixed."""
     return (
-        head + "".join(blocks)
+        _lpa_core_sql(n_iter)
         + f"""
 SELECT label AS community, CAST(count(*) AS BIGINT) AS size
 FROM l{n_iter} GROUP BY 1
@@ -9993,6 +9998,118 @@ def _q_pattern_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     user-keyed agg to per-(user,type) extremes replaces any scan of
     raw orderings; the pair join is within-user over k-row groups."""
     return relational.sequence_pair_support(_t(spark, sf_dir, "events"))
+
+
+
+# -- modularity of LPA communities (graph.modularity) --------------------------
+
+
+def _modularity_sql(n_iter: int = 3) -> str:
+    q = (
+        "CAST(coalesce(i.e_intra, 0) AS DOUBLE) / CAST(mm.m AS DOUBLE) "
+        "- (CAST(p.deg_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE))) "
+        "* (CAST(p.deg_sum AS DOUBLE) / (2.0 * CAST(mm.m AS DOUBLE)))"
+    )
+    return (
+        _lpa_core_sql(n_iter)
+        + f""",
+und AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst GROUP BY 1, 2),
+mm AS (SELECT count(*) AS m FROM und),
+deg AS (SELECT n, count(*) AS deg
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+percomm AS (
+  SELECT l.label AS community, count(*) AS n_nodes, sum(d.deg) AS deg_sum
+  FROM deg d JOIN l{n_iter} l ON l.node_id = d.n GROUP BY 1),
+intra AS (
+  SELECT la.label AS community, count(*) AS e_intra
+  FROM und u
+  JOIN l{n_iter} la ON la.node_id = u.a
+  JOIN l{n_iter} lb ON lb.node_id = u.b
+  WHERE la.label = lb.label GROUP BY 1)
+SELECT p.community,
+       CAST(p.n_nodes AS BIGINT) AS n_nodes,
+       CAST(coalesce(i.e_intra, 0) AS BIGINT) AS e_intra,
+       CAST(p.deg_sum AS BIGINT) AS deg_sum,
+       {_R(q, 6)} AS q_contrib
+FROM percomm p LEFT JOIN intra i USING (community) CROSS JOIN mm
+ORDER BY n_nodes DESC, community ASC LIMIT 25"""
+    )
+
+
+@_register("graph_modularity", _modularity_sql(3))
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the 3-round LPA communities over the
+    supplier-part graph (graph.modularity): per-community intra-edge
+    and degree masses vs the degree-preserving null model — the
+    quality score that makes graph_label_propagation's output
+    falsifiable. All-integer masses; one canonical edge set feeds
+    degrees and intra counts."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    lab = graph_ops.label_propagation_fixed(edges, n_iter=3)
+    return (
+        graph_ops.modularity(edges, lab)
+        .orderBy(F.desc("n_nodes"), F.asc("community"))
+        .limit(25)
+    )
+
+
+# -- exact ROC-AUC via Mann-Whitney (evaluation.auc_binary) --------------------
+
+_AUC_SQL = f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qvec, label AS qlab
+           FROM embeddings WHERE vec_id = 0),
+sc AS (SELECT {_R(_COS_SQL, 6)} AS v,
+              CASE WHEN e.label = q.qlab THEN 1 ELSE 0 END AS ip
+       FROM embeddings e, q WHERE e.vec_id <> 0),
+per AS (SELECT v, sum(ip) AS np, count(*) - sum(ip) AS nn FROM sc GROUP BY 1),
+cum AS (SELECT v, np, nn,
+               coalesce(sum(nn) OVER (
+                 ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS below
+        FROM per),
+tot AS (SELECT sum(np) AS tp, sum(nn) AS tn FROM per),
+num AS (SELECT sum(np * (2 * below + nn)) AS num FROM cum)
+SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+       {_R("CAST(num AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE))", 6)} AS auc,
+       {_R("2.0 * (CAST(num AS DOUBLE) / (2.0 * CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE))) - 1.0", 6)} AS gini
+FROM num, tot
+"""
+
+
+@_register("eval_auc_embedding", _AUC_SQL)
+def _q_auc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of cosine-to-query as a same-label classifier
+    (evaluation.auc_binary): Mann-Whitney with full tie handling,
+    computed from per-distinct-score counts + the partition-offset
+    running sum — no global rank materialization (the ks_test
+    scale shape). The one-number separability gate for any scorer
+    the pipeline wants to trust."""
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("label").alias("qlab")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            stable_round(
+                similarity_cosine(F.col("embedding"), F.col("qvec")), 6
+            ).alias("score"),
+            F.when(F.col("label") == F.col("qlab"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_pos"),
+        )
+    )
+    return evaluation.auc_binary(scored, "score", "is_pos")
 
 
 # ------------------------------------------------------------- driver surface

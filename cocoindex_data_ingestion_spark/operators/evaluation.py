@@ -295,3 +295,91 @@ class IncrementalDriftMonitor:
             .agg(F.sum("c_a").alias("c_a"), F.sum("c_b").alias("c_b"))
         )
         return psi_from_counts(counts, self.n_buckets, eps, round_to)
+
+
+def auc_binary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label via the
+    Mann-Whitney identity — ``AUC = P(score⁺ > score⁻) +
+    ½·P(score⁺ = score⁻)`` — the one-number answer to "does this
+    scorer separate the classes" for any model/heuristic a pipeline
+    wants gated (quality filters, dedup scores, classifier logits).
+
+    No global rank is materialized: the corpus reduces to
+    per-DISTINCT-SCORE (n_pos, n_neg) counts in one shuffle; the
+    running count of negatives below each score uses the
+    partition-offset pattern (range repartition on score,
+    per-partition running sums, partition totals broadcast as
+    offsets — the ks_test_2samp shape, never a no-partition window);
+    the AUC numerator is then one exact integer aggregate:
+    ``Σ_s n_pos(s)·(2·cum_neg_below(s) + n_neg(s)) / (2·N⁺·N⁻)``.
+    Integer headroom: numerator ≤ 2·n², inside int64 to ~10⁹ rows —
+    past that, pre-bucket scores (AUC on quantized scores is the
+    standard large-scale estimator).
+
+    Returns one row: ``(n_pos, n_neg, auc, gini)``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round
+
+    s = df.select(
+        F.col(score_col).alias("_v"),
+        F.when(F.col(label_col).cast("int") == 1, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_ip"),
+    )
+    per = (
+        s.groupBy("_v")
+        .agg(
+            F.sum("_ip").alias("_np"),
+            (F.count("*") - F.sum("_ip")).alias("_nn"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ordered = (
+        per.repartitionByRange(F.col("_v"))
+        .sortWithinPartitions("_v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    ptot = ordered.groupBy("_pid").agg(F.sum("_nn").alias("_pn"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid", F.coalesce(F.sum("_pn").over(w_off), F.lit(0)).alias("_on")
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_v")
+    tot = per.agg(F.sum("_np").alias("_tp"), F.sum("_nn").alias("_tn"))
+    terms = ordered.join(F.broadcast(offs), "_pid").select(
+        (
+            F.col("_np")
+            * (
+                F.lit(2)
+                * (
+                    F.sum("_nn").over(
+                        w_local.rowsBetween(Window.unboundedPreceding, 0)
+                    )
+                    + F.col("_on")
+                    - F.col("_nn")
+                )
+                + F.col("_nn")
+            )
+        ).alias("_t")
+    )
+    num = terms.agg(F.sum("_t").alias("_num"))
+    auc = F.col("_num").cast("double") / (
+        F.lit(2.0) * F.col("_tp").cast("double") * F.col("_tn").cast("double")
+    )
+    return (
+        num.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_tp").cast("long").alias("n_pos"),
+            F.col("_tn").cast("long").alias("n_neg"),
+            stable_round(auc, round_to).alias("auc"),
+            stable_round(F.lit(2.0) * auc - F.lit(1.0), round_to).alias("gini"),
+        )
+    )

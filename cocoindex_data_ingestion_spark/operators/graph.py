@@ -401,3 +401,80 @@ def label_propagation_fixed(
             .localCheckpoint(eager=False)
         )
     return lab
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity of a community assignment over an undirected
+    simple graph: per community ``c``, ``Q_c = e_c/m − (deg_c/2m)²``
+    (fraction of edges inside ``c`` minus the expectation under the
+    degree-preserving null model); total ``Q = Σ_c Q_c`` is THE
+    standard quality score for the communities
+    :func:`label_propagation_fixed` or connected components emit —
+    without it "we found communities" is unfalsifiable.
+
+    Returns one row per community: ``(community, n_nodes, e_intra,
+    deg_sum, q_contrib)``. Plan: edges canonicalized (a<b, distinct)
+    once; degrees from one endpoint-union aggregation; intra-edge
+    counts from two label joins (partitioned on the node keys);
+    everything integer until the final per-community ratio, so the
+    score is engine-exact after ``stable_round``.
+    """
+    from ..functions.compare import stable_round
+
+    lab = labels.select(
+        F.col("node_id").alias("_n"), F.col("label").alias("_l")
+    )
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    m = und.agg(F.count("*").alias("_m"))
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .union(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("_deg"))
+    )
+    per_comm = (
+        deg.join(lab, "_n")
+        .groupBy("_l")
+        .agg(
+            F.count("*").alias("n_nodes"),
+            F.sum("_deg").alias("deg_sum"),
+        )
+    )
+    intra = (
+        und.join(lab.withColumnRenamed("_n", "_a").withColumnRenamed("_l", "_la"), "_a")
+        .join(lab.withColumnRenamed("_n", "_b").withColumnRenamed("_l", "_lb"), "_b")
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("_l"))
+        .agg(F.count("*").alias("e_intra"))
+    )
+    md = F.col("_m").cast("double")
+    dd = F.col("deg_sum").cast("double")
+    q = (
+        F.coalesce(F.col("e_intra"), F.lit(0)).cast("double") / md
+        - (dd / (F.lit(2.0) * md)) * (dd / (F.lit(2.0) * md))
+    )
+    return (
+        per_comm.join(intra, "_l", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.col("_l").alias("community"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.coalesce(F.col("e_intra"), F.lit(0)).cast("long").alias("e_intra"),
+            F.col("deg_sum").cast("long").alias("deg_sum"),
+            stable_round(q, round_to).alias("q_contrib"),
+        )
+    )

@@ -1634,3 +1634,100 @@ class TestSequencePairs:
             "user_id long, ts timestamp, event_type string",
         )
         assert relational.sequence_pair_support(df).count() == 0
+
+
+# -- modularity --------------------------------------------------------------------
+
+
+class TestModularity:
+    def _two_triangles(self, spark):
+        # triangles {1,2,3} and {4,5,6} joined by bridge 3-4
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        return spark.createDataFrame(edges, "src long, dst long")
+
+    def test_two_communities_hand_value(self, spark):
+        from cocoindex_data_ingestion_spark.operators import graph as g
+
+        edges = self._two_triangles(spark)
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)],
+            "node_id long, label long",
+        )
+        rows = {r["community"]: r for r in g.modularity(edges, labels).collect()}
+        # m=7; each triangle: e=3, deg_sum=7 -> q = 3/7 - (7/14)^2
+        expect = 3 / 7 - 0.25
+        for c in (1, 4):
+            assert rows[c]["e_intra"] == 3
+            assert rows[c]["deg_sum"] == 7
+            assert abs(rows[c]["q_contrib"] - expect) < 1e-6
+        assert abs(sum(r["q_contrib"] for r in rows.values()) - 2 * expect) < 1e-6
+
+    def test_single_community_is_zero(self, spark):
+        from cocoindex_data_ingestion_spark.operators import graph as g
+
+        edges = self._two_triangles(spark)
+        labels = spark.createDataFrame(
+            [(i, 1) for i in range(1, 7)], "node_id long, label long"
+        )
+        rows = g.modularity(edges, labels).collect()
+        assert len(rows) == 1
+        assert abs(rows[0]["q_contrib"]) < 1e-9
+
+    def test_duplicate_and_reversed_edges_collapse(self, spark):
+        from cocoindex_data_ingestion_spark.operators import graph as g
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 1), (1, 2), (2, 3)], "src long, dst long"
+        )
+        labels = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 3)], "node_id long, label long"
+        )
+        rows = {r["community"]: r for r in g.modularity(edges, labels).collect()}
+        # simple graph: 2 edges (1-2, 2-3)
+        assert rows[1]["e_intra"] == 1 and rows[1]["deg_sum"] == 3
+
+
+# -- ROC-AUC -----------------------------------------------------------------------
+
+
+class TestAucBinary:
+    def _auc(self, spark, rows):
+        from cocoindex_data_ingestion_spark.operators import evaluation
+
+        df = spark.createDataFrame(rows, "score double, lab int")
+        return evaluation.auc_binary(df, "score", "lab").collect()[0]
+
+    def test_perfect_separation(self, spark):
+        rows = [(float(i), 0) for i in range(5)] + [
+            (float(10 + i), 1) for i in range(5)
+        ]
+        r = self._auc(spark, rows)
+        assert r["n_pos"] == 5 and r["n_neg"] == 5
+        assert r["auc"] == 1.0 and r["gini"] == 1.0
+
+    def test_all_tied_is_half(self, spark):
+        rows = [(1.0, 1)] * 4 + [(1.0, 0)] * 6
+        r = self._auc(spark, rows)
+        assert abs(r["auc"] - 0.5) < 1e-9
+        assert abs(r["gini"]) < 1e-9
+
+    def test_hand_computed_with_ties(self, spark):
+        # pos scores [1, 2, 3], neg scores [1, 2]:
+        # pairs: (1,1)=.5 (1,2)=0 (2,1)=1 (2,2)=.5 (3,1)=1 (3,2)=1 -> 4/6
+        rows = [(1.0, 1), (2.0, 1), (3.0, 1), (1.0, 0), (2.0, 0)]
+        r = self._auc(spark, rows)
+        assert abs(r["auc"] - 4 / 6) < 1e-6
+
+    def test_partitioning_invariant(self, spark):
+        from cocoindex_data_ingestion_spark.operators import evaluation
+
+        import random
+
+        rnd = random.Random(7)
+        rows = [
+            (round(rnd.random(), 3), rnd.randint(0, 1)) for _ in range(500)
+        ]
+        df = spark.createDataFrame(rows, "score double, lab int")
+        a = evaluation.auc_binary(df, "score", "lab").collect()[0]
+        b = evaluation.auc_binary(df.repartition(13), "score", "lab").collect()[0]
+        assert a["auc"] == b["auc"]
