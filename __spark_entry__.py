@@ -10112,6 +10112,112 @@ def _q_auc_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return evaluation.auc_binary(scored, "score", "is_pos")
 
 
+
+# -- item-item collaborative filtering (operators/recommend.py) ----------------
+
+_CF_M, _CF_MIN_CO, _CF_USER, _CF_K = 50, 2, 1, 10
+
+_CF_CORE = f"""
+WITH ui AS (
+  SELECT o.o_custkey AS u, l.l_partkey AS it, count(*) AS w
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2),
+capped AS MATERIALIZED (
+  SELECT u, it, w FROM (
+    SELECT u, it, w,
+           row_number() OVER (PARTITION BY u ORDER BY w DESC, it ASC) AS rn
+    FROM ui)
+  WHERE rn <= {_CF_M}),
+n2 AS (SELECT it, sum(w * w) AS n2 FROM capped GROUP BY 1),
+pairs AS MATERIALIZED (
+  SELECT a.it AS item_a, b.it AS item_b,
+         count(*) AS n_co_users, sum(a.w * b.w) AS dot
+  FROM capped a JOIN capped b ON a.u = b.u AND a.it < b.it
+  GROUP BY 1, 2
+  HAVING count(*) >= {_CF_MIN_CO}),
+sims AS MATERIALIZED (
+  SELECT item_a, item_b, n_co_users, dot,
+         {_R("CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))", 4)} AS cosine
+  FROM pairs
+  JOIN n2 na ON na.it = item_a
+  JOIN n2 nb ON nb.it = item_b)"""
+
+_CF_SIMS_SQL = (
+    _CF_CORE
+    + """
+SELECT item_a, item_b,
+       CAST(n_co_users AS BIGINT) AS n_co_users,
+       CAST(dot AS BIGINT) AS dot,
+       cosine
+FROM sims
+ORDER BY cosine DESC, item_a ASC, item_b ASC LIMIT 50"""
+)
+
+_CF_RECS_SQL = (
+    _CF_CORE
+    + f""",
+sym AS (
+  SELECT item_a AS src, item_b AS cand, cosine FROM sims
+  UNION ALL
+  SELECT item_b AS src, item_a AS cand, cosine FROM sims),
+owned AS (SELECT it, w FROM capped WHERE u = {_CF_USER}),
+scored AS (
+  SELECT s.cand,
+         {_S("s.cosine * CAST(o.w AS DOUBLE)", 6)} AS score,
+         CAST(count(*) AS BIGINT) AS n_paths
+  FROM sym s
+  JOIN owned o ON o.it = s.src
+  WHERE s.cand NOT IN (SELECT it FROM owned)
+  GROUP BY 1)
+SELECT cand AS item, {_R("score", 4)} AS score, n_paths
+FROM scored
+ORDER BY score DESC, item ASC LIMIT {_CF_K}"""
+)
+
+
+def _cf_weights(spark: SparkSession, sf_dir: str):
+    from cocoindex_data_ingestion_spark.operators import recommend
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inter = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).select(F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("part"))
+    return recommend.interaction_weights(
+        inter, "cust", "part", max_items_per_user=_CF_M
+    )
+
+
+@_register("recs_item_similarity", _CF_SIMS_SQL)
+def _q_recs_item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-to-item CF similarities (Linden 2003) over customer
+    purchase vectors (recommend.item_item_cosine): per-user top-M
+    capped integer weights, map-side pair generation from sorted
+    baskets (the basket_part_pairs idiom), exact integer dots/norms,
+    one division at the end. Top-50 most similar part pairs."""
+    from cocoindex_data_ingestion_spark.operators import recommend
+
+    w = _cf_weights(spark, sf_dir)
+    sims = recommend.item_item_cosine(w, min_co_users=_CF_MIN_CO)
+    return sims.orderBy(
+        F.desc("cosine"), F.asc("item_a"), F.asc("item_b")
+    ).limit(50)
+
+
+@_register("recs_user_topk", _CF_RECS_SQL)
+def _q_recs_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k "customers who bought what you bought also bought"
+    recommendations for one customer (recommend.recommend_items):
+    the owned set broadcasts (≤ M rows by construction), candidate
+    scores are similarity-weighted sums through the fixed-point
+    stable_sum discipline, owned items anti-joined out."""
+    from cocoindex_data_ingestion_spark.operators import recommend
+
+    w = _cf_weights(spark, sf_dir)
+    sims = recommend.item_item_cosine(w, min_co_users=_CF_MIN_CO)
+    return recommend.recommend_items(w, sims, _CF_USER, k=_CF_K)
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -1731,3 +1731,53 @@ class TestAucBinary:
         a = evaluation.auc_binary(df, "score", "lab").collect()[0]
         b = evaluation.auc_binary(df.repartition(13), "score", "lab").collect()[0]
         assert a["auc"] == b["auc"]
+
+
+# -- item-item CF --------------------------------------------------------------------
+
+
+class TestItemItemCF:
+    def _weights(self, spark, rows, cap=50):
+        from cocoindex_data_ingestion_spark.operators import recommend
+
+        df = spark.createDataFrame(rows, "u long, it long")
+        return recommend.interaction_weights(df, "u", "it", cap)
+
+    def test_cosine_hand_computed(self, spark):
+        from cocoindex_data_ingestion_spark.operators import recommend
+
+        # u1: A,A,B  u2: A,B  u3: B
+        rows = [(1, 10), (1, 10), (1, 20), (2, 10), (2, 20), (3, 20)]
+        w = self._weights(spark, rows)
+        sims = {
+            (r["item_a"], r["item_b"]): r
+            for r in recommend.item_item_cosine(w, min_co_users=1).collect()
+        }
+        r = sims[(10, 20)]
+        # vectors: A=(2,1,0), B=(1,1,1): dot=3, |A|=sqrt5, |B|=sqrt3
+        assert r["dot"] == 3 and r["n_co_users"] == 2
+        assert abs(r["cosine"] - 3 / (5**0.5 * 3**0.5)) < 1e-4
+
+    def test_cap_bounds_pairs(self, spark):
+        from cocoindex_data_ingestion_spark.operators import recommend
+
+        # one user interacts with 5 items once each; cap=2 keeps the
+        # two smallest item ids (w ties -> item asc)
+        rows = [(1, i) for i in range(5)]
+        w = self._weights(spark, rows, cap=2)
+        kept = sorted(r["it"] for r in w.collect())
+        assert kept == [0, 1]
+        pairs = recommend.item_item_cosine(w, min_co_users=1).collect()
+        assert len(pairs) == 1
+
+    def test_recommendations_exclude_owned(self, spark):
+        from cocoindex_data_ingestion_spark.operators import recommend
+
+        # u1 owns A; u2,u3 own A+B -> B recommended to u1
+        rows = [(1, 10), (2, 10), (2, 20), (3, 10), (3, 20)]
+        w = self._weights(spark, rows)
+        sims = recommend.item_item_cosine(w, min_co_users=1)
+        recs = recommend.recommend_items(w, sims, 1, k=5).collect()
+        assert [r["item"] for r in recs] == [20]
+        # score = cosine(A,B) * w_owned(A) = (2/(sqrt3*sqrt2)) * 1
+        assert abs(recs[0]["score"] - 2 / (3**0.5 * 2**0.5)) < 1e-3
