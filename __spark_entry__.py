@@ -10218,6 +10218,48 @@ def _q_recs_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return recommend.recommend_items(w, sims, _CF_USER, k=_CF_K)
 
 
+
+# -- Heaps'-law vocabulary growth (text_analysis.heaps_fit) --------------------
+
+_HEAPS_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+_HEAPS_SQL = f"""
+WITH toks AS (SELECT doc_id AS d, unnest({_TOKS_SQL}) AS tk FROM documents),
+per_doc AS (SELECT d, count(*) AS nt FROM toks GROUP BY 1),
+new_types AS (
+  SELECT d, count(*) AS nv
+  FROM (SELECT tk, min(d) AS d FROM toks GROUP BY 1) GROUP BY 1),
+spine AS (
+  SELECT p.d, p.nt, coalesce(n.nv, 0) AS nv
+  FROM per_doc p LEFT JOIN new_types n USING (d)),
+cum AS (
+  SELECT sum(nt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS N,
+         sum(nv) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS V
+  FROM spine),
+xy AS (SELECT ln(CAST(N AS DOUBLE)) AS x, ln(CAST(V AS DOUBLE)) AS y, N, V
+       FROM cum WHERE N > 0 AND V > 0),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(max(N) AS BIGINT) AS maxn, CAST(max(V) AS BIGINT) AS maxv,
+             {_S("x", 7)} AS sx, {_S("y", 7)} AS sy, {_S("x * y", 7)} AS sxy,
+             {_S("x * x", 7)} AS sxx, {_S("y * y", 7)} AS syy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n_docs, maxn AS n_tokens, maxv AS vocab,
+       {_R(_HEAPS_SLOPE, 4)} AS beta,
+       {_R(f"exp((sy - {_HEAPS_SLOPE} * sx) / n)", 4)} AS k_coef,
+       {_R(f"({_HEAPS_SLOPE} * {_HEAPS_SLOPE} * (n * sxx - sx * sx)) / (n * syy - sy * sy)", 4)} AS r2
+FROM g
+"""
+
+
+@_register("corpus_heaps_fit", _HEAPS_SQL)
+def _q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V = K·N^β over ingestion
+    order (text_analysis.heaps_fit): cumulative distinct via the
+    first-occurrence rewrite + partition-offset running sums — the
+    tokenizer-sizing / novel-token forecast twin of corpus_zipf_fit."""
+    return text_analysis.heaps_fit(_t(spark, sf_dir, "documents"))
+
+
 # ------------------------------------------------------------- driver surface
 
 

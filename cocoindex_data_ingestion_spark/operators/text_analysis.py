@@ -590,3 +590,110 @@ def collocations_pmi(
     return scored.orderBy(
         F.desc("pmi"), F.asc("bigram")
     ).limit(top_k)
+
+
+def heaps_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> DataFrame:
+    """Heaps'-law fit ``V(N) = K·N^β`` of vocabulary growth over the
+    corpus in ingestion (id) order: OLS of ``ln V`` on ``ln N`` where
+    ``N`` is cumulative tokens and ``V`` cumulative distinct tokens
+    after each document — the vocabulary-side twin of :func:`zipf_fit`
+    (β ≈ 0.4–0.6 is the natural-language signature; β → 1 flags
+    random/templated text, β → 0 a closed vocabulary). A training-
+    data pipeline reads K·N^β forward to size tokenizers and predict
+    novel-token exposure at 100 TB.
+
+    No per-doc rescan of history: cumulative DISTINCT collapses via
+    the first-occurrence rewrite (a token is new only at its min doc
+    id — the events_cumulative_users idiom), and both running sums
+    use the partition-offset pattern (range repartition on doc id,
+    per-partition sums, partition totals broadcast as offsets) —
+    never a no-partition window. Integer token counts throughout;
+    ln/moments go through the fixed-point regression discipline.
+
+    Returns one row ``(n_docs, n_tokens, vocab, beta, k_coef, r2)``.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round, stable_sum
+    from ..functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"), F.explode(tokenize(text_col)).alias("tk")
+    )
+    per_doc = toks.groupBy("_d").agg(F.count("*").alias("_nt"))
+    new_types = (
+        toks.groupBy("tk")
+        .agg(F.min("_d").alias("_d"))
+        .groupBy("_d")
+        .agg(F.count("*").alias("_nv"))
+    )
+    spine = (
+        per_doc.join(new_types, "_d", "left")
+        .select(
+            "_d",
+            "_nt",
+            F.coalesce(F.col("_nv"), F.lit(0)).alias("_nv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ordered = (
+        spine.repartitionByRange(F.col("_d"))
+        .sortWithinPartitions("_d")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    ptot = ordered.groupBy("_pid").agg(
+        F.sum("_nt").alias("_pt"), F.sum("_nv").alias("_pv")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("_pt").over(w_off), F.lit(0)).alias("_ot"),
+        F.coalesce(F.sum("_pv").over(w_off), F.lit(0)).alias("_ov"),
+    )
+    w_local = Window.partitionBy("_pid").orderBy("_d")
+    cum = ordered.join(F.broadcast(offs), "_pid").select(
+        (
+            F.sum("_nt").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("_ot")
+        ).alias("_N"),
+        (
+            F.sum("_nv").over(w_local.rowsBetween(Window.unboundedPreceding, 0))
+            + F.col("_ov")
+        ).alias("_V"),
+    )
+    xy = cum.filter((F.col("_N") > 0) & (F.col("_V") > 0)).select(
+        F.log(F.col("_N").cast("double")).alias("x"),
+        F.log(F.col("_V").cast("double")).alias("y"),
+        F.col("_N"),
+        F.col("_V"),
+    )
+    g = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        F.max("_N").alias("_maxN"),
+        F.max("_V").alias("_maxV"),
+        stable_sum(F.col("x"), 7).alias("sx"),
+        stable_sum(F.col("y"), 7).alias("sy"),
+        stable_sum(F.col("x") * F.col("y"), 7).alias("sxy"),
+        stable_sum(F.col("x") * F.col("x"), 7).alias("sxx"),
+        stable_sum(F.col("y") * F.col("y"), 7).alias("syy"),
+    )
+    n = F.col("n")
+    denom = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / denom
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    sst = n * F.col("syy") - F.col("sy") * F.col("sy")
+    ssr = slope * slope * denom
+    return g.select(
+        n.cast("long").alias("n_docs"),
+        F.col("_maxN").cast("long").alias("n_tokens"),
+        F.col("_maxV").cast("long").alias("vocab"),
+        stable_round(slope, round_to).alias("beta"),
+        stable_round(F.exp(intercept), round_to).alias("k_coef"),
+        stable_round(ssr / sst, round_to).alias("r2"),
+    )

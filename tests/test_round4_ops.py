@@ -1781,3 +1781,46 @@ class TestItemItemCF:
         assert [r["item"] for r in recs] == [20]
         # score = cosine(A,B) * w_owned(A) = (2/(sqrt3*sqrt2)) * 1
         assert abs(recs[0]["score"] - 2 / (3**0.5 * 2**0.5)) < 1e-3
+
+
+# -- Heaps' law ---------------------------------------------------------------------
+
+
+class TestHeapsFit:
+    def test_closed_vocab_beta_near_zero(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+
+        # same 3 tokens repeated: V saturates at 3 -> beta ~ 0
+        docs = spark.createDataFrame(
+            [(i, "alpha beta gamma") for i in range(1, 21)],
+            "doc_id long, text string",
+        )
+        r = text_analysis.heaps_fit(docs).collect()[0]
+        assert r["vocab"] == 3
+        assert r["n_tokens"] == 60
+        assert abs(r["beta"]) < 0.2
+
+    def test_all_new_tokens_beta_one(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+
+        # every token unique: V == N -> beta == 1, K == 1, perfect fit
+        docs = spark.createDataFrame(
+            [(i, f"tok{i}a tok{i}b tok{i}c") for i in range(1, 21)],
+            "doc_id long, text string",
+        )
+        r = text_analysis.heaps_fit(docs).collect()[0]
+        assert r["vocab"] == r["n_tokens"] == 60
+        assert abs(r["beta"] - 1.0) < 1e-6
+        assert abs(r["k_coef"] - 1.0) < 1e-6
+        assert abs(r["r2"] - 1.0) < 1e-6
+
+    def test_partitioning_invariant(self, spark):
+        from cocoindex_data_ingestion_spark.operators import text_analysis
+
+        docs = spark.createDataFrame(
+            [(i, f"common word plus tok{i} and tok{i % 7}") for i in range(1, 40)],
+            "doc_id long, text string",
+        )
+        a = text_analysis.heaps_fit(docs).collect()[0]
+        b = text_analysis.heaps_fit(docs.repartition(11)).collect()[0]
+        assert a == b
