@@ -178,6 +178,19 @@ HEADLINE = [
     "indexed_phrase_search",
     "indexed_proximity_search",
     "graph_label_propagation",
+    # round-4 third wave
+    "events_cumulative_users",
+    "events_funnel_latency",
+    "parts_abc_classes",
+    "events_survival_km",
+    "orders_welch_ttest",
+    "events_concurrency",
+    "events_pattern_pairs",
+    "graph_modularity",
+    "eval_auc_embedding",
+    "recs_item_similarity",
+    "recs_user_topk",
+    "corpus_heaps_fit",
 ]
 
 SMALL_RESULT = {
@@ -231,6 +244,12 @@ SMALL_RESULT = {
     "dedup_source_matrix", "embedding_kmeans_pp",
     "embedding_cluster_quality", "vector_knn_batch",
     "ivm_kmeans_online", "events_trend_fit",
+    # round-4 third wave: calendar-/k-bounded outputs
+    "events_cumulative_users", "events_funnel_latency",
+    "parts_abc_classes", "events_survival_km", "orders_welch_ttest",
+    "events_concurrency", "events_pattern_pairs", "graph_modularity",
+    "eval_auc_embedding", "recs_item_similarity", "recs_user_topk",
+    "corpus_heaps_fit",
 }
 
 
