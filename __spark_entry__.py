@@ -10260,6 +10260,164 @@ def _q_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_analysis.heaps_fit(_t(spark, sf_dir, "documents"))
 
 
+
+# -- time-weighted average (relational.twap) -----------------------------------
+
+_TWAP_SQL = f"""
+WITH e AS (SELECT event_type,
+                  CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                  epoch_us(ts) AS us, value
+           FROM events),
+s AS (SELECT *, lead(us) OVER (
+        PARTITION BY event_type, day ORDER BY us ASC, value ASC) AS nxt
+      FROM e),
+per AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_obs,
+               min(us) AS t0, max(us) AS t1,
+               {_S("CASE WHEN nxt IS NOT NULL THEN value * (CAST(nxt - us AS DOUBLE) / 86400000000.0) ELSE 0.0 END", 6)} AS area,
+               {_S("value", 6)} AS sv
+        FROM s GROUP BY 1, 2)
+SELECT event_type, day, n_obs,
+       {_R("CASE WHEN t1 > t0 THEN area / (CAST(t1 - t0 AS DOUBLE) / 86400000000.0) ELSE sv / CAST(n_obs AS DOUBLE) END", 4)} AS twap
+FROM per
+"""
+
+
+@_register("events_twap", _TWAP_SQL)
+def _q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per (event_type, day)
+    (relational.twap): each observation holds until the group's next,
+    so unevenly-sampled streams average correctly — the metering/
+    TWAP metric a plain avg() gets wrong. One lead-window pass per
+    bounded (type, day) group, day-fraction-normalized fixed-point
+    sums, exact integer span denominator."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn(
+        "day",
+        F.floor(_ts_us("ts") / F.lit(86_400_000_000.0)).cast("long"),
+    )
+    return relational.twap(ev, ["event_type", "day"])
+
+
+# -- CUSUM change-point (relational.cusum_changepoint) -------------------------
+
+_CUSUM_SQL = f"""
+WITH daily AS (SELECT event_type AS g,
+                      CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+                      count(*) AS x
+               FROM events GROUP BY 1, 2),
+sc AS (SELECT g, day, x,
+              sum(x) OVER (PARTITION BY g ORDER BY day ROWS UNBOUNDED PRECEDING) AS prefix,
+              count(*) OVER (PARTITION BY g ORDER BY day ROWS UNBOUNDED PRECEDING) AS k,
+              sum(x) OVER (PARTITION BY g) AS total,
+              count(*) OVER (PARTITION BY g) AS n
+       FROM daily),
+nc AS (SELECT g, day, n, n * prefix - k * total AS ncusum FROM sc),
+pick AS (SELECT *, row_number() OVER (
+           PARTITION BY g ORDER BY abs(ncusum) DESC, day ASC) AS rn
+         FROM nc)
+SELECT g AS event_type, day AS change_day,
+       {_R("CAST(abs(ncusum) AS DOUBLE) / CAST(n AS DOUBLE)", 4)} AS cusum,
+       CAST(n AS BIGINT) AS n_days
+FROM pick WHERE rn = 1
+"""
+
+
+@_register("events_changepoint", _CUSUM_SQL)
+def _q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point per event type (relational.
+    cusum_changepoint): the day maximizing |Σ(xᵢ − x̄)| over the
+    daily count series, computed ENTIRELY in integers
+    (n·CUSUM_k = n·prefix − k·total) so the argmax carries no float
+    tolerance — stream-volume shift monitoring as a query."""
+    return relational.cusum_changepoint(
+        _t(spark, sf_dir, "events"), "event_type"
+    )
+
+
+# -- Gini concentration (relational.gini_coefficient) --------------------------
+
+_GINI_SQL = f"""
+WITH per AS (SELECT o_custkey AS k,
+                    sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+             FROM orders GROUP BY 1),
+r AS (SELECT x, row_number() OVER (ORDER BY x ASC, k ASC) AS rnk FROM per),
+g AS (SELECT count(*) AS n, sum(x) AS sx, sum(rnk * x) AS srx FROM r)
+SELECT CAST(n AS BIGINT) AS n_keys, CAST(sx AS BIGINT) AS total_cents,
+       {_R("2.0 * CAST(srx AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)) - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)", 6)} AS gini
+FROM g
+"""
+
+
+@_register("orders_gini_customers", _GINI_SQL)
+def _q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers
+    (relational.gini_coefficient): integer-cents totals, ranks via
+    the partition-offset pattern (no global window), one exact
+    Σ rank·x aggregate — the single-number twin of the ABC/Pareto
+    classification."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "long"
+    )
+    return relational.gini_coefficient(o, "o_custkey", cents)
+
+
+# -- linear multi-touch attribution --------------------------------------------
+
+_ATTR_LIN_SQL = f"""
+WITH p AS (SELECT user_id AS u, epoch_us(ts) AS us, event_id AS pid, value
+           FROM events WHERE event_type = 'purchase'),
+t AS (SELECT user_id AS u, epoch_us(ts) AS us, event_type AS ch
+      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+j AS (SELECT p.pid, p.value, t.ch
+      FROM p JOIN t ON t.u = p.u
+       AND t.us >= p.us - 1800000000 AND t.us <= p.us),
+n AS (SELECT *, count(*) OVER (PARTITION BY pid) AS n FROM j)
+SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_touches,
+       {_S("1.0 / CAST(n AS DOUBLE)", 6)} AS credited_conversions,
+       {_S("value / CAST(n AS DOUBLE)", 6)} AS credited_value
+FROM n GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("events_attribution_linear", _ATTR_LIN_SQL)
+def _q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every touch (view/click/
+    signup) in the 30 minutes before a purchase shares the
+    conversion credit 1/n equally, value-weighted — the multi-touch
+    generalization of events_attribution_join's interval count,
+    through the same streaming-capable interval_join (state bounded
+    by lookback+watermark). Credit shares are identical doubles;
+    their sums run fixed-point."""
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.streaming.events import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    touches = ev.filter(
+        F.col("event_type").isin(["view", "click", "signup"])
+    ).select("user_id", "ts", "event_type")
+    j = interval_join(purchases, touches, lookback="30 minutes")
+    w = Window.partitionBy("event_id")
+    jn = j.withColumn("_n", F.count("*").over(w))
+    return (
+        jn.groupBy(F.col("r_event_type").alias("channel"))
+        .agg(
+            F.count("*").cast("long").alias("n_touches"),
+            stable_sum(F.lit(1.0) / F.col("_n").cast("double"), 6).alias(
+                "credited_conversions"
+            ),
+            stable_sum(F.col("value") / F.col("_n").cast("double"), 6).alias(
+                "credited_value"
+            ),
+        )
+        .orderBy("channel")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -1276,3 +1276,193 @@ def sequence_pair_support(
         )
         .orderBy(F.desc("n_users"), "type_a", "type_b")
     )
+
+
+def twap(
+    df: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    round_to: int = 4,
+) -> DataFrame:
+    """Time-weighted average of a step series per group: each
+    observation holds its value until the group's next observation,
+    so ``twap = Σ value_i·Δt_i / (t_last − t_first)`` — the metric
+    finance (TWAP price), ops (time-in-state averages) and billing
+    (usage metering) all need where the plain ``avg`` is wrong
+    because samples arrive unevenly.
+
+    One window pass per group (lead of the next timestamp), with Δt
+    normalized to day fractions so the fixed-point element sums keep
+    long headroom; the denominator span is an exact integer
+    difference. Groups with a single observation (zero span) fall
+    back to that observation's value. Ties on the timestamp order
+    deterministically by a stable extra sort on the value.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    day_us = 86_400_000_000.0
+    us = ts_us(F.col(ts_col))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("_us").asc(), F.col("_v").asc()
+    )
+    stepped = df.select(
+        *group_cols, us.alias("_us"), F.col(value_col).alias("_v")
+    ).withColumn("_nxt", F.lead("_us").over(w))
+    segs = stepped.withColumn(
+        "_wfrac",
+        (F.col("_nxt") - F.col("_us")).cast("double") / F.lit(day_us),
+    )
+    per = segs.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.min("_us").alias("_t0"),
+        F.max("_us").alias("_t1"),
+        stable_sum(
+            F.when(F.col("_nxt").isNotNull(), F.col("_v") * F.col("_wfrac"))
+            .otherwise(F.lit(0.0)),
+            6,
+        ).alias("_area"),
+        stable_sum(F.col("_v"), 6).alias("_sv"),
+    )
+    span = (F.col("_t1") - F.col("_t0")).cast("double") / F.lit(day_us)
+    return per.select(
+        *group_cols,
+        "n_obs",
+        stable_round(
+            F.when(F.col("_t1") > F.col("_t0"), F.col("_area") / span).otherwise(
+                F.col("_sv") / F.col("n_obs").cast("double")
+            ),
+            round_to,
+        ).alias("twap"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    round_to: int = 4,
+) -> DataFrame:
+    """CUSUM change-point detection on each group's daily count
+    series: the day ``k`` maximizing ``|Σ_{i≤k}(x_i − x̄)|`` is the
+    most likely single change point (Page 1954 / binary-segmentation
+    step) — the monitoring primitive that turns "did this stream's
+    volume shift, and when?" into a query.
+
+    EXACT arithmetic end to end: with integer daily counts,
+    ``n·CUSUM_k = n·prefix_k − k·total`` stays in integers, so the
+    argmax is engine-identical with no float tolerance anywhere
+    (the personalized-pagerank fixed-point discipline applied to
+    monitoring). Windows partition by group over the calendar-bounded
+    day table. Returns ``(group, change_day, cusum, n_days)`` where
+    ``cusum`` is the normalized maximum ``|CUSUM_k|``.
+    """
+    from ..functions.compare import stable_round
+
+    us = ts_us(F.col(ts_col))
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.floor(us / F.lit(float(day_us))).cast("long").alias("_day"),
+        )
+        .groupBy("_g", "_day")
+        .agg(F.count("*").alias("_x"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    scored = (
+        daily.withColumn("_prefix", F.sum("_x").over(w_cum))
+        .withColumn("_k", F.count("*").over(w_cum))
+        .withColumn("_total", F.sum("_x").over(w_all))
+        .withColumn("_n", F.count("*").over(w_all))
+        # n·CUSUM_k: exact integers — no float enters the argmax
+        .withColumn(
+            "_ncusum",
+            F.col("_n") * F.col("_prefix") - F.col("_k") * F.col("_total"),
+        )
+    )
+    w_pick = Window.partitionBy("_g").orderBy(
+        F.abs(F.col("_ncusum")).desc(), F.col("_day").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_day").alias("change_day"),
+            stable_round(
+                F.abs(F.col("_ncusum")).cast("double")
+                / F.col("_n").cast("double"),
+                round_to,
+            ).alias("cusum"),
+            F.col("_n").cast("long").alias("n_days"),
+        )
+    )
+
+
+def gini_coefficient(
+    df: DataFrame,
+    key_col: str,
+    amount_cents: "F.Column",
+    round_to: int = 6,
+) -> DataFrame:
+    """Gini concentration coefficient of an integer-cents amount over
+    keys (customers, suppliers, documents): ``G = 2·Σ rank·x /
+    (n·Σx) − (n+1)/n`` with ranks ascending by amount — the
+    inequality summary the ABC/Pareto report (parts_abc_classes)
+    implies but doesn't state as one number.
+
+    Ranks come from the partition-offset pattern (range repartition
+    on (amount, key), per-partition row_numbers + broadcast offsets —
+    no global window); Σ rank·x is an exact integer aggregate.
+    Headroom: Σ rank·x ≤ n·Σx — fine to ~10⁶ keys at cents scale; at
+    larger corpora rescale the unit (Gini is scale-invariant) or
+    compute from a quantile-binned Lorenz curve (k-bounded), both
+    documented trade-offs of the exact form.
+    """
+    from ..functions.compare import stable_round
+
+    per = (
+        df.select(F.col(key_col).alias("_k"), amount_cents.alias("_c"))
+        .groupBy("_k")
+        .agg(F.sum("_c").alias("_x"))
+        .localCheckpoint(eager=False)
+    )
+    ordered = (
+        per.repartitionByRange(F.col("_x").asc(), F.col("_k").asc())
+        .sortWithinPartitions(F.col("_x").asc(), F.col("_k").asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    pcnt = ordered.groupBy("_pid").agg(F.count("*").alias("_pc"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = pcnt.select(
+        "_pid", F.coalesce(F.sum("_pc").over(w_off), F.lit(0)).alias("_o")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(
+        F.col("_x").asc(), F.col("_k").asc()
+    )
+    ranked = ordered.join(F.broadcast(offs), "_pid").select(
+        "_x", (F.row_number().over(w_local) + F.col("_o")).alias("_r")
+    )
+    g = ranked.agg(
+        F.count("*").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum(F.col("_r") * F.col("_x")).alias("_srx"),
+    )
+    n = F.col("_n").cast("double")
+    gini = (
+        F.lit(2.0) * F.col("_srx").cast("double")
+        / (n * F.col("_sx").cast("double"))
+        - (n + F.lit(1.0)) / n
+    )
+    return g.select(
+        F.col("_n").cast("long").alias("n_keys"),
+        F.col("_sx").cast("long").alias("total_cents"),
+        stable_round(gini, round_to).alias("gini"),
+    )

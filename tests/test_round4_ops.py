@@ -1824,3 +1824,129 @@ class TestHeapsFit:
         a = text_analysis.heaps_fit(docs).collect()[0]
         b = text_analysis.heaps_fit(docs.repartition(11)).collect()[0]
         assert a == b
+
+
+# -- TWAP --------------------------------------------------------------------------
+
+
+class TestTwap:
+    def test_step_function_hand_value(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+
+        def at(h):
+            return t0 + dt.timedelta(hours=h)
+
+        # value 10 holds 1h, then 20 holds 3h: twap = (10*1 + 20*3)/4
+        df = spark.createDataFrame(
+            [("a", at(0), 10.0), ("a", at(1), 20.0), ("a", at(4), 0.0)],
+            "g string, ts timestamp, value double",
+        )
+        r = relational.twap(df, ["g"]).collect()[0]
+        assert r["n_obs"] == 3
+        assert abs(r["twap"] - (10 * 1 + 20 * 3) / 4) < 1e-3
+
+    def test_single_observation_falls_back(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame(
+            [("a", dt.datetime(2024, 1, 1), 7.5)],
+            "g string, ts timestamp, value double",
+        )
+        r = relational.twap(df, ["g"]).collect()[0]
+        assert r["twap"] == 7.5
+
+    def test_uneven_sampling_differs_from_avg(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        # nine quick samples at 1, then a long dwell at 100
+        rows = [("a", t0 + dt.timedelta(minutes=i), 1.0) for i in range(9)]
+        rows.append(("a", t0 + dt.timedelta(minutes=9), 100.0))
+        rows.append(("a", t0 + dt.timedelta(hours=10), 100.0))
+        df = spark.createDataFrame(rows, "g string, ts timestamp, value double")
+        r = relational.twap(df, ["g"]).collect()[0]
+        # dwell dominates: twap near 100, nothing like the mean (~19)
+        assert r["twap"] > 90
+
+
+# -- CUSUM change point --------------------------------------------------------------
+
+
+class TestCusum:
+    def test_finds_level_shift(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # 10 days at 2/day, then 10 days at 20/day
+        for d in range(20):
+            per_day = 2 if d < 10 else 20
+            for i in range(per_day):
+                rows.append(("a", t0 + dt.timedelta(days=d, minutes=i)))
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        r = relational.cusum_changepoint(df, "event_type").collect()[0]
+        # CUSUM peaks at the last pre-shift day
+        day0 = int(
+            (t0 - dt.datetime(1970, 1, 1)).total_seconds() // 86400
+        )
+        assert r["change_day"] == day0 + 9
+        assert r["n_days"] == 20
+        # max |CUSUM| = 10 days * (11 - 2) = 90
+        assert abs(r["cusum"] - 90.0) < 1e-9
+
+    def test_flat_series_zero(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            ("a", t0 + dt.timedelta(days=d, minutes=i))
+            for d in range(10)
+            for i in range(3)
+        ]
+        df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+        r = relational.cusum_changepoint(df, "event_type").collect()[0]
+        assert r["cusum"] == 0.0
+
+
+# -- Gini ----------------------------------------------------------------------------
+
+
+class TestGini:
+    def _gini(self, spark, amounts):
+        df = spark.createDataFrame(
+            [(i, float(a)) for i, a in enumerate(amounts)],
+            "k long, amt double",
+        )
+        cents = F.floor(F.col("amt") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        return relational.gini_coefficient(df, "k", cents).collect()[0]
+
+    def test_perfect_equality_zero(self, spark):
+        r = self._gini(spark, [10.0] * 8)
+        assert abs(r["gini"]) < 1e-9
+
+    def test_total_concentration(self, spark):
+        # one key owns everything: G -> (n-1)/n
+        r = self._gini(spark, [0.0] * 9 + [100.0])
+        assert abs(r["gini"] - 0.9) < 1e-9
+
+    def test_known_small_case(self, spark):
+        # x = [1, 3]: G = 2*(1*1+2*3)/(2*4) - 3/2 = 14/8 - 1.5 = 0.25
+        r = self._gini(spark, [1.0, 3.0])
+        assert abs(r["gini"] - 0.25) < 1e-9
+
+    def test_partitioning_invariant(self, spark):
+        import random
+
+        rnd = random.Random(3)
+        amounts = [rnd.uniform(0, 500) for _ in range(300)]
+        df = spark.createDataFrame(
+            [(i, a) for i, a in enumerate(amounts)], "k long, amt double"
+        )
+        cents = F.floor(F.col("amt") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        a = relational.gini_coefficient(df, "k", cents).collect()[0]
+        b = relational.gini_coefficient(
+            df.repartition(17), "k", cents
+        ).collect()[0]
+        assert a == b
