@@ -191,6 +191,10 @@ HEADLINE = [
     "recs_item_similarity",
     "recs_user_topk",
     "corpus_heaps_fit",
+    "events_twap",
+    "events_changepoint",
+    "orders_gini_customers",
+    "events_attribution_linear",
 ]
 
 SMALL_RESULT = {
@@ -249,7 +253,8 @@ SMALL_RESULT = {
     "parts_abc_classes", "events_survival_km", "orders_welch_ttest",
     "events_concurrency", "events_pattern_pairs", "graph_modularity",
     "eval_auc_embedding", "recs_item_similarity", "recs_user_topk",
-    "corpus_heaps_fit",
+    "corpus_heaps_fit", "events_twap", "events_changepoint",
+    "orders_gini_customers", "events_attribution_linear",
 }
 
 
