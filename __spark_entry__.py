@@ -10418,6 +10418,62 @@ def _q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- Poisson bootstrap CI (evaluation.bootstrap_mean_ci) ------------------------
+
+from cocoindex_data_ingestion_spark.operators.evaluation import (  # noqa: E402
+    POISSON1_T32 as _P1T32,
+)
+
+_BOOT_B, _BOOT_LO, _BOOT_HI = 40, 1, 39
+_BOOT_W_SQL = " + ".join(
+    f"(CASE WHEN h >= {t} THEN 1 ELSE 0 END)" for t in _P1T32
+)
+
+_BOOT_SQL = f"""
+WITH rep AS (
+  SELECT o_totalprice AS x,
+         CAST(o_orderkey AS VARCHAR) AS id,
+         unnest(generate_series(0, {_BOOT_B - 1})) AS b
+  FROM orders),
+hw AS (
+  SELECT x, b,
+         ('0x' || substr(md5('boot' || '#' || id || '#' || CAST(b AS VARCHAR)), 1, 8))::BIGINT AS h
+  FROM rep),
+ww AS (SELECT x, b, {_BOOT_W_SQL} AS w FROM hw),
+means AS (SELECT b, {_S("CAST(w AS DOUBLE) * x", 6)} AS swx,
+                 sum(w) AS sw
+          FROM ww GROUP BY 1),
+m2 AS (SELECT b, swx / CAST(sw AS DOUBLE) AS m FROM means),
+ranked AS (SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS rn FROM m2),
+base AS (SELECT count(*) AS n, {_S("o_totalprice", 6)} AS sx FROM orders)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST({_BOOT_B} AS BIGINT) AS b_replicas,
+       {_R("sx / CAST(n AS DOUBLE)", 4)} AS mean,
+       {_R(f"(SELECT m FROM ranked WHERE rn = {_BOOT_LO})", 4)} AS ci_lo,
+       {_R(f"(SELECT m FROM ranked WHERE rn = {_BOOT_HI})", 4)} AS ci_hi
+FROM base
+"""
+
+
+@_register("orders_bootstrap_ci", _BOOT_SQL)
+def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for mean order value
+    (evaluation.bootstrap_mean_ci, Chamandy 2012): per-(row, replica)
+    Poisson(1) weights drawn by INTEGER comparison of a 32-bit md5
+    hash against baked CDF thresholds — no RNG, no coordination, one
+    shuffle of b×rows weighted values. Error bars for any statistic
+    in one pass at any scale."""
+    from cocoindex_data_ingestion_spark.operators import evaluation
+
+    return evaluation.bootstrap_mean_ci(
+        _t(spark, sf_dir, "orders"),
+        "o_totalprice",
+        "o_orderkey",
+        b=_BOOT_B,
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

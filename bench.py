@@ -195,6 +195,7 @@ HEADLINE = [
     "events_changepoint",
     "orders_gini_customers",
     "events_attribution_linear",
+    "orders_bootstrap_ci",
 ]
 
 SMALL_RESULT = {
@@ -255,6 +256,7 @@ SMALL_RESULT = {
     "eval_auc_embedding", "recs_item_similarity", "recs_user_topk",
     "corpus_heaps_fit", "events_twap", "events_changepoint",
     "orders_gini_customers", "events_attribution_linear",
+    "orders_bootstrap_ci",
 }
 
 

@@ -14,6 +14,8 @@ grade the same tables.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -381,5 +383,116 @@ def auc_binary(
             F.col("_tn").cast("long").alias("n_neg"),
             stable_round(auc, round_to).alias("auc"),
             stable_round(F.lit(2.0) * auc - F.lit(1.0), round_to).alias("gini"),
+        )
+    )
+
+
+# Poisson(1) CDF thresholds on the 32-bit hash scale: weight w for a
+# (row, replica) is the count of thresholds <= hash — all-integer
+# inverse-CDF sampling, so both engines draw the IDENTICAL weight.
+# t_k = floor(P(Poisson(1) <= k) * 2^32), k = 0..7 (tail mass beyond
+# 7 is ~1e-5 and maps to w=8).
+POISSON1_T32 = (
+    1580030168, 3160060337, 3950075421, 4213413783,
+    4279248373, 4292415291, 4294609777, 4294923276,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    b: int = 40,
+    alpha: float = 0.025,
+    salt: str = "boot",
+    round_to: int = 4,
+) -> DataFrame:
+    """Poisson-bootstrap confidence interval for a column mean — the
+    LARGE-SCALE bootstrap (Chamandy et al., Google 2012: multinomial
+    resampling needs global coordination; independent Poisson(1)
+    weights per (row, replica) need none), which is how you attach
+    error bars to any statistic at 100 TB in ONE pass.
+
+    Fully deterministic and engine-exact: the per-(row, replica)
+    weight is drawn by comparing a 32-bit md5 hash against the
+    Poisson(1) CDF thresholds in INTEGER space (POISSON1_T32 — no
+    float RNG anywhere); replica means are exact fixed-point
+    ``Σ w·x / Σ w``; the interval takes the empirical
+    ``⌈α·b⌉``-th / ``⌈(1−α)·b⌉``-th smallest replica means (type-1
+    quantile, b-bounded window).
+
+    Plan: the replica dimension explodes map-side (b literals) and
+    folds straight into one groupBy(replica) — a single shuffle of
+    b×rows weighted values, no per-replica scans.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.compare import stable_round, stable_sum
+
+    lo_rn = max(1, math.ceil(alpha * b))
+    hi_rn = min(b, math.ceil((1.0 - alpha) * b))
+
+    rep = df.select(
+        F.col(value_col).alias("_x"),
+        F.col(id_col).cast("string").alias("_id"),
+    ).select(
+        "_x",
+        "_id",
+        F.explode(F.array(*[F.lit(i) for i in range(b)])).alias("_b"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "#", F.lit(salt), F.col("_id"), F.col("_b").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = sum(
+        F.when(h >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+        for t in POISSON1_T32
+    )
+    means = (
+        rep.withColumn("_w", w)
+        .groupBy("_b")
+        .agg(
+            stable_sum(F.col("_w").cast("double") * F.col("_x"), 6).alias(
+                "_swx"
+            ),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            "_b",
+            (F.col("_swx") / F.col("_sw").cast("double")).alias("_m"),
+        )
+    )
+    w_rank = Window.orderBy(F.col("_m").asc(), F.col("_b").asc())
+    ranked = means.withColumn("_rn", F.row_number().over(w_rank))
+    lo = ranked.filter(F.col("_rn") == lo_rn).select(
+        F.col("_m").alias("_lo")
+    )
+    hi = ranked.filter(F.col("_rn") == hi_rn).select(
+        F.col("_m").alias("_hi")
+    )
+    base = df.agg(
+        F.count("*").alias("_n"),
+        stable_sum(F.col(value_col), 6).alias("_sx"),
+    )
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.col("_n").cast("long").alias("n_rows"),
+            F.lit(b).cast("long").alias("b_replicas"),
+            stable_round(
+                F.col("_sx") / F.col("_n").cast("double"), round_to
+            ).alias("mean"),
+            stable_round(F.col("_lo"), round_to).alias("ci_lo"),
+            stable_round(F.col("_hi"), round_to).alias("ci_hi"),
         )
     )

@@ -1950,3 +1950,49 @@ class TestGini:
             df.repartition(17), "k", cents
         ).collect()[0]
         assert a == b
+
+
+# -- Poisson bootstrap ------------------------------------------------------------
+
+
+class TestBootstrapCI:
+    def test_interval_brackets_mean_and_shrinks(self, spark):
+        from cocoindex_data_ingestion_spark.operators import evaluation
+
+        rows = [(i, float(100 + (i % 7))) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        r = evaluation.bootstrap_mean_ci(df, "v", "id", b=40).collect()[0]
+        assert r["n_rows"] == 400 and r["b_replicas"] == 40
+        assert r["ci_lo"] <= r["mean"] <= r["ci_hi"]
+        # values span [100, 106]: a 95% CI on the mean of 400 rows is tight
+        assert r["ci_hi"] - r["ci_lo"] < 1.0
+        assert 100.0 < r["ci_lo"] and r["ci_hi"] < 106.0
+
+    def test_deterministic_and_partition_invariant(self, spark):
+        from cocoindex_data_ingestion_spark.operators import evaluation
+
+        rows = [(i, float(i % 13)) for i in range(300)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        a = evaluation.bootstrap_mean_ci(df, "v", "id", b=20).collect()[0]
+        b = evaluation.bootstrap_mean_ci(
+            df.repartition(9), "v", "id", b=20
+        ).collect()[0]
+        assert a == b
+
+    def test_poisson_weights_mean_near_one(self, spark):
+        # the thresholds encode Poisson(1): across many (row, replica)
+        # draws the total weight should be close to the number of draws
+        from pyspark.sql import functions as F
+
+        from cocoindex_data_ingestion_spark.operators.evaluation import (
+            POISSON1_T32,
+        )
+
+        df = spark.range(2000).select(F.col("id").cast("string").alias("s"))
+        h = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+        w = sum(
+            F.when(h >= F.lit(t), F.lit(1)).otherwise(F.lit(0))
+            for t in POISSON1_T32
+        )
+        total = df.select(w.alias("w")).agg(F.sum("w")).collect()[0][0]
+        assert abs(total / 2000 - 1.0) < 0.1
