@@ -10474,6 +10474,129 @@ def _q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- exact weighted quantiles (relational.weighted_quantiles) ------------------
+
+_WQ_SQL = """
+WITH base AS (SELECT l_returnflag AS g,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem),
+per AS (SELECT g, v, sum(w) AS w FROM base GROUP BY 1, 2),
+cum AS (SELECT g, v,
+               sum(w) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+               sum(w) OVER (PARTITION BY g) AS tw
+        FROM per)
+SELECT g AS l_returnflag,
+       CAST(max(tw) AS BIGINT) AS total_weight,
+       CAST(min(CASE WHEN 100 * cw >= 25 * tw THEN v END) AS BIGINT) AS p25,
+       CAST(min(CASE WHEN 100 * cw >= 50 * tw THEN v END) AS BIGINT) AS p50,
+       CAST(min(CASE WHEN 100 * cw >= 75 * tw THEN v END) AS BIGINT) AS p75
+FROM cum GROUP BY 1
+"""
+
+
+@_register("lineitem_weighted_quartiles", _WQ_SQL)
+def _q_weighted_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted price quartiles per return flag
+    (relational.weighted_quantiles): the weighted ECDF's type-1
+    quantiles decided by the all-integer rule 100·cum_w ≥ q·W — the
+    right median when rows carry quantities; no float enters the
+    selection."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("qty"),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    return relational.weighted_quantiles(li, "l_returnflag", cents, "qty")
+
+
+# -- nearest-event temporal join (relational.nearest_event_join) ---------------
+
+_NEAR_TOL_MIN = 60
+_NEAR_TOL_US = _NEAR_TOL_MIN * 60 * 1_000_000
+
+_NEAREST_SQL = f"""
+WITH l AS (SELECT user_id AS u, epoch_us(ts) AS lus, event_id AS lid
+           FROM events WHERE event_type = 'error'),
+r AS (SELECT user_id AS u, epoch_us(ts) AS rus, event_id AS rid,
+             CAST(floor(epoch_us(ts) / {float(_NEAR_TOL_US)!r}) AS BIGINT) AS blk
+      FROM events WHERE event_type = 'click'),
+p AS (SELECT u, lus, lid,
+             CAST(floor(lus / {float(_NEAR_TOL_US)!r}) AS BIGINT) + d.d AS blk
+      FROM l CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+c AS (SELECT p.u, p.lid, p.lus, r.rid, r.rus, abs(r.rus - p.lus) AS dt
+      FROM p JOIN r ON r.u = p.u AND r.blk = p.blk
+      WHERE abs(r.rus - p.lus) <= {_NEAR_TOL_US}),
+best AS (SELECT *, row_number() OVER (
+           PARTITION BY u, lid ORDER BY dt ASC, rus ASC, rid ASC) AS rn
+         FROM c)
+SELECT u AS user_id, lid AS event_id, lus AS ts_us,
+       rid AS r_event_id, rus AS r_ts_us, dt AS dt_us
+FROM best WHERE rn = 1
+"""
+
+
+@_register("events_nearest_join", _NEAREST_SQL)
+def _q_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click to each error within ±60 minutes
+    (relational.nearest_event_join): a BOTH-directions band join
+    (tolerance-sized time blocks, block ±1 probes, co-partitioned on
+    (user, block)) + one min-struct pick — the diagnosis join asof
+    (backward-only) can't express. Exact integer distances."""
+    ev = _t(spark, sf_dir, "events")
+    return relational.nearest_event_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        key_col="user_id",
+        ts_col="ts",
+        id_col="event_id",
+        tolerance_minutes=_NEAR_TOL_MIN,
+    )
+
+
+# -- order-independent table fingerprint (relational.table_fingerprint) --------
+
+_FPR_SQL = """
+WITH ser AS (
+  SELECT concat_ws(chr(31),
+           coalesce(CAST(o_orderkey AS VARCHAR), '\\N'),
+           coalesce(CAST(o_custkey AS VARCHAR), '\\N'),
+           coalesce(CAST(o_orderstatus AS VARCHAR), '\\N'),
+           coalesce(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), '\\N'),
+           coalesce(CAST(o_orderpriority AS VARCHAR), '\\N')) AS s
+  FROM orders)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(('0x' || substr(md5(s), 1, 8))::BIGINT) AS BIGINT) AS fingerprint
+FROM ser
+"""
+
+
+@_register("orders_fingerprint", _FPR_SQL)
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent checksum of the orders table
+    (relational.table_fingerprint): Σ of per-row 32-bit md5 hashes
+    over a canonical serialization — the anti-entropy/reconciliation
+    primitive for comparing replicas and CDC targets without moving
+    rows. One scan, no shuffle; doubles enter as exact integer
+    cents so the serialization is engine-identical."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderpriority",
+    )
+    return relational.table_fingerprint(
+        o, ["o_orderkey", "o_custkey", "o_orderstatus", "cents", "o_orderpriority"]
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

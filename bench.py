@@ -196,6 +196,9 @@ HEADLINE = [
     "orders_gini_customers",
     "events_attribution_linear",
     "orders_bootstrap_ci",
+    "lineitem_weighted_quartiles",
+    "events_nearest_join",
+    "orders_fingerprint",
 ]
 
 SMALL_RESULT = {
@@ -256,7 +259,8 @@ SMALL_RESULT = {
     "eval_auc_embedding", "recs_item_similarity", "recs_user_topk",
     "corpus_heaps_fit", "events_twap", "events_changepoint",
     "orders_gini_customers", "events_attribution_linear",
-    "orders_bootstrap_ci",
+    "orders_bootstrap_ci", "lineitem_weighted_quartiles",
+    "events_nearest_join", "orders_fingerprint",
 }
 
 

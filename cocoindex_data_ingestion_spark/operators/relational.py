@@ -1466,3 +1466,148 @@ def gini_coefficient(
         F.col("_sx").cast("long").alias("total_cents"),
         stable_round(gini, round_to).alias("gini"),
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_cents: "F.Column",
+    weight_col: str,
+    quantiles: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Exact weighted quantiles per group: the q-th weighted quantile
+    is the smallest value whose running weight reaches ``q%`` of the
+    group's total weight (type-1 / lower step of the weighted ECDF) —
+    the right "median price" when rows carry quantities, token
+    counts, or durations (the unweighted median over-counts small
+    rows).
+
+    All-integer decision rule — ``100·cum_w ≥ q·W`` — so the selected
+    values are engine-identical with no float anywhere. One shuffle
+    to per-(group, value) weights; the running weight is windowed per
+    group over distinct values. Output: one row per group with a
+    column per requested quantile (``p25, p50, ...``), values on the
+    cents scale.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            value_cents.alias("_v"),
+            F.col(weight_col).alias("_w"),
+        )
+        .groupBy("_g", "_v")
+        .agg(F.sum("_w").alias("_w"))
+    )
+    w_cum = (
+        Window.partitionBy("_g")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("_g")
+    cum = per.withColumn("_cw", F.sum("_w").over(w_cum)).withColumn(
+        "_tw", F.sum("_w").over(w_all)
+    )
+    aggs = [F.max("_tw").cast("long").alias("total_weight")]
+    for q in quantiles:
+        aggs.append(
+            F.min(
+                F.when(
+                    F.lit(100) * F.col("_cw") >= F.lit(q) * F.col("_tw"),
+                    F.col("_v"),
+                )
+            )
+            .cast("long")
+            .alias(f"p{q}")
+        )
+    return cum.groupBy("_g").agg(*aggs).withColumnRenamed("_g", group_col)
+
+
+def nearest_event_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_minutes: int = 60,
+) -> DataFrame:
+    """Nearest-neighbor temporal join: each left event pairs with the
+    same key's single CLOSEST right event by |Δt| within a tolerance
+    horizon — what diagnosis queries want ("the click nearest this
+    error"), where :func:`asof_join` (backward-only) picks the wrong
+    side whenever the cause follows the symptom. Ties (equal |Δt| on
+    both sides) resolve to the EARLIER right event, then smaller id.
+
+    Plan: the bounded horizon makes this a band join — the right side
+    buckets into tolerance-sized time blocks, the left probes its
+    block ±1 (co-partitioned on (key, block): 3 bounded probes per
+    row, never a full per-key cross product — the events_range_pairs
+    shape), and one min-struct aggregation per left row picks the
+    nearest. Exact integer microsecond distances.
+
+    Output: ``(key, id, ts_us, r_id, r_ts_us, dt_us)``.
+    """
+    tol_us = tolerance_minutes * 60 * 1_000_000
+    l = left.select(
+        F.col(key_col).alias("_k"),
+        ts_us(F.col(ts_col)).alias("_lus"),
+        F.col(id_col).alias("_lid"),
+    )
+    r = right.select(
+        F.col(key_col).alias("_k"),
+        ts_us(F.col(ts_col)).alias("_rus"),
+        F.col(id_col).alias("_rid"),
+    ).withColumn("_blk", F.floor(F.col("_rus") / F.lit(float(tol_us))).cast("long"))
+    probes = l.withColumn(
+        "_lblk", F.floor(F.col("_lus") / F.lit(float(tol_us))).cast("long")
+    ).withColumn(
+        "_blk",
+        F.explode(
+            F.array(F.col("_lblk") - 1, F.col("_lblk"), F.col("_lblk") + 1)
+        ),
+    )
+    cand = (
+        probes.join(r, ["_k", "_blk"])
+        .withColumn("_dt", F.abs(F.col("_rus") - F.col("_lus")))
+        .filter(F.col("_dt") <= F.lit(tol_us))
+    )
+    best = cand.groupBy("_k", "_lid", "_lus").agg(
+        F.min(
+            F.struct(F.col("_dt"), F.col("_rus"), F.col("_rid"))
+        ).alias("_b")
+    )
+    return best.select(
+        F.col("_k").alias(key_col),
+        F.col("_lid").alias(id_col),
+        F.col("_lus").alias("ts_us"),
+        F.col("_b._rid").alias("r_" + id_col),
+        F.col("_b._rus").alias("r_ts_us"),
+        F.col("_b._dt").alias("dt_us"),
+    )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+) -> DataFrame:
+    """Order-independent table checksum: the exact integer SUM of a
+    32-bit md5 hash of every row's canonical serialization, plus the
+    row count — the anti-entropy primitive replication/CDC pipelines
+    compare across systems ("is the replica byte-identical?") without
+    moving data. Any single-row difference shifts the sum.
+
+    Canonical serialization: values cast to strings, NULL → the
+    sentinel ``\\N``, joined with ``\\x1f`` — reproducible in any
+    engine. ONE scan, one scalar aggregate, zero shuffles of data
+    rows; Σ of 32-bit hashes stays inside int64 to 2³¹ rows per
+    fingerprint (shard by key range past that and compare shard
+    vectors).
+    """
+    sep, nul = chr(31), chr(92) + "N"
+    ser = F.concat_ws(
+        sep, *[F.coalesce(F.col(c).cast("string"), F.lit(nul)) for c in cols]
+    )
+    h = F.conv(F.substring(F.md5(ser), 1, 8), 16, 10).cast("long")
+    return df.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(h).cast("long").alias("fingerprint"),
+    )

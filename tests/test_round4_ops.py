@@ -1996,3 +1996,120 @@ class TestBootstrapCI:
         )
         total = df.select(w.alias("w")).agg(F.sum("w")).collect()[0][0]
         assert abs(total / 2000 - 1.0) < 0.1
+
+
+# -- weighted quantiles ----------------------------------------------------------
+
+
+class TestWeightedQuantiles:
+    def test_hand_computed(self, spark):
+        # values 1..4 with weights 1,1,1,7 (W=10):
+        # p25 -> first v with cw>=2.5 -> 3? cw: 1,2,3,10 -> p25=3 (cw 3>=2.5)
+        # p50 -> cw>=5 -> 4; p75 -> cw>=7.5 -> 4
+        df = spark.createDataFrame(
+            [("a", 1, 1), ("a", 2, 1), ("a", 3, 1), ("a", 4, 7)],
+            "g string, v long, w long",
+        )
+        r = relational.weighted_quantiles(
+            df, "g", F.col("v"), "w"
+        ).collect()[0]
+        assert r["total_weight"] == 10
+        assert (r["p25"], r["p50"], r["p75"]) == (3, 4, 4)
+
+    def test_unit_weights_match_unweighted_median(self, spark):
+        df = spark.createDataFrame(
+            [("a", v, 1) for v in [10, 20, 30, 40, 50]],
+            "g string, v long, w long",
+        )
+        r = relational.weighted_quantiles(df, "g", F.col("v"), "w").collect()[0]
+        assert r["p50"] == 30
+
+
+# -- nearest-event join ------------------------------------------------------------
+
+
+class TestNearestJoin:
+    def test_picks_closest_either_direction(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+
+        def at(m):
+            return t0 + dt.timedelta(minutes=m)
+
+        left = spark.createDataFrame(
+            [(1, at(0), 100)], "user_id long, ts timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            [(1, at(-50), 200), (1, at(10), 201), (1, at(30), 202)],
+            "user_id long, ts timestamp, event_id long",
+        )
+        out = relational.nearest_event_join(left, right).collect()
+        assert len(out) == 1
+        # +10min click beats -50min and +30min
+        assert out[0]["r_event_id"] == 201
+        assert out[0]["dt_us"] == 10 * 60 * 1_000_000
+
+    def test_tolerance_excludes_far_events(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        left = spark.createDataFrame(
+            [(1, t0, 100)], "user_id long, ts timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            [(1, t0 + dt.timedelta(minutes=90), 200)],
+            "user_id long, ts timestamp, event_id long",
+        )
+        assert relational.nearest_event_join(left, right).count() == 0
+
+    def test_tie_prefers_earlier(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0)
+        left = spark.createDataFrame(
+            [(1, t0, 100)], "user_id long, ts timestamp, event_id long"
+        )
+        right = spark.createDataFrame(
+            [
+                (1, t0 - dt.timedelta(minutes=5), 200),
+                (1, t0 + dt.timedelta(minutes=5), 201),
+            ],
+            "user_id long, ts timestamp, event_id long",
+        )
+        out = relational.nearest_event_join(left, right).collect()
+        assert out[0]["r_event_id"] == 200
+
+
+# -- table fingerprint ----------------------------------------------------------------
+
+
+class TestTableFingerprint:
+    def test_order_independent_and_sensitive(self, spark):
+        df1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k long, s string"
+        )
+        df2 = spark.createDataFrame(
+            [(3, None), (1, "a"), (2, "b")], "k long, s string"
+        )
+        f1 = relational.table_fingerprint(df1, ["k", "s"]).collect()[0]
+        f2 = relational.table_fingerprint(
+            df2.repartition(5), ["k", "s"]
+        ).collect()[0]
+        assert f1 == f2
+        # any single cell change shifts the checksum
+        df3 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "x")], "k long, s string"
+        )
+        f3 = relational.table_fingerprint(df3, ["k", "s"]).collect()[0]
+        assert f3["fingerprint"] != f1["fingerprint"]
+
+    def test_null_differs_from_sentinel_string(self, spark):
+        # NULL and the literal string '\\N' hash differently? They
+        # can't (the sentinel IS the serialization) — pin the
+        # documented equivalence instead so a silent change breaks
+        df_null = spark.createDataFrame([(1, None)], "k long, s string")
+        df_lit = spark.createDataFrame([(1, "\\N")], "k long, s string")
+        a = relational.table_fingerprint(df_null, ["k", "s"]).collect()[0]
+        b = relational.table_fingerprint(df_lit, ["k", "s"]).collect()[0]
+        assert a["fingerprint"] == b["fingerprint"]
