@@ -45,6 +45,10 @@ def interaction_weights(
         ui.withColumn("_rn", F.row_number().over(w_rank))
         .filter(F.col("_rn") <= max_items_per_user)
         .drop("_rn")
+        # every consumer reads this table at least twice (baskets +
+        # norms; the recommender adds the owned set) — cut the lineage
+        # so the interaction scan/cap runs once, not per consumer
+        .localCheckpoint(eager=False)
     )
 
 
@@ -86,6 +90,17 @@ def item_item_cosine(
             F.col("b.it").alias("item_b"),
             (F.col("wa") * F.col("b.w")).alias("_p"),
         )
+        # pin the pair-aggregate's parallelism: co-occurrence pairs are
+        # near-unique (little combiner collapse), and AQE sizes the
+        # exchange from the tiny PRE-explode basket bytes — measured
+        # 2 post-coalesce tasks over 11M pairs (15.1s) vs 64 pinned
+        # tasks (6.1s) at sf0.1. An explicit count is exempt from AQE
+        # coalescing and scales with the session's shuffle setting.
+        .repartition(
+            2 * int(weights.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+            "item_a",
+            "item_b",
+        )
         .groupBy("item_a", "item_b")
         .agg(
             F.count("*").alias("n_co_users"),
@@ -125,6 +140,9 @@ def recommend_items(
     broadcast (≤ the per-user cap by construction); the similarity
     table is symmetrized on the fly."""
     owned = weights.filter(F.col("u") == user).select("it", "w")
+    # the union reads sims twice; checkpoint so the pair pipeline
+    # (the expensive leg) executes once
+    sims = sims.localCheckpoint(eager=False)
     sym = sims.select(
         F.col("item_a").alias("src"), F.col("item_b").alias("cand"), "cosine"
     ).union(
