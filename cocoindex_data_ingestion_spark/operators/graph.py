@@ -383,9 +383,6 @@ def label_propagation_fixed(
         .distinct()
         .withColumn("label", F.col("node_id"))
     )
-    w = Window.partitionBy("node_id").orderBy(
-        F.desc("cnt"), F.asc("label")
-    )
     for _ in range(n_iter):
         msgs = und.join(
             lab.withColumnRenamed("node_id", src), src
@@ -393,10 +390,18 @@ def label_propagation_fixed(
         cnt = msgs.groupBy("node_id", "label").agg(
             F.count("*").alias("cnt")
         )
+        # adoption = argmax (cnt desc, label asc) per node. max_by over
+        # a (cnt, -label) struct does it in the SAME aggregation
+        # exchange the count uses (node,label and node co-partition) —
+        # the earlier row_number window added a second shuffle per
+        # round (the ivf_assign max_by rewrite, applied to LPA).
         lab = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node_id", "label")
+            cnt.groupBy("node_id")
+            .agg(
+                F.max_by(
+                    "label", F.struct(F.col("cnt"), (-F.col("label")).alias("_t"))
+                ).alias("label")
+            )
             # cut the per-round lineage (iterative-algo discipline)
             .localCheckpoint(eager=False)
         )
