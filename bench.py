@@ -199,6 +199,8 @@ HEADLINE = [
     "lineitem_weighted_quartiles",
     "events_nearest_join",
     "orders_fingerprint",
+    "orders_fd_audit",
+    "orders_benford",
 ]
 
 SMALL_RESULT = {
@@ -261,6 +263,7 @@ SMALL_RESULT = {
     "orders_gini_customers", "events_attribution_linear",
     "orders_bootstrap_ci", "lineitem_weighted_quartiles",
     "events_nearest_join", "orders_fingerprint",
+    "orders_fd_audit", "orders_benford",
 }
 
 

@@ -70,3 +70,107 @@ def k_anonymity_audit(
         .agg(F.count("*").alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def functional_dependency(
+    df,
+    lhs: list[str],
+    rhs: str,
+    round_to: int = 6,
+):
+    """Audit a candidate functional dependency ``lhs → rhs``: does
+    every lhs group map to exactly one rhs value? Returns one row —
+    ``(n_groups, n_violating_groups, n_violating_rows, max_rhs_card,
+    fd_strength)`` — where strength is the fraction of rows whose
+    group is single-valued. The schema-inference / data-contract
+    primitive: "is order_id really a key for customer_id in this
+    feed?" asked as a query, graded in exact integers.
+
+    ONE shuffle to (lhs, rhs) value counts; group verdicts are a
+    re-aggregation of that contracted table (distinct-rhs per group,
+    rows per group), never a second corpus pass.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.compare import stable_round
+
+    vals = (
+        df.groupBy(*[F.col(c) for c in lhs], F.col(rhs))
+        .agg(F.count("*").alias("_n"))
+    )
+    groups = vals.groupBy(*[F.col(c) for c in lhs]).agg(
+        F.count("*").alias("_card"),
+        F.sum("_n").alias("_rows"),
+    )
+    return groups.agg(
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_card") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_violating_groups"),
+        F.sum(F.when(F.col("_card") > 1, F.col("_rows")).otherwise(0))
+        .cast("long")
+        .alias("n_violating_rows"),
+        F.max("_card").cast("long").alias("max_rhs_card"),
+        stable_round(
+            F.sum(
+                F.when(F.col("_card") == 1, F.col("_rows")).otherwise(0)
+            ).cast("double")
+            / F.sum("_rows").cast("double"),
+            round_to,
+        ).alias("fd_strength"),
+    )
+
+
+def benford_audit(
+    df,
+    amount_cents,
+    round_to: int = 6,
+):
+    """Benford's-law first-digit audit of a positive amount column:
+    per digit 1-9 the observed share vs the Benford expectation
+    ``log10(1 + 1/d)``, plus each digit's chi-square contribution —
+    the classic anomaly/fabrication screen for financial and metric
+    feeds. A uniform or truncated generator fails it loudly; organic
+    multi-scale amounts pass.
+
+    The first digit comes from the INTEGER cents' decimal string
+    (first character) — no float log10 anywhere near a boundary, so
+    the digit histogram is engine-exact; one scan + a 9-row
+    aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.compare import stable_round
+
+    import math
+
+    digit = F.substring(amount_cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        df.select(digit.alias("digit"))
+        .filter(F.col("digit") >= 1)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("_t"))
+    rows = obs.crossJoin(F.broadcast(tot))
+    exp_map = F.create_map(
+        *[
+            x
+            for d in range(1, 10)
+            for x in (F.lit(d), F.lit(math.log10(1.0 + 1.0 / d)))
+        ]
+    )
+    e = exp_map[F.col("digit")]
+    share = F.col("n_obs").cast("double") / F.col("_t").cast("double")
+    contrib = (
+        (F.col("n_obs").cast("double") - F.col("_t").cast("double") * e)
+        * (F.col("n_obs").cast("double") - F.col("_t").cast("double") * e)
+        / (F.col("_t").cast("double") * e)
+    )
+    return rows.select(
+        "digit",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        stable_round(share, round_to).alias("share"),
+        stable_round(e, round_to).alias("benford_share"),
+        stable_round(contrib, round_to).alias("chi2_contrib"),
+    ).orderBy("digit")

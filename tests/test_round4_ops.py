@@ -2113,3 +2113,68 @@ class TestTableFingerprint:
         a = relational.table_fingerprint(df_null, ["k", "s"]).collect()[0]
         b = relational.table_fingerprint(df_lit, ["k", "s"]).collect()[0]
         assert a["fingerprint"] == b["fingerprint"]
+
+
+# -- functional dependency + Benford ---------------------------------------------
+
+
+class TestFunctionalDependency:
+    def test_holding_and_violating(self, spark):
+        from cocoindex_data_ingestion_spark.operators import expectations
+
+        df = spark.createDataFrame(
+            [(1, "a"), (1, "a"), (2, "b"), (3, "b"), (3, "c"), (3, "c")],
+            "k long, v string",
+        )
+        r = expectations.functional_dependency(df, ["k"], "v").collect()[0]
+        # groups: 1->{a}, 2->{b}, 3->{b,c} (3 rows)
+        assert r["n_groups"] == 3
+        assert r["n_violating_groups"] == 1
+        assert r["n_violating_rows"] == 3
+        assert r["max_rhs_card"] == 2
+        assert abs(r["fd_strength"] - 0.5) < 1e-9
+
+    def test_composite_lhs_holds(self, spark):
+        from cocoindex_data_ingestion_spark.operators import expectations
+
+        df = spark.createDataFrame(
+            [(1, 1, "x"), (1, 2, "y"), (2, 1, "x")],
+            "a long, b long, v string",
+        )
+        r = expectations.functional_dependency(df, ["a", "b"], "v").collect()[0]
+        assert r["n_violating_groups"] == 0
+        assert r["fd_strength"] == 1.0
+
+
+class TestBenford:
+    def test_digit_histogram_from_cents_string(self, spark):
+        from cocoindex_data_ingestion_spark.operators import expectations
+
+        # amounts 1.00, 12.00, 19.99, 95.00 -> first digits 1,1,1,9
+        df = spark.createDataFrame(
+            [(1.0,), (12.0,), (19.99,), (95.0,)], "amt double"
+        )
+        cents = F.floor(F.col("amt") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        rows = {
+            r["digit"]: r
+            for r in expectations.benford_audit(df, cents).collect()
+        }
+        assert rows[1]["n_obs"] == 3 and rows[9]["n_obs"] == 1
+        assert abs(rows[1]["share"] - 0.75) < 1e-9
+        import math
+
+        assert abs(rows[1]["benford_share"] - math.log10(2)) < 1e-5
+
+    def test_benford_like_data_scores_low(self, spark):
+        from cocoindex_data_ingestion_spark.operators import expectations
+
+        import math
+
+        # sample amounts from an exact log-uniform grid: near-Benford
+        rows = [(10 ** (3 * (i / 999.0)),) for i in range(1000)]
+        df = spark.createDataFrame(rows, "amt double")
+        cents = F.floor(F.col("amt") * F.lit(100.0) + F.lit(0.5)).cast("long")
+        out = expectations.benford_audit(df, cents).collect()
+        chi2 = sum(r["chi2_contrib"] for r in out)
+        # log-uniform first digits follow Benford closely: chi2 small
+        assert chi2 < 20.0
