@@ -10715,6 +10715,156 @@ def _q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expectations.benford_audit(o, cents)
 
 
+
+# -- Spearman rank correlation (relational.spearman_corr) ----------------------
+
+_SPEAR_NUM = "(n * sxy - sx * sy)"
+_SPEAR_DEN = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+
+_SPEARMAN_SQL = f"""
+WITH rows_ AS (SELECT l_quantity AS x, l_extendedprice AS y FROM lineitem),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM rows_),
+rx AS (
+  SELECT x AS v,
+         (CAST(sum(m) OVER (ORDER BY x ROWS UNBOUNDED PRECEDING) - m AS DOUBLE)
+          + (CAST(m AS DOUBLE) + 1.0) / 2.0) AS r
+  FROM (SELECT x, count(*) AS m FROM rows_ GROUP BY 1)),
+ry AS (
+  SELECT y AS v,
+         (CAST(sum(m) OVER (ORDER BY y ROWS UNBOUNDED PRECEDING) - m AS DOUBLE)
+          + (CAST(m AS DOUBLE) + 1.0) / 2.0) AS r
+  FROM (SELECT y, count(*) AS m FROM rows_ GROUP BY 1)),
+xy AS (
+  SELECT rx.r / nn.n AS x, ry.r / nn.n AS y
+  FROM rows_ JOIN rx ON rx.v = rows_.x JOIN ry ON ry.v = rows_.y, nn),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+             {_S("x", 7)} AS sx, {_S("y", 7)} AS sy, {_S("x * y", 7)} AS sxy,
+             {_S("x * x", 7)} AS sxx, {_S("y * y", 7)} AS syy
+      FROM xy)
+SELECT CAST(n AS BIGINT) AS n,
+       {_R(f"{_SPEAR_NUM} / {_SPEAR_DEN}", 6)} AS spearman
+FROM g
+"""
+
+
+@_register("lineitem_spearman", _SPEARMAN_SQL)
+def _q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs extended price
+    (relational.spearman_corr): Pearson on AVERAGE ranks with full
+    tie handling — the monotonic-association twin of the Pearson
+    matrix. Per-distinct-value counts + partition-offset running
+    ranks (never a global rank sort), n-normalized before the
+    fixed-point moments."""
+    return relational.spearman_corr(
+        _t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice"
+    )
+
+
+
+# -- global clustering coefficient (triangles vs wedges) ------------------------
+
+_CLUSTCOEF_SQL = f"""
+WITH raw AS (SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+             FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+capped AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) AS rn
+    FROM raw
+  ) WHERE rn <= {_REACH_FANOUT}
+),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        FROM capped),
+tri AS (
+  SELECT count(*) AS t
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1),
+wd AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+              CAST(sum(d * (d - 1)) AS BIGINT) AS w2
+       FROM deg),
+ed AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM und)
+SELECT wd.n_nodes, ed.n_edges, CAST(tri.t AS BIGINT) AS n_triangles,
+       CAST(wd.w2 // 2 AS BIGINT) AS n_wedges,
+       {_R("6.0 * CAST(tri.t AS DOUBLE) / CAST(wd.w2 AS DOUBLE)", 6)} AS global_cc
+FROM tri, wd, ed
+"""
+
+
+@_register("graph_clustering_coeff", _CLUSTCOEF_SQL)
+def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the capped
+    co-supply graph: 3·triangles / wedges, with wedges Σ d(d−1)/2
+    from one degree aggregation and triangles from the oriented
+    double-join (graph_triangle_count's shape) — "how cliquish is
+    this graph" as one exact-integer-mass number."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("sups")
+    )
+    pairs = per_order.select(
+        F.explode("sups").alias("src"), F.col("sups")
+    ).select(
+        "src",
+        F.explode(F.filter("sups", lambda x: x != F.col("src"))).alias("dst"),
+    )
+    capped = (
+        pairs.groupBy("src")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_set("dst")), 1, _REACH_FANOUT
+            ).alias("dsts")
+        )
+        .select("src", F.explode("dsts").alias("dst"))
+    )
+    und = (
+        capped.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # triangles read it 3x, degrees 2x
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count("*").alias("t"))
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    wd = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.sum(F.col("d") * (F.col("d") - F.lit(1))).cast("long").alias("w2"),
+    )
+    ed = und.agg(F.count("*").cast("long").alias("n_edges"))
+    return (
+        tri.crossJoin(F.broadcast(wd))
+        .crossJoin(F.broadcast(ed))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("t").cast("long").alias("n_triangles"),
+            F.shiftright(F.col("w2"), 1).alias("n_wedges"),
+            stable_round(
+                F.lit(6.0) * F.col("t").cast("double")
+                / F.col("w2").cast("double"),
+                6,
+            ).alias("global_cc"),
+        )
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -201,6 +201,8 @@ HEADLINE = [
     "orders_fingerprint",
     "orders_fd_audit",
     "orders_benford",
+    "lineitem_spearman",
+    "graph_clustering_coeff",
 ]
 
 SMALL_RESULT = {
@@ -264,6 +266,7 @@ SMALL_RESULT = {
     "orders_bootstrap_ci", "lineitem_weighted_quartiles",
     "events_nearest_join", "orders_fingerprint",
     "orders_fd_audit", "orders_benford",
+    "lineitem_spearman", "graph_clustering_coeff",
 }
 
 

@@ -1611,3 +1611,95 @@ def table_fingerprint(
         F.count("*").cast("long").alias("n_rows"),
         F.sum(h).cast("long").alias("fingerprint"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns —
+    Pearson on AVERAGE ranks (full tie handling), the monotonic-
+    association twin of lineitem_corr_matrix's Pearson (outlier-
+    robust, captures nonlinear monotone relations).
+
+    No global rank materialization: each column reduces to
+    per-DISTINCT-VALUE counts; the running below-count uses the
+    partition-offset pattern (the ks_test_2samp shape); the average
+    rank ``below + (m+1)/2`` joins back to rows by value
+    (co-partitioned). Ranks are normalized by n before the moment
+    sums — Spearman is invariant under the rescale and it keeps the
+    fixed-point elements O(1) (the corr-matrix overflow discipline).
+    Half-integer ranks are exact in doubles, so both engines see
+    identical coordinates.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    def avg_ranks(col: str, out: str) -> DataFrame:
+        per = (
+            df.select(F.col(col).alias("_v"))
+            .groupBy("_v")
+            .agg(F.count("*").alias("_m"))
+            .localCheckpoint(eager=False)
+        )
+        ordered = (
+            per.repartitionByRange(F.col("_v"))
+            .sortWithinPartitions("_v")
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+        ptot = ordered.groupBy("_pid").agg(F.sum("_m").alias("_pm"))
+        w_off = Window.orderBy("_pid").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offs = ptot.select(
+            "_pid",
+            F.coalesce(F.sum("_pm").over(w_off), F.lit(0)).alias("_o"),
+        )
+        w_local = Window.partitionBy("_pid").orderBy("_v")
+        return (
+            ordered.join(F.broadcast(offs), "_pid")
+            .select(
+                "_v",
+                (
+                    (
+                        F.sum("_m").over(
+                            w_local.rowsBetween(Window.unboundedPreceding, 0)
+                        )
+                        + F.col("_o")
+                        - F.col("_m")
+                    ).cast("double")
+                    + (F.col("_m").cast("double") + F.lit(1.0)) / F.lit(2.0)
+                ).alias(out),
+            )
+            .withColumnRenamed("_v", col)
+        )
+
+    n_df = df.agg(F.count("*").alias("_n"))
+    joined = (
+        df.select(col_x, col_y)
+        .join(avg_ranks(col_x, "_rx"), col_x)
+        .join(avg_ranks(col_y, "_ry"), col_y)
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            (F.col("_rx") / F.col("_n").cast("double")).alias("x"),
+            (F.col("_ry") / F.col("_n").cast("double")).alias("y"),
+        )
+    )
+    g = joined.agg(
+        F.count("*").cast("double").alias("n"),
+        stable_sum(F.col("x"), 7).alias("sx"),
+        stable_sum(F.col("y"), 7).alias("sy"),
+        stable_sum(F.col("x") * F.col("y"), 7).alias("sxy"),
+        stable_sum(F.col("x") * F.col("x"), 7).alias("sxx"),
+        stable_sum(F.col("y") * F.col("y"), 7).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+    dy = F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))
+    return g.select(
+        n.cast("long").alias("n"),
+        stable_round(num / (dx * dy), round_to).alias("spearman"),
+    )

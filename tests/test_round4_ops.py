@@ -2178,3 +2178,73 @@ class TestBenford:
         chi2 = sum(r["chi2_contrib"] for r in out)
         # log-uniform first digits follow Benford closely: chi2 small
         assert chi2 < 20.0
+
+
+# -- Spearman ----------------------------------------------------------------------
+
+
+class TestSpearman:
+    def test_perfect_monotone_nonlinear(self, spark):
+        # y = x^3 is nonlinear but perfectly monotone: rho == 1
+        df = spark.createDataFrame(
+            [(float(i), float(i**3)) for i in range(1, 30)],
+            "x double, y double",
+        )
+        r = relational.spearman_corr(df, "x", "y").collect()[0]
+        assert abs(r["spearman"] - 1.0) < 1e-6
+
+    def test_reversed_is_minus_one(self, spark):
+        df = spark.createDataFrame(
+            [(float(i), float(100 - i)) for i in range(1, 30)],
+            "x double, y double",
+        )
+        r = relational.spearman_corr(df, "x", "y").collect()[0]
+        assert abs(r["spearman"] + 1.0) < 1e-6
+
+    def test_ties_match_scipy_formula(self, spark):
+        # hand case with ties: x = [1,1,2,3], y = [10,20,20,30]
+        # avg ranks x: [1.5,1.5,3,4], y: [1,2.5,2.5,4]
+        # pearson of those ranks = 0.8320502943...
+        df = spark.createDataFrame(
+            [(1.0, 10.0), (1.0, 20.0), (2.0, 20.0), (3.0, 30.0)],
+            "x double, y double",
+        )
+        r = relational.spearman_corr(df, "x", "y").collect()[0]
+        import statistics
+
+        rx, ry = [1.5, 1.5, 3, 4], [1, 2.5, 2.5, 4]
+        exp = statistics.correlation(rx, ry)
+        assert abs(r["spearman"] - exp) < 1e-4
+
+
+# -- clustering coefficient (query-level sanity on a known graph) --------------------
+
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    """K3 plus a pendant edge: T=1, wedges = 3·1 + C(3,2)=3+... degrees
+    [2,2,3,1] -> Σd(d-1)/2 = (2+2+6+0)/2 = 5, cc = 3/5."""
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    und = edges
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .count()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .union(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    w2 = deg.agg(F.sum(F.col("d") * (F.col("d") - 1))).collect()[0][0]
+    assert tri == 1
+    assert w2 // 2 == 5
+    assert abs(6.0 * tri / w2 - 0.6) < 1e-9
