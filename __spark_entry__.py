@@ -10865,6 +10865,42 @@ def _q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- l-diversity audit (expectations.l_diversity_audit) ------------------------
+
+_LDIV_L = 2
+
+_LDIV_SQL = f"""
+WITH vals AS (
+  SELECT c_nationkey, c_mktsegment,
+         CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS s,
+         count(*) AS n
+  FROM customer GROUP BY 1, 2, 3)
+SELECT c_nationkey, c_mktsegment,
+       CAST(sum(n) AS BIGINT) AS group_size,
+       CAST(count(*) AS BIGINT) AS sensitive_cardinality
+FROM vals GROUP BY 1, 2 HAVING count(*) < {_LDIV_L}
+"""
+
+
+@_register("ldiversity_audit", _LDIV_SQL)
+def _q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala ICDE'06, expectations.
+    l_diversity_audit): quasi-identifier groups whose sensitive
+    attribute (account-balance sign) is HOMOGENEOUS — the groups
+    k-anonymity calls safe but that leak the sensitive value
+    outright. Same contracted-shuffle plan as the FD audit."""
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    c = _t(spark, sf_dir, "customer").withColumn(
+        "s",
+        F.when(F.col("c_acctbal") < 0, F.lit("neg")).otherwise(F.lit("pos")),
+    )
+    return expectations.l_diversity_audit(
+        c, ["c_nationkey", "c_mktsegment"], "s", l=_LDIV_L
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -203,6 +203,7 @@ HEADLINE = [
     "orders_benford",
     "lineitem_spearman",
     "graph_clustering_coeff",
+    "ldiversity_audit",
 ]
 
 SMALL_RESULT = {
@@ -267,6 +268,7 @@ SMALL_RESULT = {
     "events_nearest_join", "orders_fingerprint",
     "orders_fd_audit", "orders_benford",
     "lineitem_spearman", "graph_clustering_coeff",
+    "ldiversity_audit",
 }
 
 

@@ -174,3 +174,38 @@ def benford_audit(
         stable_round(e, round_to).alias("benford_share"),
         stable_round(contrib, round_to).alias("chi2_contrib"),
     ).orderBy("digit")
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_identifiers: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Privacy audit companion to :func:`k_anonymity_audit`:
+    quasi-identifier groups whose SENSITIVE attribute takes fewer
+    than ``l`` distinct values — groups that k-anonymity alone calls
+    safe but that still leak the sensitive value outright (the
+    homogeneity attack l-diversity exists to catch; Machanavajjhala
+    et al., ICDE 2006). Output: the violating groups with their size
+    and sensitive-value cardinality, bounded by the violation count.
+
+    One shuffle to (QI, sensitive) value counts; group verdicts are a
+    re-aggregation of the contracted table (the
+    functional_dependency plan — l-diversity is "lhs→rhs must NOT be
+    functional" turned into a per-group report).
+    """
+    vals = (
+        df.groupBy(
+            *[F.col(c) for c in quasi_identifiers], F.col(sensitive_col)
+        )
+        .agg(F.count("*").alias("_n"))
+    )
+    return (
+        vals.groupBy(*[F.col(c) for c in quasi_identifiers])
+        .agg(
+            F.sum("_n").cast("long").alias("group_size"),
+            F.count("*").cast("long").alias("sensitive_cardinality"),
+        )
+        .filter(F.col("sensitive_cardinality") < l)
+    )

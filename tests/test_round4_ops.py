@@ -2248,3 +2248,26 @@ def test_clustering_coeff_triangle_plus_tail(spark):
     assert tri == 1
     assert w2 // 2 == 5
     assert abs(6.0 * tri / w2 - 0.6) < 1e-9
+
+
+def test_l_diversity_catches_homogeneous_groups(spark):
+    from cocoindex_data_ingestion_spark.operators import expectations
+
+    df = spark.createDataFrame(
+        [
+            # group (1, 'a'): 3 members, 2 sensitive values -> diverse
+            (1, "a", "flu"), (1, "a", "flu"), (1, "a", "cold"),
+            # group (2, 'b'): 3 members but ONE sensitive value ->
+            # k-anonymous at k=3 yet fully leaking
+            (2, "b", "hiv"), (2, "b", "hiv"), (2, "b", "hiv"),
+        ],
+        "zip int, seg string, dx string",
+    )
+    viol = expectations.l_diversity_audit(df, ["zip", "seg"], "dx", l=2).collect()
+    assert len(viol) == 1
+    assert viol[0]["zip"] == 2
+    assert viol[0]["group_size"] == 3
+    assert viol[0]["sensitive_cardinality"] == 1
+    # and k-anonymity at k=3 would NOT have flagged it
+    kanon = expectations.k_anonymity_audit(df, ["zip", "seg"], k=3).collect()
+    assert all(r["zip"] != 2 for r in kanon)
