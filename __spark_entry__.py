@@ -10901,6 +10901,41 @@ def _q_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- grouped EWMA via applyInPandas (relational.grouped_ewma) -------------------
+
+_EWMA_SQL = f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT g, day, n,
+               row_number() OVER (PARTITION BY g ORDER BY day) AS rn
+        FROM daily),
+rec AS (
+  SELECT g, day, n, rn, CAST(n AS DOUBLE) AS s FROM idx WHERE rn = 1
+  UNION ALL
+  SELECT i.g, i.day, i.n, i.rn, (CAST(i.n AS DOUBLE) + r.s) / 2.0 AS s
+  FROM idx i JOIN rec r ON i.g = r.g AND i.rn = r.rn + 1
+)
+SELECT g AS event_type, day, CAST(n AS BIGINT) AS n, {_R("s", 6)} AS ewma
+FROM rec
+"""
+
+
+@_register("events_ewma", _EWMA_SQL)
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=1/2 EWMA over each event type's daily counts
+    (relational.grouped_ewma): the sequential recurrence runs in an
+    Arrow-batched applyInPandas per group (groups parallelize; the
+    walk is inherently serial within one), and binary-exact halving
+    makes the whole pipeline oracle-able by a DuckDB recursive CTE —
+    the custom-stateful-operator seam exercised on the ORACLED
+    surface, not just rows-only."""
+    return relational.grouped_ewma(_t(spark, sf_dir, "events"), "event_type")
+
+
 # ------------------------------------------------------------- driver surface
 
 

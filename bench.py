@@ -204,6 +204,7 @@ HEADLINE = [
     "lineitem_spearman",
     "graph_clustering_coeff",
     "ldiversity_audit",
+    "events_ewma",
 ]
 
 SMALL_RESULT = {
@@ -268,7 +269,7 @@ SMALL_RESULT = {
     "events_nearest_join", "orders_fingerprint",
     "orders_fd_audit", "orders_benford",
     "lineitem_spearman", "graph_clustering_coeff",
-    "ldiversity_audit",
+    "ldiversity_audit", "events_ewma",
 }
 
 

@@ -1703,3 +1703,57 @@ def spearman_corr(
         n.cast("long").alias("n"),
         stable_round(num / (dx * dy), round_to).alias("spearman"),
     )
+
+
+def grouped_ewma(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2) of each
+    group's DAILY COUNT series — the classic smoother behind
+    monitoring baselines, computed with Spark's Arrow-batched
+    ``applyInPandas`` because the recurrence ``s_t = (x_t + s_{t-1})/2``
+    is inherently sequential WITHIN a group (no window/aggregate
+    expresses it); groups still parallelize across the cluster, which
+    is the correct distribution axis for per-series state.
+
+    α = 1/2 makes every step a binary-exact halving, so the recurrence
+    produces IDENTICAL doubles in any engine that walks the series in
+    day order — a DuckDB recursive CTE oracles the whole pipeline
+    (the applyInPandas path is otherwise rows-only territory).
+    """
+    import pandas as pd
+
+    from ..functions.compare import stable_round
+
+    us = ts_us(F.col(ts_col))
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.floor(us / F.lit(float(day_us))).cast("long").alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out, cur = [], None
+        for x in pdf["n"].astype("float64"):
+            cur = x if cur is None else (x + cur) / 2.0
+            out.append(cur)
+        pdf["ewma"] = out
+        return pdf
+
+    smoothed = daily.groupBy("g").applyInPandas(
+        walk, schema="g string, day long, n long, ewma double"
+    )
+    return smoothed.select(
+        F.col("g").alias(group_col),
+        "day",
+        "n",
+        stable_round(F.col("ewma"), round_to).alias("ewma"),
+    )

@@ -2271,3 +2271,23 @@ def test_l_diversity_catches_homogeneous_groups(spark):
     # and k-anonymity at k=3 would NOT have flagged it
     kanon = expectations.k_anonymity_audit(df, ["zip", "seg"], k=3).collect()
     assert all(r["zip"] != 2 for r in kanon)
+
+
+def test_grouped_ewma_hand_walk(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # type 'a': 4, 2, 8 events on days 0,1,2
+    for day, cnt in [(0, 4), (1, 2), (2, 8)]:
+        for i in range(cnt):
+            rows.append(("a", t0 + dt.timedelta(days=day, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    out = {
+        r["day"]: r
+        for r in relational.grouped_ewma(df, "event_type").collect()
+    }
+    days = sorted(out)
+    # s = [4, (2+4)/2=3, (8+3)/2=5.5]
+    assert [out[d]["ewma"] for d in days] == [4.0, 3.0, 5.5]
+    assert [out[d]["n"] for d in days] == [4, 2, 8]
