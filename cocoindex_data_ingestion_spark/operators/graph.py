@@ -387,14 +387,17 @@ def label_propagation_fixed(
         msgs = und.join(
             lab.withColumnRenamed("node_id", src), src
         ).select(F.col(dst).alias("node_id"), "label")
-        cnt = msgs.groupBy("node_id", "label").agg(
-            F.count("*").alias("cnt")
+        # ONE exchange per round: the node_id repartition satisfies
+        # BOTH downstream groupings (node_id ⊆ {node_id, label}
+        # clustering), so neither aggregate re-shuffles; AQE still
+        # sizes the exchange. Adoption = argmax (cnt desc, label asc)
+        # via max_by over a (cnt, -label) struct (the ivf_assign
+        # rewrite) — no per-node sort anywhere.
+        cnt = (
+            msgs.repartition("node_id")
+            .groupBy("node_id", "label")
+            .agg(F.count("*").alias("cnt"))
         )
-        # adoption = argmax (cnt desc, label asc) per node. max_by over
-        # a (cnt, -label) struct does it in the SAME aggregation
-        # exchange the count uses (node,label and node co-partition) —
-        # the earlier row_number window added a second shuffle per
-        # round (the ivf_assign max_by rewrite, applied to LPA).
         lab = (
             cnt.groupBy("node_id")
             .agg(
