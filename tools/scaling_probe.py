@@ -576,23 +576,8 @@ def main() -> None:
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
 
-    ops = ["knn_expr", "knn_numpy", "bm25_adhoc", "index_build",
-           "bm25_indexed", "knn_indexed_lsh", "knn_indexed_ivf",
-           "knn_indexed_pq", "hybrid_indexed", "rerank_indexed",
-           "dedup_exact", "minhash_edges", "lineitem_agg",
-           "decontaminate", "bpe_count", "quality_rep", "winnow_pairs",
-           "cluster_bal", "semantic_dedup", "ivm_init", "ivm_refresh",
-           "components_prop", "components_star", "dsir", "bigram_nll",
-           "phrase", "vidx_init", "vidx_refresh", "incr_dedup",
-           "neg_samples", "segq_8seg", "seg_compact", "segq_1seg",
-           "kmeans_2it", "tfidf_similar", "tfidf_keywords",
-           "ppl_buckets", "key_skew", "knn_batch3", "temporal_split",
-           "source_matrix", "okmeans_cold", "okmeans_refresh",
-           "nb_classify", "cc_incremental", "skyline", "snapshot_diff",
-           "hist_quantile", "zorder_bucket", "winsorize",
-           "xsub_spans", "ppjoin", "chi2", "ks_2samp",
-           "distinct_ngrams", "readability",
-           "drift_refresh", "drift_psi"]
+    # columns derive from what was actually measured, in measure order
+    ops = list(rows[0][4].keys())
     lines = [
         "# SCALING — empirical scale-up of key operators",
         "",
