@@ -10936,6 +10936,190 @@ def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.grouped_ewma(_t(spark, sf_dir, "events"), "event_type")
 
 
+
+# -- two-proportion z-test (relational.two_proportion_ztest) -------------------
+
+_ZTEST_SQL = f"""
+WITH pu AS (
+  SELECT user_id,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              THEN 1 ELSE 0 END AS s
+  FROM events GROUP BY 1),
+m AS (
+  SELECT CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na_,
+         CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb_,
+         CAST(sum(CASE WHEN g = 'A' THEN s ELSE 0 END) AS BIGINT) AS sa_,
+         CAST(sum(CASE WHEN g = 'B' THEN s ELSE 0 END) AS BIGINT) AS sb_
+  FROM pu),
+d AS (SELECT na_, nb_, sa_, sb_,
+             CAST(na_ AS DOUBLE) AS na, CAST(nb_ AS DOUBLE) AS nb,
+             CAST(sa_ AS DOUBLE) AS sa, CAST(sb_ AS DOUBLE) AS sb
+      FROM m)
+SELECT na_ AS n_a, nb_ AS n_b, sa_ AS successes_a, sb_ AS successes_b,
+       {_R("sa / na", 6)} AS rate_a,
+       {_R("sb / nb", 6)} AS rate_b,
+       CASE WHEN ((sa + sb) / (na + nb)) * (1.0 - (sa + sb) / (na + nb)) * (1.0 / na + 1.0 / nb) > 0
+            THEN {_R("(sa / na - sb / nb) / sqrt(((sa + sb) / (na + nb)) * (1.0 - (sa + sb) / (na + nb)) * (1.0 / na + 1.0 / nb))", 6)}
+       END AS z_stat
+FROM d
+"""
+
+
+@_register("events_conversion_ztest", _ZTEST_SQL)
+def _q_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test of "heavy purchaser" (≥14 purchases —
+    interior rates at every SF; the generator's per-user densities
+    are scale-invariant) between hash-split experiment arms
+    (relational.two_proportion_ztest): one per-user agg to (arm,
+    success), one conditional-aggregate scan to the pooled z — the
+    conversion-rate A/B primitive completing the test family
+    (chi2 / Welch / KS / z)."""
+    ev = _t(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= 14,
+            1,
+        )
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("g"),
+        F.col("s"),
+    )
+    return relational.two_proportion_ztest(
+        pu, "g", F.col("s") == 1, "A", "B"
+    )
+
+
+# -- association rules: confidence + conviction --------------------------------
+
+_RULES_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_ord AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+pf AS (SELECT l_partkey, count(*) AS n_part FROM li GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons, count(*) AS n_co
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= {_BASKET_MIN_CO}
+),
+scored AS (
+  SELECT p.ante, p.cons, p.n_co,
+         CAST(p.n_co AS DOUBLE) / CAST(fa.n_part AS DOUBLE) AS conf,
+         CAST(fb.n_part AS DOUBLE) / CAST(n.n AS DOUBLE) AS pcons
+  FROM pairs p
+  JOIN pf fa ON fa.l_partkey = p.ante
+  JOIN pf fb ON fb.l_partkey = p.cons, n_ord n)
+SELECT ante, cons, CAST(n_co AS BIGINT) AS n_co,
+       {_R("conf", 4)} AS confidence,
+       {_R("CASE WHEN conf < 1.0 THEN (1.0 - pcons) / (1.0 - conf) END", 4)} AS conviction
+FROM scored
+ORDER BY conf DESC, n_co DESC, ante ASC, cons ASC
+LIMIT 25
+"""
+
+
+@_register("basket_rules", _RULES_SQL)
+def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules a→b over order baskets:
+    confidence n_co/n_a and conviction (1−P(b))/(1−conf) — the
+    rule-quality metrics the symmetric lift table (basket_part_pairs)
+    can't express. Same one-collect_set-shuffle basket plan, pairs
+    now ordered (both directions map-side)."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .select("ps")
+        .localCheckpoint(eager=False)
+    )
+    n_ord = baskets.select(F.count("*").alias("n"))
+    pf = (
+        baskets.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count("*").alias("n_part"))
+    )
+    pairs = (
+        baskets.select(F.explode("ps").alias("ante"), F.col("ps"))
+        .select(
+            "ante",
+            F.explode(F.expr("filter(ps, x -> x != ante)")).alias("cons"),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("n_co"))
+        .filter(F.col("n_co") >= _BASKET_MIN_CO)
+    )
+    fa = pf.select(F.col("pk").alias("ante"), F.col("n_part").alias("na"))
+    fb = pf.select(F.col("pk").alias("cons"), F.col("n_part").alias("nb"))
+    conf = F.col("n_co").cast("double") / F.col("na").cast("double")
+    pcons = F.col("nb").cast("double") / F.col("n").cast("double")
+    return (
+        pairs.join(F.broadcast(fa), "ante")
+        .join(F.broadcast(fb), "cons")
+        .crossJoin(F.broadcast(n_ord))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_co").cast("long").alias("n_co"),
+            stable_round(conf, 4).alias("confidence"),
+            stable_round(
+                F.when(
+                    conf < 1.0, (F.lit(1.0) - pcons) / (F.lit(1.0) - conf)
+                ),
+                4,
+            ).alias("conviction"),
+        )
+        .orderBy(
+            F.desc("confidence"), F.desc("n_co"), F.asc("ante"), F.asc("cons")
+        )
+        .limit(25)
+    )
+
+
+# -- degree power-law MLE (graph.degree_powerlaw_fit) ---------------------------
+
+_PLAW_DMIN = 2
+
+_POWERLAW_SQL = f"""
+WITH e0 AS (SELECT DISTINCT l_suppkey AS s, l_partkey + 1000000 AS d FROM lineitem),
+und AS (SELECT least(s, d) AS a, greatest(s, d) AS b FROM e0
+        WHERE s <> d GROUP BY 1, 2),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und)
+        GROUP BY 1 HAVING count(*) >= {_PLAW_DMIN}),
+per AS (SELECT d, count(*) AS m FROM deg GROUP BY 1),
+g AS (SELECT CAST(sum(m) AS BIGINT) AS n_tail_nodes,
+             CAST(max(d) AS BIGINT) AS max_degree,
+             sum(CAST(floor(ln(CAST(d AS DOUBLE) / {_PLAW_DMIN - 0.5!r}) * 1e9 + 0.5) AS BIGINT) * m) AS slnq
+      FROM per)
+SELECT n_tail_nodes, max_degree,
+       CAST({_PLAW_DMIN} AS BIGINT) AS d_min,
+       {_R("1.0 + CAST(n_tail_nodes AS DOUBLE) / (CAST(slnq AS DOUBLE) / 1e9)", 4)} AS alpha
+FROM g
+"""
+
+
+@_register("graph_degree_powerlaw", _POWERLAW_SQL)
+def _q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-MLE power-law exponent of the supplier-part degree
+    distribution (Clauset-Shalizi-Newman 2009;
+    graph.degree_powerlaw_fit): the scale-free tail index that
+    predicts hub sizes and skew-join risk. One degree aggregation;
+    the MLE sum folds per-distinct-degree with fixed-point ln."""
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 1_000_000).alias("dst"),
+    ).distinct()
+    return graph_ops.degree_powerlaw_fit(edges, d_min=_PLAW_DMIN)
+
+
 # ------------------------------------------------------------- driver surface
 
 

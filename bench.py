@@ -205,6 +205,9 @@ HEADLINE = [
     "graph_clustering_coeff",
     "ldiversity_audit",
     "events_ewma",
+    "events_conversion_ztest",
+    "basket_rules",
+    "graph_degree_powerlaw",
 ]
 
 SMALL_RESULT = {
@@ -270,6 +273,7 @@ SMALL_RESULT = {
     "orders_fd_audit", "orders_benford",
     "lineitem_spearman", "graph_clustering_coeff",
     "ldiversity_audit", "events_ewma",
+    "events_conversion_ztest", "basket_rules", "graph_degree_powerlaw",
 }
 
 

@@ -486,3 +486,60 @@ def modularity(
             stable_round(q, round_to).alias("q_contrib"),
         )
     )
+
+
+def degree_powerlaw_fit(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    d_min: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Power-law exponent of the degree distribution by the
+    discrete-MLE estimator ``α = 1 + n / Σ ln(d / (d_min − ½))``
+    (Clauset, Shalizi & Newman, SIAM Rev. 2009) over degrees ≥
+    ``d_min`` — "is this graph scale-free, and how heavy is the
+    tail?" — which predicts hub sizes, skew-join risk, and sampling
+    behavior at 100 TB better than any average degree.
+
+    One degree aggregation; the MLE sum runs over per-DISTINCT-degree
+    counts (k-bounded by max degree), with per-term ln quantized
+    fixed-point so the estimate is engine-identical.
+    """
+    from ..functions.compare import stable_round
+
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("_a"),
+            F.greatest(F.col(src), F.col(dst)).alias("_b"),
+        )
+        .filter(F.col("_a") != F.col("_b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("_n"))
+        .union(und.select(F.col("_b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count("*").alias("_d"))
+        .filter(F.col("_d") >= d_min)
+    )
+    per_deg = deg.groupBy("_d").agg(F.count("*").alias("_m"))
+    lnq = F.floor(
+        F.log(F.col("_d").cast("double") / F.lit(d_min - 0.5))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    g = per_deg.agg(
+        F.sum("_m").cast("long").alias("n_tail_nodes"),
+        F.max("_d").cast("long").alias("max_degree"),
+        F.sum(lnq * F.col("_m")).alias("_slnq"),
+    )
+    alpha = F.lit(1.0) + F.col("n_tail_nodes").cast("double") / (
+        F.col("_slnq").cast("double") / F.lit(1e9)
+    )
+    return g.select(
+        "n_tail_nodes",
+        "max_degree",
+        F.lit(d_min).cast("long").alias("d_min"),
+        stable_round(alpha, round_to).alias("alpha"),
+    )

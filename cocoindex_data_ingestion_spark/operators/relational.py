@@ -1757,3 +1757,52 @@ def grouped_ewma(
         "n",
         stable_round(F.col("ewma"), round_to).alias("ewma"),
     )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    group_col: str,
+    success_col: "F.Column",
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test (pooled): compares success rates between
+    two cohorts — THE conversion-rate A/B primitive, completing the
+    test family (chi2: independence, Welch: means, KS: distributions,
+    this: proportions). ``z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a+1/n_b))``
+    with the pooled estimate; the normal p-value is left to the
+    caller's lookup (erf differs across libms; z itself is exact
+    arithmetic over integer counts).
+
+    ONE conditional-aggregate scan — four integers out; every derived
+    double is the same IEEE expression in any engine.
+    """
+    from ..functions.compare import stable_round
+
+    ia = F.when(F.col(group_col) == group_a, 1).otherwise(0)
+    ib = F.when(F.col(group_col) == group_b, 1).otherwise(0)
+    s = F.when(success_col, 1).otherwise(0)
+    row = df.filter(F.col(group_col).isin([group_a, group_b])).agg(
+        F.sum(ia).alias("_na"),
+        F.sum(ib).alias("_nb"),
+        F.sum(ia * s).alias("_sa"),
+        F.sum(ib * s).alias("_sb"),
+    )
+    na, nb = F.col("_na").cast("double"), F.col("_nb").cast("double")
+    sa, sb = F.col("_sa").cast("double"), F.col("_sb").cast("double")
+    pa, pb = sa / na, sb / nb
+    pool = (sa + sb) / (na + nb)
+    var = pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb)
+    # degenerate cohorts (all successes or all failures pooled) have
+    # zero variance: report NULL rather than divide by zero
+    z = F.when(var > 0, (pa - pb) / F.sqrt(var))
+    return row.select(
+        F.col("_na").cast("long").alias("n_a"),
+        F.col("_nb").cast("long").alias("n_b"),
+        F.col("_sa").cast("long").alias("successes_a"),
+        F.col("_sb").cast("long").alias("successes_b"),
+        stable_round(pa, round_to).alias("rate_a"),
+        stable_round(pb, round_to).alias("rate_b"),
+        stable_round(z, round_to).alias("z_stat"),
+    )

@@ -2291,3 +2291,49 @@ def test_grouped_ewma_hand_walk(spark):
     # s = [4, (2+4)/2=3, (8+3)/2=5.5]
     assert [out[d]["ewma"] for d in days] == [4.0, 3.0, 5.5]
     assert [out[d]["n"] for d in days] == [4, 2, 8]
+
+
+# -- two-proportion z-test + power law ------------------------------------------------
+
+
+class TestTwoProportionZ:
+    def test_hand_computed(self, spark):
+        # A: 30/100, B: 20/100 -> pool 0.25
+        rows = [("A", i < 30) for i in range(100)] + [
+            ("B", i < 20) for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        r = relational.two_proportion_ztest(
+            df, "g", F.col("ok"), "A", "B"
+        ).collect()[0]
+        assert (r["n_a"], r["successes_a"]) == (100, 30)
+        import math
+
+        exp = (0.3 - 0.2) / math.sqrt(0.25 * 0.75 * (1 / 100 + 1 / 100))
+        assert abs(r["z_stat"] - exp) < 1e-6
+
+    def test_degenerate_is_null(self, spark):
+        rows = [("A", True)] * 5 + [("B", True)] * 5
+        df = spark.createDataFrame(rows, "g string, ok boolean")
+        r = relational.two_proportion_ztest(
+            df, "g", F.col("ok"), "A", "B"
+        ).collect()[0]
+        assert r["z_stat"] is None
+        assert r["rate_a"] == 1.0
+
+
+def test_degree_powerlaw_star_has_heavy_tail_estimate(spark):
+    from cocoindex_data_ingestion_spark.operators import graph as g
+
+    import math
+
+    # graph: hub 0 connected to 1..20, plus a few chain edges
+    edges = [(0, i) for i in range(1, 21)] + [(1, 2), (3, 4), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    r = g.degree_powerlaw_fit(df, d_min=2).collect()[0]
+    assert r["max_degree"] == 20
+    # tail nodes: degree>=2 -> hub(20) + 1,2,3,4,5,6 (2 each) = 7 nodes
+    assert r["n_tail_nodes"] == 7
+    # alpha = 1 + n / sum ln(d/1.5)
+    s = math.log(20 / 1.5) + 6 * math.log(2 / 1.5)
+    assert abs(r["alpha"] - (1 + 7 / s)) < 1e-3
