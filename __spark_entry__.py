@@ -11120,6 +11120,84 @@ def _q_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.degree_powerlaw_fit(edges, d_min=_PLAW_DMIN)
 
 
+
+# -- daily-count ACF (relational.acf_daily) -------------------------------------
+
+_ACF_LAGS = 10
+
+_ACF_NUM = "(n * sxy - sx * sy)"
+_ACF_DEN = "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+
+_ACF_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS x
+  FROM events GROUP BY 1),
+lagged AS (
+  SELECT l.lag, CAST(a.x AS DOUBLE) AS x, CAST(b.x AS DOUBLE) AS y
+  FROM daily a
+  CROSS JOIN (SELECT unnest(generate_series(1, {_ACF_LAGS})) AS lag) l
+  JOIN daily b ON b.day = a.day + l.lag),
+g AS (SELECT lag, CAST(count(*) AS DOUBLE) AS n,
+             {_S("x", 4)} AS sx, {_S("y", 4)} AS sy, {_S("x * y", 4)} AS sxy,
+             {_S("x * x", 4)} AS sxx, {_S("y * y", 4)} AS syy
+      FROM lagged GROUP BY 1)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+       {_R(f"CASE WHEN {_ACF_DEN} > 0 THEN {_ACF_NUM} / {_ACF_DEN} ELSE 0.0 END", 6)} AS acf
+FROM g ORDER BY lag
+"""
+
+
+@_register("events_acf", _ACF_SQL)
+def _q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily event-count series at lags 1-10
+    (relational.acf_daily): the periodicity detector behind any
+    forecasting/seasonality decision. Calendar-bounded daily table,
+    map-side lag explode, one alignment join, closed-form Pearson
+    per lag in fixed-point moments."""
+    return relational.acf_daily(
+        _t(spark, sf_dir, "events"), max_lag=_ACF_LAGS
+    )
+
+
+# -- Neyman sampling allocation (curation.neyman_allocation) --------------------
+
+_NEYMAN_B = 1000
+
+_NEYMAN_SQL = f"""
+WITH per AS (
+  SELECT source AS s, count(*) AS n,
+         sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2
+  FROM documents GROUP BY 1),
+sized AS (
+  SELECT s, n,
+         sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0)) AS sig
+  FROM per),
+tot AS (SELECT {_S("CAST(n AS DOUBLE) * sig", 4)} AS t FROM sized)
+SELECT s AS source, CAST(n AS BIGINT) AS n_rows,
+       {_R("sig", 4)} AS sigma,
+       CAST(floor({float(_NEYMAN_B)!r} * (CAST(n AS DOUBLE) * sig) / tot.t + 0.5) AS BIGINT) AS alloc
+FROM sized, tot ORDER BY source
+"""
+
+
+@_register("curate_neyman_allocation", _NEYMAN_SQL)
+def _q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal QA/labeling budget allocation across sources
+    (curation.neyman_allocation, Neyman 1934): each source gets
+    budget ∝ N_h·σ_h of its document-length distribution — the
+    minimum-variance stratified design, from ONE scan of exact
+    integer moments."""
+    from cocoindex_data_ingestion_spark.operators import curation
+
+    return curation.neyman_allocation(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        F.col("n_chars"),
+        budget=_NEYMAN_B,
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -208,6 +208,8 @@ HEADLINE = [
     "events_conversion_ztest",
     "basket_rules",
     "graph_degree_powerlaw",
+    "events_acf",
+    "curate_neyman_allocation",
 ]
 
 SMALL_RESULT = {
@@ -274,6 +276,7 @@ SMALL_RESULT = {
     "lineitem_spearman", "graph_clustering_coeff",
     "ldiversity_audit", "events_ewma",
     "events_conversion_ztest", "basket_rules", "graph_degree_powerlaw",
+    "events_acf", "curate_neyman_allocation",
 }
 
 

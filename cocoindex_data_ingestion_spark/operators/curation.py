@@ -794,3 +794,63 @@ def winsorize(
             ).alias("value_w"),
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_cents: "F.Column",
+    budget: int = 1000,
+    round_to: int = 4,
+) -> DataFrame:
+    """Neyman-optimal sample allocation: given a total sampling
+    budget, allocate to each stratum proportionally to ``N_h · σ_h``
+    (population size × within-stratum standard deviation) — the
+    minimum-variance design for stratified estimation (Neyman, JRSS
+    1934). A pipeline uses it to size per-source QA samples or
+    labeling budgets instead of naive proportional draws.
+
+    ONE scan: per-stratum counts and exact INTEGER moment sums (pass
+    an integer-valued column: cents, chars, tokens — headroom is
+    Σ v² < 2⁶³, so rescale coarse units first at extreme scales);
+    σ from the closed-form variance; the allocation share divides two
+    identically-derived doubles and rounds to an integer seat count.
+    Output: ``(stratum, n_rows, sigma, alloc)``.
+    """
+    from ..functions.compare import stable_round
+
+    per = (
+        df.select(F.col(strata_col).alias("_s"), value_cents.alias("_c"))
+        .groupBy("_s")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum("_c").alias("_s1"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_s2"),
+        )
+    )
+    nd = F.col("_n").cast("double")
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / nd
+    ) / nd
+    sized = per.withColumn("_sig", F.sqrt(F.greatest(var, F.lit(0.0))))
+    # strata are few, but the share denominator must still be
+    # order-independent: fixed-point sum of the N_h·σ_h terms
+    from ..functions.compare import stable_sum
+
+    tot = sized.agg(stable_sum(nd * F.col("_sig"), 4).alias("_t"))
+    return (
+        sized.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("_s").alias(strata_col),
+            F.col("_n").cast("long").alias("n_rows"),
+            stable_round(F.col("_sig"), round_to).alias("sigma"),
+            F.floor(
+                F.lit(float(budget)) * (nd * F.col("_sig")) / F.col("_t")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy(strata_col)
+    )

@@ -1806,3 +1806,69 @@ def two_proportion_ztest(
         stable_round(pb, round_to).alias("rate_b"),
         stable_round(z, round_to).alias("z_stat"),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str = "ts",
+    max_lag: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Autocorrelation function of the stream's daily event-count
+    series at lags 1..``max_lag`` — the periodicity detector (a
+    weekly cycle spikes lag 7) that tells a pipeline whether
+    seasonal_profile's decomposition is even warranted, and the
+    standard pre-check before any forecasting.
+
+    Each lag's correlation is computed over the overlapping day
+    pairs with the closed-form five-moment Pearson (the corr-matrix
+    discipline): the daily table is CALENDAR-BOUNDED, lags explode
+    map-side (``max_lag`` literals), and one self-join on
+    ``day + lag`` aligns the pairs — integer counts end-to-end until
+    the final ratio.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    us = ts_us(F.col(ts_col))
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.floor(us / F.lit(float(day_us))).cast("long").alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    lags = daily.select(
+        "day",
+        "x",
+        F.explode(
+            F.array(*[F.lit(k) for k in range(1, max_lag + 1)])
+        ).alias("lag"),
+    )
+    paired = lags.join(
+        daily.select(F.col("day").alias("_d2"), F.col("x").alias("y")),
+        F.col("day") + F.col("lag") == F.col("_d2"),
+    )
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    g = paired.groupBy("lag").agg(
+        F.count("*").cast("double").alias("n"),
+        stable_sum(xd, 4).alias("sx"),
+        stable_sum(yd, 4).alias("sy"),
+        stable_sum(xd * yd, 4).alias("sxy"),
+        stable_sum(xd * xd, 4).alias("sxx"),
+        stable_sum(yd * yd, 4).alias("syy"),
+    )
+    n = F.col("n")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        n * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return g.select(
+        F.col("lag").cast("long").alias("lag"),
+        n.cast("long").alias("n_pairs"),
+        stable_round(F.when(den > 0, num / den).otherwise(F.lit(0.0)), round_to).alias(
+            "acf"
+        ),
+    ).orderBy("lag")

@@ -2337,3 +2337,43 @@ def test_degree_powerlaw_star_has_heavy_tail_estimate(spark):
     # alpha = 1 + n / sum ln(d/1.5)
     s = math.log(20 / 1.5) + 6 * math.log(2 / 1.5)
     assert abs(r["alpha"] - (1 + 7 / s)) < 1e-3
+
+
+# -- ACF + Neyman ---------------------------------------------------------------------
+
+
+def test_acf_weekly_cycle_spikes_at_lag_7(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # strong 7-day cycle: 20 events on day%7==0, else 2
+    for d in range(56):
+        cnt = 20 if d % 7 == 0 else 2
+        for i in range(cnt):
+            rows.append((t0 + dt.timedelta(days=d, minutes=i),))
+    df = spark.createDataFrame(rows, "ts timestamp")
+    acf = {r["lag"]: r["acf"] for r in relational.acf_daily(df, max_lag=8).collect()}
+    assert acf[7] > 0.9
+    assert acf[1] < 0.2
+    assert acf[3] < 0.2
+
+
+def test_neyman_allocates_toward_variance(spark):
+    from cocoindex_data_ingestion_spark.operators import curation
+
+    rows = []
+    # stratum 'flat': constant values (sigma 0); 'wild': high variance
+    for i in range(100):
+        rows.append(("flat", 50))
+        rows.append(("wild", 10 if i % 2 == 0 else 90))
+    df = spark.createDataFrame(rows, "s string, v long")
+    out = {
+        r["s"]: r
+        for r in curation.neyman_allocation(
+            df, "s", F.col("v"), budget=100
+        ).collect()
+    }
+    assert out["flat"]["alloc"] == 0
+    assert out["wild"]["alloc"] == 100
+    assert out["wild"]["sigma"] == 40.0
