@@ -11198,6 +11198,177 @@ def _q_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- one-pass embedding isotropy (vector_search.isotropy_profile) ----------------
+
+_ISO_SQL = f"""
+WITH long AS (
+  SELECT vec_id AS i,
+         unnest(generate_series(0, len(embedding) - 1)) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+per_dim AS (SELECT dim, {_S("v", 6)} AS s FROM long GROUP BY 1),
+ss AS (SELECT {_S("s * s", 6)} AS ss FROM per_dim),
+per_row AS (SELECT i, {_S("v * v", 9)} AS n2 FROM long GROUP BY 1),
+rs AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+              {_S("n2", 9)} AS sn2,
+              {_S("sqrt(n2)", 6)} AS snorm
+       FROM per_row)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       {_R("snorm / n", 6)} AS mean_norm,
+       {_R("(ss.ss - sn2) / (n * (n - 1.0))", 6)} AS mean_pairwise_dot
+FROM rs, ss
+"""
+
+
+@_register("embedding_isotropy", _ISO_SQL)
+def _q_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding isotropy in ONE PASS — mean pairwise dot over ALL
+    n(n−1) pairs via the ‖Σv‖² − Σ‖v‖² identity, NO pair join at any
+    scale (vector_search.isotropy_profile; Ethayarajh EMNLP'19
+    anisotropy check). The per-batch health number that predicts
+    cosine-retrieval degradation."""
+    return vector_search.isotropy_profile(_t(spark, sf_dir, "embeddings"))
+
+
+# -- source vocabulary overlap (Jaccard between source vocabularies) ------------
+
+_VOCAB_OVL_SQL = f"""
+WITH ts AS (
+  SELECT DISTINCT source AS s, unnest({_TOKS_SQL}) AS tk FROM documents),
+sizes AS (SELECT s, count(*) AS nv FROM ts GROUP BY 1),
+inter AS (
+  SELECT a.s AS s_a, b.s AS s_b, count(*) AS n_inter
+  FROM ts a JOIN ts b ON a.tk = b.tk AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT i.s_a AS source_a, i.s_b AS source_b,
+       CAST(sa.nv AS BIGINT) AS vocab_a,
+       CAST(sb.nv AS BIGINT) AS vocab_b,
+       CAST(i.n_inter AS BIGINT) AS n_shared,
+       {_R("CAST(i.n_inter AS DOUBLE) / CAST(sa.nv + sb.nv - i.n_inter AS DOUBLE)", 6)} AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.s = i.s_a
+JOIN sizes sb ON sb.s = i.s_b
+ORDER BY source_a, source_b
+"""
+
+
+@_register("corpus_source_overlap", _VOCAB_OVL_SQL)
+def _q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary Jaccard between every source pair: per-token source
+    sets collect once (k sources per token — tiny), pairs generate
+    map-side from each token's set, union sizes come from the exact
+    |A|+|B|−|∩| identity — the corpus-mixing diagnostic ("how much
+    does source X's language overlap source Y's?") with NO token
+    self-join shuffle."""
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    ts = docs.select(
+        F.col("source").alias("s"), F.explode(tokenize("text")).alias("tk")
+    ).distinct()
+    sizes = ts.groupBy("s").agg(F.count("*").alias("nv"))
+    per_tok = ts.groupBy("tk").agg(F.sort_array(F.collect_set("s")).alias("ss"))
+    inter = (
+        per_tok.select(F.posexplode("ss").alias("i", "s_a"), F.col("ss"))
+        .select(
+            "s_a",
+            F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("s_b"),
+        )
+        .groupBy("s_a", "s_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("s").alias("s_a"), F.col("nv").alias("va"))
+    sb = sizes.select(F.col("s").alias("s_b"), F.col("nv").alias("vb"))
+    return (
+        inter.join(F.broadcast(sa), "s_a")
+        .join(F.broadcast(sb), "s_b")
+        .select(
+            F.col("s_a").alias("source_a"),
+            F.col("s_b").alias("source_b"),
+            F.col("va").cast("long").alias("vocab_a"),
+            F.col("vb").cast("long").alias("vocab_b"),
+            F.col("n_inter").cast("long").alias("n_shared"),
+            stable_round(
+                F.col("n_inter").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# -- persistent heavy hitters (top-k stability across days) ----------------------
+
+_PERSIST_K = 3
+
+_PERSIST_SQL = f"""
+WITH daily AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY c DESC, event_type ASC) AS rn
+  FROM daily),
+nd AS (SELECT count(DISTINCT day) AS n_days FROM daily),
+hits AS (
+  SELECT event_type, count(*) AS days_in_topk
+  FROM ranked WHERE rn <= {_PERSIST_K} GROUP BY 1)
+SELECT h.event_type, CAST(h.days_in_topk AS BIGINT) AS days_in_topk,
+       CAST(nd.n_days AS BIGINT) AS n_days,
+       {_R("CAST(h.days_in_topk AS DOUBLE) / CAST(nd.n_days AS DOUBLE)", 6)} AS persistence
+FROM hits h, nd
+ORDER BY days_in_topk DESC, event_type ASC
+"""
+
+
+@_register("events_persistent_hitters", _PERSIST_SQL)
+def _q_persistent_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter persistence: how many days each event type makes
+    the daily top-{_PERSIST_K} — the stability lens over
+    events_windowed_topk's per-window answer (one-day spikes vs
+    standing load). Day-partitioned ranks over the calendar-bounded
+    daily table; exact integers to the final share."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.floor(_ts_us("ts") / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("day"),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.partitionBy("day").orderBy(F.desc("c"), F.asc("event_type"))
+    nd = daily.select("day").distinct().agg(F.count("*").alias("n_days"))
+    hits = (
+        daily.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _PERSIST_K)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("days_in_topk"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(nd))
+        .select(
+            "event_type",
+            F.col("days_in_topk").cast("long").alias("days_in_topk"),
+            F.col("n_days").cast("long").alias("n_days"),
+            stable_round(
+                F.col("days_in_topk").cast("double")
+                / F.col("n_days").cast("double"),
+                6,
+            ).alias("persistence"),
+        )
+        .orderBy(F.desc("days_in_topk"), F.asc("event_type"))
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

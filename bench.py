@@ -210,6 +210,9 @@ HEADLINE = [
     "graph_degree_powerlaw",
     "events_acf",
     "curate_neyman_allocation",
+    "embedding_isotropy",
+    "corpus_source_overlap",
+    "events_persistent_hitters",
 ]
 
 SMALL_RESULT = {
@@ -277,6 +280,8 @@ SMALL_RESULT = {
     "ldiversity_audit", "events_ewma",
     "events_conversion_ztest", "basket_rules", "graph_degree_powerlaw",
     "events_acf", "curate_neyman_allocation",
+    "embedding_isotropy", "corpus_source_overlap",
+    "events_persistent_hitters",
 }
 
 

@@ -1032,3 +1032,54 @@ def int8_cosine(a: Column | str, b: Column | str) -> Column:
     d = dot(a, b)
     na, nb = F.sqrt(dot(a, a)), F.sqrt(dot(b, b))
     return F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+
+
+def isotropy_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space isotropy in ONE PASS: the mean pairwise dot
+    product over all n(n−1) ordered pairs collapses algebraically to
+    ``(‖Σv‖² − Σ‖v‖²) / (n(n−1))`` — no pair join EVER, at any corpus
+    size. High mean cosine (anisotropy / a dominant common direction)
+    degrades cosine retrieval and clustering; this is the one-number
+    health check embedding pipelines run per batch (Ethayarajh,
+    EMNLP 2019 observed the effect in contextual encoders).
+
+    Plan: one posexplode → per-DIM fixed-point sums (dim-bounded
+    table) for Σv, one row-level aggregate for Σ‖v‖² and n; the
+    final combination is arithmetic on a dim-bounded table. Also
+    reports mean vector norm. All sums order-independent.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.compare import stable_round, stable_sum
+
+    long = emb.select(
+        F.col(id_col).alias("_i"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v"),
+    )
+    per_dim = long.groupBy("dim").agg(stable_sum(F.col("v"), 6).alias("s"))
+    sum_sq_of_sums = per_dim.agg(
+        stable_sum(F.col("s") * F.col("s"), 6).alias("_ss")
+    )
+    per_row = long.groupBy("_i").agg(
+        stable_sum(F.col("v") * F.col("v"), 9).alias("_n2")
+    )
+    row_stats = per_row.agg(
+        F.count("*").cast("double").alias("_n"),
+        stable_sum(F.col("_n2"), 9).alias("_sn2"),
+        stable_sum(F.sqrt(F.col("_n2")), 6).alias("_snorm"),
+    )
+    n = F.col("_n")
+    mean_dot = (F.col("_ss") - F.col("_sn2")) / (n * (n - F.lit(1.0)))
+    return (
+        row_stats.crossJoin(F.broadcast(sum_sq_of_sums))
+        .select(
+            n.cast("long").alias("n_vectors"),
+            stable_round(F.col("_snorm") / n, round_to).alias("mean_norm"),
+            stable_round(mean_dot, round_to).alias("mean_pairwise_dot"),
+        )
+    )

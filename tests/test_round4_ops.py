@@ -2377,3 +2377,67 @@ def test_neyman_allocates_toward_variance(spark):
     assert out["flat"]["alloc"] == 0
     assert out["wild"]["alloc"] == 100
     assert out["wild"]["sigma"] == 40.0
+
+
+# -- isotropy + vocab overlap + persistence ---------------------------------------
+
+
+def test_isotropy_identity_matches_bruteforce(spark):
+    from cocoindex_data_ingestion_spark.operators import vector_search as vs
+
+    import itertools
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [1.0, 1.0, 0.0]),
+        (4, [0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    r = vs.isotropy_profile(df).collect()[0]
+    dots = [
+        sum(a * b for a, b in zip(v1, v2))
+        for (_, v1), (_, v2) in itertools.permutations(vecs, 2)
+    ]
+    assert r["n_vectors"] == 4
+    assert abs(r["mean_pairwise_dot"] - sum(dots) / len(dots)) < 1e-6
+
+
+def test_isotropy_identical_vectors_dot_is_norm2(spark):
+    from cocoindex_data_ingestion_spark.operators import vector_search as vs
+
+    df = spark.createDataFrame(
+        [(i, [0.6, 0.8]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    r = vs.isotropy_profile(df).collect()[0]
+    assert abs(r["mean_pairwise_dot"] - 1.0) < 1e-6
+    assert abs(r["mean_norm"] - 1.0) < 1e-6
+
+
+def test_source_overlap_query_shape(spark):
+    # covered end-to-end by the oracle; pin the identity |A∪B| math
+    # on a hand case through the registered query's components
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "s1"),
+            (2, "beta gamma delta", "s2"),
+            (3, "zeta", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+    ts = docs.select(
+        F.col("source").alias("s"), F.explode(tokenize("text")).alias("tk")
+    ).distinct()
+    per_tok = ts.groupBy("tk").agg(F.sort_array(F.collect_set("s")).alias("ss"))
+    inter = (
+        per_tok.select(F.posexplode("ss").alias("i", "a"), "ss")
+        .select("a", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("b"))
+        .groupBy("a", "b")
+        .count()
+        .collect()
+    )
+    pairs = {(r["a"], r["b"]): r["count"] for r in inter}
+    assert pairs == {("s1", "s2"): 2}  # beta, gamma shared; s3 disjoint
