@@ -11369,6 +11369,61 @@ def _q_persistent_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- walk-forward trend backtest (relational.trend_backtest) --------------------
+
+_BT_MINH = 5
+# expanding-window OLS pieces over the cumulative integer moments,
+# spelled once with explicit DOUBLE casts (n, sx, sy, sxy, sxx are the
+# strictly-prior-window sums; x, y the current day's coordinates)
+_BT_N, _BT_SX, _BT_SY = "CAST(n AS DOUBLE)", "CAST(sx AS DOUBLE)", "CAST(sy AS DOUBLE)"
+_BT_SXY, _BT_SXX = "CAST(sxy AS DOUBLE)", "CAST(sxx AS DOUBLE)"
+_BT_SLOPE_SQL = (
+    f"(({_BT_N} * {_BT_SXY} - {_BT_SX} * {_BT_SY})"
+    f" / ({_BT_N} * {_BT_SXX} - {_BT_SX} * {_BT_SX}))"
+)
+_BT_INTERCEPT_SQL = f"(({_BT_SY} - {_BT_SLOPE_SQL} * {_BT_SX}) / {_BT_N})"
+
+_BACKTEST_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY day) AS x
+        FROM daily),
+cum AS (
+  SELECT g, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+  FROM idx
+  WINDOW w AS (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+pred AS (
+  SELECT g,
+         CAST(y AS DOUBLE)
+         - ({_BT_INTERCEPT_SQL} + {_BT_SLOPE_SQL} * CAST(x AS DOUBLE)) AS e
+  FROM cum WHERE n >= {_BT_MINH})
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_preds,
+       {_R(f"({_S('abs(e)', 6)}) / CAST(count(*) AS DOUBLE)", 4)} AS mae,
+       {_R(f"({_S('e', 6)}) / CAST(count(*) AS DOUBLE)", 4)} AS bias
+FROM pred GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("events_trend_backtest", _BACKTEST_SQL)
+def _q_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free walk-forward backtest of the OLS daily-count
+    forecaster (relational.trend_backtest): each day's one-step
+    prediction uses EXPANDING-WINDOW integer moment sums (one window
+    pass — no per-day refits), scored as per-group MAE/bias — how a
+    pipeline decides whether events_trend_fit is trustworthy."""
+    return relational.trend_backtest(
+        _t(spark, sf_dir, "events"), "event_type", min_history=_BT_MINH
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -213,6 +213,7 @@ HEADLINE = [
     "embedding_isotropy",
     "corpus_source_overlap",
     "events_persistent_hitters",
+    "events_trend_backtest",
 ]
 
 SMALL_RESULT = {
@@ -281,7 +282,7 @@ SMALL_RESULT = {
     "events_conversion_ztest", "basket_rules", "graph_degree_powerlaw",
     "events_acf", "curate_neyman_allocation",
     "embedding_isotropy", "corpus_source_overlap",
-    "events_persistent_hitters",
+    "events_persistent_hitters", "events_trend_backtest",
 }
 
 

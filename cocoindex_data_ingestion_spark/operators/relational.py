@@ -1872,3 +1872,76 @@ def acf_daily(
             "acf"
         ),
     ).orderBy("lag")
+
+
+def trend_backtest(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    min_history: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Walk-forward backtest of the OLS trend forecaster: for every
+    day t with ≥ ``min_history`` prior days, fit the linear trend on
+    days < t from EXPANDING-WINDOW moment sums and score the one-step
+    prediction against the actual count — how forecasting is actually
+    validated (no leakage: each prediction sees only its past).
+    Returns per group ``(n_preds, mae, bias)``.
+
+    No per-day refits: the five OLS moments are cumulative integer
+    sums over the calendar-bounded daily table (one window pass per
+    group), so the whole backtest is ONE plan — the closed-form
+    regression discipline made incremental. Day indexes are
+    group-relative ranks (intercept stays small); integer moments
+    are exact, and each prediction is the same IEEE expression in
+    any engine.
+    """
+    from ..functions.compare import stable_round, stable_sum
+
+    us = ts_us(F.col(ts_col))
+    day_us = 86_400_000_000
+    daily = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.floor(us / F.lit(float(day_us))).cast("long").alias("_day"),
+        )
+        .groupBy("_g", "_day")
+        .agg(F.count("*").alias("_y"))
+    )
+    w_ord = Window.partitionBy("_g").orderBy("_day")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    idx = daily.withColumn("_x", F.row_number().over(w_ord).cast("long"))
+    cum = (
+        idx.withColumn("_n", F.count("*").over(w_prev))
+        .withColumn("_sx", F.sum("_x").over(w_prev))
+        .withColumn("_sy", F.sum("_y").over(w_prev))
+        .withColumn("_sxy", F.sum(F.col("_x") * F.col("_y")).over(w_prev))
+        .withColumn("_sxx", F.sum(F.col("_x") * F.col("_x")).over(w_prev))
+        .filter(F.col("_n") >= min_history)
+    )
+    n = F.col("_n").cast("double")
+    sx, sy = F.col("_sx").cast("double"), F.col("_sy").cast("double")
+    sxy, sxx = F.col("_sxy").cast("double"), F.col("_sxx").cast("double")
+    denom = n * sxx - sx * sx
+    slope = (n * sxy - sx * sy) / denom
+    intercept = (sy - slope * sx) / n
+    pred = intercept + slope * F.col("_x").cast("double")
+    err = F.col("_y").cast("double") - pred
+    scored = cum.select("_g", err.alias("_e"))
+    return (
+        scored.groupBy("_g")
+        .agg(
+            F.count("*").cast("long").alias("n_preds"),
+            stable_round(
+                stable_sum(F.abs(F.col("_e")), 6)
+                / F.count("*").cast("double"),
+                round_to,
+            ).alias("mae"),
+            stable_round(
+                stable_sum(F.col("_e"), 6) / F.count("*").cast("double"),
+                round_to,
+            ).alias("bias"),
+        )
+        .withColumnRenamed("_g", group_col)
+        .orderBy(group_col)
+    )

@@ -2441,3 +2441,36 @@ def test_source_overlap_query_shape(spark):
     )
     pairs = {(r["a"], r["b"]): r["count"] for r in inter}
     assert pairs == {("s1", "s2"): 2}  # beta, gamma shared; s3 disjoint
+
+
+def test_trend_backtest_perfect_line_zero_error(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # perfectly linear daily counts 2,4,6,...: one-step OLS is exact
+    for d in range(12):
+        for i in range(2 * (d + 1)):
+            rows.append(("a", t0 + dt.timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = relational.trend_backtest(df, "event_type", min_history=5).collect()[0]
+    assert r["n_preds"] == 7  # days 6..12 predicted
+    assert r["mae"] == 0.0 and r["bias"] == 0.0
+
+
+def test_trend_backtest_no_leakage(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # flat 5/day for 10 days then a spike day: the spike must be
+    # PREDICTED as ~5 (error ~15), not absorbed into its own fit
+    for d in range(11):
+        cnt = 5 if d < 10 else 20
+        for i in range(cnt):
+            rows.append(("a", t0 + dt.timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    r = relational.trend_backtest(df, "event_type", min_history=5).collect()[0]
+    # 6 predictions: days 6..10 flat (0 error) + spike day (~15)
+    assert r["n_preds"] == 6
+    assert 2.0 < r["mae"] < 3.0  # 15/6 = 2.5

@@ -572,6 +572,51 @@ def main() -> None:
         ).count()
         t["nearest_join"] = time.time() - t0
 
+        # round-4 wave-6 ops ---------------------------------------------
+        from cocoindex_data_ingestion_spark.operators import (
+            graph as graph_ops, vector_search,
+        )
+        from cocoindex_data_ingestion_spark.functions.text import tokenize
+
+        t0 = time.time()
+        relational.spearman_corr(li, "l_quantity", "l_extendedprice").collect()
+        t["spearman"] = time.time() - t0
+
+        t0 = time.time()
+        vector_search.isotropy_profile(emb).collect()
+        t["isotropy"] = time.time() - t0
+
+        t0 = time.time()
+        ts = docs.select(
+            F.col("source").alias("s"), F.explode(tokenize("text")).alias("tk")
+        ).distinct()
+        per_tok = ts.groupBy("tk").agg(
+            F.sort_array(F.collect_set("s")).alias("ss")
+        )
+        (
+            per_tok.select(F.posexplode("ss").alias("i", "a"), "ss")
+            .select(
+                "a", F.explode(F.expr("slice(ss, i + 2, size(ss))")).alias("b")
+            )
+            .groupBy("a", "b")
+            .count()
+            .collect()
+        )
+        t["vocab_overlap"] = time.time() - t0
+
+        t0 = time.time()
+        relational.acf_daily(ev, max_lag=10).collect()
+        t["acf"] = time.time() - t0
+
+        t0 = time.time()
+        graph_ops.degree_powerlaw_fit(
+            li.select(
+                F.col("l_suppkey").alias("src"),
+                (F.col("l_partkey") + 1_000_000).alias("dst"),
+            ).distinct()
+        ).collect()
+        t["powerlaw"] = time.time() - t0
+
         rows.append((factor, n_docs, n_vec, n_li, t))
         print(f"factor {factor}: { {k: round(v,2) for k,v in t.items()} }",
               flush=True)
@@ -703,6 +748,14 @@ def main() -> None:
         "`fingerprint` and `wquantiles` are single-scan aggregates; "
         "`heaps_fit` is the first-occurrence rewrite + one OLS "
         "aggregate.",
+        "- **Round-4 wave-6 ops**: `spearman` is two per-distinct-"
+        "value rank passes + one value-keyed join back — linear; "
+        "`isotropy` is the ONE-PASS ‖Σv‖²−Σ‖v‖² identity (no pair "
+        "join — the cost is one explode scan, so it must track the "
+        "vector volume ~linearly); `vocab_overlap` collects per-token "
+        "source sets once and pairs map-side; `acf` aligns the "
+        "calendar-bounded daily table per lag; `powerlaw` is one "
+        "degree aggregation + a per-distinct-degree MLE fold.",
     ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                        "SCALING.md")
