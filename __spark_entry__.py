@@ -11424,6 +11424,130 @@ def _q_trend_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- effective sample size of DSIR importance weights ---------------------------
+
+_ESS_SQL = f"""
+WITH w AS ({_DSIR_SQL}),
+m AS (SELECT max(dsir_weight) AS mx FROM w),
+e AS (SELECT exp(dsir_weight - m.mx) AS ew,
+             exp(2.0 * (dsir_weight - m.mx)) AS ew2
+      FROM w, m),
+g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+             {_S("ew", 9)} AS s1, {_S("ew2", 9)} AS s2
+      FROM e)
+SELECT n AS n_docs,
+       {_R("s1 * s1 / s2", 4)} AS ess,
+       {_R("(s1 * s1 / s2) / CAST(n AS DOUBLE)", 6)} AS ess_ratio
+FROM g
+"""
+
+
+@_register("curate_ess", _ESS_SQL)
+def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective sample size of the DSIR importance weights —
+    ``(Σe^w)²/Σe^(2w)`` (Kish) — THE diagnostic for importance
+    resampling: a collapsed ESS means a few documents dominate and
+    the resample is unusable. Weights shift by their max before
+    exponentiation (ESS is shift-invariant) so the fixed-point sums
+    have bounded elements at ANY scale; everything else reuses the
+    dsir pipeline's plan."""
+    from cocoindex_data_ingestion_spark.operators import curation
+
+    docs = _t(spark, sf_dir, "documents")
+    w = curation.dsir_weights(docs, F.col("lang") == "en")
+    m = w.agg(F.max("dsir_weight").alias("mx"))
+    e = w.crossJoin(F.broadcast(m)).select(
+        F.exp(F.col("dsir_weight") - F.col("mx")).alias("ew"),
+        F.exp(F.lit(2.0) * (F.col("dsir_weight") - F.col("mx"))).alias("ew2"),
+    )
+    g = e.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        stable_sum(F.col("ew"), 9).alias("s1"),
+        stable_sum(F.col("ew2"), 9).alias("s2"),
+    )
+    ess = F.col("s1") * F.col("s1") / F.col("s2")
+    return g.select(
+        "n_docs",
+        stable_round(ess, 4).alias("ess"),
+        stable_round(ess / F.col("n_docs").cast("double"), 6).alias(
+            "ess_ratio"
+        ),
+    )
+
+
+# -- revenue bridge (volume vs rate decomposition) ------------------------------
+
+_BRIDGE_SQL = f"""
+WITH base AS (
+  SELECT l_returnflag AS flag,
+         CAST(year(l_shipdate) AS BIGINT) AS yr,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE year(l_shipdate) IN (1996, 1997)),
+g AS (
+  SELECT flag,
+         CAST(sum(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN yr = 1996 THEN cents ELSE 0 END) AS BIGINT) AS r1,
+         CAST(sum(CASE WHEN yr = 1997 THEN cents ELSE 0 END) AS BIGINT) AS r2
+  FROM base GROUP BY 1)
+SELECT flag AS l_returnflag, n1, n2,
+       {_R("CAST(r1 AS DOUBLE) / 100.0", 2)} AS rev_1996,
+       {_R("CAST(r2 AS DOUBLE) / 100.0", 2)} AS rev_1997,
+       {_R("(CAST(n2 AS DOUBLE) - CAST(n1 AS DOUBLE)) * (CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0", 2)} AS volume_effect,
+       {_R("(CAST(r2 AS DOUBLE) - CAST(n2 AS DOUBLE) * CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE)) / 100.0", 2)} AS rate_effect
+FROM g ORDER BY l_returnflag
+"""
+
+
+@_register("lineitem_revenue_bridge", _BRIDGE_SQL)
+def _q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue bridge per return flag: ΔR decomposed
+    into a VOLUME effect ((n₂−n₁)·rate₁) and a RATE/mix effect
+    (R₂ − n₂·rate₁), summing exactly to R₂−R₁ — the BI waterfall
+    answering "did we sell more lines, or at better rates?" from one
+    conditional-aggregate scan of exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("long")
+    base = li.filter(F.year("l_shipdate").isin([1996, 1997])).select(
+        F.col("l_returnflag").alias("flag"),
+        F.year("l_shipdate").cast("long").alias("yr"),
+        cents.alias("cents"),
+    )
+    g = base.groupBy("flag").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+        F.sum(F.when(F.col("yr") == 1996, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r1"),
+        F.sum(F.when(F.col("yr") == 1997, F.col("cents")).otherwise(0))
+        .cast("long")
+        .alias("r2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    r1d, r2d = F.col("r1").cast("double"), F.col("r2").cast("double")
+    return g.select(
+        F.col("flag").alias("l_returnflag"),
+        "n1",
+        "n2",
+        stable_round(r1d / F.lit(100.0), 2).alias("rev_1996"),
+        stable_round(r2d / F.lit(100.0), 2).alias("rev_1997"),
+        stable_round(
+            (n2d - n1d) * (r1d / n1d) / F.lit(100.0), 2
+        ).alias("volume_effect"),
+        stable_round(
+            (r2d - n2d * r1d / n1d) / F.lit(100.0), 2
+        ).alias("rate_effect"),
+    ).orderBy("l_returnflag")
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -214,6 +214,8 @@ HEADLINE = [
     "corpus_source_overlap",
     "events_persistent_hitters",
     "events_trend_backtest",
+    "curate_ess",
+    "lineitem_revenue_bridge",
 ]
 
 SMALL_RESULT = {
@@ -283,6 +285,7 @@ SMALL_RESULT = {
     "events_acf", "curate_neyman_allocation",
     "embedding_isotropy", "corpus_source_overlap",
     "events_persistent_hitters", "events_trend_backtest",
+    "curate_ess", "lineitem_revenue_bridge",
 }
 
 

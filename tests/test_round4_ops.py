@@ -2474,3 +2474,39 @@ def test_trend_backtest_no_leakage(spark):
     # 6 predictions: days 6..10 flat (0 error) + spike day (~15)
     assert r["n_preds"] == 6
     assert 2.0 < r["mae"] < 3.0  # 15/6 = 2.5
+
+
+# -- ESS + revenue bridge ---------------------------------------------------------
+
+
+def test_ess_uniform_weights_is_n(spark):
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round, stable_sum,
+    )
+
+    # kish ESS of equal weights == n; of one dominant weight -> ~1
+    df = spark.createDataFrame([(float(0.0),)] * 50, "w double")
+    m = df.agg(F.max("w").alias("mx"))
+    e = df.crossJoin(F.broadcast(m)).select(
+        F.exp(F.col("w") - F.col("mx")).alias("ew"),
+        F.exp(2.0 * (F.col("w") - F.col("mx"))).alias("ew2"),
+    )
+    r = e.agg(
+        (stable_sum(F.col("ew"), 9) * stable_sum(F.col("ew"), 9)
+         / stable_sum(F.col("ew2"), 9)).alias("ess")
+    ).collect()[0]
+    assert abs(r["ess"] - 50.0) < 1e-6
+
+
+def test_revenue_bridge_effects_sum_to_delta(spark):
+    # query-level invariant on real data: volume + rate == rev2 - rev1
+    import __spark_entry__ as entry
+    from cocoindex_data_ingestion_spark.session import get_spark
+
+    out = entry.queries()["lineitem_revenue_bridge"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 3
+    for r in out:
+        delta = r["rev_1997"] - r["rev_1996"]
+        assert abs((r["volume_effect"] + r["rate_effect"]) - delta) < 0.05
