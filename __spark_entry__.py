@@ -11548,6 +11548,108 @@ def _q_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("l_returnflag")
 
 
+
+# -- split-conformal interval width for the trend forecaster --------------------
+
+_CONF_Q = 90  # percentile of |residual|
+
+_CONFORMAL_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS y
+  FROM events GROUP BY 1, 2),
+idx AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY day) AS x
+        FROM daily),
+cum AS (
+  SELECT g, x, y,
+         count(*) OVER w AS n,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * y) OVER w AS sxy, sum(x * x) OVER w AS sxx
+  FROM idx
+  WINDOW w AS (PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+res AS (
+  SELECT g,
+         abs(CAST(y AS DOUBLE)
+             - ({_BT_INTERCEPT_SQL} + {_BT_SLOPE_SQL} * CAST(x AS DOUBLE))) AS r
+  FROM cum WHERE n >= {_BT_MINH}),
+rk AS (
+  SELECT g, r,
+         row_number() OVER (PARTITION BY g ORDER BY r ASC) AS rn,
+         count(*) OVER (PARTITION BY g) AS m
+  FROM res)
+SELECT g AS event_type, CAST(m AS BIGINT) AS n_calib,
+       {_R("r", 4)} AS q{_CONF_Q}_abs_residual
+FROM rk
+WHERE rn = CAST(ceil(m * {_CONF_Q / 100.0!r}) AS BIGINT)
+ORDER BY event_type
+"""
+
+
+@_register("events_trend_conformal", _CONFORMAL_SQL)
+def _q_trend_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal interval half-width for the daily-count trend
+    forecaster: the {_CONF_Q}th-percentile |walk-forward residual|
+    per event type (type-1 empirical quantile over the leakage-free
+    backtest errors) — the distribution-free "±how much" that turns
+    a point forecast into a calibrated band (Vovk; Lei et al. 2018).
+    Same expanding-window moment plan as events_trend_backtest plus
+    one calendar-bounded rank."""
+    from pyspark.sql import Window
+
+    import math as _m
+
+    ev = _t(spark, sf_dir, "events")
+    us = _ts_us("ts")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.floor(us / F.lit(86_400_000_000.0)).cast("long").alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count("*").alias("y"))
+    )
+    w_ord = Window.partitionBy("g").orderBy("day")
+    w_prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    idx = daily.withColumn("x", F.row_number().over(w_ord).cast("long"))
+    cum = (
+        idx.withColumn("n", F.count("*").over(w_prev))
+        .withColumn("sx", F.sum("x").over(w_prev))
+        .withColumn("sy", F.sum("y").over(w_prev))
+        .withColumn("sxy", F.sum(F.col("x") * F.col("y")).over(w_prev))
+        .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(w_prev))
+        .filter(F.col("n") >= _BT_MINH)
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    res = cum.select(
+        "g",
+        F.abs(
+            F.col("y").cast("double")
+            - (intercept + slope * F.col("x").cast("double"))
+        ).alias("r"),
+    )
+    w_rk = Window.partitionBy("g").orderBy(F.asc("r"))
+    w_all = Window.partitionBy("g")
+    rk = res.withColumn("rn", F.row_number().over(w_rk)).withColumn(
+        "m", F.count("*").over(w_all)
+    )
+    pick = F.ceil(F.col("m") * F.lit(_CONF_Q / 100.0)).cast("long")
+    return (
+        rk.filter(F.col("rn") == pick)
+        .select(
+            F.col("g").alias("event_type"),
+            F.col("m").cast("long").alias("n_calib"),
+            stable_round(F.col("r"), 4).alias(f"q{_CONF_Q}_abs_residual"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -216,6 +216,7 @@ HEADLINE = [
     "events_trend_backtest",
     "curate_ess",
     "lineitem_revenue_bridge",
+    "events_trend_conformal",
 ]
 
 SMALL_RESULT = {
@@ -285,7 +286,7 @@ SMALL_RESULT = {
     "events_acf", "curate_neyman_allocation",
     "embedding_isotropy", "corpus_source_overlap",
     "events_persistent_hitters", "events_trend_backtest",
-    "curate_ess", "lineitem_revenue_bridge",
+    "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
 }
 
 
