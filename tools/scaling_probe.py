@@ -573,8 +573,11 @@ def main() -> None:
         t["nearest_join"] = time.time() - t0
 
         # round-4 wave-6 ops ---------------------------------------------
+        # (vector_search / relational are module-level imports — a
+        # local re-import here would shadow them for the WHOLE
+        # function and break the earlier knn calls)
         from cocoindex_data_ingestion_spark.operators import (
-            graph as graph_ops, vector_search,
+            graph as graph_ops,
         )
         from cocoindex_data_ingestion_spark.functions.text import tokenize
 
