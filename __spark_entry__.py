@@ -11650,6 +11650,57 @@ def _q_trend_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- incrementally-maintained EWMA curves (plans/ivm.MaterializedEWMA) ----------
+
+
+@_register("ivm_ewma_incremental", _EWMA_SQL)
+def _q_ivm_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the EWMA curves
+    (plans/ivm.MaterializedEWMA): the view's state is each group's
+    recurrence FRONTIER (last day + smoothed value), so two refresh
+    batches (first half of the calendar, then the rest) fold in with
+    O(delta) work — and the maintained curve must equal the one-shot
+    batch smoothing over ALL days (the recursive-CTE oracle shared
+    with events_ewma). Delta-maintenance for sequential state that
+    plain delta-AGGREGATION cannot express."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedEWMA
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.floor(_ts_us("ts") / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count("*").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    mid = daily.agg(
+        F.floor((F.min("day") + F.max("day")) / F.lit(2.0))
+        .cast("long")
+        .alias("m")
+    )
+    staged = daily.crossJoin(F.broadcast(mid))
+    view = MaterializedEWMA(spark, tempfile.mkdtemp(prefix="ivm_ewma_"))
+    view.refresh(
+        staged.filter(F.col("day") <= F.col("m")).select("g", "day", "n")
+    )
+    view.refresh(
+        staged.filter(F.col("day") > F.col("m")).select("g", "day", "n")
+    )
+    return view.read().select(
+        F.col("g").alias("event_type"),
+        "day",
+        "n",
+        stable_round(F.col("ewma"), 6).alias("ewma"),
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

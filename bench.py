@@ -217,6 +217,7 @@ HEADLINE = [
     "curate_ess",
     "lineitem_revenue_bridge",
     "events_trend_conformal",
+    "ivm_ewma_incremental",
 ]
 
 SMALL_RESULT = {
@@ -287,6 +288,7 @@ SMALL_RESULT = {
     "embedding_isotropy", "corpus_source_overlap",
     "events_persistent_hitters", "events_trend_backtest",
     "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
+    "ivm_ewma_incremental",
 }
 
 

@@ -413,3 +413,87 @@ class MaterializedTopK:
 
     def read(self) -> DataFrame:
         return self.state.read()
+
+
+class MaterializedEWMA:
+    """Incrementally-maintained α=1/2 EWMA curves per group: the view
+    holds each group's full smoothed daily curve plus its frontier
+    (last day + last smoothed value), so a refresh folds ONLY the new
+    days into the recurrence — O(delta) work per batch, never a
+    rescan of history. The batch twin is
+    ``relational.grouped_ewma``; equality of the maintained curve
+    with the one-shot batch smoothing over all data IS the
+    maintenance contract (the MaterializedAgg discipline applied to
+    a sequential recurrence, which plain delta-aggregation cannot
+    express — state here is the recurrence frontier, not a sum).
+
+    Batches must arrive in day order per group (the streaming
+    at-least-once upstream is deduplicated/ordered by the caller,
+    e.g. events.dedup_stream + watermarking); a batch whose days
+    precede a group's frontier raises rather than silently
+    corrupting the curve.
+    """
+
+    def __init__(self, spark, path: str):
+        import os
+
+        self.spark = spark
+        self.path = path
+        self._curve = os.path.join(path, "curve")
+
+    def _read_curve(self):
+        try:
+            return self.spark.read.parquet(self._curve)
+        except Exception:
+            return None
+
+    def read(self) -> "DataFrame":
+        cur = self._read_curve()
+        if cur is None:
+            raise ValueError("MaterializedEWMA: no refresh yet")
+        return cur.select("g", "day", "n", "ewma")
+
+    def refresh(self, daily: "DataFrame") -> None:
+        """``daily``: (g, day, n) new rows, strictly after each
+        group's current frontier."""
+        import pandas as pd
+
+        from pyspark.sql import functions as F
+
+        cur = self._read_curve()
+        # frontier: last (day, ewma) per group via max_by
+        if cur is not None:
+            frontier = cur.groupBy("g").agg(
+                F.max("day").alias("fday"),
+                F.max_by("ewma", "day").alias("fewma"),
+            )
+            staged = daily.join(frontier, "g", "left")
+            bad = staged.filter(
+                F.col("fday").isNotNull() & (F.col("day") <= F.col("fday"))
+            )
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    "MaterializedEWMA: batch contains days at or before "
+                    "a group's frontier — order/dedup upstream"
+                )
+        else:
+            staged = (
+                daily.withColumn("fday", F.lit(None).cast("long"))
+                .withColumn("fewma", F.lit(None).cast("double"))
+            )
+
+        def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("day").reset_index(drop=True)
+            seed = pdf["fewma"].iloc[0]
+            cur_v = None if pd.isna(seed) else float(seed)
+            out = []
+            for x in pdf["n"].astype("float64"):
+                cur_v = x if cur_v is None else (x + cur_v) / 2.0
+                out.append(cur_v)
+            pdf["ewma"] = out
+            return pdf[["g", "day", "n", "ewma"]]
+
+        new_rows = staged.groupBy("g").applyInPandas(
+            walk, schema="g string, day long, n long, ewma double"
+        )
+        new_rows.write.mode("append").parquet(self._curve)
