@@ -11701,6 +11701,87 @@ def _q_ivm_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- co-located bucketed join (operators/bucketed.py) ----------------------------
+
+_BUCKETED_CACHE: dict[str, bool] = {}
+
+
+def _ensure_bucketed(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders+lineitem bucketed by orderkey ONCE per
+    (session, sf) — the amortized layout build, same discipline as
+    the search-index cache."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.operators import bucketed
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir)
+    lt, rt = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    if sf_dir not in _BUCKETED_CACHE:
+        base = tempfile.mkdtemp(prefix="spark_graft_buckets_")
+        bucketed.materialize_bucketed(
+            _t(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderpriority"
+            ),
+            lt,
+            "o_orderkey",
+            16,
+            f"{base}/orders",
+        )
+        bucketed.materialize_bucketed(
+            _t(spark, sf_dir, "lineitem")
+            .select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                F.col("l_extendedprice"),
+                F.col("l_discount"),
+            ),
+            rt,
+            "o_orderkey",
+            16,
+            f"{base}/lineitem",
+        )
+        _BUCKETED_CACHE[sf_dir] = True
+    return lt, rt
+
+
+_BUCKETED_JOIN_SQL = f"""
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       {_S("l.l_extendedprice * (1 - l.l_discount)", 2)} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@_register("bucketed_colocated_join", _BUCKETED_JOIN_SQL)
+def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per priority through a SHUFFLE-FREE co-located join:
+    orders and lineitem are materialized once as bucketBy(orderkey)
+    sortBy(orderkey) catalog tables (operators/bucketed.py — the
+    layout a 100 TB deployment declares as table properties), so the
+    join satisfies both sides' distribution from disk — the executed
+    plan is asserted to contain NO shuffle exchange on the join
+    (only the final 5-row aggregate exchanges). Oracle = the plain
+    join; identical rows, physically different (and at scale, far
+    cheaper) plan."""
+    from cocoindex_data_ingestion_spark.operators import bucketed
+
+    lt, rt = _ensure_bucketed(spark, sf_dir)
+    joined = bucketed.colocated_join(spark, lt, rt, "o_orderkey")
+    # machine-check the co-location contract on the JOIN subplan
+    bucketed.assert_no_shuffle(joined)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            stable_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 2
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -218,6 +218,7 @@ HEADLINE = [
     "lineitem_revenue_bridge",
     "events_trend_conformal",
     "ivm_ewma_incremental",
+    "bucketed_colocated_join",
 ]
 
 SMALL_RESULT = {
@@ -288,7 +289,7 @@ SMALL_RESULT = {
     "embedding_isotropy", "corpus_source_overlap",
     "events_persistent_hitters", "events_trend_backtest",
     "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
-    "ivm_ewma_incremental",
+    "ivm_ewma_incremental", "bucketed_colocated_join",
 }
 
 
