@@ -11782,6 +11782,103 @@ def _q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- quantile-quantile table between two sources ---------------------------------
+
+_QQ_A, _QQ_B = "web", "wiki"
+_QQ_DECILES = list(range(10, 100, 10))
+
+
+def _qq_leg_sql(alias: str, source: str) -> str:
+    picks = ",\n       ".join(
+        f"CAST(min(CASE WHEN 100 * cw >= {q} * tw THEN v END) AS BIGINT) AS p{q}"
+        for q in _QQ_DECILES
+    )
+    return f"""
+{alias} AS (
+  SELECT {picks}
+  FROM (
+    SELECT v, sum(m) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(m) OVER () AS tw
+    FROM (SELECT n_chars AS v, count(*) AS m FROM documents
+          WHERE source = '{source}' GROUP BY 1)))"""
+
+
+_QQ_SQL = f"""
+WITH {_qq_leg_sql("qa", _QQ_A)},
+{_qq_leg_sql("qb", _QQ_B)}
+SELECT u.q AS percentile, u.va AS chars_{_QQ_A}, u.vb AS chars_{_QQ_B}
+FROM (
+  {" UNION ALL ".join(
+      f"SELECT CAST({q} AS BIGINT) AS q, qa.p{q} AS va, qb.p{q} AS vb FROM qa, qb"
+      for q in _QQ_DECILES
+  )}
+) u
+ORDER BY percentile
+"""
+
+
+@_register("corpus_qq_table", _QQ_SQL)
+def _q_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile table of document length between two
+    sources: matched type-1 deciles side by side — the
+    distribution-harmonization view (where do the sources diverge,
+    and what mapping would align them) complementing PSI (one
+    number) and KS (sup distance). Per-source distinct n_chars
+    values are DOMAIN-BOUNDED, so the per-source cumulative windows
+    run on contracted tables (the weighted-quantiles rule with unit
+    weights)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def leg(source: str):
+        per = (
+            docs.filter(F.col("source") == source)
+            .groupBy(F.col("n_chars").alias("v"))
+            .agg(F.count("*").alias("m"))
+        )
+        w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        w_all = Window.partitionBy()
+        cum = per.withColumn("cw", F.sum("m").over(w_cum)).withColumn(
+            "tw", F.sum("m").over(w_all)
+        )
+        return cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.lit(100) * F.col("cw") >= F.lit(q) * F.col("tw"),
+                        F.col("v"),
+                    )
+                )
+                .cast("long")
+                .alias(f"p{q}")
+                for q in _QQ_DECILES
+            ]
+        )
+
+    qa, qb = leg(_QQ_A), leg(_QQ_B)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("percentile"),
+                F.col(f"p{q}").alias(f"chars_{_QQ_A}"),
+                F.col(f"_b_p{q}").alias(f"chars_{_QQ_B}"),
+            )
+            for q in _QQ_DECILES
+        ]
+    )
+    qb_renamed = qb.select(
+        *[F.col(f"p{q}").alias(f"_b_p{q}") for q in _QQ_DECILES]
+    )
+    return (
+        qa.crossJoin(F.broadcast(qb_renamed))
+        .select(F.explode(structs).alias("s"))
+        .select("s.*")
+        .orderBy("percentile")
+    )
+
+
 # ------------------------------------------------------------- driver surface
 
 

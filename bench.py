@@ -219,6 +219,7 @@ HEADLINE = [
     "events_trend_conformal",
     "ivm_ewma_incremental",
     "bucketed_colocated_join",
+    "corpus_qq_table",
 ]
 
 SMALL_RESULT = {
@@ -290,6 +291,7 @@ SMALL_RESULT = {
     "events_persistent_hitters", "events_trend_backtest",
     "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
     "ivm_ewma_incremental", "bucketed_colocated_join",
+    "corpus_qq_table",
 }
 
 
