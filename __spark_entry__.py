@@ -11455,7 +11455,11 @@ def _q_ess(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_data_ingestion_spark.operators import curation
 
     docs = _t(spark, sf_dir, "documents")
-    w = curation.dsir_weights(docs, F.col("lang") == "en")
+    # the weight table feeds the max AND the exponential sums — cut
+    # the lineage so the dsir pipeline runs once
+    w = curation.dsir_weights(docs, F.col("lang") == "en").localCheckpoint(
+        eager=False
+    )
     m = w.agg(F.max("dsir_weight").alias("mx"))
     e = w.crossJoin(F.broadcast(m)).select(
         F.exp(F.col("dsir_weight") - F.col("mx")).alias("ew"),
