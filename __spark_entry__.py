@@ -11883,6 +11883,113 @@ def _q_qq_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# -- Mann-Kendall trend test ------------------------------------------------------
+
+_MK_SQL = f"""
+WITH daily AS (
+  SELECT event_type AS g,
+         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day,
+         count(*) AS x
+  FROM events GROUP BY 1, 2),
+pairs AS (
+  SELECT a.g,
+         CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON b.g = a.g AND b.day > a.day),
+s AS (SELECT g, sum(sgn) AS s_stat FROM pairs GROUP BY 1),
+nn AS (SELECT g, count(*) AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT g, coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS tt
+  FROM (SELECT g, x, count(*) AS t FROM daily GROUP BY 1, 2 HAVING count(*) > 1)
+  GROUP BY 1),
+v AS (
+  SELECT n.g, n.n, s.s_stat,
+         (CAST(n.n AS DOUBLE) * (n.n - 1) * (2 * n.n + 5)
+          - CAST(coalesce(t.tt, 0) AS DOUBLE)) / 18.0 AS var_s
+  FROM nn n JOIN s USING (g) LEFT JOIN ties t ON t.g = n.g)
+SELECT g AS event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(s_stat AS BIGINT) AS s_stat,
+       {_R("CASE WHEN var_s > 0 AND s_stat <> 0 THEN (CAST(s_stat AS DOUBLE) - CASE WHEN s_stat > 0 THEN 1.0 ELSE -1.0 END) / sqrt(var_s) ELSE 0.0 END", 4)} AS z_stat
+FROM v ORDER BY event_type
+"""
+
+
+@_register("events_mann_kendall", _MK_SQL)
+def _q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type: the
+    EXACT-INTEGER S statistic (Σ sign(x_j−x_i) over ordered day
+    pairs of the calendar-bounded daily table — pairs are day²-
+    bounded, never corpus-sized) with the tie-corrected variance and
+    continuity-corrected z — the distribution-free "is volume
+    trending" answer beside the parametric OLS fit and the CUSUM
+    change point. No float enters before the final z."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.floor(_ts_us("ts") / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)
+    )
+    b = daily.select(
+        F.col("g"), F.col("day").alias("day_b"), F.col("x").alias("x_b")
+    )
+    sgn = (
+        F.when(F.col("x_b") > F.col("x"), 1)
+        .when(F.col("x_b") < F.col("x"), -1)
+        .otherwise(0)
+    )
+    s = (
+        daily.join(b, "g")
+        .filter(F.col("day_b") > F.col("day"))
+        .groupBy("g")
+        .agg(F.sum(sgn).alias("s_stat"))
+    )
+    nn = daily.groupBy("g").agg(F.count("*").alias("n"))
+    t = F.col("t")
+    ties = (
+        daily.groupBy("g", "x")
+        .agg(F.count("*").alias("t"))
+        .filter(t > 1)
+        .groupBy("g")
+        .agg(F.sum(t * (t - 1) * (2 * t + 5)).alias("tt"))
+    )
+    v = (
+        nn.join(s, "g")
+        .join(ties, "g", "left")
+        .withColumn(
+            "var_s",
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - F.coalesce(F.col("tt"), F.lit(0)).cast("double")
+            )
+            / F.lit(18.0),
+        )
+    )
+    z = F.when(
+        (F.col("var_s") > 0) & (F.col("s_stat") != 0),
+        (
+            F.col("s_stat").cast("double")
+            - F.when(F.col("s_stat") > 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+        )
+        / F.sqrt(F.col("var_s")),
+    ).otherwise(F.lit(0.0))
+    return v.select(
+        F.col("g").alias("event_type"),
+        F.col("n").cast("long").alias("n_days"),
+        F.col("s_stat").cast("long").alias("s_stat"),
+        stable_round(z, 4).alias("z_stat"),
+    ).orderBy("event_type")
+
+
 # ------------------------------------------------------------- driver surface
 
 

@@ -220,6 +220,7 @@ HEADLINE = [
     "ivm_ewma_incremental",
     "bucketed_colocated_join",
     "corpus_qq_table",
+    "events_mann_kendall",
 ]
 
 SMALL_RESULT = {
@@ -291,7 +292,7 @@ SMALL_RESULT = {
     "events_persistent_hitters", "events_trend_backtest",
     "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
     "ivm_ewma_incremental", "bucketed_colocated_join",
-    "corpus_qq_table",
+    "corpus_qq_table", "events_mann_kendall",
 }
 
 

@@ -2568,3 +2568,46 @@ class TestMaterializedEWMA:
             view.refresh(
                 spark.createDataFrame([("a", 10, 2)], "g string, day long, n long")
             )
+
+
+def test_mann_kendall_monotone_series(spark):
+    import datetime as dt
+
+    from cocoindex_data_ingestion_spark.functions.timeutil import ts_us
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # strictly increasing daily counts: S = C(10,2) = 45
+    for d in range(10):
+        for i in range(d + 1):
+            rows.append(("up", t0 + dt.timedelta(days=d, minutes=i)))
+    # constant: S = 0
+    for d in range(10):
+        for i in range(3):
+            rows.append(("flat", t0 + dt.timedelta(days=d, minutes=i)))
+    df = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    daily = (
+        df.select(
+            F.col("event_type").alias("g"),
+            F.floor(ts_us(F.col("ts")) / F.lit(86_400_000_000.0))
+            .cast("long")
+            .alias("day"),
+        )
+        .groupBy("g", "day")
+        .agg(F.count("*").alias("x"))
+    )
+    b = daily.select("g", F.col("day").alias("day_b"), F.col("x").alias("x_b"))
+    sgn = (
+        F.when(F.col("x_b") > F.col("x"), 1)
+        .when(F.col("x_b") < F.col("x"), -1)
+        .otherwise(0)
+    )
+    s = (
+        daily.join(b, "g")
+        .filter(F.col("day_b") > F.col("day"))
+        .groupBy("g")
+        .agg(F.sum(sgn).alias("s"))
+    )
+    out = {r["g"]: r["s"] for r in s.collect()}
+    assert out["up"] == 45
+    assert out["flat"] == 0
