@@ -365,6 +365,51 @@ def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_ops.bm25_search(docs, QUERY_TERMS, k=KNN_K)
 
 
+# -- §2.6 BM25 candidate-set-IDF compat mode ----------------------------------
+# (search_service.py:296-348: N = len(candidates), avg_len over the
+# candidate set — the reference's exact scoring rule, deterministic
+# closure without the per-token fetch cap)
+
+_BM25_REFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_BM25_TOKS_SQL}) AS token FROM documents
+),
+post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+qpost AS (SELECT * FROM post WHERE token IN {_QTERMS_SQL}),
+cand AS (SELECT DISTINCT doc_id FROM qpost),
+dls AS (
+  SELECT doc_id, sum(tf) AS dl FROM post
+  WHERE doc_id IN (SELECT doc_id FROM cand) GROUP BY doc_id
+),
+stats AS (SELECT count(*) AS n_docs FROM cand),
+ad AS (SELECT avg(dl) AS avgdl FROM dls),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qpost GROUP BY 1)
+SELECT doc_id,
+       {_R(_S(f"idf * tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))", 6), 4)}
+         AS score
+FROM (
+  SELECT p.doc_id, p.tf, d.dl, s.n_docs, a.avgdl,
+         ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS idf
+  FROM qpost p
+  JOIN dfreq f USING (token)
+  JOIN dls d USING (doc_id), stats s, ad a
+)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("bm25_search_refidf", _BM25_REFIDF_SQL)
+def _q_bm25_refidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-set-IDF BM25: N and avgdl over the docs matching ≥1
+    query term, exactly as the reference scores its fetched candidate
+    set (search_service.py:296-348) — the score-level-parity compat
+    mode beside the corpus-IDF default (bm25.bm25_search_candidate_idf)."""
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_ops.bm25_search_candidate_idf(docs, QUERY_TERMS, k=KNN_K)
+
+
 # -- §2.6 BM25 + RM3 pseudo-relevance feedback --------------------------------
 
 _PRF_FB_DOCS, _PRF_N_TERMS, _PRF_BETA = 10, 5, 0.5

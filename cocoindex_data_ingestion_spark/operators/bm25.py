@@ -142,6 +142,86 @@ def bm25_search(
     )
 
 
+def bm25_search_candidate_idf(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+    round_to: int = 4,
+) -> DataFrame:
+    """Reference-exact BM25 compat mode: every corpus statistic is
+    computed over the CANDIDATE SET (documents matching ≥1 query
+    term), not the corpus — mirroring the reference's scorer, which
+    fetches candidates per token and then sets ``N = len(candidates)``
+    and ``avg_len`` over candidate token lengths
+    (app/services/search_service.py:296-348).
+
+    Divergences from :func:`bm25_search` (the corpus-IDF default):
+    N and avgdl shrink to the matched subset, so scores — and, when
+    candidate lengths skew away from the corpus mean, ranks — differ.
+    df(t) is IDENTICAL in both modes (every doc containing t is by
+    definition a candidate); the reference's per-token fetch cap
+    (``per_token_limit``) is dropped because a capped candidate set
+    is fetch-order-dependent — this is the deterministic closure of
+    the same scoring rule, which makes score-level parity testable.
+
+    Plan shape: same single query-term postings shuffle as
+    :func:`bm25_search`; the candidate id set rides a semi join
+    against the narrow doc-length projection, and the three stats
+    (N, avgdl, df) are scalar/vocabulary-sized broadcasts. qpost is
+    lazily checkpointed — three consumers (candidates, df, scoring)
+    would otherwise each replay the postings scan.
+    """
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    qterms = list(dict.fromkeys(t.lower() for t in query_terms))
+    qpost = (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token") & F.col("token").isin(qterms))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    cand_ids = qpost.select(id_col).distinct()
+    # full document length (all content tokens), restricted to candidates
+    cand_dls = doc_lengths(docs, id_col, text_col).join(cand_ids, id_col)
+    stats = cand_ids.agg(F.count("*").alias("n_docs")).crossJoin(
+        cand_dls.agg(F.avg("dl").alias("avgdl"))
+    )
+    df_per_token = qpost.groupBy("token").agg(
+        F.countDistinct(id_col).alias("df")
+    )
+    scored = (
+        qpost.join(F.broadcast(df_per_token), "token")
+        .join(cand_dls, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy(id_col)
+        .agg(stable_round(stable_sum(F.col("term_score"), 6), round_to).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "score")
+    )
+
+
 def bm25_search_weighted(
     docs: DataFrame,
     weighted_terms: DataFrame,

@@ -1,0 +1,102 @@
+"""Round-5 operators: candidate-set-IDF BM25 compat mode, filtered
+RAG retrieval, extraction-run comparison, MMR candidate guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.operators import bm25 as bm25_ops
+
+
+# -- BM25 candidate-set-IDF compat mode ---------------------------------------
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_refidf_agrees_when_every_doc_is_a_candidate(spark):
+    """When all docs match ≥1 query term, the candidate set IS the
+    corpus → both modes score identically (N, avgdl, df all equal)."""
+    docs = _docs(spark, [
+        (1, "alpha alpha beta gamma"),
+        (2, "alpha delta delta gamma"),
+        (3, "beta beta beta gamma epsilon"),
+    ])
+    q = ["alpha", "beta"]
+    corpus = {r.doc_id: r.score for r in bm25_ops.bm25_search(docs, q, k=10).collect()}
+    cand = {r.doc_id: r.score for r in
+            bm25_ops.bm25_search_candidate_idf(docs, q, k=10).collect()}
+    assert corpus == cand
+
+
+def test_refidf_diverges_on_crafted_corpus(spark):
+    """Crafted divergence: many long non-matching docs inflate corpus
+    avgdl, deflating the corpus-mode length penalty for the short
+    matching docs. Candidate-set avgdl is computed over matches only,
+    so the length normalization bites harder on the relatively-longer
+    candidate — flipping the rank of doc 1 vs doc 2.
+
+    doc1: 1 hit of 'alpha' in length 2; doc2: 2 hits in length 12.
+    Candidate avgdl = 7 → doc2's tf advantage survives saturation.
+    Corpus avgdl inflated to 43.67 by the filler docs → both docs look
+    'short', tf saturates toward k1+1, doc1 and doc2 converge and the
+    tie breaks differently.
+    """
+    filler = "zeta " * 100
+    docs = _docs(spark, [
+        (1, "alpha omega"),
+        (2, "alpha alpha " + "omega " * 10),
+        (3, filler),
+        (4, filler),
+        (5, filler),
+    ])
+    q = ["alpha"]
+    corpus = [r.doc_id for r in bm25_ops.bm25_search(docs, q, k=2).collect()]
+    cand = [r.doc_id for r in
+            bm25_ops.bm25_search_candidate_idf(docs, q, k=2).collect()]
+    # same matched set either way
+    assert set(corpus) == set(cand) == {1, 2}
+    # candidate-set mode must reproduce the reference's N: score formula
+    # with N=2 gives idf=ln(1+0.5/2.5), corpus mode N=5 → idf=ln(1+3.5/1.5);
+    # with only one query term the ORDER can also flip — assert the scores
+    # actually diverge between modes (score-level compat is the point)
+    corpus_scores = {r.doc_id: r.score for r in
+                     bm25_ops.bm25_search(docs, q, k=2).collect()}
+    cand_scores = {r.doc_id: r.score for r in
+                   bm25_ops.bm25_search_candidate_idf(docs, q, k=2).collect()}
+    assert corpus_scores != cand_scores
+
+
+def test_refidf_matches_reference_formula_exactly(spark):
+    """Score-level parity with the reference's Python scorer
+    (search_service.py:320-348) computed by hand here."""
+    import math
+
+    texts = {
+        1: "alpha beta beta gamma",
+        2: "alpha alpha delta",
+        3: "zeta zeta zeta zeta",
+    }
+    docs = _docs(spark, list(texts.items()))
+    q = ["alpha", "beta"]
+    # reference scorer, uncapped candidate fetch
+    toks = {d: t.split() for d, t in texts.items()}
+    cands = [d for d, t in toks.items() if any(w in t for w in q)]
+    N = len(cands)
+    lengths = {d: len(toks[d]) for d in cands}
+    avgdl = sum(lengths.values()) / len(lengths)
+    k1, b = bm25_ops.K1, bm25_ops.B
+    df = {w: sum(1 for d in cands if w in toks[d]) for w in q}
+    expect = {}
+    for d in cands:
+        s = 0.0
+        for w in q:
+            tf = toks[d].count(w)
+            if tf == 0:
+                continue
+            idf = math.log((N - df[w] + 0.5) / (df[w] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * lengths[d] / avgdl))
+        expect[d] = round(s, 4)
+    got = {r.doc_id: r.score for r in
+           bm25_ops.bm25_search_candidate_idf(docs, q, k=10).collect()}
+    assert got == pytest.approx(expect)
