@@ -3782,6 +3782,162 @@ def _q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.6 RAG retrieval composed with metadata/security filters ---------------
+# (app/api/query.py:29-47,131-142: departments + security_tiers
+# multi-selects applied to retrieval before prompting)
+
+_RAG_DEPTS = ("engineering", "legal")  # doc_id % 4 ∈ {0, 2}
+_RAG_TIERS = ("public", "internal")  # doc_id % 3 ∈ {0, 1}
+
+
+def _access_meta_sql(id_expr: str) -> tuple[str, str]:
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        DEPARTMENTS, SECURITY_LEVELS,
+    )
+
+    dep = " ".join(
+        f"WHEN {i} THEN '{d}'" for i, d in enumerate(DEPARTMENTS)
+    )
+    sec = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(SECURITY_LEVELS)
+    )
+    return (
+        f"(CASE {id_expr} % {len(DEPARTMENTS)} {dep} END)",
+        f"(CASE {id_expr} % {len(SECURITY_LEVELS)} {sec} END)",
+    )
+
+
+def _rag_filtered_sql() -> str:
+    dep_docs, sec_docs = _access_meta_sql("doc_id")
+    in_dep = "(" + ", ".join(f"'{d}'" for d in _RAG_DEPTS) + ")"
+    in_sec = "(" + ", ".join(f"'{s}'" for s in _RAG_TIERS) + ")"
+    return f"""
+WITH allowed AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  WHERE {dep_docs} IN {in_dep} AND {sec_docs} IN {in_sec}
+),
+q AS (SELECT embedding::DOUBLE[] AS qvec FROM embeddings WHERE vec_id = 0),
+vec_leg AS (
+  SELECT e.vec_id, {_R(_COS_SQL, 4)} AS score
+  FROM embeddings e JOIN allowed a ON e.vec_id = a.doc_id, q
+  WHERE e.vec_id <> 0
+  ORDER BY score DESC, e.vec_id ASC
+  LIMIT {LEG_K}
+),
+toks AS (
+  SELECT d.doc_id, unnest({_BM25_TOKS_SQL}) AS token
+  FROM documents d JOIN allowed a ON d.doc_id = a.doc_id
+),
+post AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY doc_id),
+stats AS (SELECT count(*) AS n_docs FROM allowed),
+ad AS (SELECT avg(dl) AS avgdl FROM dls),
+qpost AS (SELECT * FROM post WHERE token IN {_QTERMS_SQL}),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM qpost GROUP BY 1),
+bm_leg AS (
+  SELECT doc_id,
+         {_R(_S(f"idf * tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))", 6), 4)}
+           AS score
+  FROM (
+    SELECT p.doc_id, p.tf, d.dl, s.n_docs, a.avgdl,
+           ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) AS idf
+    FROM qpost p
+    JOIN dfreq f USING (token)
+    JOIN dls d USING (doc_id), stats s, ad a
+  )
+  GROUP BY doc_id
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {LEG_K}
+),
+unioned AS (
+  SELECT 'vector' AS source, vec_id AS id, score FROM vec_leg
+  UNION ALL
+  SELECT 'bm25' AS source, doc_id AS id, score FROM bm_leg
+),
+rr AS (
+  SELECT source, id,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, id ASC) AS rank
+  FROM unioned
+),
+ranked AS (
+  SELECT id, {_R(f'sum(1.0 / ({RRF_K} + rank))', 4)} AS rrf_score,
+         count(DISTINCT source) AS n_sources
+  FROM rr GROUP BY id
+  ORDER BY rrf_score DESC, id ASC
+  LIMIT 5
+),
+cites AS (
+  SELECT r.id, r.rrf_score,
+         row_number() OVER (ORDER BY r.rrf_score DESC, r.id ASC) AS rank,
+         '[doc:' || CAST(r.id AS VARCHAR) || '] ' || substr(d.text, 1, 120)
+           AS citation
+  FROM ranked r JOIN documents d ON d.doc_id = r.id
+)
+SELECT string_agg(citation, CHR(10) ORDER BY rank) AS context,
+       count(*) AS n_chunks
+FROM cites
+"""
+
+
+@_register("rag_context_assembly_filtered", _rag_filtered_sql())
+def _q_rag_context_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG endpoint's ACTUAL access-control path: departments +
+    security-tier IN-lists (app/api/query.py:29-47) applied to the
+    retrieval legs BEFORE fusion and prompting (query.py:131-142) —
+    the engine behaves as if unauthorized documents do not exist
+    (corpus stats for BM25 are over the allowed sub-corpus, which is
+    what "filtered before scoring" means; documented choice).
+
+    Plan: the filter is one Catalyst predicate on derived metadata
+    columns (docmeta.derive_access_metadata) — with real stored
+    metadata it pushes down to the parquet/Qdrant scan; both legs
+    and the RRF fusion then run unchanged over the allowed set."""
+    from pyspark.sql import Window
+
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        access_filter, derive_access_metadata,
+    )
+
+    pred = access_filter(_RAG_DEPTS, _RAG_TIERS)
+    docs = derive_access_metadata(_t(spark, sf_dir, "documents")).filter(pred)
+    emb = derive_access_metadata(
+        _t(spark, sf_dir, "embeddings"), id_col="vec_id"
+    ).filter(pred)
+    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
+    ranked = hybrid.hybrid_search(
+        docs,
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        QUERY_TERMS,
+        k=5,
+        leg_k=LEG_K,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    cites = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(docs, ranked.id == docs.doc_id)
+        .select(
+            "rank",
+            F.concat(
+                F.lit("[doc:"),
+                F.col("id").cast("string"),
+                F.lit("] "),
+                F.substring("text", 1, 120),
+            ).alias("citation"),
+        )
+    )
+    return cites.groupBy().agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "citation"))),
+                lambda x: x["citation"],
+            ),
+            "\n",
+        ).alias("context"),
+        F.count("*").alias("n_chunks"),
+    )
+
+
 # -- §2.6 named-vector (text+visual) fusion on one collection -----------------
 # (qdrant_service.py:306-388: two named vectors, linear blend)
 

@@ -284,3 +284,50 @@ def metadata_udf_hook(
             yield meta
 
     return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
+# -- access-control metadata (app/api/query.py:29-47) -------------------------
+
+DEPARTMENTS = ("engineering", "finance", "legal", "hr")
+SECURITY_LEVELS = ("public", "internal", "confidential")
+
+
+def derive_access_metadata(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach the reference's access-control payload fields —
+    ``metadata.department`` and ``metadata.security_level``
+    (app/api/query.py:29-47: multi-select filters applied to
+    retrieval before prompting) — as typed columns.
+
+    In the reference these are LLM/user-assigned payload values
+    stored in Qdrant; this deterministic double derives them from the
+    id (``id % |departments|`` / ``id % |levels|``) so the filter
+    semantics — IN-list composition with retrieval — are exercised
+    end-to-end and oracle-checkable. The production path overwrites
+    these two columns with real metadata; every downstream filter is
+    a plain Catalyst predicate either way (pushes down to the scan).
+    """
+    n_dep, n_sec = len(DEPARTMENTS), len(SECURITY_LEVELS)
+    dep = F.element_at(
+        F.array(*[F.lit(d) for d in DEPARTMENTS]),
+        (F.col(id_col) % n_dep + 1).cast("int"),
+    )
+    sec = F.element_at(
+        F.array(*[F.lit(s) for s in SECURITY_LEVELS]),
+        (F.col(id_col) % n_sec + 1).cast("int"),
+    )
+    return docs.withColumn("department", dep).withColumn("security_level", sec)
+
+
+def access_filter(
+    departments: tuple[str, ...] | None = None,
+    security_levels: tuple[str, ...] | None = None,
+):
+    """The query endpoint's filter composition: each provided
+    multi-select becomes an IN-list predicate; absent selects match
+    everything (app/api/query.py:38-47 ``_filters_from_request``)."""
+    pred = F.lit(True)
+    if departments:
+        pred = pred & F.col("department").isin(*departments)
+    if security_levels:
+        pred = pred & F.col("security_level").isin(*security_levels)
+    return pred

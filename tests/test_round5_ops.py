@@ -100,3 +100,40 @@ def test_refidf_matches_reference_formula_exactly(spark):
     got = {r.doc_id: r.score for r in
            bm25_ops.bm25_search_candidate_idf(docs, q, k=10).collect()}
     assert got == pytest.approx(expect)
+
+
+# -- filtered RAG retrieval ---------------------------------------------------
+
+
+def test_rag_filtered_respects_access_filters(spark):
+    """Every citation in the filtered context must point at a doc in
+    the allowed (department, security_level) set; the filter must
+    actually bite (context differs from the unfiltered assembly)."""
+    import re
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    filtered = entry.queries()["rag_context_assembly_filtered"](spark, sf).collect()[0]
+    plain = entry.queries()["rag_context_assembly"](spark, sf).collect()[0]
+    ids = [int(m) for m in re.findall(r"\[doc:(\d+)\]", filtered["context"])]
+    assert len(ids) == filtered["n_chunks"] > 0
+    for did in ids:
+        # doc_id % 4 ∈ {engineering=0, legal=2}; % 3 ∈ {public=0, internal=1}
+        assert did % 4 in (0, 2), did
+        assert did % 3 in (0, 1), did
+    assert filtered["context"] != plain["context"]
+
+
+def test_access_filter_absent_selects_match_everything(spark):
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        access_filter, derive_access_metadata,
+    )
+
+    docs = spark.range(12).withColumnRenamed("id", "doc_id")
+    meta = derive_access_metadata(docs)
+    assert meta.filter(access_filter(None, None)).count() == 12
+    eng = meta.filter(access_filter(("engineering",), None))
+    assert eng.count() == 3  # ids 0,4,8
+    both = meta.filter(access_filter(("engineering",), ("public",)))
+    assert [r.doc_id for r in both.collect()] == [0]
