@@ -4125,6 +4125,123 @@ def _q_entity_cooc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ent.cooccurrence_relationships(mentions)
 
 
+# -- §2.7 multi-model extraction comparison (llm_service.py:711-864) ----------
+# Second "model": overlapping gazetteer with one type disagreement
+# ('hash'), one term only it knows ('vector'), one term only model A
+# knows ('window') — the deterministic double of a second LLM's
+# extraction run, at confidence 0.9.
+
+_GAZETTEER_B = {
+    "spark": "TECHNOLOGY",
+    "hash": "OPERATION",  # model A says CONCEPT → type confusion
+    "join": "OPERATION",
+    "vector": "CONCEPT",  # only model B extracts this
+    "stream": "CONCEPT",
+}
+_GAZ_B_CONFIDENCE = 0.9
+
+
+def _gaz_hits_sql(gaz: dict[str, str], alias: str) -> str:
+    """Distinct per-doc (name, type) hits for a single-word lowercase
+    gazetteer == token-equality (the _entity_canon_sql argument)."""
+    terms = "[" + ", ".join(f"'{t}'" for t in gaz) + "]"
+    cases = " ".join(f"WHEN token = '{t}' THEN '{ty}'" for t, ty in gaz.items())
+    return f"""{alias} AS (
+  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, token AS name,
+         CASE {cases} END AS type
+  FROM toks WHERE list_contains({terms}, token)
+)"""
+
+
+def _extraction_compare_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+{_gaz_hits_sql(_GAZETTEER, "a")},
+{_gaz_hits_sql(_GAZETTEER_B, "b")},
+j AS (
+  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         CASE WHEN a.name IS NOT NULL THEN 1 ELSE 0 END AS in_a,
+         CASE WHEN b.name IS NOT NULL THEN 1 ELSE 0 END AS in_b
+  FROM a FULL OUTER JOIN b
+    ON a.doc_id = b.doc_id AND a.name = b.name AND a.type = b.type
+),
+agg AS (
+  SELECT doc_id, sum(in_a) AS n_a, sum(in_b) AS n_b,
+         sum(in_a * in_b) AS n_agreed
+  FROM j GROUP BY 1
+)
+SELECT doc_id,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_agreed AS BIGINT) AS n_agreed,
+       CASE WHEN n_a > 0
+            THEN {_R("CAST(n_agreed AS DOUBLE) / n_a", 4)} END AS precision_a,
+       CASE WHEN n_b > 0
+            THEN {_R("CAST(n_agreed AS DOUBLE) / n_b", 4)} END AS recall_a,
+       CASE WHEN n_a + n_b - n_agreed > 0
+            THEN {_R("CAST(n_agreed AS DOUBLE) / (n_a + n_b - n_agreed)", 4)} END
+         AS jaccard
+FROM agg
+"""
+
+
+def _extraction_runs(spark: SparkSession, sf_dir: str):
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    run_a = ent.quality_filter(ent.extract_mentions_gazetteer(docs, _GAZETTEER))
+    run_b = ent.quality_filter(
+        ent.extract_mentions_gazetteer(docs, _GAZETTEER_B)
+    ).withColumn("confidence", F.lit(_GAZ_B_CONFIDENCE))
+    return run_a, run_b
+
+
+@_register("entity_extraction_compare", _extraction_compare_sql())
+def _q_extraction_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document agreement record between two extraction models —
+    the reference's llm_comparisons path (llm_service.py:711-792
+    compare_outputs → per-(lower(name), type) entity matching):
+    counts, precision/recall of A against B, Jaccard
+    (entities.compare_extraction_runs)."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    run_a, run_b = _extraction_runs(spark, sf_dir)
+    return ent.compare_extraction_runs(run_a, run_b).withColumnRenamed(
+        "document_id", "doc_id"
+    )
+
+
+def _type_confusion_sql() -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS token FROM documents
+),
+{_gaz_hits_sql(_GAZETTEER, "a")},
+{_gaz_hits_sql(_GAZETTEER_B, "b")}
+SELECT a.type AS type_a, b.type AS type_b, count(*) AS n_pairs
+FROM a JOIN b ON a.doc_id = b.doc_id AND a.name = b.name
+GROUP BY 1, 2
+"""
+
+
+@_register("entity_type_confusion", _type_confusion_sql())
+def _q_type_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-confusion matrix over surfaces both models extracted:
+    (type_a, type_b) pair counts — off-diagonal cells are the silent
+    entity-doubling hazard in the reference's name+type consensus key
+    (llm_service.py:826-853; entities.type_confusion_matrix)."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    run_a, run_b = _extraction_runs(spark, sf_dir)
+    return ent.type_confusion_matrix(run_a, run_b)
+
+
 # -- §2.8 returned-item report (TPC-H Q10 shape) ------------------------------
 
 _Q10_SQL = f"""

@@ -218,3 +218,140 @@ def cooccurrence_relationships(
         .agg(F.countDistinct("a.chunk_id").alias("n_cooccurrences"))
         .withColumn("relationship_type", F.lit(rel_type))
     )
+
+
+# -- multi-model extraction comparison (llm_service.py:711-864) ----------------
+
+
+def compare_extraction_runs(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    doc_col: str = "document_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-document agreement record between two extraction runs —
+    the ``llm_comparisons`` table the reference fills from
+    ``compare_outputs`` / ``extract_entities_with_comparison``
+    (app/services/llm_service.py:711-864): entities keyed by
+    ``(lower(name), type)``; an entity is *agreed* when both runs
+    produced it for the document.
+
+    Output per document (docs where ≥1 run found anything):
+    ``n_a`` / ``n_b`` distinct entities per run, ``n_agreed``,
+    precision of A against B (``n_agreed/n_a``), recall
+    (``n_agreed/n_b``), and Jaccard — each run treated as the other's
+    pseudo-truth, which is exactly what cross-model agreement means.
+
+    Plan: one distinct per run + one full outer join on
+    (doc, name, type) + one per-doc aggregate — all partitioned by
+    the same keys, integer counts until the final ratios.
+    """
+    from ..functions.compare import stable_round
+
+    def keyed(run: DataFrame, tag: str) -> DataFrame:
+        return run.select(
+            F.col(doc_col).alias("_doc"),
+            canonical_key().alias("_name"),
+            F.col("type").alias("_type"),
+        ).distinct().withColumn(tag, F.lit(1))
+
+    joined = keyed(run_a, "_in_a").join(
+        keyed(run_b, "_in_b"), ["_doc", "_name", "_type"], "full_outer"
+    )
+    agg = joined.groupBy("_doc").agg(
+        F.sum(F.coalesce(F.col("_in_a"), F.lit(0))).alias("n_a"),
+        F.sum(F.coalesce(F.col("_in_b"), F.lit(0))).alias("n_b"),
+        F.sum(
+            F.coalesce(F.col("_in_a"), F.lit(0))
+            * F.coalesce(F.col("_in_b"), F.lit(0))
+        ).alias("n_agreed"),
+    )
+    na, nb, ng = F.col("n_a"), F.col("n_b"), F.col("n_agreed")
+    ratio = lambda num, den: F.when(  # noqa: E731
+        den > 0, stable_round(num.cast("double") / den, round_to)
+    )
+    return agg.select(
+        F.col("_doc").alias(doc_col),
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        ng.cast("long").alias("n_agreed"),
+        ratio(ng, na).alias("precision_a"),
+        ratio(ng, nb).alias("recall_a"),
+        ratio(ng, na + nb - ng).alias("jaccard"),
+    )
+
+
+def type_confusion_matrix(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    doc_col: str = "document_id",
+) -> DataFrame:
+    """Type-level disagreement between two extraction runs: for every
+    (document, name) surface BOTH runs extracted, count the
+    ``(type_a, type_b)`` combinations. The diagonal is type
+    agreement; off-diagonal cells are exactly the confusions a
+    multi-model comparison is run to find (llm_service.py:826-853
+    keys entities by name+type, so a type disagreement silently
+    doubles an entity there — this matrix makes it visible).
+    """
+    a = run_a.select(
+        F.col(doc_col).alias("_doc"),
+        canonical_key().alias("_name"),
+        F.col("type").alias("type_a"),
+    ).distinct()
+    b = run_b.select(
+        F.col(doc_col).alias("_doc"),
+        canonical_key().alias("_name"),
+        F.col("type").alias("type_b"),
+    ).distinct()
+    return (
+        a.join(b, ["_doc", "_name"])
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def consensus_entities(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    names: tuple[str, str] = ("a", "b"),
+) -> DataFrame:
+    """Corpus-level consensus list (llm_service.py:824-864): entities
+    keyed by (lower(name), type) with the set of runs that produced
+    them, max confidence across runs, and document support — ordered
+    by (n_sources, confidence) like the reference's consensus sort."""
+    def keyed(run: DataFrame, tag: str) -> DataFrame:
+        return run.select(
+            canonical_key().alias("name"),
+            "type",
+            F.col("confidence"),
+            F.col("document_id"),
+        ).groupBy("name", "type").agg(
+            F.max("confidence").alias(f"conf_{tag}"),
+            F.countDistinct("document_id").alias(f"docs_{tag}"),
+        )
+
+    a, b = keyed(run_a, "a"), keyed(run_b, "b")
+    j = a.join(b, ["name", "type"], "full_outer")
+    n_sources = (
+        F.when(F.col("conf_a").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("conf_b").isNotNull(), 1).otherwise(0)
+    )
+    return j.select(
+        "name",
+        "type",
+        n_sources.cast("long").alias("n_sources"),
+        F.greatest(
+            F.coalesce(F.col("conf_a"), F.lit(float("-inf"))),
+            F.coalesce(F.col("conf_b"), F.lit(float("-inf"))),
+        ).alias("confidence"),
+        F.concat_ws(
+            ",",
+            *[
+                F.when(F.col(f"conf_{t}").isNotNull(), F.lit(name))
+                for t, name in zip(("a", "b"), names)
+            ],
+        ).alias("sources"),
+        F.coalesce(F.col("docs_a"), F.lit(0)).cast("long").alias("n_docs_a"),
+        F.coalesce(F.col("docs_b"), F.lit(0)).cast("long").alias("n_docs_b"),
+    )

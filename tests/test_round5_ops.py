@@ -137,3 +137,67 @@ def test_access_filter_absent_selects_match_everything(spark):
     assert eng.count() == 3  # ids 0,4,8
     both = meta.filter(access_filter(("engineering",), ("public",)))
     assert [r.doc_id for r in both.collect()] == [0]
+
+
+# -- multi-model extraction comparison ---------------------------------------
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "chunk_id string, document_id string, text string, type string, "
+        "start_offset int, end_offset int, confidence double",
+    )
+
+
+def test_compare_extraction_runs_metrics(spark):
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    # doc 1: A={spark/TECH, hash/CONCEPT}, B={spark/TECH, hash/OPERATION}
+    #   → agreed=1 (hash disagrees on type), jaccard=1/3
+    # doc 2: A only; doc 3: B only
+    a = _mentions(spark, [
+        ("1", "1", "Spark", "TECHNOLOGY", 0, 5, 1.0),
+        ("1", "1", "hash", "CONCEPT", 6, 10, 1.0),
+        ("2", "2", "join", "OPERATION", 0, 4, 1.0),
+    ])
+    b = _mentions(spark, [
+        ("1", "1", "spark", "TECHNOLOGY", 0, 5, 0.9),
+        ("1", "1", "hash", "OPERATION", 6, 10, 0.9),
+        ("3", "3", "vector", "CONCEPT", 0, 6, 0.9),
+    ])
+    out = {r["document_id"]: r for r in ent.compare_extraction_runs(a, b).collect()}
+    assert set(out) == {"1", "2", "3"}
+    r1 = out["1"]
+    assert (r1.n_a, r1.n_b, r1.n_agreed) == (2, 2, 1)
+    assert r1.precision_a == 0.5 and r1.recall_a == 0.5
+    assert r1.jaccard == pytest.approx(0.3333)
+    r2 = out["2"]
+    assert (r2.n_a, r2.n_b, r2.n_agreed) == (1, 0, 0)
+    assert r2.recall_a is None  # no B entities → recall undefined
+    assert out["3"].precision_a is None
+
+
+def test_type_confusion_and_consensus(spark):
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    a = _mentions(spark, [
+        ("1", "1", "hash", "CONCEPT", 0, 4, 1.0),
+        ("1", "1", "Spark", "TECHNOLOGY", 5, 10, 1.0),
+    ])
+    b = _mentions(spark, [
+        ("1", "1", "hash", "OPERATION", 0, 4, 0.9),
+        ("1", "1", "spark", "TECHNOLOGY", 5, 10, 0.9),
+    ])
+    conf = {(r.type_a, r.type_b): r.n_pairs
+            for r in ent.type_confusion_matrix(a, b).collect()}
+    assert conf == {("CONCEPT", "OPERATION"): 1, ("TECHNOLOGY", "TECHNOLOGY"): 1}
+
+    cons = {(r.name, r.type): r for r in ent.consensus_entities(a, b).collect()}
+    # spark agreed by both runs → 2 sources, max confidence 1.0
+    sp = cons[("spark", "TECHNOLOGY")]
+    assert sp.n_sources == 2 and sp.confidence == 1.0 and sp.sources == "a,b"
+    # the type disagreement doubles 'hash' — exactly the reference's
+    # name+type key behavior the confusion matrix exposes
+    assert cons[("hash", "CONCEPT")].n_sources == 1
+    assert cons[("hash", "OPERATION")].sources == "b"
