@@ -29,6 +29,10 @@ from pyspark.sql import functions as F
 from cocoindex_data_ingestion_spark.functions.compare import stable_round
 from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
 
+# mmr_rerank collects an O(N²) pair matrix to the driver; 1000
+# candidates = 1M pair rows ≈ tens of MB — the upper edge of sane
+MMR_MAX_CANDIDATES = 1000
+
 
 def with_score(
     df: DataFrame,
@@ -635,8 +639,27 @@ def mmr_rerank(
     1-row query vector. All decision inputs are stable-rounded so
     the selection is engine-reproducible (DuckDB oracle: unrolled
     greedy stages).
+
+    Guard: the pair matrix is O(n_candidates²) rows collected to the
+    driver — bounded and cheap at the intended k=10/N≈50 scale, but a
+    caller passing N=10⁴ would ship 10⁸ rows. ``n_candidates`` above
+    :data:`MMR_MAX_CANDIDATES` raises instead of silently flooding
+    the driver. For genuinely larger pools, diversify hierarchically:
+    cluster the pool first (``clustering.kmeans_fit`` /
+    ``dedup.semantic_cells``) and run MMR per cluster or over cluster
+    representatives — each greedy instance stays driver-bounded while
+    the clustering pass stays distributed.
     """
     import math
+
+    if n_candidates > MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank n_candidates={n_candidates} exceeds "
+            f"MMR_MAX_CANDIDATES={MMR_MAX_CANDIDATES}: the greedy stage "
+            f"collects O(N²) pair similarities to the driver "
+            f"({n_candidates**2:,} rows). Shrink the pool or diversify "
+            "hierarchically (cluster, then MMR per cluster)."
+        )
 
     rel_df = knn(
         emb.crossJoin(F.broadcast(qvec_df)),

@@ -201,3 +201,23 @@ def test_type_confusion_and_consensus(spark):
     # name+type key behavior the confusion matrix exposes
     assert cons[("hash", "CONCEPT")].n_sources == 1
     assert cons[("hash", "OPERATION")].sources == "b"
+
+
+# -- MMR candidate-volume guard ----------------------------------------------
+
+
+def test_mmr_rerank_guards_candidate_volume(spark):
+    from cocoindex_data_ingestion_spark.operators import vector_search
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(1, 6)],
+        "vec_id long, embedding array<float>",
+    )
+    q = spark.createDataFrame([([1.0, 0.5],)], "qvec array<float>")
+    with pytest.raises(ValueError, match="MMR_MAX_CANDIDATES"):
+        vector_search.mmr_rerank(
+            emb, q, n_candidates=vector_search.MMR_MAX_CANDIDATES + 1, k=3
+        )
+    # at-bound pool still runs (result bounded by corpus size here)
+    out = vector_search.mmr_rerank(emb, q, n_candidates=5, k=3).collect()
+    assert len(out) == 3
