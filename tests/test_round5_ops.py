@@ -221,3 +221,22 @@ def test_mmr_rerank_guards_candidate_volume(spark):
     # at-bound pool still runs (result bounded by corpus size here)
     out = vector_search.mmr_rerank(emb, q, n_candidates=5, k=3).collect()
     assert len(out) == 3
+
+
+# -- corpus precondition for the chunk_sentence oracle ------------------------
+
+
+def test_corpus_has_no_sentence_punctuation():
+    """The chunk_sentence oracle states the whole-doc-chunk identity,
+    which holds iff no doc contains [.!?] and none is empty — assert
+    that precondition at every SF the driver/judge use."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{p}') "
+            "WHERE regexp_matches(text, '[.!?]') "
+            "   OR text IS NULL OR length(trim(text)) = 0"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} docs violate the oracle precondition"
