@@ -296,6 +296,108 @@ SMALL_RESULT = {
 }
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """Streaming-surface bench (r4 judge directive #6): rows/sec and
+    per-micro-batch latency for the three live-update paths that had
+    correctness pins but no perf signal — the stateful ordinal
+    upsert, foreachBatch IVM folding, and the stream-stream interval
+    join. The sf events table is split into 10 files and replayed
+    with maxFilesPerTrigger=1 under trigger(availableNow) — 10
+    micro-batches per op, the file-stream analogue of a Kafka replay.
+    Setup (split + write) is untimed; timing covers stream start →
+    termination, with per-batch durations from StreamingQueryProgress.
+    """
+    import shutil
+    import tempfile
+
+    import cocoindex_data_ingestion_spark.streaming.events as se
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    src = os.path.join(tmp, "src")
+    base = load_table(
+        spark, "events", sf_dir
+    ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    base.repartition(10).write.parquet(src)
+    n_src = base.count()
+
+    results: dict[str, dict] = {}
+
+    def finish(name: str, q, t0: float, rows: int) -> None:
+        # rows = true source rows consumed (progress numInputRows
+        # over-counts when foreachBatch actions re-read the batch)
+        wall = round(time.time() - t0, 3)
+        prog = q.recentProgress
+        batches = [p for p in prog if p["numInputRows"] > 0]
+        durs = [p["durationMs"]["triggerExecution"] for p in batches]
+        results[name] = {
+            "rows": rows,
+            "n_batches": len(batches),
+            "wall_sec": wall,
+            "rows_per_sec": round(rows / wall, 1) if wall > 0 else None,
+            "batch_ms_avg": round(sum(durs) / len(durs), 1) if durs else None,
+            "batch_ms_max": max(durs) if durs else None,
+        }
+
+    def stream():
+        return se.read_events_stream(spark, src, max_files_per_trigger=1)
+
+    # 1. stateful ordinal-monotonic keyed upsert (applyInPandasWithState)
+    t0 = time.time()
+    q = (
+        se.ordinal_upsert_stream(stream())
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bench_upsert")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt_upsert"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    finish("ordinal_upsert_stream", q, t0, n_src)
+
+    # 2. foreachBatch incremental view maintenance (MaterializedAgg)
+    view = MaterializedAgg(
+        spark, os.path.join(tmp, "ivm_state"), group_col="event_type",
+        sum_cols=("value",), n_buckets=8,
+    )
+    t0 = time.time()
+    q = (
+        stream()
+        .writeStream.foreachBatch(se.foreach_batch_ivm(view))
+        .option("checkpointLocation", os.path.join(tmp, "ckpt_ivm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    finish("foreach_batch_ivm", q, t0, n_src)
+
+    # 3. watermarked stream-stream interval join (attribution shape)
+    purchases = stream().filter("event_type = 'purchase'").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = stream().filter("event_type = 'click'").select(
+        "user_id", "ts", "event_id"
+    )
+    t0 = time.time()
+    q = (
+        se.interval_join(purchases, clicks, lookback="30 minutes")
+        .select("event_id", "r_event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("bench_attrib")
+        .option("checkpointLocation", os.path.join(tmp, "ckpt_join"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    finish("interval_join", q, t0, 2 * n_src)
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -342,11 +444,22 @@ def main() -> None:
             if name not in times or el < times[name]:
                 times[name] = el
 
+    # streaming surface: rows/sec + per-batch latency (one pass, not
+    # min-over-reps — stream replay is already a 10-batch average).
+    # Wall times also land in `queries` under stream_* so round-over-
+    # round comparison picks them up like any other row.
+    streaming: dict[str, dict] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        streaming = bench_streaming(spark, sf_dir)
+        for name, rec in streaming.items():
+            times[f"stream_{name}"] = rec["wall_sec"]
+
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "streaming": streaming,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(out)
