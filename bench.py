@@ -221,6 +221,15 @@ HEADLINE = [
     "bucketed_colocated_join",
     "corpus_qq_table",
     "events_mann_kendall",
+    # round-5 additions
+    "bm25_search_refidf",
+    "rag_context_assembly_filtered",
+    "entity_extraction_compare",
+    "entity_type_confusion",
+    "chunk_sentence",
+    "entity_cooccurrence",
+    "vector_knn_numpy",
+    "knn_maxsim_numpy",
 ]
 
 SMALL_RESULT = {
@@ -293,6 +302,11 @@ SMALL_RESULT = {
     "curate_ess", "lineitem_revenue_bridge", "events_trend_conformal",
     "ivm_ewma_incremental", "bucketed_colocated_join",
     "corpus_qq_table", "events_mann_kendall",
+    # round-5: k-bounded search/compare outputs + per-doc agreement
+    # records (count() would prune the ratio expressions)
+    "bm25_search_refidf", "rag_context_assembly_filtered",
+    "entity_extraction_compare", "entity_type_confusion",
+    "entity_cooccurrence", "vector_knn_numpy", "knn_maxsim_numpy",
 }
 
 
