@@ -245,15 +245,31 @@ def _q_vector_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gate.
 
 
-def _ann_tuned(key: str, default: int) -> int:
+# Hardcoded production probe budgets. These are the FLOOR: a tuned
+# ann_defaults.json may raise a budget (under-probing fix) but can
+# never lower one below these — enforced here at load, not just in
+# the tuner, so a stale/corrupt file cannot silently shave recall
+# (r5 advisor finding: the file shipped nprobe=2 and the oracle read
+# the same value, making the recall regression gate-invisible).
+_ANN_FALLBACKS = {
+    "ivf_nprobe": 3,
+    "ivf_stride": 37,
+    "lsh_bits": 8,
+    "lsh_multiprobe": 1,
+    "lsh_tables": 3,
+}
+
+
+def _ann_tuned(key: str, default: int | None = None) -> int:
     import json as _json
 
+    default = _ANN_FALLBACKS[key] if default is None else default
     path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "ann_defaults.json"
     )
     try:
         with open(path) as f:
-            return int(_json.load(f).get(key, default))
+            return max(int(_json.load(f).get(key, default)), default)
     except (OSError, ValueError):
         return default
 
@@ -10047,7 +10063,7 @@ ORDER BY size DESC, community ASC LIMIT 25"""
     )
 
 
-_LPA_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+_LPA_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _ensure_lpa(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
@@ -10058,8 +10074,14 @@ def _ensure_lpa(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     rounds run once instead of once per registered query (the r4
     judge's wall-time finding: modularity recomputed LPA's rounds).
     Cold build cost sits with the first caller, like the search-index
-    build (_ensure_index); SCALING.md reports it separately."""
-    if sf_dir not in _LPA_CACHE:
+    build (_ensure_index); SCALING.md reports it separately.
+
+    Keyed by (applicationId, sf_dir): localCheckpoint'd frames are
+    bound to the SparkContext that made them, so a stop/recreate of
+    the session in the same process must not serve stale frames
+    (r5 advisor finding)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _LPA_CACHE:
         li = _t(spark, sf_dir, "lineitem")
         edges = (
             li.select(
@@ -10072,8 +10094,8 @@ def _ensure_lpa(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         lab = graph_ops.label_propagation_fixed(edges, n_iter=3).localCheckpoint(
             eager=True
         )
-        _LPA_CACHE[sf_dir] = (edges, lab)
-    return _LPA_CACHE[sf_dir]
+        _LPA_CACHE[key] = (edges, lab)
+    return _LPA_CACHE[key]
 
 
 @_register("graph_label_propagation", _lpa_sql(3))

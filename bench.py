@@ -338,10 +338,21 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     results: dict[str, dict] = {}
 
-    def finish(name: str, q, t0: float, rows: int) -> None:
+    def finish(name: str, q, t0: float, rows: int,
+               finished: bool = True) -> None:
         # rows = true source rows consumed (progress numInputRows
         # over-counts when foreachBatch actions re-read the batch)
         wall = round(time.time() - t0, 3)
+        if not finished:
+            # awaitTermination timed out: the stream is still live —
+            # stop it before touching progress, and flag the record
+            # instead of reporting partial throughput as if complete
+            # (r5 advisor finding).
+            q.stop()
+            q.awaitTermination(60)
+            results[name] = {"rows": rows, "wall_sec": wall,
+                             "timed_out": True}
+            return
         prog = q.recentProgress
         batches = [p for p in prog if p["numInputRows"] > 0]
         durs = [p["durationMs"]["triggerExecution"] for p in batches]
@@ -368,8 +379,8 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    finish("ordinal_upsert_stream", q, t0, n_src)
+    done = q.awaitTermination(600)
+    finish("ordinal_upsert_stream", q, t0, n_src, finished=done)
 
     # 2. foreachBatch incremental view maintenance (MaterializedAgg)
     view = MaterializedAgg(
@@ -384,8 +395,8 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    finish("foreach_batch_ivm", q, t0, n_src)
+    done = q.awaitTermination(600)
+    finish("foreach_batch_ivm", q, t0, n_src, finished=done)
 
     # 3. watermarked stream-stream interval join (attribution shape)
     purchases = stream().filter("event_type = 'purchase'").select(
@@ -405,8 +416,8 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
-    finish("interval_join", q, t0, 2 * n_src)
+    done = q.awaitTermination(600)
+    finish("interval_join", q, t0, 2 * n_src, finished=done)
 
     shutil.rmtree(tmp, ignore_errors=True)
     return results

@@ -72,10 +72,16 @@ def make_clustered_embeddings(spark, n: int, dim: int, n_blobs: int = 16,
 
 
 def tune(spark, emb, qvecs: dict, base: dict, recall_target: float = 0.5,
-         cost_cap: float = 2.0) -> dict:
+         cost_cap: float = 2.0, floors: dict | None = None) -> dict:
     """Per-knob sweep: measure (recall@K, wall sec) for increasing
     probe budgets; recommend the cheapest setting meeting the target,
-    never exceeding ``cost_cap`` × the production setting's wall."""
+    never exceeding ``cost_cap`` × the production setting's wall.
+
+    ``floors`` defaults to the HARDCODED production constants
+    (``__spark_entry__._ANN_FALLBACKS``), not the file-derived module
+    values — flooring at module values is circular: once
+    ann_defaults.json holds a sub-production value, every later tune
+    would ratchet downward from it (r5 advisor finding)."""
     import time
 
     from pyspark.sql import functions as F
@@ -100,6 +106,8 @@ def tune(spark, emb, qvecs: dict, base: dict, recall_target: float = 0.5,
 
     report: dict[str, dict] = {"sweeps": {}, "recommended": dict(base)}
 
+    floors = dict(floors or {})
+
     def sweep(knob: str, values: list, run_factory) -> None:
         rows = []
         base_wall = None
@@ -110,12 +118,13 @@ def tune(spark, emb, qvecs: dict, base: dict, recall_target: float = 0.5,
             rows.append({"value": v, "recall": round(r, 4),
                          "wall_sec": round(w, 2)})
         base_wall = base_wall or rows[0]["wall_sec"]
-        # recommendation floor = the production value: tuning exists
-        # to FIX under-probing, never to shave margin below the
-        # long-standing default (sub-base sweep rows stay in the
-        # report as context)
-        chosen = base[knob]
-        eligible = [r for r in rows if r["value"] >= base[knob]]
+        # recommendation floor = the hardcoded production value:
+        # tuning exists to FIX under-probing, never to shave margin
+        # below the long-standing default (sub-floor sweep rows stay
+        # in the report as context)
+        floor = max(base[knob], floors.get(knob, base[knob]))
+        chosen = floor
+        eligible = [r for r in rows if r["value"] >= floor]
         for row in eligible:  # cheapest (ascending) value meeting target
             if (row["recall"] >= recall_target
                     and row["wall_sec"] <= cost_cap * base_wall):
@@ -170,13 +179,19 @@ def tune(spark, emb, qvecs: dict, base: dict, recall_target: float = 0.5,
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = {a for a in sys.argv[1:] if a.startswith("--")}
-    fixture = "clustered" if "--fixture=clustered" in flags or (
-        "--fixture" in " ".join(sys.argv) and "clustered" in sys.argv
-    ) else "driver"
-    sf_dir = args[0] if args else "/root/testdata/sf0.01"
-    n_queries = int(args[1]) if len(args) > 1 and args[1].isdigit() else 16
+    import argparse
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("n_queries", nargs="?", type=int, default=16)
+    ap.add_argument("--tune", action="store_true")
+    ap.add_argument("--write-defaults", action="store_true")
+    ap.add_argument("--fixture", choices=["driver", "clustered"],
+                    default="driver")
+    ns = ap.parse_args()
+    fixture = ns.fixture
+    sf_dir = ns.sf_dir
+    n_queries = ns.n_queries
 
     spark = get_spark("ann_recall")
     emb = load_table(spark, "embeddings", sf_dir)
@@ -320,7 +335,7 @@ def main() -> int:
         },
     }
 
-    if "--tune" in flags:
+    if ns.tune:
         base = {
             "ivf_nprobe": entrymod._IVF_NPROBE,
             "ivf_stride": entrymod._IVF_STRIDE,
@@ -328,10 +343,11 @@ def main() -> int:
             "lsh_multiprobe": entrymod._LSH_MULTIPROBE,
             "lsh_tables": entrymod._LSH_TABLES,
         }
-        report = tune(spark, emb, qvecs, base)
+        report = tune(spark, emb, qvecs, base,
+                      floors=entrymod._ANN_FALLBACKS)
         out["sweeps"] = report["sweeps"]
         out["recommended"] = report["recommended"]
-        if "--write-defaults" in flags:
+        if ns.write_defaults:
             rec = dict(report["recommended"])
             rec["tuned_on"] = {
                 "fixture": fixture, "sf": out["sf"], "n_vectors": n_vec,
