@@ -389,22 +389,18 @@ def chunk_recursive_dp(
     return docs.select(*in_cols).mapInPandas(run, schema)
 
 
-def two_tier_chunks(
+def two_tier_pages(
     docs: DataFrame,
     page_size: int = 1200,
     page_overlap: int = 200,
-    child_size: int = 300,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Two-tier chunking (two_tier_chunker.py:292-388): page-level
-    parents (fixed windows) + sentence-packed children per parent,
-    deterministic md5 ids, BM25 tokens precomputed per child.
-
-    Two-stage explode; both stages shuffle-free (fan-out only)."""
-    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
-
-    pages = fixed_chunks(
+    """The parent tier of the two-tier chunker: page-level fixed
+    windows with deterministic md5 parent ids
+    (two_tier_chunker.py:292-330). Exposed separately so retrieval
+    can join child hits back to parent context (small-to-big)."""
+    return fixed_chunks(
         docs, chunk_size=page_size, overlap=page_overlap, id_col=id_col,
         text_col=text_col,
     ).select(
@@ -415,14 +411,52 @@ def two_tier_chunks(
         F.col("location_start").alias("parent_start"),
         F.col("chunk_text").alias("parent_text"),
     )
+
+
+def two_tier_chunks(
+    docs: DataFrame,
+    page_size: int = 1200,
+    page_overlap: int = 200,
+    child_size: int = 300,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    child_mode: str = "sentence",
+) -> DataFrame:
+    """Two-tier chunking (two_tier_chunker.py:292-388): page-level
+    parents (fixed windows) + semantic children per parent,
+    deterministic md5 ids, BM25 tokens precomputed per child.
+
+    ``child_mode`` selects the child splitter: ``"sentence"`` is the
+    reference's sentence-packed tier; ``"fixed"`` emits fixed
+    ``child_size`` windows (stride = size, no overlap) — the fully
+    expression-level variant (no UDF at all), and the one whose
+    output is closed-form SQL-expressible for the correctness oracle
+    (on a corpus without sentence punctuation, sentence packing
+    degenerates to one whole-page child, which would make
+    small-to-big vacuous).
+
+    Two-stage explode; both stages shuffle-free (fan-out only)."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    pages = two_tier_pages(
+        docs, page_size=page_size, page_overlap=page_overlap,
+        id_col=id_col, text_col=text_col,
+    )
     # children keyed DIRECTLY by the md5 parent_chunk_id string —
     # sentence_chunks passes any id type through, so no lossy
     # hash-to-long round trip (a 63-bit collision would silently
     # mis-parent a chunk at corpus scale)
-    children = sentence_chunks(
-        pages.select("parent_chunk_id", F.col("parent_text").alias(text_col)),
-        chunk_size=child_size, id_col="parent_chunk_id", text_col=text_col,
-    )
+    if child_mode == "fixed":
+        children = fixed_chunks(
+            pages.select("parent_chunk_id", F.col("parent_text").alias(text_col)),
+            chunk_size=child_size, overlap=0, id_col="parent_chunk_id",
+            text_col=text_col,
+        )
+    else:
+        children = sentence_chunks(
+            pages.select("parent_chunk_id", F.col("parent_text").alias(text_col)),
+            chunk_size=child_size, id_col="parent_chunk_id", text_col=text_col,
+        )
     key = pages.select(
         "parent_chunk_id", F.col(id_col), "parent_index", "parent_start"
     )

@@ -86,3 +86,62 @@ def hybrid_search(
             F.col("score"),
         )
     return rrf_fuse(vec_leg.unionByName(bm25_leg), limit=k)
+
+
+def small_to_big(
+    child_hits: DataFrame,
+    children: DataFrame,
+    parents: DataFrame,
+    k: int = 5,
+    child_id_col: str = "chunk_id",
+    parent_col: str = "parent_chunk_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Small-to-big (parent-context) retrieval: the two-tier
+    chunker's reason to exist (two_tier_chunker.py:26-43 —
+    ``parent_chunk_id`` / parent-context fields; match on precise
+    child chunks, return the broader parent for prompting).
+
+    ``child_hits``: top-leg child results (child_id, score) from any
+    scorer (BM25/knn over the child tier). ``children``: the child
+    table mapping child id → parent id. ``parents``: the parent tier
+    (parent id, document id, parent_index, parent_text).
+
+    Semantics: a parent is ranked by its BEST child's score (not the
+    sum — three weak children must not outrank one precise hit);
+    ties break on parent id. ``n_child_hits`` reports how many of
+    the leg's children collapsed into each parent.
+
+    Scale shape: child_hits is already top-k bounded, so the dedup
+    windows run over ≤ leg_k rows. The only corpus-sized input is
+    ``parents``, joined LAST with the k-row ranked frame broadcast —
+    at 100 TB the parent fetch is a broadcast-hash-join lookup, never
+    a shuffle of the parent tier."""
+    from pyspark.sql import Window
+
+    hits = child_hits.join(
+        children.select(child_id_col, parent_col), child_id_col
+    )
+    w_parent = Window.partitionBy(parent_col).orderBy(
+        F.col(score_col).desc(), F.col(child_id_col).asc()
+    )
+    best = (
+        hits.withColumn("rn", F.row_number().over(w_parent))
+        .withColumn(
+            "n_child_hits", F.count("*").over(Window.partitionBy(parent_col))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    w_rank = Window.orderBy(F.col(score_col).desc(), F.col(parent_col).asc())
+    ranked = (
+        best.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
+        .select(
+            "rank",
+            parent_col,
+            F.col(score_col).alias("best_child_score"),
+            F.col(child_id_col).alias("best_child_id"),
+            "n_child_hits",
+        )
+    )
+    return parents.join(F.broadcast(ranked), parent_col)

@@ -97,3 +97,92 @@ def test_lpa_cache_keyed_by_application_id(spark):
     entrymod._ensure_lpa(spark, sf_dir)
     (key,) = entrymod._LPA_CACHE.keys()
     assert key == (spark.sparkContext.applicationId, sf_dir)
+
+
+# -- small-to-big (parent-context) retrieval ---------------------------------
+
+
+def test_small_to_big_best_child_beats_many_weak(spark):
+    """Parent ranking is MAX child score: a parent with ONE precise
+    child hit must outrank a parent with MORE but weaker hits."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.hybrid import small_to_big
+
+    # parent A: one strong child (0.9); parent B: three weak (0.5 each)
+    child_hits = spark.createDataFrame(
+        [("a1", 0.9), ("b1", 0.5), ("b2", 0.5), ("b3", 0.5)],
+        "chunk_id string, score double",
+    )
+    children = spark.createDataFrame(
+        [("a1", "pA"), ("b1", "pB"), ("b2", "pB"), ("b3", "pB")],
+        "chunk_id string, parent_chunk_id string",
+    )
+    parents = spark.createDataFrame(
+        [("pA", 1, 0, "parent A text"), ("pB", 2, 0, "parent B text")],
+        "parent_chunk_id string, doc_id long, parent_index long, parent_text string",
+    )
+    out = {r.parent_chunk_id: r for r in
+           small_to_big(child_hits, children, parents, k=5).collect()}
+    assert out["pA"].rank == 1 and out["pA"].best_child_score == 0.9
+    assert out["pB"].rank == 2 and out["pB"].n_child_hits == 3
+    assert out["pA"].n_child_hits == 1
+
+
+def test_small_to_big_tiebreak_and_k(spark):
+    from cocoindex_data_ingestion_spark.operators.hybrid import small_to_big
+
+    # equal best scores: ties break on parent_chunk_id ascending;
+    # k bounds the output
+    child_hits = spark.createDataFrame(
+        [("c1", 0.7), ("c2", 0.7), ("c3", 0.6)],
+        "chunk_id string, score double",
+    )
+    children = spark.createDataFrame(
+        [("c1", "p2"), ("c2", "p1"), ("c3", "p3")],
+        "chunk_id string, parent_chunk_id string",
+    )
+    parents = spark.createDataFrame(
+        [("p1", 1, 0, "t1"), ("p2", 2, 0, "t2"), ("p3", 3, 0, "t3")],
+        "parent_chunk_id string, doc_id long, parent_index long, parent_text string",
+    )
+    rows = sorted(
+        small_to_big(child_hits, children, parents, k=2).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.parent_chunk_id for r in rows] == ["p1", "p2"]
+
+
+def test_two_tier_fixed_child_mode(spark):
+    """child_mode='fixed' children tile each parent page exactly and
+    keep the md5 id/token plumbing of the sentence mode."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import chunking
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 30)], "doc_id long, text string"
+    )  # 300 chars
+    out = chunking.two_tier_chunks(
+        docs, page_size=100, page_overlap=20, child_size=30,
+        child_mode="fixed",
+    ).collect()
+    assert all(len(r.chunk_text) <= 30 for r in out)
+    # every child's global [start, end) reproduces its text
+    full = "abcdefghij" * 30
+    pages = {
+        r.parent_chunk_id: r
+        for r in chunking.two_tier_pages(
+            docs, page_size=100, page_overlap=20
+        ).collect()
+    }
+    for r in out:
+        page = pages[r.parent_chunk_id]
+        local_start = r.location_start - page.parent_start
+        assert r.chunk_text == page.parent_text[local_start:local_start + len(r.chunk_text)]
+    # 100-char page, 30-char children -> 4 children per page (tail short)
+    from collections import Counter
+
+    per_parent = Counter(r.parent_chunk_id for r in out)
+    assert set(per_parent.values()) <= {1, 2, 3, 4}
+    assert max(per_parent.values()) == 4
