@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cocoindex_data_ingestion_spark.operators.bm25 import bm25_search
-from cocoindex_data_ingestion_spark.operators.fusion import rrf_fuse
+from cocoindex_data_ingestion_spark.operators.fusion import rrf_fuse_legs
 from cocoindex_data_ingestion_spark.operators.vector_search import knn
 
 
@@ -85,7 +85,10 @@ def hybrid_search(
             F.col(id_col).alias("id"),
             F.col("score"),
         )
-    return rrf_fuse(vec_leg.unionByName(bm25_leg), limit=k)
+    # per-leg ranking + exchange-free fusion tail (fusion.rrf_fuse_legs):
+    # both legs end in TakeOrderedAndProject (single partition), so the
+    # whole hybrid query is ONE physical plan with no post-leg shuffle
+    return rrf_fuse_legs([vec_leg, bm25_leg], limit=k)
 
 
 def small_to_big(

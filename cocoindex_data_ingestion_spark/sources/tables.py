@@ -42,6 +42,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# Resolved-DataFrame cache: spark.read.parquet pays file listing +
+# schema inference (footer reads) as driver jobs at DEFINITION time —
+# ~0.2 s per call on local[32]. The testdata tables are immutable, so
+# one resolved relation per (SparkContext, path) serves every query;
+# keyed by applicationId so a recreated session never reuses plans
+# bound to a dead context.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     """Load one table; Catalyst handles column pruning + filter pushdown.
 
@@ -65,6 +74,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
 
     ensure_session_confs(spark)
     sf_dir = sf_dir or DEFAULT_SF_DIR
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _TABLE_CACHE:
+        return _TABLE_CACHE[key]
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         dtype = dict(df.dtypes).get("ts")
@@ -72,6 +84,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
