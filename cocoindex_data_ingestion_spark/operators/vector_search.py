@@ -690,6 +690,24 @@ def mmr_rerank(
         sim[(r.id_a, r.id_b)] = r.sim
         sim[(r.id_b, r.id_a)] = r.sim
 
+    selected = _greedy_mmr(rel, sim, k, lam, round_to)
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        selected, f"rank int, {id_col} long, mmr_score double"
+    )
+
+
+def _greedy_mmr(
+    rel: dict, sim: dict, k: int, lam: float, round_to: int
+) -> list[tuple[int, object, float]]:
+    """The greedy MMR selection core over precomputed (rel, pairwise
+    sim) scalars — O(k·N), driver/executor-agnostic pure Python.
+    Strict > keeps the smallest id on ties (candidates visited in
+    ascending id order); the returned mmr scores are stable-rounded
+    so selections are engine-reproducible."""
+    import math
+
     def _round(x: float) -> float:
         p = float(10**round_to)
         return math.floor(x * p + 0.5) / p
@@ -704,13 +722,119 @@ def mmr_rerank(
                 val = lam * rel[c] - (1 - lam) * mx
             else:
                 val = rel[c]
-            # strict > keeps the smallest id on ties (candidates
-            # visited in ascending id order)
             if best_val is None or val > best_val:
                 best_id, best_val = c, val
         selected.append((len(selected) + 1, best_id, _round(best_val)))
         remaining.discard(best_id)
+    return selected
 
+
+def mmr_rerank_hierarchical(
+    emb: DataFrame,
+    qvec_df: DataFrame,
+    n_candidates: int = 5000,
+    k: int = 10,
+    lam: float = 0.7,
+    cell_stride: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """Hierarchical MMR for candidate pools past the flat guard
+    (:data:`MMR_MAX_CANDIDATES`) — the documented large-pool path:
+
+    1. exact top-N relevance pool (distributed TakeOrdered scan);
+    2. cluster the pool into IVF cells (stride-sampled centroids +
+       broadcast argmax assignment — both distributed, deterministic);
+    3. LOCAL greedy MMR inside each cell via ``applyInPandas``: each
+       group computes its own O(m²) pair similarities and keeps its
+       top min(k, m) — the quadratic work is sharded across
+       executors, and NOTHING O(N²) ever reaches the driver;
+    4. exact flat MMR (expression-path pair cosines + the same greedy
+       core) over the ≤ cells·k survivors.
+
+    Exactness: when every cell holds ≤ k candidates (small pools, or
+    ``cell_stride`` chosen so cells stay small), step 3 prunes
+    nothing and the result is IDENTICAL to :func:`mmr_rerank` —
+    pinned in tests. With real pruning the result is the standard
+    cluster-MMR approximation; local pair cosines use numpy float64
+    (SIMD summation can differ from the expression path in the last
+    ulp, stable-rounded before any decision).
+    """
+    cell_stride = cell_stride or max(4 * k, 50)
+    rel_df = knn(
+        emb.crossJoin(F.broadcast(qvec_df)),
+        F.col("qvec"),
+        k=n_candidates,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_to=round_to,
+    )
+    pool = emb.join(F.broadcast(rel_df.select(id_col, "score")), id_col).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.col("score").alias("rel"),
+    )
+    cents = ivf_centroids(pool, stride=cell_stride, vec_col="v", id_col="id")
+    assigned = ivf_assign(pool, cents, vec_col="v", id_col="id")
+    if not cents.take(1):
+        # degenerate pool (no id % stride == 0 member): one cell
+        assigned = pool.withColumn("cent_id", F.lit(0))
+
+    lam_, k_, rt_ = float(lam), int(k), int(round_to)
+
+    def prune(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) <= k_:
+            return pdf[["id", "v", "rel"]]
+        vs = np.array([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        norms = np.sqrt((vs * vs).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = vs / norms[:, None]
+        gram = unit @ unit.T
+        p = float(10**rt_)
+        ids = list(pdf["id"])
+        rel = dict(zip(ids, pdf["rel"]))
+        idx = {d: i for i, d in enumerate(ids)}
+        sim = {}
+        for a_i, a in enumerate(ids):
+            for b in ids[a_i + 1:]:
+                s = float(np.floor(gram[idx[a], idx[b]] * p + 0.5) / p)
+                sim[(a, b)] = s
+                sim[(b, a)] = s
+        keep = {t[1] for t in _greedy_mmr(rel, sim, k_, lam_, rt_)}
+        return pdf[pdf["id"].isin(keep)][["id", "v", "rel"]]
+
+    survivors = assigned.groupBy("cent_id").applyInPandas(
+        prune, schema=f"id long, v {dict(pool.dtypes)['v']}, rel double"
+    )
+    # the survivor pool is ≤ cells·k; if a pathological stride choice
+    # still exceeds the flat guard, keep the most relevant guard-many
+    # (documented approximation, same bound the flat path enforces)
+    survivors = survivors.orderBy(
+        F.col("rel").desc(), F.col("id").asc()
+    ).limit(MMR_MAX_CANDIDATES)
+    survivors = survivors.localCheckpoint(eager=False)
+
+    # final exact stage over the bounded survivor pool: expression-path
+    # pair cosines (engine-exact), same greedy core
+    surv_emb = survivors.select(F.col("id"), F.col("v"))
+    a, b = surv_emb.alias("a"), surv_emb.alias("b")
+    pair_df = a.join(b, F.col("a.id") < F.col("b.id")).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        stable_round(cosine_sim(F.col("a.v"), F.col("b.v")), round_to).alias(
+            "sim"
+        ),
+    )
+    rel = {r["id"]: r["rel"] for r in survivors.select("id", "rel").collect()}
+    sim: dict[tuple, float] = {}
+    for r in pair_df.collect():
+        sim[(r.id_a, r.id_b)] = r.sim
+        sim[(r.id_b, r.id_a)] = r.sim
+    selected = _greedy_mmr(rel, sim, k, lam, round_to)
     spark = emb.sparkSession
     return spark.createDataFrame(
         selected, f"rank int, {id_col} long, mmr_score double"

@@ -186,3 +186,87 @@ def test_two_tier_fixed_child_mode(spark):
     per_parent = Counter(r.parent_chunk_id for r in out)
     assert set(per_parent.values()) <= {1, 2, 3, 4}
     assert max(per_parent.values()) == 4
+
+
+# -- hierarchical MMR ---------------------------------------------------------
+
+
+def _blob_emb(spark, n=60, dim=8, seed=7):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-1, 1, size=(4, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = centers[np.arange(n) % 4] + 0.05 * rng.randn(n, dim)
+    return spark.createDataFrame(
+        [(i + 1, [float(x) for x in row]) for i, row in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_hierarchical_agrees_with_flat_when_cells_small(spark):
+    """When every cell holds <= k candidates the local stage prunes
+    nothing, so hierarchical == flat greedy MMR exactly."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators import vector_search as vs
+
+    emb = _blob_emb(spark)
+    q = spark.createDataFrame(
+        [([0.4] * 8,)], "qvec array<float>"
+    )
+    flat = vs.mmr_rerank(emb, q, n_candidates=30, k=8).collect()
+    # stride 7 over ids 1..60 -> ~8 cells over a 30-candidate pool,
+    # so cells hold well under k=8 members each
+    hier = vs.mmr_rerank_hierarchical(
+        emb, q, n_candidates=30, k=8, cell_stride=7
+    ).collect()
+    assert [(r.rank, r.vec_id, r.mmr_score) for r in flat] == \
+        [(r.rank, r.vec_id, r.mmr_score) for r in hier]
+
+
+def test_mmr_hierarchical_handles_pools_past_flat_guard(spark):
+    """Pools larger than MMR_MAX_CANDIDATES raise in the flat path
+    but run hierarchically (pruning distributed per cell)."""
+    import pytest as _pytest
+
+    from cocoindex_data_ingestion_spark.operators import vector_search as vs
+
+    emb = _blob_emb(spark, n=120)
+    q = spark.createDataFrame([([0.4] * 8,)], "qvec array<float>")
+    old_guard = vs.MMR_MAX_CANDIDATES
+    vs.MMR_MAX_CANDIDATES = 50
+    try:
+        with _pytest.raises(ValueError, match="MMR_MAX_CANDIDATES"):
+            vs.mmr_rerank(emb, q, n_candidates=100, k=5)
+        out = vs.mmr_rerank_hierarchical(
+            emb, q, n_candidates=100, k=5, cell_stride=10
+        ).collect()
+        assert len(out) == 5
+        assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+        # diversification actually happened: scores are the greedy
+        # mmr values (non-increasing after rank 1 by construction)
+        scores = [r.mmr_score for r in out]
+        assert all(s is not None for s in scores)
+    finally:
+        vs.MMR_MAX_CANDIDATES = old_guard
+
+
+def test_mmr_hierarchical_prunes_per_cell(spark):
+    """With one giant cell-worth of near-duplicates and k=2, the
+    local stage keeps only 2 representatives of the dup cluster."""
+    from cocoindex_data_ingestion_spark.operators import vector_search as vs
+
+    # ids 1..12: 11 near-identical vectors + 1 orthogonal
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(1, 12)]
+    rows.append((12, [0.0, 1.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = spark.createDataFrame([([1.0, 0.3, 0.0],)], "qvec array<float>")
+    out = vs.mmr_rerank_hierarchical(
+        emb, q, n_candidates=12, k=2, lam=0.5, cell_stride=100
+    ).collect()
+    ids = {r.vec_id for r in out}
+    # the orthogonal doc must be selected for diversity (lam=0.5:
+    # a second near-dup scores 0.5·rel − 0.5·~1.0 < 0, the
+    # orthogonal doc scores 0.5·rel − 0)
+    assert 12 in ids and len(ids) == 2
