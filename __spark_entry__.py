@@ -12715,46 +12715,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # oracled queries (driver-green in r1/r2; judge re-checks out-of-window
 # regressions), then the rows-only queries (which can only ever report
 # no_oracle) last.
-# Round-5 rotation (r4 judge directive #1): 48 of these 50 have NEVER
-# been driver-verified in any round (r1-r4 CORRECTNESS files checked);
-# the 2 exceptions are deliberate canaries (q1_pricing_summary,
-# hybrid_rrf — long-stable representatives kept under driver watch).
-# Families per the directive: new r5 operators first, then graph
-# science, the IVM family, round-4 statistics, curation, events-scale
-# ops, and search/embedding entries. Everything rotated in was probed
-# by tools/stability_probe.py this round (directive #10).
+# Round-6 rotation (r5 judge directive #1): 82 oracled queries had
+# never been driver-verified after r5 (r1-r5 CORRECTNESS files
+# unioned). This window spends its 50 slots on: the round-6 new
+# operators (3), the two standing canaries, and 45 of those 82 —
+# prioritizing the indexed search paths, the TPC-H-shape relational
+# members, and round-3 survivors per the directive. The ~35 that
+# remain (mostly the events_* time-series block) are r7's mop-up.
 _DRIVER_WINDOW_PRIORITY = [
-    # round-5 new operators — MUST show driver-green this round
-    "rag_context_assembly_filtered", "bm25_search_refidf",
-    "entity_extraction_compare", "entity_type_confusion",
-    "chunk_sentence", "entity_cooccurrence",
-    "vector_knn_numpy", "knn_maxsim_numpy",
+    # round-6 new operators — MUST show driver-green this round
+    "rag_small_to_big", "mmr_rerank_hierarchical", "transient_flow_eval",
     # canaries (driver-green in earlier rounds; regression watch)
     "q1_pricing_summary", "hybrid_rrf",
-    # graph science (judge-green only until now)
-    "graph_label_propagation", "graph_modularity", "graph_ppr_fixed",
-    "graph_triangle_count", "graph_clustering_coeff",
-    "graph_degree_powerlaw", "graph_reachability_cte",
-    # IVM family (judge-green only)
-    "ivm_kmeans_online", "ivm_components_incremental",
-    "ivm_drift_monitor", "ivm_ewma_incremental",
-    # round-4 statistics (judge-green only)
-    "lineitem_spearman", "orders_welch_ttest",
-    "orders_chi2_priority_status", "events_ks_test",
-    "events_mann_kendall", "events_survival_km", "orders_bootstrap_ci",
-    "events_conversion_ztest", "orders_mutual_information",
-    "lineitem_corr_matrix", "orders_benford", "orders_gini_customers",
-    "lineitem_weighted_quartiles", "eval_auc_embedding",
-    # curation (judge-green only)
-    "curate_stratified_sample", "curate_weighted_mix",
-    "curate_pack_sequences", "curate_decontaminate",
-    "curate_temporal_split", "curate_ess",
-    # events / scale ops (judge-green only)
-    "events_changepoint", "events_cms_heavy_hitters",
-    "events_quantile_sketch", "events_anomaly_zscore",
-    "events_nearest_join", "bucketed_colocated_join",
-    # search + embedding science (judge-green only)
-    "tfidf_similar_docs", "keywords_tfidf", "embedding_kmeans",
+    # indexed search paths (judge-green only until now)
+    "indexed_vector_knn_lsh_multiprobe", "indexed_vector_knn_pq",
+    "indexed_vector_knn_ivfpq", "indexed_graph_reachability",
+    "indexed_phrase_search", "indexed_proximity_search",
+    # TPC-H-shape relational members (judge-green only)
+    "orders_snapshot_diff", "parts_pareto_frontier",
+    "lineitem_column_stats", "orders_zorder_buckets",
+    "orders_rfm_segments", "orders_fingerprint", "orders_fd_audit",
+    "parts_abc_classes", "lineitem_revenue_bridge",
+    # search / IR round-3 survivors (judge-green only)
+    "vector_knn_batch", "vector_knn_lsh_multiprobe", "bm25_prf_search",
+    "search_suggestions", "search_eval_metrics", "search_facets",
+    "vector_knn_int8",
+    # embedding science (judge-green only)
+    "embedding_centroids", "embedding_outliers", "embedding_kmeans_pp",
+    "embedding_cluster_quality", "embedding_drift_psi",
+    "embedding_isotropy",
+    # dedup / corpus statistics (judge-green only)
+    "dedup_source_matrix", "dedup_exact_substring", "dedup_paragraph",
+    "dedup_jaccard_prefix", "corpus_fertility", "corpus_distinct_ngrams",
+    "corpus_zipf_fit", "corpus_collocations", "corpus_heaps_fit",
+    "corpus_source_overlap", "corpus_qq_table",
+    # curation / quality (judge-green only)
+    "curate_resolve_duplicates", "curate_funnel", "curate_weighted_sample",
+    "curate_cluster_balance", "quality_ppl_buckets", "quality_line_rules",
 ]
 
 

@@ -778,5 +778,148 @@ def main() -> None:
     print(f"wrote {out}")
 
 
+def probe_r6() -> None:
+    """Round-6 supplementary probe (r5 judge directive #6): the three
+    round-5 operators that had no SCALING evidence, at 1×/10×/50× —
+    appended as their own SCALING.md section so the (expensive) full
+    probe need not re-run:
+
+    - ``refidf`` — bm25_search_candidate_idf: the new term vs plain
+      BM25 is the candidate-id semi join against the doc-length
+      projection (everything else shares the single postings
+      shuffle). Expect ~bm25_adhoc scaling.
+    - ``extract_cmp`` — compare_extraction_runs: two gazetteer
+      extraction scans + one full-outer join on (doc, name, type) +
+      one per-doc aggregate, all co-partitioned. Expect ~linear.
+    - ``rag_filtered`` — the access-filtered hybrid context assembly:
+      one Catalyst predicate on derived metadata ahead of both legs.
+      Expect ~bm25+knn scaling.
+
+    Also verifies (PLANS.md row) that on a metadata-PARTITIONED
+    layout the access IN-lists land in PartitionFilters — directory
+    pruning, not a post-scan filter on a derived column.
+    """
+    import json
+
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        access_filter, derive_access_metadata,
+    )
+    from cocoindex_data_ingestion_spark.operators.fusion import rrf_fuse_legs
+
+    spark = get_spark("scaling_probe_r6")
+    base = tempfile.mkdtemp(prefix="scaling_r6_")
+    docs0 = load_table(spark, "documents", SF_DIR)
+    emb0 = load_table(spark, "embeddings", SF_DIR)
+    GAZ_CONF = 0.9
+
+    rows = []
+    for factor in FACTORS:
+        fdir = f"{base}/f{factor}"
+        scaled(docs0, "doc_id", factor, 1_000_000).write.parquet(f"{fdir}/docs")
+        scaled(emb0, "vec_id", factor, 1_000_000).write.parquet(f"{fdir}/emb")
+        docs = spark.read.parquet(f"{fdir}/docs")
+        emb = spark.read.parquet(f"{fdir}/emb")
+        n_docs = docs.count()
+        qdf = emb.filter("vec_id = 0").select(F.col("embedding").alias("qvec"))
+
+        t = {"factor": factor, "docs": n_docs}
+
+        t0 = time.time()
+        bm25.bm25_search_candidate_idf(docs, TERMS, k=10).collect()
+        t["refidf"] = round(time.time() - t0, 2)
+
+        import __spark_entry__ as entrymod
+
+        cdocs = docs.select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            F.col("doc_id").cast("string").alias("document_id"),
+            F.col("text").alias("chunk_text"),
+        )
+        run_a = ent.quality_filter(
+            ent.extract_mentions_gazetteer(cdocs, entrymod._GAZETTEER)
+        )
+        run_b = ent.quality_filter(
+            ent.extract_mentions_gazetteer(cdocs, entrymod._GAZETTEER_B)
+        ).withColumn("confidence", F.lit(GAZ_CONF))
+        t0 = time.time()
+        ent.compare_extraction_runs(run_a, run_b).count()
+        t["extract_cmp"] = round(time.time() - t0, 2)
+
+        pred = access_filter(("engineering", "legal"), ("public", "internal"))
+        fd = derive_access_metadata(docs).filter(pred)
+        fe = derive_access_metadata(emb, id_col="vec_id").filter(pred)
+        t0 = time.time()
+        ranked = hybrid.hybrid_search(
+            fd, fe.filter("vec_id <> 0").crossJoin(F.broadcast(qdf)),
+            F.col("qvec"), TERMS, k=5, leg_k=20,
+        )
+        ranked.join(docs, ranked.id == docs.doc_id).select(
+            "id", "rrf_score", F.substring("text", 1, 120)
+        ).collect()
+        t["rag_filtered"] = round(time.time() - t0, 2)
+
+        rows.append(t)
+        print(json.dumps(t))
+
+    # partition-pruning verification on a metadata-partitioned layout
+    part_dir = f"{base}/docs_by_meta"
+    derive_access_metadata(docs0).write.partitionBy(
+        "department", "security_level"
+    ).parquet(part_dir)
+    pdf = spark.read.parquet(part_dir).filter(
+        access_filter(("engineering", "legal"), ("public", "internal"))
+    )
+    plan = pdf._jdf.queryExecution().executedPlan().toString()
+    has_pruning = (
+        "PartitionFilters" in plan
+        and "department" in plan.split("PartitionFilters", 1)[1][:400]
+    )
+    print(json.dumps({"partition_pruning_on_stored_metadata": has_pruning}))
+
+    table = [
+        "",
+        "## Round-6 additions: r5 operators (1×/10×/50×, seconds)",
+        "",
+        "`refidf` = candidate-set-IDF BM25 (the new term is the",
+        "candidate semi join); `extract_cmp` = two-model extraction",
+        "comparison (two UDF scans + one co-partitioned full-outer on",
+        "(doc, name, type)); `rag_filtered` = access-filtered hybrid",
+        "context assembly (one Catalyst predicate ahead of both legs).",
+        "",
+        "| factor | docs | refidf | extract_cmp | rag_filtered |",
+        "|---|---|---|---|---|",
+    ]
+    for t in rows:
+        table.append(
+            f"| {t['factor']}× | {t['docs']:,} | {t['refidf']} "
+            f"| {t['extract_cmp']} | {t['rag_filtered']} |"
+        )
+    table.append("")
+    table.append(
+        "On a layout that stores the access metadata as partition "
+        "columns, the same IN-list predicate verifies as "
+        f"PartitionFilters (directory pruning): "
+        f"{'CONFIRMED' if has_pruning else 'NOT CONFIRMED'} "
+        "(this probe materializes docs partitioned by "
+        "(department, security_level) and inspects the executed plan)."
+    )
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    cur = open(out).read()
+    marker = "\n## Round-6 additions:"
+    if marker.replace("\n", "\n") in cur:
+        cur = cur[: cur.find("\n## Round-6 additions:")]
+    with open(out, "w") as f:
+        f.write(cur.rstrip("\n") + "\n" + "\n".join(table) + "\n")
+    shutil.rmtree(base, ignore_errors=True)
+    print(f"appended r6 section to {out}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--r6" in sys.argv:
+        probe_r6()
+    else:
+        main()
