@@ -4224,6 +4224,45 @@ ORDER BY r.rank
 """
 
 
+_TWO_TIER_CACHE: dict[str, str] = {}
+
+
+def _ensure_two_tier(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the two-tier chunk tables once per (process,
+    sf_dir) — chunking is an INGESTION step (the reference stores
+    chunks in its DB, two_tier_chunker.py); queries read the stored
+    tier tables, they never re-chunk the corpus. Same amortization
+    as _ensure_index."""
+    import tempfile
+
+    if sf_dir not in _TWO_TIER_CACHE:
+        docs = _t(spark, sf_dir, "documents")
+        path = tempfile.mkdtemp(prefix="spark_graft_two_tier_")
+        chunking.two_tier_pages(
+            docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP
+        ).write.mode("overwrite").parquet(f"{path}/pages")
+        chunking.two_tier_chunks(
+            docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP,
+            child_size=_S2B_CHILD, child_mode="fixed",
+        ).write.mode("overwrite").parquet(f"{path}/children")
+        # child-tier postings index: the production path tokenizes
+        # the children ONCE at ingestion; queries read token-pruned
+        # postings (same layout as the document index)
+        from cocoindex_data_ingestion_spark.operators.indexing import (
+            build_search_index, read_layout,
+        )
+
+        build_search_index(
+            read_layout(spark, f"{path}/children"),
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            f"{path}/index",
+            id_col="chunk_id",
+            text_col="chunk_text",
+        )
+        _TWO_TIER_CACHE[sf_dir] = path
+    return _TWO_TIER_CACHE[sf_dir]
+
+
 @_register("rag_small_to_big", _s2b_sql())
 def _q_rag_small_to_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-to-big retrieval over the two-tier chunk tables: BM25
@@ -4235,18 +4274,52 @@ def _q_rag_small_to_big(spark: SparkSession, sf_dir: str) -> DataFrame:
     Child tier uses child_mode='fixed' (120-char windows): on this
     punctuation-free corpus sentence packing degenerates to one
     whole-page child, which would make the pattern vacuous — fixed
-    children make it real AND closed-form oracle-able."""
-    docs = _t(spark, sf_dir, "documents")
-    pages = chunking.two_tier_pages(
-        docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP
-    )
-    children = chunking.two_tier_chunks(
-        docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP,
-        child_size=_S2B_CHILD, child_mode="fixed",
-    )
+    children make it real AND closed-form oracle-able.
+
+    The tier tables are materialized once (_ensure_two_tier — the
+    stored-chunks layout the reference keeps in its DB); the query
+    reads them, so the explode/md5 chunk derivation is never re-run
+    per query."""
+    from cocoindex_data_ingestion_spark.operators.indexing import read_layout
+
+    tt = _ensure_two_tier(spark, sf_dir)
+    pages = read_layout(spark, f"{tt}/pages")
+    children = read_layout(spark, f"{tt}/children")
     child_hits = bm25_ops.bm25_search(
         children, QUERY_TERMS, k=LEG_K, id_col="chunk_id",
         text_col="chunk_text",
+    )
+    out = hybrid.small_to_big(child_hits, children, pages, k=_S2B_K)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("parent_index").cast("long").alias("parent_index"),
+        "best_child_score",
+        F.col("n_child_hits").cast("long").alias("n_child_hits"),
+        F.concat(
+            F.lit("[doc:"), F.col("doc_id").cast("string"), F.lit(" p"),
+            F.col("parent_index").cast("string"), F.lit("] "),
+            F.substring("parent_text", 1, 120),
+        ).alias("citation"),
+    )
+
+
+@_register("rag_small_to_big_indexed", _s2b_sql())
+def _q_rag_small_to_big_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-path small-to-big: the child leg served from the
+    prebuilt child-tier postings index (one bucket-pruned read — the
+    corpus is never re-tokenized at query time), then the same
+    parent dedup + context assembly. Shares the ad-hoc oracle —
+    identical math (corpus-IDF over the child tier), same rounding."""
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        indexed_bm25, read_layout,
+    )
+
+    tt = _ensure_two_tier(spark, sf_dir)
+    pages = read_layout(spark, f"{tt}/pages")
+    children = read_layout(spark, f"{tt}/children")
+    child_hits = indexed_bm25(
+        spark, f"{tt}/index", QUERY_TERMS, k=LEG_K, id_col="chunk_id"
     )
     out = hybrid.small_to_big(child_hits, children, pages, k=_S2B_K)
     return out.select(
