@@ -4977,14 +4977,58 @@ def _q_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- two-tier chunker (two_tier_chunker.py:292-388; rows-only) ----------------
 
 
-@_register("chunk_two_tier", None)
+def _two_tier_sql() -> str:
+    # Corpus-conditional identity (the chunk_sentence move, r5): with
+    # no sentence punctuation in the corpus (asserted per SF in
+    # test_round5_ops + page-level in test_round6_ops), every page is
+    # ONE sentence, so the sentence-packed child tier is exactly one
+    # whole-page child per parent — closed-form SQL. The packing
+    # logic itself is exercised on punctuated fixtures in
+    # test_chunking.
+    toks = _bm25_toks_sql_over("parent_text")
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':page:' ||
+             CAST(start // {_S2B_STRIDE} AS VARCHAR)) AS parent_chunk_id,
+         CAST(start AS BIGINT) AS parent_start,
+         substr(text, CAST(start + 1 AS INTEGER), {_S2B_PAGE}) AS parent_text
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                      {_S2B_STRIDE})) AS start
+        FROM documents)
+)
+SELECT doc_id AS document_id,
+       parent_chunk_id,
+       'semantic' AS chunk_level,
+       0 AS chunk_index,
+       parent_start AS location_start,
+       parent_start + length(parent_text) AS location_end,
+       parent_text AS chunk_text,
+       md5(parent_chunk_id || ':0') AS chunk_id,
+       COALESCE(array_to_string({toks}, ' '), '') AS bm25_tokens_s,
+       len({toks}) AS chunk_size
+FROM pages
+WHERE length(trim(parent_text)) > 0
+"""
+
+
+@_register("chunk_two_tier", _two_tier_sql())
 def _q_chunk_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: child chunks inherit parent-page sentence packing
-    (two sequential UDF layers, two_tier_chunker.py:292-388) — no SQL
-    twin; parent/child offset containment pinned in test_chunking."""
+    """Two-tier chunking, sentence child tier (two sequential UDF
+    layers, two_tier_chunker.py:292-388). Oracled since r6 via the
+    corpus-conditional identity (see _two_tier_sql); real sentence
+    packing + parent/child offset containment pinned in
+    test_chunking."""
     docs = _t(spark, sf_dir, "documents")
-    return chunking.two_tier_chunks(docs, page_size=400, page_overlap=80,
-                                    child_size=150)
+    out = chunking.two_tier_chunks(
+        docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP, child_size=150
+    )
+    # the driver compare cannot canonicalize array cells — project
+    # the token array as its joined string (content-equivalent)
+    return out.withColumn(
+        "bm25_tokens_s", F.array_join("bm25_tokens", " ")
+    ).drop("bm25_tokens")
 
 
 # -- §2.8 window functions: lag/lead/first/ntile ------------------------------

@@ -270,3 +270,29 @@ def test_mmr_hierarchical_prunes_per_cell(spark):
     # a second near-dup scores 0.5·rel − 0.5·~1.0 < 0, the
     # orthogonal doc scores 0.5·rel − 0)
     assert 12 in ids and len(ids) == 2
+
+
+# -- chunk_two_tier oracle precondition ---------------------------------------
+
+
+def test_corpus_pages_never_whitespace_only():
+    """The chunk_two_tier oracle's identity drops whitespace-only
+    pages on the Spark side (sentence_chunks skips them) and filters
+    them in SQL — assert no page at the registered (400, 80) params
+    is whitespace-only-but-nonempty, at every SF the gates use."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        n = duckdb.sql(
+            f"""
+            SELECT count(*) FROM (
+              SELECT substr(text, CAST(s + 1 AS INTEGER), 400) AS pt
+              FROM (SELECT text,
+                           unnest(generate_series(0,
+                               greatest(length(text) - 1, 0), 320)) AS s
+                    FROM read_parquet('{p}'))
+            ) WHERE length(pt) > 0 AND length(trim(pt)) = 0
+            """
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} whitespace-only pages"
