@@ -7032,10 +7032,9 @@ def _q_indexed_vector_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_data_ingestion_spark.operators.indexing import indexed_knn_pq
 
     idx = _ensure_index(spark, sf_dir)
-    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
     return indexed_knn_pq(
-        spark, idx, q, k=KNN_K, candidates=_PQ_CAND, sub_d=_PQ_SUBD,
-        dist_round=_PQ_DIST_ROUND,
+        spark, idx, _qvec_vals(spark, sf_dir), k=KNN_K, candidates=_PQ_CAND,
+        sub_d=_PQ_SUBD, dist_round=_PQ_DIST_ROUND,
     )
 
 
@@ -7130,10 +7129,9 @@ def _q_indexed_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     idx = _ensure_index(spark, sf_dir)
-    q = _qvec_df(_t(spark, sf_dir, "embeddings"))
     return indexed_knn_ivfpq(
-        spark, idx, q, k=KNN_K, nprobe=_IVF_NPROBE, candidates=_IVFPQ_CAND,
-        sub_d=_PQ_SUBD, dist_round=_PQ_DIST_ROUND,
+        spark, idx, _qvec_vals(spark, sf_dir), k=KNN_K, nprobe=_IVF_NPROBE,
+        candidates=_IVFPQ_CAND, sub_d=_PQ_SUBD, dist_round=_PQ_DIST_ROUND,
     )
 
 

@@ -111,6 +111,17 @@ def _resolve_qvec(query_vec) -> list:
     return [float(x) for x in query_vec.select("qvec").first()["qvec"]]
 
 
+def _qvec_df_of(spark: SparkSession, query_vec) -> DataFrame:
+    """One-row ``qvec`` DataFrame: passthrough for a DataFrame, a
+    LocalRelation for a plain list (no parquet scan, no resolve
+    job — the warm-service path)."""
+    if isinstance(query_vec, (list, tuple)):
+        return spark.createDataFrame(
+            [([float(x) for x in query_vec],)], "qvec array<float>"
+        )
+    return query_vec
+
+
 def _qvec_literal(vals: list) -> Column:
     """array<double> literal built in ONE expression parse — the
     per-element ``F.array(*[F.lit(x)...])`` form costs a py4j round
@@ -659,6 +670,7 @@ def indexed_knn_pq(
     from cocoindex_data_ingestion_spark.operators.vector_search import l2_sq
     from cocoindex_data_ingestion_spark.operators.vector_search import knn
 
+    query_vec_df = _qvec_df_of(spark, query_vec_df)
     cb = read_layout(spark, f"{index_dir}/pq_codebook")
     codes = read_layout(spark, f"{index_dir}/pq_codes")
     qsub = query_vec_df.select(F.col("qvec").cast("array<double>").alias("qv"))
@@ -726,6 +738,7 @@ def indexed_knn_ivfpq(
     from cocoindex_data_ingestion_spark.functions.compare import stable_sum
     from cocoindex_data_ingestion_spark.operators.vector_search import l2_sq
 
+    query_vec_df = _qvec_df_of(spark, query_vec_df)
     qvec_vals, probe_ids = _rank_probe_cells(
         spark, index_dir, query_vec_df, nprobe
     )
