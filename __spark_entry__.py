@@ -614,7 +614,7 @@ def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KNN_K,
         leg_k=LEG_K,
         index_dir=_ensure_index(spark, sf_dir),
-        query_vec_df=q,
+        query_vec_df=_qvec_vals(spark, sf_dir),
     )
 
 

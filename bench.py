@@ -232,6 +232,7 @@ HEADLINE = [
     "knn_maxsim_numpy",
     # round-6 additions
     "rag_small_to_big",
+    "rag_small_to_big_indexed",
     "mmr_rerank_hierarchical",
 ]
 
@@ -310,7 +311,8 @@ SMALL_RESULT = {
     "bm25_search_refidf", "rag_context_assembly_filtered",
     "entity_extraction_compare", "entity_type_confusion",
     "entity_cooccurrence", "vector_knn_numpy", "knn_maxsim_numpy",
-    "rag_small_to_big", "mmr_rerank_hierarchical",
+    "rag_small_to_big", "rag_small_to_big_indexed",
+    "mmr_rerank_hierarchical",
 }
 
 
