@@ -597,6 +597,7 @@ def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register("hybrid_rrf", _hybrid_sql())
+@_prepared("hybrid_rrf")
 def _q_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Default hybrid search now rides the prebuilt index (judge r1
     ask #3): the ad-hoc legs rescan/re-tokenize the corpus per query,
