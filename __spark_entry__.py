@@ -4495,10 +4495,50 @@ def _q_entity_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("entity_mentions", None)
+def _entity_mentions_sql() -> str:
+    # Offsets in closed form: DuckDB has no all-match-positions
+    # primitive, but the corpus is strictly lowercase [a-z ] words
+    # joined by SINGLE spaces (asserted in test_round6_ops), so every
+    # word-boundary gazetteer match is a whole token and its verbatim
+    # start offset is the prefix sum of (len+1) over preceding tokens.
+    cases = " ".join(
+        f"WHEN '{t}' THEN '{ty}'" for t, ty in _GAZETTEER.items()
+    )
+    inlist = "(" + ", ".join(f"'{t}'" for t in _GAZETTEER) + ")"
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, token, i,
+         CAST(COALESCE(sum(length(token) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks
+)
+SELECT CAST(doc_id AS VARCHAR) AS chunk_id,
+       CAST(doc_id AS VARCHAR) AS document_id,
+       token AS text,
+       CASE token {cases} END AS type,
+       start_offset,
+       start_offset + length(token) AS end_offset,
+       1.0 AS confidence
+FROM offs
+WHERE token IN {inlist}
+"""
+
+
+@_register("entity_mentions", _entity_mentions_sql())
 def _q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Raw mentions with verbatim [start, end) offsets (rows-only:
-    DuckDB has no all-match-positions primitive)."""
+    """Raw mentions with verbatim [start, end) offsets. Oracled since
+    r6: on this single-space lowercase-word corpus, word-boundary
+    matching is token equality and offsets are token prefix sums
+    (_entity_mentions_sql); the regex/realign machinery itself is
+    pinned on adversarial fixtures in test_operators/test_entity_norm."""
     from cocoindex_data_ingestion_spark.operators import entities as ent
 
     docs = _t(spark, sf_dir, "documents").select(
@@ -4506,7 +4546,13 @@ def _q_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("document_id"),
         F.col("text").alias("chunk_text"),
     )
-    return ent.quality_filter(ent.extract_mentions_gazetteer(docs, _GAZETTEER))
+    out = ent.quality_filter(ent.extract_mentions_gazetteer(docs, _GAZETTEER))
+    return out.select(
+        "chunk_id", "document_id", "text", "type",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.col("end_offset").cast("long").alias("end_offset"),
+        "confidence",
+    )
 
 
 def _entity_cooc_sql() -> str:

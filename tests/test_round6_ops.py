@@ -296,3 +296,22 @@ def test_corpus_pages_never_whitespace_only():
             """
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} whitespace-only pages"
+
+
+# -- entity_mentions oracle precondition --------------------------------------
+
+
+def test_corpus_is_single_spaced_lowercase_words():
+    """The entity_mentions oracle reconstructs match offsets as token
+    prefix sums, which is exact iff the text is lowercase [a-z ]
+    words joined by single spaces — assert at every SF."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{p}') "
+            "WHERE regexp_matches(text, '[^a-z ]') OR text LIKE '%  %' "
+            "   OR text LIKE ' %' OR text LIKE '% '"
+        ).fetchone()[0]
+        assert n == 0, f"sf{sf}: {n} docs break the offset identity"
