@@ -5497,13 +5497,83 @@ def _q_docmeta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("tags", F.array_join("tags", "|"))
 
 
-@_register("canonical_entity_descriptions", None)
+def _canonical_desc_sql() -> str:
+    # Fully SQL-expressible since r6: mentions come from the
+    # entity_mentions offset identity; evidence prep (clean →
+    # format → dedup → sort → cap 6) and the deterministic describe
+    # template are plain string/list ops. NOTE DuckDB regexp_replace
+    # needs the 'g' flag to match Spark's replace-all.
+    cases = " ".join(
+        f"WHEN '{t}' THEN '{ty}'" for t, ty in _GAZETTEER.items()
+    )
+    inlist = "(" + ", ".join(f"'{t}'" for t in _GAZETTEER) + ")"
+    clean = "trim(regexp_replace({c}, '\\s+', ' ', 'g'))"
+    c220 = (
+        "CASE WHEN length(" + clean.format(c="{c}") + ") > 220 "
+        "THEN rtrim(substr(" + clean.format(c="{c}") + ", 1, 217)) || '...' "
+        "ELSE " + clean.format(c="{c}") + " END"
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS token,
+         unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, token, i,
+         CAST(COALESCE(sum(length(token) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks
+),
+mentions AS (
+  SELECT doc_id, token AS text, CASE token {cases} END AS type, start_offset
+  FROM offs WHERE token IN {inlist}
+),
+ctx AS (
+  SELECT m.text, m.type,
+         substr(d.text, CAST(greatest(m.start_offset - 59, 1) AS INTEGER),
+                120) AS context
+  FROM mentions m JOIN documents d USING (doc_id)
+),
+snip AS (
+  SELECT lower(trim(text)) AS name, type,
+         'Mention: ' || {clean.format(c="text")} ||
+         CASE WHEN length({c220.format(c="context")}) > 0
+              THEN ' | Context: ' || {c220.format(c="context")}
+              ELSE '' END AS snippet
+  FROM ctx
+),
+g AS (
+  SELECT name, type,
+         (list_sort(list_distinct(list(snippet))))[1:6] AS evidence
+  FROM snip GROUP BY 1, 2
+),
+d AS (
+  SELECT md5(name || chr(0) || type) AS entity_id, name, type,
+         CAST(len(evidence) AS INTEGER) AS n_evidence,
+         name || ' (' || type || '): ' || evidence[1] AS raw
+  FROM g
+)
+SELECT entity_id, name, type, n_evidence,
+       CASE WHEN length(raw) > 280
+            THEN rtrim(substr(raw, 1, 277)) || '...'
+            ELSE raw END AS description
+FROM d
+"""
+
+
+@_register("canonical_entity_descriptions", _canonical_desc_sql())
 def _q_canonical_desc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical entity descriptions from mention evidence
     (canonical_description_service.py): deterministic evidence prep
     (format → dedup → sort → cap at 6) + the pluggable describe hook
-    with its deterministic double. Rows-only: the per-entity evidence
-    aggregation is list-valued."""
+    with its deterministic double. Oracled since r6: the list-valued
+    evidence aggregation never leaves the plan — the SQL twin
+    reproduces clean/format/dedup/sort/cap and the describe template
+    in closed form (_canonical_desc_sql)."""
     from cocoindex_data_ingestion_spark.operators import entities as ent
     from cocoindex_data_ingestion_spark.operators.docmeta import (
         canonical_descriptions,
