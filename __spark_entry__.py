@@ -3382,11 +3382,28 @@ def _q_maxsim_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- semantic chunker (rows-only; boundary rule over hash embeddings) ---------
 
 
-@_register("chunk_semantic", None)
+_CHUNK_SEMANTIC_SQL = """
+SELECT doc_id,
+       0 AS chunk_index,
+       CAST(0 AS BIGINT) AS location_start,
+       CAST(length(text) AS BIGINT) AS location_end,
+       text AS chunk_text,
+       1 AS n_sentences
+FROM documents
+WHERE length(trim(text)) > 0
+"""
+
+
+@_register("chunk_semantic", _CHUNK_SEMANTIC_SQL)
 def _q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: boundary decisions depend on float cosine between
-    hash embeddings of adjacent windows — per-doc sequential UDF
-    state with no SQL twin; pinned in tests/test_chunking.py."""
+    """Semantic chunking (cosine-boundary grouping over sentence
+    embeddings). Oracled since r6 via the corpus-conditional identity
+    (the chunk_sentence move): with no sentence punctuation every doc
+    is ONE sentence, so there are no adjacent-sentence cosines to
+    threshold and the output is exactly one whole-doc chunk with
+    n_sentences=1 (precondition asserted per SF in test_round5_ops).
+    The boundary/merge logic itself is pinned on punctuated fixtures
+    in tests/test_chunking.py."""
     return chunking.semantic_chunks(_t(spark, sf_dir, "documents"))
 
 
