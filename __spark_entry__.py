@@ -7553,15 +7553,131 @@ def _q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("bpe_train_merges", None)
+def _bpe_rounds_sql(n_merges: int = 20, min_pair: int = 2,
+                    reps: int = 8) -> str:
+    """Shared unrolled BPE training rounds (the MMR-unroll move):
+    merge rounds are a query constant, so each round is one CTE
+    triple — pair counts from the vocab, deterministic argmax
+    (count desc, pair asc), merge application. Spark applies merges
+    with a zero-width-boundary regex (RE2-less DuckDB can't), so the
+    twin pads symbols with spaces and nests plain ``replace``
+    ``reps`` times — the fixpoint for adjacent occurrences, reached
+    within ceil(maxlen/2) passes (corpus max token length 9 symbols
+    incl. </w>; headroom asserted in test_round6_ops). The early
+    stop (best pair < min_pair_count) becomes a WHERE on the argmax:
+    an empty m{i} empties later rounds' vocab, ending the merge list
+    — same semantics as the driver loop."""
+    parts = ["""wf AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents)
+  GROUP BY 1
+),
+v0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '
+           AS syms, cnt
+  FROM wf
+)"""]
+
+    def rep_expr() -> str:
+        e = "v.syms"
+        for _ in range(reps):
+            e = ("replace(" + e + ", ' ' || m.pr || ' ', "
+                 "' ' || replace(m.pr, ' ', '') || ' ')")
+        return e
+
+    for i in range(1, n_merges + 1):
+        parts.append(f"""p{i} AS MATERIALIZED (
+  SELECT pr, sum(cnt) AS n FROM (
+    SELECT unnest(list_transform(range(1, len(parts)),
+                  j -> parts[j] || ' ' || parts[j+1])) AS pr, cnt
+    FROM (SELECT string_split(trim(syms), ' ') AS parts, cnt FROM v{i - 1})
+    WHERE len(parts) >= 2
+  ) GROUP BY 1
+),
+m{i} AS MATERIALIZED (
+  SELECT pr, n FROM p{i} WHERE n >= {min_pair}
+  ORDER BY n DESC, pr ASC LIMIT 1
+),
+v{i} AS MATERIALIZED (
+  SELECT {rep_expr()} AS syms, v.cnt FROM v{i - 1} v, m{i} m
+)""")
+    return ",\n".join(parts)
+
+
+def _bpe_train_sql(n_merges: int = 20) -> str:
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST({i} AS BIGINT) AS rank, "
+        f"split_part(pr, ' ', 1) AS left, "
+        f"substr(pr, length(split_part(pr, ' ', 1)) + 2) AS right, "
+        f"replace(pr, ' ', '') AS merged, "
+        f"CAST(n AS BIGINT) AS pair_count FROM m{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return ("WITH " + _bpe_rounds_sql(n_merges)
+            + "\nSELECT * FROM (\n" + union + "\n) ORDER BY rank")
+
+
+def _bpe_fertility_sql(n_merges: int = 20, reps: int = 8) -> str:
+    # encode the distinct (lang, word) table under the learned
+    # merges: ONE CTE STAGE PER MERGE (DuckDB caps expression-tree
+    # recursion at 128, so the 20x8 nested replaces cannot be a
+    # single expression); each round's pattern comes from mm{i} (an
+    # aggregate of m{i}, so an early-stopped round degrades to a
+    # never-matching chr(1) sentinel instead of emptying the join),
+    # then fertility aggregates per lang — the Spark shape verbatim.
+    mms = ",\n".join(
+        f"mm{i} AS (SELECT coalesce(max(pr), chr(1)) AS pr FROM m{i})"
+        for i in range(1, n_merges + 1)
+    )
+    stages = ["""e0 AS MATERIALIZED (
+  SELECT lang, word, c,
+         ' ' || array_to_string(string_split(word, ''), ' ') || ' </w> '
+           AS syms
+  FROM (SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT lang,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS word
+              FROM documents)
+        GROUP BY 1, 2)
+)"""]
+    for i in range(1, n_merges + 1):
+        e = "e.syms"
+        for _ in range(reps):
+            e = (f"replace({e}, ' ' || mm{i}.pr || ' ', "
+                 f"' ' || replace(mm{i}.pr, ' ', '') || ' ')")
+        stages.append(f"""e{i} AS MATERIALIZED (
+  SELECT e.lang, e.word, e.c, {e} AS syms FROM e{i - 1} e, mm{i}
+)""")
+    return f"""
+WITH {_bpe_rounds_sql(n_merges)},
+{mms},
+{",".join(stages)},
+enc AS (
+  SELECT lang, word, c,
+         CAST(len(string_split(trim(syms), ' ')) AS BIGINT) AS n_tokens
+  FROM e{n_merges}
+)
+SELECT lang,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens * c) AS BIGINT) AS n_tokens,
+       {_R("sum(n_tokens * c) / CAST(sum(c) AS DOUBLE)", 4)} AS tokens_per_word,
+       {_R("sum(length(word) * c) / CAST(sum(n_tokens * c) AS DOUBLE)", 4)} AS chars_per_token
+FROM enc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@_register("bpe_train_merges", _bpe_train_sql())
 def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer TRAINING (Sennrich ACL'16): one
     corpus pass to the word-frequency table, then merge rounds that
     touch only the vocabulary table (pair counts = bounded shuffle;
     merge applied via codegen regexp_replace; driver state = the
-    merge list). Rows-only: iterative with a data-dependent stop —
-    pinned against a pure-Python reference BPE in
-    test_round4_ops.py (tokenizer.bpe_merges_df)."""
+    merge list). Oracled since r6 via the unrolled merge rounds
+    (_bpe_train_sql); also pinned against a pure-Python reference
+    BPE in test_round4_ops.py (tokenizer.bpe_merges_df)."""
     from cocoindex_data_ingestion_spark.operators import tokenizer
 
     return tokenizer.bpe_merges_df(
@@ -7569,16 +7685,18 @@ def _q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("bpe_learned_fertility", None)
+@_register("bpe_learned_fertility", _bpe_fertility_sql())
 def _q_bpe_learned_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full tokenizer lifecycle — train → encode → evaluate:
     fertility (tokens/word, chars/token) per language under the
     merges LEARNED from this corpus, not the regex approximation.
     The 20-merge sequence compiles into one chained codegen
     regexp_replace evaluated over the distinct (lang, word) table
-    only; the corpus pays a wordcount. Rows-only (depends on the
-    iterative trainer); encode pinned against the reference BPE in
-    tests (tokenizer.learned_fertility)."""
+    only; the corpus pays a wordcount. Oracled since r6: the trainer
+    rounds unroll (_bpe_rounds_sql) and the encode is the same
+    nested-replace fixpoint over the (lang, word) table; encode also
+    pinned against the reference BPE in tests
+    (tokenizer.learned_fertility)."""
     from cocoindex_data_ingestion_spark.operators import tokenizer
 
     docs = _t(spark, sf_dir, "documents")

@@ -315,3 +315,25 @@ def test_corpus_is_single_spaced_lowercase_words():
             "   OR text LIKE ' %' OR text LIKE '% '"
         ).fetchone()[0]
         assert n == 0, f"sf{sf}: {n} docs break the offset identity"
+
+
+# -- BPE oracle precondition ---------------------------------------------------
+
+
+def test_bpe_replace_fixpoint_headroom():
+    """The BPE oracle emulates Spark's zero-width-boundary merge
+    regex by nesting plain replace() 8 times; that reaches the
+    fixpoint iff no word has more than 8 adjacent occurrences of a
+    pair, guaranteed while max token length stays <= 17 chars
+    (ceil((17+1)/2) = 9 symbols incl. </w> -> <= 8 adjacent pairs).
+    Assert the corpus keeps that headroom at every SF."""
+    import duckdb
+
+    for sf in ("0.001", "0.01", "0.1"):
+        p = f"/root/testdata/sf{sf}/documents.parquet"
+        mx = duckdb.sql(
+            f"SELECT max(length(w)) FROM (SELECT "
+            f"unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w "
+            f"FROM read_parquet('{p}'))"
+        ).fetchone()[0]
+        assert mx <= 17, f"sf{sf}: max token length {mx} exceeds headroom"
