@@ -337,3 +337,55 @@ def test_bpe_replace_fixpoint_headroom():
             f"FROM read_parquet('{p}'))"
         ).fetchone()[0]
         assert mx <= 17, f"sf{sf}: max token length {mx} exceeds headroom"
+
+
+# -- fused hybrid tail plan shape ---------------------------------------------
+
+
+def test_rrf_fuse_legs_plans_exchange_free_tail(spark):
+    """The fusion tail (rank -> union -> coalesce(1) -> groupBy ->
+    top-k) must plan with NO exchange after the legs: per-leg
+    row_number windows sit BELOW the union (single-partition
+    TakeOrderedAndProject output satisfies them) and the groupBy runs
+    on the coalesced single partition."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.fusion import rrf_fuse_legs
+
+    emb = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(1, 200)], "id long, x double"
+    )
+    legA = (emb.select(F.lit("a").alias("source"), "id",
+                       F.col("x").alias("score"))
+            .orderBy(F.desc("score"), F.asc("id")).limit(10))
+    legB = (emb.select(F.lit("b").alias("source"), "id",
+                       (F.col("x") * 0.5).alias("score"))
+            .orderBy(F.desc("score"), F.asc("id")).limit(10))
+    out = rrf_fuse_legs([legA, legB], limit=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Coalesce 1" in plan
+    # no Exchange anywhere: the legs here are plain in-memory scans +
+    # TakeOrderedAndProject, so ANY exchange would be the fusion tail
+    # regressing to a shuffle
+    assert "Exchange" not in plan, plan
+    rows = out.collect()
+    assert len(rows) == 5
+
+
+# -- layout reader cache invalidation -----------------------------------------
+
+
+def test_read_layout_invalidated_by_rebuild(spark, tmp_path):
+    """A rebuilt layout must never be served from a stale cached file
+    listing: build writes invalidate their index_dir prefix."""
+    from cocoindex_data_ingestion_spark.operators import indexing
+
+    p = str(tmp_path / "lay")
+    spark.createDataFrame([(1,)], "a long").write.parquet(p)
+    assert indexing.read_layout(spark, p).count() == 1
+    # overwrite with more rows, then invalidate (as build_* do)
+    spark.createDataFrame([(1,), (2,)], "a long").write.mode(
+        "overwrite"
+    ).parquet(p)
+    indexing.invalidate_layout(str(tmp_path))
+    assert indexing.read_layout(spark, p).count() == 2
