@@ -11265,17 +11265,38 @@ def _cf_weights(spark: SparkSession, sf_dir: str):
     )
 
 
+_CF_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _ensure_cf(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared CF leg: (interaction weights, item-item similarities),
+    computed once per (SparkContext, sf_dir) and eagerly
+    checkpointed — the _ensure_lpa pattern. recs_item_similarity and
+    recs_user_topk both consume THE SAME pair-generation pass (the
+    genuinely expensive stage), so it runs once instead of once per
+    registered query. Keyed by applicationId so a recreated session
+    never serves checkpoints bound to a dead context."""
+    from cocoindex_data_ingestion_spark.operators import recommend
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _CF_CACHE:
+        w = _cf_weights(spark, sf_dir).localCheckpoint(eager=True)
+        sims = recommend.item_item_cosine(
+            w, min_co_users=_CF_MIN_CO
+        ).localCheckpoint(eager=True)
+        _CF_CACHE[key] = (w, sims)
+    return _CF_CACHE[key]
+
+
 @_register("recs_item_similarity", _CF_SIMS_SQL)
 def _q_recs_item_sims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-to-item CF similarities (Linden 2003) over customer
     purchase vectors (recommend.item_item_cosine): per-user top-M
     capped integer weights, map-side pair generation from sorted
     baskets (the basket_part_pairs idiom), exact integer dots/norms,
-    one division at the end. Top-50 most similar part pairs."""
-    from cocoindex_data_ingestion_spark.operators import recommend
-
-    w = _cf_weights(spark, sf_dir)
-    sims = recommend.item_item_cosine(w, min_co_users=_CF_MIN_CO)
+    one division at the end. Top-50 most similar part pairs.
+    Pair generation shared with recs_user_topk (_ensure_cf)."""
+    _w, sims = _ensure_cf(spark, sf_dir)
     return sims.orderBy(
         F.desc("cosine"), F.asc("item_a"), F.asc("item_b")
     ).limit(50)
@@ -11290,8 +11311,7 @@ def _q_recs_user_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stable_sum discipline, owned items anti-joined out."""
     from cocoindex_data_ingestion_spark.operators import recommend
 
-    w = _cf_weights(spark, sf_dir)
-    sims = recommend.item_item_cosine(w, min_co_users=_CF_MIN_CO)
+    w, sims = _ensure_cf(spark, sf_dir)
     return recommend.recommend_items(w, sims, _CF_USER, k=_CF_K)
 
 
