@@ -116,13 +116,14 @@ def small_to_big(
     the leg's children collapsed into each parent.
 
     Scale shape: child_hits is already top-k bounded, so the dedup
-    windows run over ≤ leg_k rows. The only corpus-sized input is
-    ``parents``, joined LAST with the k-row ranked frame broadcast —
-    at 100 TB the parent fetch is a broadcast-hash-join lookup, never
-    a shuffle of the parent tier."""
+    windows run over ≤ leg_k rows. Both corpus-sized inputs are
+    probed with the small side explicitly broadcast: the child→parent
+    mapping join broadcasts the leg_k-row ``child_hits`` (hinted, not
+    AQE-dependent), and the final ``parents`` fetch broadcasts the
+    k-row ranked frame — at 100 TB neither tier is ever shuffled."""
     from pyspark.sql import Window
 
-    hits = child_hits.join(
+    hits = F.broadcast(child_hits).join(
         children.select(child_id_col, parent_col), child_id_col
     )
     w_parent = Window.partitionBy(parent_col).orderBy(
