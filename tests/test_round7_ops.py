@@ -25,6 +25,71 @@ def spark():
     yield s
 
 
+def test_punct_corpus_preconditions():
+    """The punctuated micro-corpus must satisfy the invariants under
+    which the Python regex (?<=[.!?])\\s+ and the oracle's
+    replace-split agree: every whitespace char is a single space, no
+    space runs, no apostrophes (SQL literal safety), no leading or
+    trailing whitespace."""
+    import re
+
+    from __spark_entry__ import _PUNCT_CORPUS
+
+    for _d, text in _PUNCT_CORPUS:
+        assert "'" not in text
+        assert not re.search(r"[^\S ]", text), "only plain spaces allowed"
+        assert "  " not in text, "no multi-space runs"
+        assert text == text.strip()
+
+
+def test_punct_oracle_is_non_degenerate(spark):
+    """The whole point of the punct fixtures (r6 directive #2): the
+    cross-engine check must exercise REAL packing — multi-chunk docs,
+    multi-sentence chunks, and the 1-sentence overlap carry — not the
+    one-chunk-per-doc identity the sf corpus degenerates to."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod._q_chunk_sentence_punct(spark, "").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # multiple docs emit >1 chunk
+    multi = [d for d, rs in by_doc.items() if len(rs) > 1]
+    assert len(multi) >= 3, by_doc.keys()
+    # chunks overlap: within a doc, next chunk starts BEFORE previous
+    # ends (the shared overlap sentence)
+    overlaps = 0
+    for d in multi:
+        rs = sorted(by_doc[d], key=lambda r: r.chunk_index)
+        for a, b in zip(rs, rs[1:]):
+            assert b.location_start < a.location_end, (d, a, b)
+            overlaps += 1
+    assert overlaps >= 5
+    # at least one chunk holds >1 sentence (contains a terminator
+    # followed by a space INSIDE the chunk text)
+    import re
+
+    assert any(re.search(r"[.!?] ", r.chunk_text) for r in rows)
+    # the oversized single sentence (doc 3) stays whole
+    doc3 = sorted(by_doc[3], key=lambda r: r.chunk_index)
+    assert any(len(r.chunk_text) > 48 for r in doc3)
+
+    # two-tier: several pages emit >1 child
+    tt = entrymod._q_chunk_two_tier_punct(spark, "").collect()
+    per_page: dict = {}
+    for r in tt:
+        per_page.setdefault(r.parent_chunk_id, []).append(r)
+    assert sum(1 for rs in per_page.values() if len(rs) > 1) >= 4
+    # children re-base to document coordinates: every child text is a
+    # literal slice of its original document
+    docs = dict(entrymod._PUNCT_CORPUS)
+    for r in tt:
+        assert (
+            docs[r.document_id][r.location_start:r.location_end]
+            == r.chunk_text
+        ), r
+
+
 def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     """With auto-broadcast disabled and AQE off, both small_to_big
     joins must STILL plan as BroadcastHashJoin — proving the explicit
