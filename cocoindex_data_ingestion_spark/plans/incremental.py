@@ -297,13 +297,79 @@ class BucketedParquetState:
         if not touched:
             return []
 
-        for _attempt in range(max_retries):
-            snapshot = self._manifest()
+        def build_out():
             cur = self.read(touched)
             survivors = cur.join(changed_keys.distinct(), key, "left_anti")
-            out = survivors.unionByName(
+            return survivors.unionByName(
                 upserts.select(*cur.columns), allowMissingColumns=True
-            ).withColumn("_bucket", self._bucket_of(F.col(key)))
+            )
+
+        return self._occ_write(touched, build_out, max_retries, op="merge")
+
+    def fold_merge(
+        self,
+        delta: DataFrame,
+        fold,
+        keep: F.Column,
+        max_retries: int = 10,
+    ) -> list[int]:
+        """MERGE with computed updates in ONE state pass per attempt.
+
+        :meth:`merge` needs its caller to pre-join current state with
+        the delta to compute the new rows, so an IVM refresh pays two
+        bucket-pruned state reads per batch (the caller's join + the
+        survivor rewrite). This variant moves the fold INTO the
+        rewrite — the same idea as a RocksDB merge operator or Delta
+        MERGE's matched clauses: per attempt the touched buckets are
+        read ONCE, full_outer-joined with ``delta`` (aliases ``c`` =
+        current row, ``d`` = delta row), ``fold(joined)`` projects the
+        new full state rows (must include ``key_col``), and the
+        ``keep`` Column decides which folded rows are written (keys
+        folding to not-keep disappear by not being rewritten —
+        deletes). Current rows whose key has no delta row flow
+        through the fold with ``d``-side nulls, so the fold's
+        arithmetic must be identity on them (coalesce-to-zero deltas
+        do this naturally).
+
+        ``delta`` must be small and pre-materialized
+        (``localCheckpoint``): it is evaluated once for the touched-
+        bucket set and once per attempt for the join. Measured on the
+        streaming IVM bench: one state read+listing per batch instead
+        of two (profile in SCALING.md `foreach_batch_ivm floor`)."""
+        key = self.key_col
+        touched = sorted(
+            r["b"]
+            for r in delta.select(
+                self._bucket_of(F.col(key)).alias("b")
+            ).distinct().collect()
+        )
+        if not touched:
+            return []
+
+        def build_out():
+            cur = self.read(touched)
+            joined = cur.alias("c").join(
+                F.broadcast(delta.alias("d")), key, "full_outer"
+            )
+            return fold(joined).filter(keep)
+
+        return self._occ_write(touched, build_out, max_retries,
+                               op="fold_merge")
+
+    def _occ_write(
+        self, touched: list[int], build_out, max_retries: int, op: str
+    ) -> list[int]:
+        """Shared OCC write/commit loop: write ``build_out()`` (full
+        replacement rows for the touched buckets) into a fresh
+        generation, then CAS the manifest — rebase on disjoint-bucket
+        winners, recompute on overlap."""
+        import uuid
+
+        for _attempt in range(max_retries):
+            snapshot = self._manifest()
+            out = build_out().withColumn(
+                "_bucket", self._bucket_of(F.col(self.key_col))
+            )
 
             gen = f"gen_{snapshot['seq'] + 1}_{uuid.uuid4().hex[:8]}"
             gen_dir = os.path.join(self.path, gen)
@@ -344,7 +410,7 @@ class BucketedParquetState:
                 # winner touched only other buckets: rebase and re-CAS
                 base = latest
         raise RuntimeError(
-            f"BucketedParquetState.merge: lost the commit race {max_retries}"
+            f"BucketedParquetState.{op}: lost the commit race {max_retries}"
             f" times on overlapping buckets {touched} — giving up"
         )
 

@@ -124,9 +124,18 @@ class MaterializedAgg:
             F.sum("n").cast("bigint").alias("n"),
             *[F.sum(a).cast("double").alias(a) for a in sum_aliases],
         )
+        # Materialize the aggregated delta ONCE (one row per group in
+        # the batch — bounded by group cardinality, never delta size).
+        # Without this, every downstream action (read_keys' bucket
+        # collect, merge's touched-bucket collect, the generation
+        # write) re-scans and re-shuffles the whole micro-batch:
+        # profiled at 20 jobs / 2-3 s per warm batch at sf0.1, which
+        # is exactly the conf-insensitive floor the r6 tuned bench
+        # row exposed. On a failed/lost-executor replay the streaming
+        # fence (foreach_batch_ivm) re-runs the batch, so truncated
+        # lineage is safe here.
+        delta = delta.localCheckpoint(eager=True)
 
-        # bucket-pruned read of ONLY the affected groups' current rows
-        current = self.state.read_keys(delta.select(self.group_col))
         g = self.group_col
         mm_aliases = [
             f"{agg}_{c}" for c in self.minmax_cols for agg in ("min", "max")
@@ -145,7 +154,7 @@ class MaterializedAgg:
                         for c in self.minmax_cols
                         for agg, agg_fn in (("min", F.min), ("max", F.max))
                     ]
-                )
+                ).localCheckpoint(eager=True)  # same bound as delta
             re_mm = None
             if deletes is not None:
                 del_groups = deletes.select(
@@ -178,32 +187,42 @@ class MaterializedAgg:
                         ).otherwise(fresh)
                     mm_cols.append(fresh.alias(a))
 
-        joined = current.alias("c").join(delta.alias("d"), g, "full_outer")
-        if self.minmax_cols and inserts is not None:
-            joined = joined.join(ins_mm.alias("i"), g, "left_outer")
-        if self.minmax_cols and deletes is not None:
-            joined = joined.join(
-                re_mm.withColumn("_rec", F.lit(True)).alias("r"),
-                g,
-                "left_outer",
-            ).withColumn("_recomputed", F.coalesce(F.col("r._rec"), F.lit(False)))
-        elif self.minmax_cols:
-            joined = joined.withColumn("_recomputed", F.lit(False))
+        # fold_merge: the current-state read, the fold arithmetic, and
+        # the generation rewrite happen in ONE pass over the touched
+        # buckets (one bucket-pruned read + one write per batch —
+        # refresh previously paid a second full read for its own
+        # pre-merge join; see the floor profile in SCALING.md).
+        # Survivor rows (current key with no delta row) flow through
+        # with d-side nulls: the coalesce-to-zero arithmetic is an
+        # identity on them, and the minmax `fresh` coalesce keeps the
+        # current extrema when no insert/recompute row exists.
+        def fold(joined: DataFrame) -> DataFrame:
+            j = joined
+            if self.minmax_cols and inserts is not None:
+                j = j.join(F.broadcast(ins_mm.alias("i")), g, "left_outer")
+            if self.minmax_cols and deletes is not None:
+                j = j.join(
+                    re_mm.withColumn("_rec", F.lit(True)).alias("r"),
+                    g,
+                    "left_outer",
+                ).withColumn(
+                    "_recomputed", F.coalesce(F.col("r._rec"), F.lit(False))
+                )
+            elif self.minmax_cols:
+                j = j.withColumn("_recomputed", F.lit(False))
+            return j.select(
+                F.col(g),
+                (F.coalesce(F.col("c.n"), F.lit(0))
+                 + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
+                *[
+                    (F.coalesce(F.col(f"c.{a}"), F.lit(0.0))
+                     + F.coalesce(F.col(f"d.{a}"), F.lit(0.0))).alias(a)
+                    for a in sum_aliases
+                ],
+                *mm_cols,
+            )
 
-        merged = joined.select(
-            F.col(g),
-            (F.coalesce(F.col("c.n"), F.lit(0))
-             + F.coalesce(F.col("d.n"), F.lit(0))).alias("n"),
-            *[
-                (F.coalesce(F.col(f"c.{a}"), F.lit(0.0))
-                 + F.coalesce(F.col(f"d.{a}"), F.lit(0.0))).alias(a)
-                for a in sum_aliases
-            ],
-            *mm_cols,
-        )
-        upserts = merged.filter(F.col("n") > 0)
-        gone = merged.filter(F.col("n") <= 0).select(g)
-        self.state.merge(upserts, delete_keys=gone)
+        self.state.fold_merge(delta, fold, keep=F.col("n") > 0)
 
     def read(self) -> DataFrame:
         return self.state.read()
