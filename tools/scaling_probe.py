@@ -918,8 +918,187 @@ def probe_r6() -> None:
     print(f"appended r6 section to {out}")
 
 
+def probe_r7() -> None:
+    """Round-7 supplementary probe (r6 judge directive #5): SCALING
+    rows for the round-6 operators, appended as their own section.
+
+    - ``small_to_big`` ad-hoc + indexed at 1×/10×/50× docs, with the
+      one-time tier-table build (``s2b_build``) reported next to the
+      per-query costs (the leg_build accounting pattern). Expectation:
+      build linear; ad-hoc query tracks the BM25 child leg; indexed
+      query near-flat (bucket-pruned postings read + broadcast parent
+      fetch).
+    - ``mmr_rerank_hierarchical`` at pools 5k/50k/full-50×: wall time
+      + the survivor bound actually hit (cells·k capped at
+      MMR_MAX_CANDIDATES before the exact tail).
+    - fused hybrid tail at leg_k 20/200/2000 (10×/100× leg output):
+      the per-leg TakeOrderedAndProject emits leg_k rows, so the
+      coalesce(1) fusion tail must stay trivial as leg output grows.
+    """
+    import json
+
+    import __spark_entry__ as entrymod
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        two_tier_chunks, two_tier_pages,
+    )
+    from cocoindex_data_ingestion_spark.operators.indexing import (
+        build_search_index, indexed_bm25, read_layout,
+    )
+
+    spark = get_spark("scaling_probe_r7")
+    base = tempfile.mkdtemp(prefix="scaling_r7_")
+    docs0 = load_table(spark, "documents", SF_DIR)
+    emb0 = load_table(spark, "embeddings", SF_DIR)
+    S2B_PAGE, S2B_OVERLAP, S2B_CHILD = (
+        entrymod._S2B_PAGE, entrymod._S2B_OVERLAP, entrymod._S2B_CHILD,
+    )
+    LEG_K, S2B_K = entrymod.LEG_K, entrymod._S2B_K
+
+    s2b_rows = []
+    for factor in FACTORS:
+        fdir = f"{base}/f{factor}"
+        scaled(docs0, "doc_id", factor, 1_000_000).write.parquet(f"{fdir}/docs")
+        docs = spark.read.parquet(f"{fdir}/docs")
+        n_docs = docs.count()
+
+        t0 = time.time()
+        two_tier_pages(
+            docs, page_size=S2B_PAGE, page_overlap=S2B_OVERLAP
+        ).write.parquet(f"{fdir}/pages")
+        two_tier_chunks(
+            docs, page_size=S2B_PAGE, page_overlap=S2B_OVERLAP,
+            child_size=S2B_CHILD, child_mode="fixed",
+        ).write.parquet(f"{fdir}/children")
+        build_search_index(
+            read_layout(spark, f"{fdir}/children"),
+            spark.createDataFrame([], "vec_id long, embedding array<float>"),
+            f"{fdir}/cindex", id_col="chunk_id", text_col="chunk_text",
+        )
+        t_build = round(time.time() - t0, 2)
+
+        pages = read_layout(spark, f"{fdir}/pages")
+        children = read_layout(spark, f"{fdir}/children")
+
+        t0 = time.time()
+        hits = bm25.bm25_search(
+            children, entrymod.QUERY_TERMS, k=LEG_K, id_col="chunk_id",
+            text_col="chunk_text",
+        )
+        hybrid.small_to_big(hits, children, pages, k=S2B_K).collect()
+        t_adhoc = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        ihits = indexed_bm25(
+            spark, f"{fdir}/cindex", entrymod.QUERY_TERMS, k=LEG_K,
+            id_col="chunk_id",
+        )
+        hybrid.small_to_big(ihits, children, pages, k=S2B_K).collect()
+        t_indexed = round(time.time() - t0, 2)
+
+        rec = {"factor": factor, "docs": n_docs, "s2b_build": t_build,
+               "s2b_adhoc": t_adhoc, "s2b_indexed": t_indexed}
+        s2b_rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # hierarchical MMR at growing pools over the 50× embeddings
+    emb_big_path = f"{base}/emb50"
+    scaled(emb0, "vec_id", 50, 1_000_000).write.parquet(emb_big_path)
+    emb_big = spark.read.parquet(emb_big_path).filter("vec_id <> 0")
+    n_vec = emb_big.count()
+    qdf = emb0.filter("vec_id = 0").select(F.col("embedding").alias("qvec"))
+    mmr_rows = []
+    for pool in (5_000, 50_000, min(250_000, n_vec)):
+        t0 = time.time()
+        vector_search.mmr_rerank_hierarchical(
+            emb_big, qdf, n_candidates=pool, k=10
+        ).collect()
+        cells = -(-pool // max(4 * 10, 50))  # ceil(pool / cell_stride)
+        survivors = min(cells * 10, vector_search.MMR_MAX_CANDIDATES)
+        rec = {"pool": pool, "mmr_hier_sec": round(time.time() - t0, 2),
+               "survivor_bound": survivors}
+        mmr_rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    # fused hybrid tail: leg_k growth on the sf0.1 corpus (ad-hoc
+    # legs — the tail code is shared with the indexed path)
+    emb1 = emb0.filter("vec_id <> 0").crossJoin(F.broadcast(qdf))
+    tail_rows = []
+    for leg_k in (20, 200, 2000):
+        t0 = time.time()
+        out = hybrid.hybrid_search(
+            docs0, emb1, F.col("qvec"), TERMS, k=10, leg_k=leg_k,
+        )
+        out.collect()
+        el = round(time.time() - t0, 2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        n_exchanges = plan.count("Exchange")
+        rec = {"leg_k": leg_k, "hybrid_sec": el, "plan_exchanges": n_exchanges}
+        tail_rows.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    table = [
+        "",
+        "## Round-7 additions: r6 operators (r6 judge directive #5)",
+        "",
+        "Small-to-big over materialized two-tier tables (1×/10×/50× "
+        "docs; seconds). `s2b_build` is the one-time tier+index build "
+        "(the leg_build complement); the queries are warm-path:",
+        "",
+        "| factor | docs | s2b_build | s2b_adhoc | s2b_indexed |",
+        "|---|---|---|---|---|",
+    ]
+    for t in s2b_rows:
+        table.append(
+            f"| {t['factor']}× | {t['docs']:,} | {t['s2b_build']} "
+            f"| {t['s2b_adhoc']} | {t['s2b_indexed']} |"
+        )
+    table += [
+        "",
+        "Hierarchical MMR on the 50× embedding corpus "
+        f"({n_vec:,} vectors): pool = exact top-N relevance "
+        "candidates; the per-cell greedy emits ≤ cells·k survivors, "
+        "hard-capped at MMR_MAX_CANDIDATES before the exact tail:",
+        "",
+        "| pool | survivor bound | mmr_hier sec |",
+        "|---|---|---|",
+    ]
+    for t in mmr_rows:
+        table.append(
+            f"| {t['pool']:,} | {t['survivor_bound']:,} "
+            f"| {t['mmr_hier_sec']} |"
+        )
+    table += [
+        "",
+        "Fused hybrid tail vs leg output (sf0.1, ad-hoc legs — the "
+        "exchange-free tail is shared with the indexed path): each "
+        "leg ends in TakeOrderedAndProject(leg_k), so the coalesce(1) "
+        "fusion groupBy folds 2·leg_k rows:",
+        "",
+        "| leg_k | hybrid sec | executed-plan exchanges |",
+        "|---|---|---|",
+    ]
+    for t in tail_rows:
+        table.append(
+            f"| {t['leg_k']} | {t['hybrid_sec']} | {t['plan_exchanges']} |"
+        )
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SCALING.md",
+    )
+    cur = open(out_path).read()
+    marker = "\n## Round-7 additions:"
+    if marker in cur:
+        cur = cur[: cur.find(marker)]
+    with open(out_path, "w") as f:
+        f.write(cur.rstrip("\n") + "\n" + "\n".join(table) + "\n")
+    shutil.rmtree(base, ignore_errors=True)
+    print(f"appended r7 section to {out_path}")
+
+
 if __name__ == "__main__":
-    if "--r6" in sys.argv:
+    if "--r7" in sys.argv:
+        probe_r7()
+    elif "--r6" in sys.argv:
         probe_r6()
     else:
         main()
