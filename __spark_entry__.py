@@ -2058,6 +2058,17 @@ _PUNCT_CORPUS = [
         "offsets must add back to document coordinates. A final pair "
         "of sentences pads the fourth page window. The very last words "
         "land in a short trailing page."),
+    # doc 7 exists for chunk_semantic_punct: consecutive near-duplicate
+    # sentences give hash-embedding cosines ABOVE the 0.5 boundary
+    # threshold (same group), the topic shifts give cosines below it —
+    # both branches of the boundary rule fire (margins from 0.5 are
+    # asserted in test_round7_ops so float summation order can never
+    # flip a decision)
+    (7, "The cat sat on the mat and watched the quiet rain. The cat sat "
+        "on the mat and watched the quiet snow. A completely different "
+        "topic arrives with new vocabulary here. The cat sat on the mat "
+        "and watched the quiet rain. Budget airline fares rose sharply "
+        "last quarter."),
 ]
 
 
@@ -2174,6 +2185,136 @@ def _q_chunk_sentence_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (chunk_two_tier_punct — same micro-corpus through the two-tier
 # chunker — is registered next to chunk_two_tier below, after the
 # _bm25_toks_sql_over helper it needs is defined.)
+
+
+_SEM_THRESH, _SEM_MIN_TOK, _SEM_MAX_TOK, _SEM_DIM = 0.5, 5, 10_000, 32
+
+
+def _sem_punct_sql() -> str:
+    """chunk_semantic on the punctuated micro-corpus, fully stated in
+    DuckDB: sentence split (replace-split, as _sent_pack_ctes) →
+    per-sentence hash embeddings via the md5 arithmetic of the
+    transient_flow_eval oracle (token vectors are md5-seeded 4-byte
+    uints in [-0.5, 0.5), embedding.py _hash_token_vec) →
+    consecutive-sentence cosines → boundary groups (cos < threshold;
+    the max_tokens cap is set non-triggering here and stays
+    pytest-pinned) → merge-forward of under-min_tokens groups as a
+    recursive CTE (semantic_chunker.py:79-143). Boundary decisions
+    are safe against float summation order: every |cos − 0.5| margin
+    on this corpus is ≥ 0.05 (asserted in test_round7_ops)."""
+    return f"""
+WITH RECURSIVE corpus(doc_id, text) AS (VALUES {_punct_values_sql()}),
+split AS (
+  SELECT doc_id, text,
+         string_split(
+           replace(replace(replace(text, '. ', '.' || chr(1)),
+                           '! ', '!' || chr(1)),
+                   '? ', '?' || chr(1)), chr(1)) AS arr
+  FROM corpus
+),
+pieces AS (
+  SELECT doc_id, text, arr[i] AS piece, i - 1 AS pidx
+  FROM (SELECT doc_id, text, arr,
+               unnest(generate_series(1, len(arr))) AS i FROM split)
+),
+offs AS (
+  SELECT doc_id, text, piece, pidx,
+         COALESCE(SUM(length(piece) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM pieces
+),
+sents AS (
+  SELECT doc_id, text, piece AS sent, off,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pidx) AS INT) - 1
+           AS sidx,
+         len(list_filter(string_split(piece, ' '), t -> t <> '')) AS n_tok
+  FROM offs WHERE length(trim(piece)) > 0
+),
+toks AS (
+  SELECT doc_id, sidx, unnest(list_filter(
+           string_split(lower(sent), ' '), t -> t <> '')) AS tok
+  FROM sents
+),
+comps AS (
+  SELECT doc_id, sidx, (b.b * 4 + j.j) AS dim_idx,
+         CAST(('0x' || substr(md5(t.tok || ':' || CAST(b.b AS VARCHAR)),
+                              CAST(j.j * 8 + 1 AS INTEGER), 8)) AS UBIGINT)
+           / 4294967296.0 - 0.5 AS val
+  FROM toks t, range({_SEM_DIM // 4}) AS b(b), range(4) AS j(j)
+),
+vecs AS (
+  SELECT doc_id, sidx, dim_idx, SUM(val) AS acc
+  FROM comps GROUP BY 1, 2, 3
+),
+cosim AS (
+  SELECT a.doc_id, b.sidx AS sidx,
+         SUM(a.acc * b.acc)
+           / (sqrt(SUM(a.acc * a.acc)) * sqrt(SUM(b.acc * b.acc))) AS cos
+  FROM vecs a JOIN vecs b
+    ON a.doc_id = b.doc_id AND b.sidx = a.sidx + 1
+   AND a.dim_idx = b.dim_idx
+  GROUP BY 1, 2
+),
+grouped AS (
+  SELECT s.doc_id, s.sidx, s.n_tok,
+         COALESCE(SUM(CASE WHEN c.cos < {_SEM_THRESH} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s.doc_id ORDER BY s.sidx), 0) AS gid
+  FROM sents s LEFT JOIN cosim c
+    ON c.doc_id = s.doc_id AND c.sidx = s.sidx
+),
+groups AS (
+  SELECT doc_id, gid,
+         MIN(sidx) AS g_first, MAX(sidx) AS g_last,
+         SUM(n_tok) AS g_tok, COUNT(*) AS g_n
+  FROM grouped GROUP BY 1, 2
+),
+mstate(doc_id, gid, blk, blk_tok) AS (
+  SELECT doc_id, gid, 0, g_tok FROM groups WHERE gid = 0
+  UNION ALL
+  SELECT g.doc_id, g.gid,
+         CASE WHEN m.blk_tok < {_SEM_MIN_TOK} THEN m.blk ELSE m.blk + 1 END,
+         CASE WHEN m.blk_tok < {_SEM_MIN_TOK} THEN m.blk_tok + g.g_tok
+              ELSE g.g_tok END
+  FROM mstate m
+  JOIN groups g ON g.doc_id = m.doc_id AND g.gid = m.gid + 1
+),
+blocks AS (
+  SELECT g.doc_id, m.blk,
+         MIN(g.g_first) AS b_first, MAX(g.g_last) AS b_last,
+         SUM(g.g_n) AS n_sentences
+  FROM groups g JOIN mstate m ON m.doc_id = g.doc_id AND m.gid = g.gid
+  GROUP BY 1, 2
+)
+SELECT bl.doc_id,
+       CAST(bl.blk AS INT) AS chunk_index,
+       CAST(s0.off AS BIGINT) AS location_start,
+       CAST(s1.off + length(s1.sent) AS BIGINT) AS location_end,
+       substr(s0.text, CAST(s0.off + 1 AS INTEGER),
+              CAST(s1.off + length(s1.sent) - s0.off AS INTEGER)) AS chunk_text,
+       CAST(bl.n_sentences AS INT) AS n_sentences
+FROM blocks bl
+JOIN sents s0 ON s0.doc_id = bl.doc_id AND s0.sidx = bl.b_first
+JOIN sents s1 ON s1.doc_id = bl.doc_id AND s1.sidx = bl.b_last
+"""
+
+
+@_register("chunk_semantic_punct", _sem_punct_sql())
+def _q_chunk_semantic_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic chunking on the punctuated micro-corpus: real
+    embedding-cosine boundaries (doc 7 fires BOTH branches of the
+    boundary rule) and merge-forward of short groups, against an
+    independent DuckDB restatement (md5 hash-embedder arithmetic +
+    window-cumsum groups + recursive-CTE merge). The sf-scale rows
+    stay on the identity oracle (chunk_semantic); the max_tokens cap
+    branch stays pytest-pinned (non-triggering here by construction,
+    _SEM_MAX_TOK=10000)."""
+    return chunking.semantic_chunks(
+        _punct_docs(spark),
+        boundary_threshold=_SEM_THRESH,
+        min_tokens=_SEM_MIN_TOK,
+        max_tokens=_SEM_MAX_TOK,
+    )
 
 
 # -- §2.8 rollup aggregation --------------------------------------------------
@@ -13335,12 +13476,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # the registry has been driver-verified at least once.
 _DRIVER_WINDOW_PRIORITY = [
     # round-7 new oracles — MUST show driver-green this round
-    "chunk_sentence_punct", "chunk_two_tier_punct",
+    "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
     # canaries (driver-green in earlier rounds; regression watch)
     "q1_pricing_summary", "hybrid_rrf",
     # touched-this-round regression watch (chunk_two_tier itself is
     # below: it is one of the 43)
-    "rag_small_to_big", "indexed_hybrid_rrf", "chunk_sentence",
+    "rag_small_to_big", "indexed_hybrid_rrf",
     # --- the final 43 never-driver-verified oracled queries ---
     # events_* time-series analytics tail
     "events_acf", "events_anomaly_mad", "events_attribution_linear",

@@ -761,7 +761,13 @@ def mmr_rerank_hierarchical(
     (SIMD summation can differ from the expression path in the last
     ulp, stable-rounded before any decision).
     """
-    cell_stride = cell_stride or max(4 * k, 50)
+    # Default stride scales with the pool so cells ~ sqrt(pool): a
+    # FIXED stride makes the cell count linear in the pool and the
+    # centroid assignment O(pool²·dim/stride) — measured 599 s at a
+    # 100k pool with the old stride=50 default (SCALING.md r7 MMR
+    # table). sqrt-balanced cells keep assignment AND the per-cell
+    # greedy at O(pool^1.5).
+    cell_stride = cell_stride or max(4 * k, int(n_candidates**0.5))
     rel_df = knn(
         emb.crossJoin(F.broadcast(qvec_df)),
         F.col("qvec"),
@@ -776,7 +782,52 @@ def mmr_rerank_hierarchical(
         F.col("score").alias("rel"),
     )
     cents = ivf_centroids(pool, stride=cell_stride, vec_col="v", id_col="id")
-    assigned = ivf_assign(pool, cents, vec_col="v", id_col="id")
+    est_cells = max(1, n_candidates // cell_stride)
+    if n_candidates * est_cells > 2_000_000:
+        # big pool × many cells: the interpreted HOF cosine of
+        # ivf_assign is the bottleneck — assign with one BLAS gram
+        # argmax per Arrow batch instead (centroids are ≤ ~sqrt(pool)
+        # rows, broadcast as a numpy matrix). Tie-break parity with
+        # ivf_assign: centroid rows sorted by cent_id ascending, and
+        # np.argmax returns the FIRST max — i.e. (csim, -cent_id)
+        # lexicographic, same rule. Only the approximation path can
+        # take this branch (small/oracled pools stay expression-exact).
+        import numpy as np
+
+        cent_rows = sorted(
+            cents.collect(), key=lambda r: r["cent_id"]
+        )
+        cent_ids = np.array([r["cent_id"] for r in cent_rows])
+        cmat = np.array(
+            [np.asarray(r["cvec"], dtype=np.float64) for r in cent_rows]
+        )
+        cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+        cnorm[cnorm == 0] = 1.0
+        cunit = cmat / cnorm[:, None]
+        pool_v_type = dict(pool.dtypes)["v"]
+
+        def assign_blas(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                vs = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["v"]]
+                )
+                norms = np.sqrt((vs * vs).sum(axis=1))
+                norms[norms == 0] = 1.0
+                best = np.argmax((vs / norms[:, None]) @ cunit.T, axis=1)
+                out = pdf[["id", "v", "rel"]].copy()
+                out["cent_id"] = cent_ids[best]
+                yield out
+
+        assigned = pool.mapInPandas(
+            assign_blas,
+            schema=f"id long, v {pool_v_type}, rel double, cent_id long",
+        )
+    else:
+        assigned = ivf_assign(pool, cents, vec_col="v", id_col="id")
     if not cents.take(1):
         # degenerate pool (no id % stride == 0 member): one cell
         assigned = pool.withColumn("cent_id", F.lit(0))

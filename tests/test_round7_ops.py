@@ -90,6 +90,66 @@ def test_punct_oracle_is_non_degenerate(spark):
         ), r
 
 
+def test_punct_semantic_margins_and_branches():
+    """chunk_semantic_punct's oracle compares boundary DECISIONS, not
+    floats — safe only if no consecutive-sentence cosine sits near the
+    0.5 threshold (where np-vs-DuckDB summation order could flip it),
+    and meaningful only if BOTH branches fire (some pair >= 0.5 keeps
+    a group together, some pair < 0.5 opens a boundary). Also pins
+    that the max_tokens cap is non-triggering on this corpus (the cap
+    branch stays covered by test_chunking)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from __spark_entry__ import (
+        _PUNCT_CORPUS, _SEM_MAX_TOK, _SEM_THRESH,
+    )
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        SENTENCE_SPLIT_RE,
+    )
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        hash_embed_series,
+    )
+
+    sent_re = re.compile(SENTENCE_SPLIT_RE)
+    above = below = 0
+    for _d, text in _PUNCT_CORPUS:
+        sents = [p for p in sent_re.split(text) if p.strip()]
+        assert sum(len(s.split()) for s in sents) < _SEM_MAX_TOK
+        embs = hash_embed_series(pd.Series(sents), dim=32).tolist()
+        for a, b in zip(embs, embs[1:]):
+            a, b = np.array(a), np.array(b)
+            cos = float(a @ b) / float(np.linalg.norm(a) * np.linalg.norm(b))
+            assert abs(cos - _SEM_THRESH) > 1e-3, cos
+            if cos >= _SEM_THRESH:
+                above += 1
+            else:
+                below += 1
+    assert above >= 1, "no same-group pair: boundary rule untested"
+    assert below >= 5, "no boundaries: grouping untested"
+
+
+def test_punct_semantic_is_non_degenerate(spark):
+    """The semantic punct fixture must produce multi-chunk docs AND a
+    multi-sentence chunk from the cosine rule itself (doc 7's
+    near-duplicate consecutive sentences), plus merge-forward joins
+    (chunks whose sentences span a sub-min_tokens group)."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod._q_chunk_semantic_punct(spark, "").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert sum(1 for rs in by_doc.values() if len(rs) > 1) >= 3
+    assert any(r.n_sentences > 1 for r in by_doc[7])
+    # chunk text is a literal document slice at document coordinates
+    docs = dict(entrymod._PUNCT_CORPUS)
+    for r in rows:
+        assert docs[r.doc_id][r.location_start:r.location_end] == r.chunk_text
+
+
 def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     """With auto-broadcast disabled and AQE off, both small_to_big
     joins must STILL plan as BroadcastHashJoin — proving the explicit
