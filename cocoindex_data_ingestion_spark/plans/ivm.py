@@ -297,11 +297,13 @@ class MaterializedDistinct:
             .agg(F.sum("m").cast("bigint").alias("m"))
             .withColumn("k", F.concat_ws(self._SEP, F.col(g), F.col(v)))
         )
-        current = self.state.read_keys(delta.select("k"))
-        merged = (
-            current.alias("c")
-            .join(delta.alias("d"), "k", "full_outer")
-            .select(
+        # one-pass fold (same job-count rationale as MaterializedAgg:
+        # checkpoint the bounded multiplicity delta once, then a
+        # single bucket-pruned state read + rewrite per batch)
+        delta = delta.localCheckpoint(eager=True)
+
+        def fold(joined: DataFrame) -> DataFrame:
+            return joined.select(
                 "k",
                 F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
                 F.coalesce(F.col(f"c.{v}"), F.col(f"d.{v}")).alias(v),
@@ -310,11 +312,8 @@ class MaterializedDistinct:
                     + F.coalesce(F.col("d.m"), F.lit(0))
                 ).alias("m"),
             )
-        )
-        self.state.merge(
-            merged.filter(F.col("m") > 0),
-            delete_keys=merged.filter(F.col("m") <= 0).select("k"),
-        )
+
+        self.state.fold_merge(delta, fold, keep=F.col("m") > 0)
 
     def read_support(self) -> DataFrame:
         return self.state.read()
@@ -417,6 +416,11 @@ class MaterializedTopK:
             cand.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= self.k)
             .drop("_rn")
+            # bounded (affected groups × k); checkpoint so the merge's
+            # touched-bucket collect, the `gone` anti-join, and the
+            # generation write don't each re-run the window over the
+            # state read + delta union
+            .localCheckpoint(eager=True)
         )
         affected = topk.sparkSession.createDataFrame([], f"{g} string")
         if del_groups is not None:
