@@ -2187,6 +2187,209 @@ def _q_chunk_sentence_punct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # _bm25_toks_sql_over helper it needs is defined.)
 
 
+# -- heading-aware chunking (two_tier_chunker.py:96-215) ----------------------
+#
+# Markdown micro-corpus for the heading-aware chunker oracle. Corpus
+# preconditions (asserted in test_round7_ops): no abbreviation
+# patterns the reference's splitter protects (those are pytest-pinned
+# on split_into_sentences_ref directly — RE2 can't express them),
+# every sentence terminator+space is followed by an uppercase letter,
+# heading-block bodies and the preamble are single lines ending in a
+# terminator, no apostrophes/tabs/double spaces. Under these the
+# reference regex split and the oracle's replace-split agree by
+# construction; the '.\n\n' case handles the preamble junction the
+# operator itself constructs.
+
+_MD_MAX_SENTS, _MD_MAX_TOKS = 3, 100
+
+_MD_CORPUS = [
+    (1, "Intro line before any heading ends here.\n"
+        "# Getting Started\n"
+        "Install the package first. Then configure the settings file. "
+        "Run the smoke test to confirm. Restart the service afterwards.\n"
+        "## Configuration\n"
+        "Set the region value. Set the retry limit. Keep defaults "
+        "otherwise.\n"
+        "# Operations\n"
+        "Monitor the queue depth every hour. Rotate the logs weekly."),
+    (2, "No headings at all in this document. Just two plain sentences."),
+    (3, "# Empty Section\n"
+        "## Another Empty One\n"
+        "# Filled Section\n"
+        "Only one sentence lives here."),
+    (4, "### Deep Heading Level\n"
+        "The first sentence is short. The second sentence follows with "
+        "more words inside it. The third sentence closes the group. A "
+        "fourth sentence must open a second chunk. A fifth one joins "
+        "it. A sixth completes that chunk too. Seventh starts the last."),
+    (5, "Preamble sentence for the merge rule.\n"
+        "# Merged Block\n"
+        "Body sentence one. Body sentence two."),
+    # doc 6: two ~55-token sentences — the TOKEN cap (not the
+    # 3-sentence cap) forces the chunk boundary
+    (6, "# Token Cap\n"
+        "Alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+        "five six seven eight nine ten eleven twelve thirteen fourteen "
+        "fifteen sixteen seventeen eighteen nineteen twenty twentyone "
+        "twentytwo twentythree twentyfour twentyfive ends now. Second "
+        "long sentence repeats alpha bravo charlie delta echo foxtrot "
+        "golf hotel india juliet kilo lima mike november oscar papa "
+        "quebec romeo sierra tango uniform victor whiskey xray yankee "
+        "zulu one two three four five six seven eight nine ten eleven "
+        "twelve thirteen fourteen fifteen sixteen seventeen eighteen "
+        "nineteen twenty and closes the case here."),
+]
+
+
+def _md_values_sql() -> str:
+    rows = []
+    for did, text in _MD_CORPUS:
+        lit = " || chr(10) || ".join(
+            "'{}'".format(part) for part in text.split("\n")
+        )
+        rows.append(f"({did}, {lit})")
+    return ", ".join(rows)
+
+
+def _md_docs(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(_MD_CORPUS, "doc_id long, text string")
+
+
+def _heading_aware_sql() -> str:
+    """heading_aware_chunks stated in DuckDB: lines → heading-flag
+    cumsum blocks → preamble merge → replace-split sentences →
+    recursive-CTE greedy packing under the sentence AND token caps →
+    heading prefix on each block's first chunk (+ heading-only
+    blocks)."""
+    return f"""
+WITH RECURSIVE corpus(doc_id, text) AS (VALUES {_md_values_sql()}),
+lines AS (
+  SELECT doc_id, arr[i] AS line, i AS lidx,
+         regexp_matches(arr[i], '^#{{1,6}} ') AS is_heading
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS arr FROM corpus),
+       unnest(generate_series(1, len(arr))) AS t(i)
+),
+nblk AS (
+  SELECT doc_id, line, lidx, is_heading,
+         SUM(CASE WHEN is_heading THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY lidx) AS blk
+  FROM lines
+),
+rawblocks AS (
+  SELECT doc_id, blk,
+         MAX(CASE WHEN is_heading THEN trim(line) END) AS heading,
+         trim(COALESCE(string_agg(CASE WHEN NOT is_heading THEN line END,
+                                  chr(10) ORDER BY lidx), '')) AS body
+  FROM nblk GROUP BY doc_id, blk
+),
+hb AS (
+  SELECT doc_id,
+         MAX(CASE WHEN blk = 0 THEN body END) AS preamble,
+         MAX(blk) AS max_blk
+  FROM rawblocks GROUP BY doc_id
+),
+blocks AS (
+  SELECT r.doc_id, r.blk, r.heading,
+         CASE WHEN r.blk = 1 AND COALESCE(h.preamble, '') <> ''
+              THEN h.preamble ||
+                   CASE WHEN r.body <> ''
+                        THEN chr(10) || chr(10) || r.body ELSE '' END
+              ELSE r.body END AS body
+  FROM rawblocks r JOIN hb h ON h.doc_id = r.doc_id
+  WHERE r.blk > 0 OR h.max_blk = 0
+),
+sents AS (
+  SELECT doc_id, blk, heading, trim(piece) AS sent,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id, blk ORDER BY i) AS INT)
+           - 1 AS sidx,
+         len(list_filter(string_split(trim(piece), ' '), t -> t <> ''))
+           AS n_tok
+  FROM (
+    SELECT doc_id, blk, heading, arr[i] AS piece, i
+    FROM (SELECT doc_id, blk, heading,
+                 string_split(
+                   replace(replace(replace(replace(
+                     body,
+                     '.' || chr(10) || chr(10), '.' || chr(1)),
+                     '. ', '.' || chr(1)),
+                     '! ', '!' || chr(1)),
+                     '? ', '?' || chr(1)), chr(1)) AS arr
+          FROM blocks WHERE body <> ''),
+         unnest(generate_series(1, len(arr))) AS t(i)
+  )
+  WHERE length(trim(piece)) > 0
+),
+pstate(doc_id, blk, i, chunk_no, cnt, toks) AS (
+  SELECT doc_id, blk, 0, 0, 1, n_tok FROM sents WHERE sidx = 0
+  UNION ALL
+  SELECT s.doc_id, s.blk, s.sidx,
+         CASE WHEN p.cnt >= {_MD_MAX_SENTS} OR p.toks + s.n_tok > {_MD_MAX_TOKS}
+              THEN p.chunk_no + 1 ELSE p.chunk_no END,
+         CASE WHEN p.cnt >= {_MD_MAX_SENTS} OR p.toks + s.n_tok > {_MD_MAX_TOKS}
+              THEN 1 ELSE p.cnt + 1 END,
+         CASE WHEN p.cnt >= {_MD_MAX_SENTS} OR p.toks + s.n_tok > {_MD_MAX_TOKS}
+              THEN s.n_tok ELSE p.toks + s.n_tok END
+  FROM pstate p
+  JOIN sents s ON s.doc_id = p.doc_id AND s.blk = p.blk
+              AND s.sidx = p.i + 1
+),
+packed AS (
+  SELECT s.doc_id, s.blk, p.chunk_no,
+         string_agg(s.sent, ' ' ORDER BY s.sidx) AS body_text,
+         COUNT(*) AS n_sents
+  FROM sents s
+  JOIN pstate p ON p.doc_id = s.doc_id AND p.blk = s.blk AND p.i = s.sidx
+  GROUP BY 1, 2, 3
+),
+withempty AS (
+  SELECT doc_id, blk, chunk_no, body_text, n_sents FROM packed
+  UNION ALL
+  SELECT b.doc_id, b.blk, 0, '', 0
+  FROM blocks b
+  WHERE b.heading IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM sents s
+                    WHERE s.doc_id = b.doc_id AND s.blk = b.blk)
+),
+final AS (
+  SELECT w.doc_id, w.blk, w.chunk_no, b.heading,
+         CASE WHEN w.chunk_no = 0 AND b.heading IS NOT NULL
+              THEN CASE WHEN w.body_text <> ''
+                        THEN b.heading || chr(10) || chr(10) || w.body_text
+                        ELSE b.heading END
+              ELSE w.body_text END AS chunk_text,
+         w.n_sents
+  FROM withempty w
+  JOIN blocks b ON b.doc_id = w.doc_id AND b.blk = w.blk
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY blk, chunk_no)
+            AS INT) - 1 AS chunk_index,
+       heading,
+       chunk_text,
+       CAST(n_sents AS INT) AS sentence_count,
+       CAST(len(regexp_extract_all(chunk_text, '[^ \\n]+'))
+            AS INT) AS token_count
+FROM final
+"""
+
+
+@_register("chunk_heading_aware", _heading_aware_sql())
+def _q_chunk_heading_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heading-aware semantic-tier chunking
+    (chunking.heading_aware_chunks — two_tier_chunker.py:96-215):
+    markdown heading blocks as hard boundaries, preamble merged into
+    the first block, greedy packing under the 3-sentence AND 100-token
+    caps, heading line prefixed to each block's first chunk,
+    heading-only blocks kept. Cross-engine oracle on the markdown
+    micro-corpus (recursive-CTE packing; abbreviation protection in
+    the sentence splitter is pytest-pinned — RE2 can't express it)."""
+    return chunking.heading_aware_chunks(
+        _md_docs(spark), max_sentences=_MD_MAX_SENTS, max_tokens=_MD_MAX_TOKS
+    )
+
+
 _SEM_THRESH, _SEM_MIN_TOK, _SEM_MAX_TOK, _SEM_DIM = 0.5, 5, 10_000, 32
 
 
@@ -13477,11 +13680,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _DRIVER_WINDOW_PRIORITY = [
     # round-7 new oracles — MUST show driver-green this round
     "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
+    "chunk_heading_aware",
     # canaries (driver-green in earlier rounds; regression watch)
     "q1_pricing_summary", "hybrid_rrf",
     # touched-this-round regression watch (chunk_two_tier itself is
-    # below: it is one of the 43)
-    "rag_small_to_big", "indexed_hybrid_rrf",
+    # below among the 43; rag_small_to_big's broadcast-hint change is
+    # plan-shape-tested and judge-swept)
+    "indexed_hybrid_rrf",
     # --- the final 43 never-driver-verified oracled queries ---
     # events_* time-series analytics tail
     "events_acf", "events_anomaly_mad", "events_attribution_linear",

@@ -389,6 +389,133 @@ def chunk_recursive_dp(
     return docs.select(*in_cols).mapInPandas(run, schema)
 
 
+REF_ABBREV_RES = (
+    r"\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr)\.\s*",
+    r"\b(Inc|Ltd|Corp|Co)\.\s*",
+    r"\b(etc|vs|i\.e|e\.g)\.\s*",
+    r"\b([A-Z])\.\s*",
+)
+REF_SENTENCE_SPLIT_RE = r"(?<=[.!?])\s+(?=[A-Z])"
+HEADING_RE = r"^(#{1,6})\s+.*$"
+
+
+def split_into_sentences_ref(text: str) -> list[str]:
+    """The reference's improved sentence splitter
+    (two_tier_chunker.py:78-93): protect common abbreviations with a
+    <DOT> marker, split on terminator + whitespace + UPPERCASE
+    lookahead, restore dots, strip."""
+    import re
+
+    for pat in REF_ABBREV_RES:
+        text = re.sub(pat, r"\1<DOT> ", text)
+    pieces = re.split(REF_SENTENCE_SPLIT_RE, text)
+    return [p.replace("<DOT>", ".").strip() for p in pieces if p.strip()]
+
+
+def split_heading_blocks(text: str) -> list[tuple[str | None, str]]:
+    """Markdown heading blocks (two_tier_chunker.py:96-132): headings
+    are hard boundaries; (heading_line, body) per block; text before
+    the first heading merges into the first block's body so the
+    preamble stays attached; no headings → one (None, text) block."""
+    import re
+
+    pattern = re.compile(HEADING_RE, re.MULTILINE)
+    matches = list(pattern.finditer(text))
+    if not matches:
+        return [(None, text.strip())] if text.strip() else []
+    blocks: list[tuple[str | None, str]] = []
+    preamble = text[: matches[0].start()].strip()
+    for i, m in enumerate(matches):
+        end = matches[i + 1].start() if i < len(matches) - 1 else len(text)
+        block_text = text[m.start():end].strip()
+        lines = block_text.splitlines()
+        heading_line = lines[0].strip() if lines else None
+        body = "\n".join(lines[1:]).strip() if len(lines) > 1 else ""
+        if i == 0 and preamble:
+            body = preamble + ("\n\n" + body if body else "")
+        blocks.append((heading_line, body))
+    return blocks
+
+
+def heading_aware_chunks(
+    docs: DataFrame,
+    max_sentences: int = 3,
+    max_tokens: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heading-aware semantic-tier chunking — the reference's
+    deterministic path (two_tier_chunker.py:134-215): heading blocks
+    chunk independently (content from different sections never
+    mixes), sentences pack greedily under BOTH a sentence cap
+    (semantic_max_sentences=3) and a token cap
+    (semantic_max_tokens=100), the heading line prefixes the FIRST
+    chunk of its block (``heading\\n\\nchunk``), and a heading with an
+    empty body is kept as its own chunk.
+
+    Token counts use whitespace-token counts as the deterministic
+    stand-in for the reference's tiktoken cl100k_base
+    (two_tier_chunker.py:65-67 — no tokenizer models in env; the
+    trained-BPE operators cover subword behavior separately).
+
+    Per-document sequential logic → mapInPandas; documents are
+    independent, so this parallelizes like any map. Returns
+    (id, chunk_index, heading, chunk_text, sentence_count,
+    token_count) with chunk_index global per document in block
+    order."""
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_index int, heading string, "
+        "chunk_text string, sentence_count int, token_count int"
+    )
+    max_s, max_t = int(max_sentences), int(max_tokens)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                ci = 0
+
+                def emit(heading, chunk_sents, first):
+                    nonlocal ci
+                    chunk_text = " ".join(chunk_sents)
+                    if first and heading:
+                        chunk_text = (
+                            f"{heading}\n\n{chunk_text}" if chunk_text
+                            else heading
+                        )
+                    rows.append(
+                        (did, ci, heading, chunk_text, len(chunk_sents),
+                         len(chunk_text.split()))
+                    )
+                    ci += 1
+
+                for heading, body in split_heading_blocks(text or ""):
+                    sents = split_into_sentences_ref(body) if body else []
+                    cur: list[str] = []
+                    cur_tok = 0
+                    first = True
+                    for s in sents:
+                        s_tok = len(s.split())
+                        if cur and (
+                            len(cur) >= max_s or cur_tok + s_tok > max_t
+                        ):
+                            emit(heading, cur, first)
+                            first = False
+                            cur, cur_tok = [], 0
+                        cur.append(s)
+                        cur_tok += s_tok
+                    if cur or heading:
+                        emit(heading, cur, first)
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_index", "heading", "chunk_text",
+                         "sentence_count", "token_count"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def two_tier_pages(
     docs: DataFrame,
     page_size: int = 1200,

@@ -150,6 +150,86 @@ def test_punct_semantic_is_non_degenerate(spark):
         assert docs[r.doc_id][r.location_start:r.location_end] == r.chunk_text
 
 
+def test_md_corpus_preconditions():
+    """Invariants under which the reference sentence splitter
+    ((?<=[.!?])\\s+(?=[A-Z]) with abbreviation protection) and the
+    oracle's replace-split agree on the markdown micro-corpus: no
+    protected abbreviations, every terminator+space boundary followed
+    by uppercase, single-line bodies/preamble ending in a terminator,
+    no apostrophes/tabs/double spaces."""
+    import re
+
+    from __spark_entry__ import _MD_CORPUS
+
+    abbrev = re.compile(
+        r"\b(Mr|Mrs|Ms|Dr|Prof|Sr|Jr|Inc|Ltd|Corp|Co|etc|vs|i\.e|e\.g"
+        r"|[A-Z])\."
+    )
+    for _d, text in _MD_CORPUS:
+        assert "'" not in text and "\t" not in text and "  " not in text
+        assert not abbrev.search(text), text
+        for m in re.finditer(r"[.!?][ ]", text):
+            nxt = text[m.end():m.end() + 1]
+            assert nxt.isupper() or nxt == "#", (text, m.start())
+        for line in text.split("\n"):
+            assert line == line.strip()
+            if not re.match(r"^#{1,6} ", line) and line:
+                assert line[-1] in ".!?", line
+
+
+def test_split_into_sentences_ref_abbreviations():
+    """The abbreviation-protection path of the reference splitter
+    (two_tier_chunker.py:78-93) — NOT coverable by the oracle (RE2
+    has no lookbehind/lookahead replace), so pinned here."""
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        split_into_sentences_ref,
+    )
+
+    out = split_into_sentences_ref(
+        "Dr. Smith joined Acme Inc. last year. The work, e.g. parsing, "
+        "was hard. Mr. B. Jones agreed. Final sentence here."
+    )
+    assert out == [
+        "Dr. Smith joined Acme Inc. last year.",
+        "The work, e.g. parsing, was hard.",
+        "Mr. B. Jones agreed.",
+        "Final sentence here.",
+    ]
+    # lowercase after terminator does NOT split
+    assert split_into_sentences_ref("One thing. another thing.") == [
+        "One thing. another thing."
+    ]
+
+
+def test_heading_aware_non_degenerate(spark):
+    """The markdown fixture must exercise every branch: preamble
+    merged into the first heading block, heading-only chunks,
+    sentence-cap splits, token-cap splits, and the no-heading doc."""
+    import __spark_entry__ as entrymod
+
+    rows = entrymod._q_chunk_heading_aware(spark, "").collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1 preamble merged: first chunk of '# Getting Started' block
+    # contains the intro line AFTER the heading prefix
+    d1c0 = min(by_doc[1], key=lambda r: r.chunk_index)
+    assert d1c0.chunk_text.startswith("# Getting Started\n\nIntro line")
+    # doc 3: heading-only blocks survive as their own chunks
+    d3 = sorted(by_doc[3], key=lambda r: r.chunk_index)
+    assert d3[0].chunk_text == "# Empty Section" and d3[0].sentence_count == 0
+    assert d3[1].chunk_text == "## Another Empty One"
+    # doc 4: 7 sentences under the 3-sentence cap -> 3 chunks (3/3/1)
+    d4 = sorted(by_doc[4], key=lambda r: r.chunk_index)
+    assert [r.sentence_count for r in d4] == [3, 3, 1]
+    # doc 6: TOKEN cap splits two single sentences
+    d6 = sorted(by_doc[6], key=lambda r: r.chunk_index)
+    assert [r.sentence_count for r in d6] == [1, 1]
+    assert all(r.token_count <= 100 + 3 for r in d6)  # + heading tokens
+    # doc 2: no headings -> one NULL-heading block, sentences packed
+    assert all(r.heading is None for r in by_doc[2])
+
+
 def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     """With auto-broadcast disabled and AQE off, both small_to_big
     joins must STILL plan as BroadcastHashJoin — proving the explicit
