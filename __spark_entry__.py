@@ -2392,6 +2392,198 @@ def _q_chunk_heading_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SEM_THRESH, _SEM_MIN_TOK, _SEM_MAX_TOK, _SEM_DIM = 0.5, 5, 10_000, 32
 
+# chunk_semantic_ref params: min/max token sizes chosen so the
+# micro-corpus exercises the similarity-gated merge (most single
+# sentences are under min=12 tokens -> every adjacent gate evaluated)
+# AND the greedy large-split (doc 7's cohesive near-dup group exceeds
+# max=25 tokens)
+_SREF_THR, _SREF_MIN, _SREF_MAX = 0.5, 12, 25
+
+
+def _sem_ref_sql() -> str:
+    """semantic_chunks_ref stated in DuckDB over the punctuated
+    micro-corpus: full pairwise md5-hash-embedding similarity matrix →
+    boundary cumsum chunks → the reference's skip-2 similarity-gated
+    short-chunk merge as a recursive CTE over chunk ids → greedy
+    token-cap sub-split as a second recursion → focus argmax + lag/
+    lead context windows. Similarities drive decisions only; margins
+    asserted in test_round7_ops."""
+    gate = f"{_SREF_THR} * 0.8"
+    return f"""
+WITH RECURSIVE corpus(doc_id, text) AS (VALUES {_punct_values_sql()}),
+split AS (
+  SELECT doc_id, text,
+         string_split(
+           replace(replace(replace(text, '. ', '.' || chr(1)),
+                           '! ', '!' || chr(1)),
+                   '? ', '?' || chr(1)), chr(1)) AS arr
+  FROM corpus
+),
+pieces AS (
+  SELECT doc_id, text, arr[i] AS piece, i - 1 AS pidx
+  FROM (SELECT doc_id, text, arr,
+               unnest(generate_series(1, len(arr))) AS i FROM split)
+),
+sents AS (
+  SELECT doc_id, trim(piece) AS sent,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pidx) AS INT) - 1
+           AS sidx,
+         len(list_filter(string_split(trim(piece), ' '), t -> t <> ''))
+           AS n_tok
+  FROM pieces WHERE length(trim(piece)) > 0
+),
+toks AS (
+  SELECT doc_id, sidx, unnest(list_filter(
+           string_split(lower(sent), ' '), t -> t <> '')) AS tok
+  FROM sents
+),
+comps AS (
+  SELECT doc_id, sidx, (b.b * 4 + j.j) AS dim_idx,
+         CAST(('0x' || substr(md5(t.tok || ':' || CAST(b.b AS VARCHAR)),
+                              CAST(j.j * 8 + 1 AS INTEGER), 8)) AS UBIGINT)
+           / 4294967296.0 - 0.5 AS val
+  FROM toks t, range(8) AS b(b), range(4) AS j(j)
+),
+vecs AS (
+  SELECT doc_id, sidx, dim_idx, SUM(val) AS acc
+  FROM comps GROUP BY 1, 2, 3
+),
+simmat AS (
+  SELECT a.doc_id, a.sidx AS i, b.sidx AS j,
+         SUM(a.acc * b.acc)
+           / (sqrt(SUM(a.acc * a.acc)) * sqrt(SUM(b.acc * b.acc))) AS cos
+  FROM vecs a JOIN vecs b
+    ON a.doc_id = b.doc_id AND a.dim_idx = b.dim_idx
+  GROUP BY 1, 2, 3
+),
+grouped AS (
+  SELECT s.doc_id, s.sidx, s.sent, s.n_tok,
+         COALESCE(SUM(CASE WHEN c.cos < {_SREF_THR} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY s.doc_id ORDER BY s.sidx), 0) AS cid
+  FROM sents s LEFT JOIN simmat c
+    ON c.doc_id = s.doc_id AND c.j = s.sidx AND c.i = s.sidx - 1
+),
+chunks0 AS (
+  SELECT doc_id, cid, MIN(sidx) AS c_first, MAX(sidx) AS c_last,
+         SUM(n_tok) AS c_tok
+  FROM grouped GROUP BY 1, 2
+),
+lastc AS (SELECT doc_id, MAX(cid) AS max_cid FROM chunks0 GROUP BY 1),
+gates AS (
+  SELECT c.doc_id, c.cid,
+         AVG(m.cos) AS xsim
+  FROM chunks0 c
+  JOIN chunks0 n ON n.doc_id = c.doc_id AND n.cid = c.cid + 1
+  JOIN simmat m ON m.doc_id = c.doc_id
+               AND m.i BETWEEN c.c_first AND c.c_last
+               AND m.j BETWEEN n.c_first AND n.c_last
+  GROUP BY 1, 2
+),
+mc AS (
+  SELECT c.doc_id, c.cid,
+         (c.c_tok < {_SREF_MIN} AND c.cid < l.max_cid
+          AND COALESCE(g.xsim >= {gate}, FALSE)) AS cond
+  FROM chunks0 c
+  JOIN lastc l ON l.doc_id = c.doc_id
+  LEFT JOIN gates g ON g.doc_id = c.doc_id AND g.cid = c.cid
+),
+mstate(doc_id, cid, blk, consumed_next) AS (
+  SELECT doc_id, 0, 0, cond FROM mc WHERE cid = 0
+  UNION ALL
+  SELECT n.doc_id, n.cid,
+         CASE WHEN p.consumed_next THEN p.blk ELSE p.blk + 1 END,
+         CASE WHEN p.consumed_next THEN FALSE ELSE n.cond END
+  FROM mstate p
+  JOIN mc n ON n.doc_id = p.doc_id AND n.cid = p.cid + 1
+),
+msent AS (
+  SELECT g.doc_id, g.sidx, g.sent, g.n_tok, m.blk,
+         CAST(ROW_NUMBER() OVER (PARTITION BY g.doc_id, m.blk
+                                 ORDER BY g.sidx) AS INT) - 1 AS bpos
+  FROM grouped g
+  JOIN mstate m ON m.doc_id = g.doc_id AND m.cid = g.cid
+),
+pstate(doc_id, blk, bpos, sub, toks2) AS (
+  SELECT doc_id, blk, 0, 0, n_tok FROM msent WHERE bpos = 0
+  UNION ALL
+  SELECT s.doc_id, s.blk, s.bpos,
+         CASE WHEN p.toks2 + s.n_tok > {_SREF_MAX}
+              THEN p.sub + 1 ELSE p.sub END,
+         CASE WHEN p.toks2 + s.n_tok > {_SREF_MAX}
+              THEN s.n_tok ELSE p.toks2 + s.n_tok END
+  FROM pstate p
+  JOIN msent s ON s.doc_id = p.doc_id AND s.blk = p.blk
+              AND s.bpos = p.bpos + 1
+),
+finals AS (
+  SELECT s.doc_id, s.blk, p.sub,
+         MIN(s.sidx) AS f_first, MAX(s.sidx) AS f_last,
+         string_agg(s.sent, ' ' ORDER BY s.sidx) AS chunk_text,
+         COUNT(*) AS n_sents, SUM(s.n_tok) AS n_toks
+  FROM msent s
+  JOIN pstate p ON p.doc_id = s.doc_id AND p.blk = s.blk
+               AND p.bpos = s.bpos
+  GROUP BY 1, 2, 3
+),
+focus AS (
+  SELECT f.doc_id, f.blk, f.sub, s.sent,
+         ROW_NUMBER() OVER (
+           PARTITION BY f.doc_id, f.blk, f.sub
+           ORDER BY avgsim.a DESC, s.sidx ASC) AS rn
+  FROM finals f
+  JOIN sents s ON s.doc_id = f.doc_id
+              AND s.sidx BETWEEN f.f_first AND f.f_last
+  JOIN LATERAL (
+    SELECT floor(AVG(m.cos) * 1000000000 + 0.5) AS a FROM simmat m
+    WHERE m.doc_id = f.doc_id AND m.i = s.sidx
+      AND m.j BETWEEN f.f_first AND f.f_last
+  ) AS avgsim ON TRUE
+),
+ordered AS (
+  SELECT f.doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY f.doc_id
+                                 ORDER BY f.blk, f.sub) AS INT) - 1
+           AS chunk_index,
+         f.chunk_text,
+         CAST(f.n_sents AS INT) AS sentence_count,
+         CAST(f.n_toks AS INT) AS token_count,
+         fo.sent AS focus_sent,
+         CAST(COUNT(*) OVER (PARTITION BY f.doc_id) AS INT) AS total_chunks
+  FROM finals f
+  JOIN focus fo ON fo.doc_id = f.doc_id AND fo.blk = f.blk
+               AND fo.sub = f.sub AND fo.rn = 1
+)
+SELECT doc_id, chunk_index, chunk_text, sentence_count, token_count,
+       substr(focus_sent, 1, 100) AS semantic_focus,
+       total_chunks,
+       CASE WHEN total_chunks > 1 THEN
+         right(lag(chunk_text) OVER (PARTITION BY doc_id
+                                     ORDER BY chunk_index), 200)
+       END AS previous_context,
+       CASE WHEN total_chunks > 1 THEN
+         substr(lead(chunk_text) OVER (PARTITION BY doc_id
+                                       ORDER BY chunk_index), 1, 200)
+       END AS next_context
+FROM ordered
+"""
+
+
+@_register("chunk_semantic_ref", _sem_ref_sql())
+def _q_chunk_semantic_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TRUE semantic chunker, faithfully ported
+    (chunking.semantic_chunks_ref — semantic_chunker.py:15-263:
+    boundary rule, similarity-GATED skip-2 short-chunk merge, greedy
+    token-cap sub-split, semantic-focus argmax, ±200-char context)
+    over the punctuated micro-corpus, against an independent DuckDB
+    restatement (two recursive CTEs over the md5-hash-embedding
+    similarity matrix)."""
+    return chunking.semantic_chunks_ref(
+        _punct_docs(spark),
+        similarity_threshold=_SREF_THR,
+        min_chunk_size=_SREF_MIN,
+        max_chunk_size=_SREF_MAX,
+    )
+
 
 def _sem_punct_sql() -> str:
     """chunk_semantic on the punctuated micro-corpus, fully stated in
@@ -13679,14 +13871,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the registry has been driver-verified at least once.
 _DRIVER_WINDOW_PRIORITY = [
     # round-7 new oracles — MUST show driver-green this round
+    # (chunk_two_tier itself is below among the 43; rag_small_to_big's
+    # broadcast-hint change is plan-shape-tested and judge-swept, and
+    # indexed_hybrid_rrf is plan-guarded + judge-swept)
     "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
-    "chunk_heading_aware",
+    "chunk_heading_aware", "chunk_semantic_ref",
     # canaries (driver-green in earlier rounds; regression watch)
     "q1_pricing_summary", "hybrid_rrf",
-    # touched-this-round regression watch (chunk_two_tier itself is
-    # below among the 43; rag_small_to_big's broadcast-hint change is
-    # plan-shape-tested and judge-swept)
-    "indexed_hybrid_rrf",
     # --- the final 43 never-driver-verified oracled queries ---
     # events_* time-series analytics tail
     "events_acf", "events_anomaly_mad", "events_attribution_linear",

@@ -316,6 +316,166 @@ def semantic_chunks(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def semantic_chunks_ref(
+    docs: DataFrame,
+    similarity_threshold: float = 0.5,
+    min_chunk_size: int = 50,
+    max_chunk_size: int = 200,
+    maintain_context: bool = True,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Faithful port of the reference's TRUE semantic chunker
+    (app/processors/semantic_chunker.py:15-263) — richer than
+    :func:`semantic_chunks` (which keeps only the boundary rule with
+    a simplified merge):
+
+    1. abbreviation-protected sentence split (:48-60);
+    2. full pairwise sentence-similarity matrix (:62-78; embedder =
+       the engine's deterministic hash double, dim 32 — real
+       SentenceTransformers plug into the same per-batch shape);
+    3. boundaries where consecutive similarity < threshold (:80-103);
+    4. short chunks (< min_chunk_size whitespace tokens) merge with
+       the NEXT chunk only when the average cross-chunk similarity
+       ≥ 0.8·threshold, consuming it (i += 2) — merged chunks are
+       never re-gated, and gates always compare ORIGINAL chunk spans
+       (:105-141);
+    5. chunks over max_chunk_size tokens split greedily at sentence
+       boundaries (:239-263);
+    6. metadata: sentence/token counts, semantic_focus = first 100
+       chars of the most representative sentence (argmax mean
+       within-chunk similarity, first-max tie-break), and ±200-char
+       previous/next context when maintain_context (:195-236).
+
+    Per-document sequential logic → mapInPandas. Similarities drive
+    DECISIONS only (boundary, merge gate, focus argmax); the oracle
+    corpus asserts margins so float summation order cannot flip
+    them."""
+    import numpy as np
+
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        hash_embed_series,
+    )
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_index int, chunk_text string, "
+        "sentence_count int, token_count int, semantic_focus string, "
+        "total_chunks int, previous_context string, next_context string"
+    )
+    thr, min_sz, max_sz = (
+        float(similarity_threshold), int(min_chunk_size), int(max_chunk_size),
+    )
+    ctx = bool(maintain_context)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                sents = split_into_sentences_ref(text or "")
+                if not sents:
+                    continue
+                embs = np.array(
+                    hash_embed_series(pd.Series(sents), dim=32).tolist()
+                )
+                norms = np.sqrt((embs * embs).sum(axis=1))
+                norms[norms == 0] = 1.0
+                unit = embs / norms[:, None]
+                sim = unit @ unit.T
+                # boundaries (semantic_chunker.py:80-103)
+                boundaries = [
+                    i + 1
+                    for i in range(len(sents) - 1)
+                    if sim[i, i + 1] < thr
+                ]
+                chunks: list[list[str]] = []
+                spans: list[tuple[int, int]] = []
+                start = 0
+                for b in boundaries:
+                    chunks.append(sents[start:b])
+                    spans.append((start, b))
+                    start = b
+                if start < len(sents):
+                    chunks.append(sents[start:])
+                    spans.append((start, len(sents)))
+                # merge short chunks (:105-141)
+                merged: list[list[str]] = []
+                mspans: list[tuple[int, int]] = []
+                i = 0
+                while i < len(chunks):
+                    cur = chunks[i]
+                    cur_size = sum(len(s.split()) for s in cur)
+                    if cur_size < min_sz and i < len(chunks) - 1:
+                        (cs, ce), (ns, ne) = spans[i], spans[i + 1]
+                        if float(np.mean(sim[cs:ce, ns:ne])) >= thr * 0.8:
+                            merged.append(cur + chunks[i + 1])
+                            mspans.append((cs, ne))
+                            i += 2
+                            continue
+                    merged.append(cur)
+                    mspans.append(spans[i])
+                    i += 1
+                # split large chunks (:239-263)
+                final: list[tuple[int, int]] = []  # sentence spans
+                for (ms, me) in mspans:
+                    toks = [len(sents[j].split()) for j in range(ms, me)]
+                    if sum(toks) > max_sz:
+                        cur_start, cur_size = ms, 0
+                        for j in range(ms, me):
+                            if cur_size + toks[j - ms] > max_sz and (
+                                j > cur_start
+                            ):
+                                final.append((cur_start, j))
+                                cur_start, cur_size = j, toks[j - ms]
+                            else:
+                                cur_size += toks[j - ms]
+                        final.append((cur_start, me))
+                    else:
+                        final.append((ms, me))
+                n_chunks = len(final)
+                texts = [" ".join(sents[a:b]) for a, b in final]
+                for ci, (a, b) in enumerate(final):
+                    # semantic focus (:206-216): most representative
+                    # sentence = argmax mean within-chunk similarity.
+                    # Determinism hardening vs the reference: the raw
+                    # argmax is a structural ulp-tie for 2-sentence
+                    # chunks (both row means = (self + s01)/2), so the
+                    # key is quantized at 1e-9 and ties break on the
+                    # FIRST sentence — same rule as np.argmax on exact
+                    # ties, now engine-independent.
+                    if b - a > 1:
+                        sub = sim[a:b, a:b]
+                        key = np.floor(
+                            sub.mean(axis=1) * 1e9 + 0.5
+                        ).astype(np.int64)
+                        rep = int(np.argmax(key))
+                        focus = sents[a + rep][:100]
+                    else:
+                        focus = sents[a][:100]
+                    prev_ctx = (
+                        texts[ci - 1][-200:]
+                        if ctx and n_chunks > 1 and ci > 0 else None
+                    )
+                    next_ctx = (
+                        texts[ci + 1][:200]
+                        if ctx and n_chunks > 1 and ci < n_chunks - 1
+                        else None
+                    )
+                    rows.append(
+                        (did, ci, texts[ci], b - a,
+                         len(texts[ci].split()), focus, n_chunks,
+                         prev_ctx, next_ctx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "chunk_index", "chunk_text",
+                         "sentence_count", "token_count", "semantic_focus",
+                         "total_chunks", "previous_context", "next_context"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
+
+
 def chunk_recursive_dp(
     docs: DataFrame,
     chunk_size: int = DEFAULT_CHUNK_SIZE,

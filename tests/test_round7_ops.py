@@ -230,6 +230,90 @@ def test_heading_aware_non_degenerate(spark):
     assert all(r.heading is None for r in by_doc[2])
 
 
+def test_semantic_ref_margins_and_branches(spark):
+    """chunk_semantic_ref compares decisions, so every decision needs
+    a margin on this corpus: boundary cosines away from 0.5 (already
+    pinned above), merge-gate averages away from 0.8·threshold, and
+    quantized focus keys away from their rounding boundary. Also
+    asserts each branch actually fires: at least one gated merge
+    accepted, one rejected, and one token-cap sub-split."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        SENTENCE_SPLIT_RE,
+    )
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        hash_embed_series,
+    )
+
+    thr, min_sz = entrymod._SREF_THR, entrymod._SREF_MIN
+    sent_re = re.compile(SENTENCE_SPLIT_RE)
+    accepted = rejected = 0
+    for _d, text in entrymod._PUNCT_CORPUS:
+        sents = [p for p in sent_re.split(text) if p.strip()]
+        if len(sents) < 2:
+            continue
+        embs = np.array(hash_embed_series(pd.Series(sents), dim=32).tolist())
+        n = np.sqrt((embs * embs).sum(axis=1))
+        n[n == 0] = 1.0
+        unit = embs / n[:, None]
+        sim = unit @ unit.T
+        # initial chunk spans (boundary rule)
+        bounds = [i + 1 for i in range(len(sents) - 1) if sim[i, i + 1] < thr]
+        spans, start = [], 0
+        for b in bounds + [len(sents)]:
+            if start < b:
+                spans.append((start, b))
+            start = b
+        # gate margins over ALL consecutive original pairs (superset
+        # of the gates the skip-2 merge can evaluate)
+        for (cs, ce), (ns, ne) in zip(spans, spans[1:]):
+            avg = float(np.mean(sim[cs:ce, ns:ne]))
+            assert abs(avg - thr * 0.8) > 1e-3, avg
+            size = sum(len(s.split()) for s in sents[cs:ce])
+            if size < min_sz:
+                if avg >= thr * 0.8:
+                    accepted += 1
+                else:
+                    rejected += 1
+        # focus quantization margins: every within-span mean's scaled
+        # fractional part is far from the floor(+0.5) boundary
+        for (a, b) in spans:
+            if b - a > 1:
+                means = sim[a:b, a:b].mean(axis=1)
+                frac = (means * 1e9 + 0.5) % 1.0
+                assert np.min(np.minimum(frac, 1 - frac)) > 1e-4
+    assert accepted >= 1, "similarity-gated merge never accepted"
+    assert rejected >= 1, "similarity-gated merge never rejected"
+
+    rows = entrymod._q_chunk_semantic_ref(spark, "").collect()
+    # the token-cap sub-split fires: some doc has consecutive chunks
+    # where a cohesive group got split (token_count bounded)
+    assert all(
+        r.token_count <= entrymod._SREF_MAX or r.sentence_count == 1
+        for r in rows
+    )
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 7's near-dup cohesive group exceeds max tokens -> was split
+    d7 = sorted(by_doc[7], key=lambda r: r.chunk_index)
+    assert any(r.sentence_count > 1 for r in d7)
+    assert len(d7) >= 3
+    # context windows present and sized
+    for rs in by_doc.values():
+        rs = sorted(rs, key=lambda r: r.chunk_index)
+        for i, r in enumerate(rs):
+            if len(rs) > 1 and i > 0:
+                assert r.previous_context == rs[i - 1].chunk_text[-200:]
+            if len(rs) > 1 and i < len(rs) - 1:
+                assert r.next_context == rs[i + 1].chunk_text[:200]
+
+
 def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     """With auto-broadcast disabled and AQE off, both small_to_big
     joins must STILL plan as BroadcastHashJoin — proving the explicit
