@@ -4407,6 +4407,72 @@ def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- parse routing + tiered confidence (parser.py:25-96,227-244) --------------
+
+_PARSE_ROUTE_SQL = f"""
+SELECT doc_id,
+       CASE WHEN name LIKE '%.txt' OR name LIKE '%.md'
+            THEN 'simple' ELSE 'llamaparse' END AS parser,
+       CASE WHEN tier IN ('balanced', 'agentic', 'agentic_plus')
+            THEN tier ELSE 'balanced' END AS parse_tier,
+       {_R('''CASE WHEN name LIKE '%.txt' OR name LIKE '%.md' THEN 1.0
+            ELSE least(
+              (CASE WHEN tier = 'agentic' THEN 0.85
+                    WHEN tier = 'agentic_plus' THEN 0.95
+                    ELSE 0.7 END)
+              + (CASE WHEN length(text) > 1000 THEN 0.05 ELSE 0.0 END)
+              + (CASE WHEN length(text) > 5000 THEN 0.05 ELSE 0.0 END),
+              1.0) END''', 2)} AS parse_confidence
+FROM (SELECT doc_id, text,
+             'doc_' || CAST(doc_id AS VARCHAR) ||
+               (CASE doc_id % 5 WHEN 0 THEN '.md' WHEN 1 THEN '.txt'
+                                ELSE '.pdf' END) AS name,
+             (CASE doc_id % 4 WHEN 0 THEN 'balanced' WHEN 1 THEN 'agentic'
+                              WHEN 2 THEN 'agentic_plus'
+                              ELSE 'turbo' END) AS tier
+      FROM documents)
+"""
+
+
+@_register("parse_tier_routing", _PARSE_ROUTE_SQL)
+def _q_parse_tier_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse routing + tier-based confidence scoring
+    (multimodal.parse_route — parser.py:25-96 simple-file bypass,
+    :189-244 tier configs + confidence): .txt/.md bypass the external
+    parser at confidence 1.0; other files carry the normalized tier
+    (unknown → balanced) and the per-tier base + content-length
+    confidence bumps. The LlamaParse call itself stays the documented
+    env-blocked seam; this oracles the real routing/scoring layer in
+    front of it. Tier/filename assigned deterministically per doc_id
+    to cover every branch (incl. the unknown-tier fallback)."""
+    from cocoindex_data_ingestion_spark.operators.multimodal import (
+        parse_route,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.concat(
+            F.lit("doc_"), F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 5 == 0, F.lit(".md"))
+            .when(F.col("doc_id") % 5 == 1, F.lit(".txt"))
+            .otherwise(F.lit(".pdf")),
+        ).alias("name"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("balanced"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("agentic"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("agentic_plus"))
+        .otherwise(F.lit("turbo"))
+        .alias("tier"),
+    )
+    out = parse_route(docs)
+    return out.select(
+        "doc_id",
+        "parser",
+        "parse_tier",
+        stable_round(F.col("parse_confidence"), 2).alias("parse_confidence"),
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
@@ -13875,9 +13941,12 @@ _DRIVER_WINDOW_PRIORITY = [
     # broadcast-hint change is plan-shape-tested and judge-swept, and
     # indexed_hybrid_rrf is plan-guarded + judge-swept)
     "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
-    "chunk_heading_aware", "chunk_semantic_ref",
-    # canaries (driver-green in earlier rounds; regression watch)
-    "q1_pricing_summary", "hybrid_rrf",
+    "chunk_heading_aware", "chunk_semantic_ref", "parse_tier_routing",
+    # canary (driver-green in earlier rounds; regression watch).
+    # q1_pricing_summary sits at position 51 — just past the 50-slot
+    # window this round to make room for the six new oracles; it
+    # remains judge-swept and rotates back next round.
+    "hybrid_rrf",
     # --- the final 43 never-driver-verified oracled queries ---
     # events_* time-series analytics tail
     "events_acf", "events_anomaly_mad", "events_attribution_linear",
@@ -13904,6 +13973,8 @@ _DRIVER_WINDOW_PRIORITY = [
     "curate_length_histogram", "curate_neyman_allocation",
     "curate_token_budget", "incremental_update_stats",
     "ldiversity_audit",
+    # position 51+: standing canary just past this round's window
+    "q1_pricing_summary",
 ]
 
 

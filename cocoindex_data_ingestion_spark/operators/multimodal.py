@@ -37,6 +37,62 @@ IMAGE_META_SCHEMA = (
 _FEATURE_DIM = 16
 
 
+PARSE_TIERS = ("balanced", "agentic", "agentic_plus")
+_PARSE_BASE_CONFIDENCE = {"balanced": 0.7, "agentic": 0.85,
+                          "agentic_plus": 0.95}
+
+
+def parse_tier_of(tier_col) -> F.Column:
+    """Tier-string normalization (parser.py:40-46): unknown tiers
+    fall back to 'balanced'."""
+    t = F.lower(F.col(tier_col) if isinstance(tier_col, str) else tier_col)
+    return F.when(t.isin(*PARSE_TIERS), t).otherwise(F.lit("balanced"))
+
+
+def parse_confidence(tier_col, text_col) -> F.Column:
+    """Parse-confidence scoring (parser.py:227-244): per-tier base
+    (balanced 0.7 / agentic 0.85 / agentic_plus 0.95, unknown →
+    0.7) + 0.05 for each of the >1000 / >5000 char content-quality
+    bumps, capped at 1.0. Pure Column expression — at 100 TB this is
+    free inside the parse-result projection."""
+    tier = parse_tier_of(tier_col)
+    base = F.when(tier == "agentic", F.lit(0.85)).when(
+        tier == "agentic_plus", F.lit(0.95)
+    ).otherwise(F.lit(0.7))
+    ln = F.length(text_col)
+    conf = (
+        base
+        + F.when(ln > 1000, F.lit(0.05)).otherwise(F.lit(0.0))
+        + F.when(ln > 5000, F.lit(0.05)).otherwise(F.lit(0.0))
+    )
+    return F.least(conf, F.lit(1.0))
+
+
+def parse_route(
+    df: DataFrame,
+    name_col: str = "name",
+    tier_col: str = "tier",
+    text_col: str = "text",
+) -> DataFrame:
+    """Parse routing (parser.py:25-96): ``.txt``/``.md`` files bypass
+    the external parser entirely (parser='simple', confidence 1.0);
+    everything else routes to the tiered external parser
+    (parser='llamaparse') with the tier-based confidence above. The
+    external call itself is the documented env-blocked seam; this is
+    the real routing/scoring layer in front of it."""
+    simple = F.col(name_col).rlike(r"\.(txt|md)$")
+    return df.select(
+        "*",
+        F.when(simple, F.lit("simple")).otherwise(
+            F.lit("llamaparse")
+        ).alias("parser"),
+        parse_tier_of(tier_col).alias("parse_tier"),
+        F.when(simple, F.lit(1.0)).otherwise(
+            parse_confidence(tier_col, text_col)
+        ).alias("parse_confidence"),
+    )
+
+
 def attach_media_metadata(
     df: DataFrame, binary_col: str = "content"
 ) -> DataFrame:
