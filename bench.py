@@ -234,6 +234,11 @@ HEADLINE = [
     "rag_small_to_big",
     "rag_small_to_big_indexed",
     "mmr_rerank_hierarchical",
+    # round-7 additions (the micro-corpus chunker-oracle queries are
+    # deliberately NOT benched — constant-size fixtures measure
+    # nothing; heading/semantic chunkers get corpus-scale rows in
+    # SCALING.md instead)
+    "parse_tier_routing",
 ]
 
 SMALL_RESULT = {
@@ -313,6 +318,8 @@ SMALL_RESULT = {
     "entity_cooccurrence", "vector_knn_numpy", "knn_maxsim_numpy",
     "rag_small_to_big", "rag_small_to_big_indexed",
     "mmr_rerank_hierarchical",
+    # per-doc projection: count() would prune the routing expressions
+    "parse_tier_routing",
 }
 
 
