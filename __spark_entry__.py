@@ -37,6 +37,7 @@ from cocoindex_data_ingestion_spark.functions.text import (
     MIN_TOKEN_LEN,
     STOPWORDS,
     TOKEN_RE,
+    bm25_tokens,
 )
 from cocoindex_data_ingestion_spark.operators import (
     bm25 as bm25_ops,
@@ -636,6 +637,170 @@ def _q_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "id"
     )
     return fusion.weighted_fuse(vec_leg, bm_leg, weight=0.7, limit=KNN_K)
+
+
+# -- §2.6 hybrid RRF with the graph-leg append (search_service.py:416-423) ----
+#
+# The graph leg here: docs containing ALL query terms (the entity
+# co-mention proxy this corpus supports), flat score 1.0 like the
+# reference's graph hits (:160), bounded to 10 by doc_id — the append
+# semantics under test are _fuse_results's: absent-from-fusion graph
+# ids enter with their own score and the global rank runs after.
+
+_GRAPH_LEG_SQL = f"""
+SELECT doc_id AS id, 1.0 AS score
+FROM (SELECT doc_id, {_BM25_TOKS_SQL} AS toks FROM documents)
+WHERE len(list_intersect(list_distinct(toks),
+          {_QTERMS_SQL.replace('(', '[').replace(')', ']')})) = 4
+ORDER BY doc_id ASC LIMIT 3
+"""
+
+
+def _hybrid_graph_sql(limit: int = KNN_K) -> str:
+    vec = _VEC_KNN_SQL.format(k=LEG_K)
+    bm = _BM25_SQL.format(k=LEG_K)
+    return f"""
+WITH vec_leg AS ({vec}),
+bm_leg AS ({bm}),
+graph_leg AS ({_GRAPH_LEG_SQL}),
+unioned AS (
+  SELECT 'vector' AS source, vec_id AS id, score FROM vec_leg
+  UNION ALL
+  SELECT 'bm25' AS source, doc_id AS id, score FROM bm_leg
+),
+ranked AS (
+  SELECT source, id,
+         row_number() OVER (PARTITION BY source ORDER BY score DESC, id ASC) AS rank
+  FROM unioned
+),
+fused AS (
+  SELECT id, {_R(f'sum(1.0 / ({RRF_K} + rank))', 4)} AS rrf_score,
+         count(DISTINCT source) AS n_sources
+  FROM ranked GROUP BY id
+),
+appended AS (
+  SELECT * FROM fused
+  UNION ALL
+  SELECT g.id, {_R('g.score', 4)} AS rrf_score, CAST(1 AS BIGINT) AS n_sources
+  FROM graph_leg g
+  WHERE g.id NOT IN (SELECT id FROM fused)
+)
+SELECT id, rrf_score, n_sources FROM appended
+ORDER BY rrf_score DESC, id ASC
+LIMIT {limit}
+"""
+
+
+def _graph_leg_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(bm25_tokens(F.col("text")))
+    hit_all = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(t) for t in QUERY_TERMS]))
+    ) == len(QUERY_TERMS)
+    return (
+        docs.filter(hit_all)
+        .select(F.col("doc_id").alias("id"), F.lit(1.0).alias("score"))
+        .orderBy(F.col("id").asc())
+        # bounded to 3 so the compared top-k exercises BOTH the
+        # appended-graph branch and the RRF-fused branch (10 graph
+        # rows would fill the whole output — they outrank every RRF
+        # sum by the reference's flat-1.0 scoring)
+        .limit(3)
+    )
+
+
+@_register("hybrid_rrf_graph", _hybrid_graph_sql())
+def _q_hybrid_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full _fuse_results semantics including the graph blend
+    (fusion.rrf_fuse_graph_append): vector+bm25 RRF over all leg
+    candidates, graph hits (flat 1.0 score, faithfully reference-odd)
+    appended where absent, one global rank."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    vec_leg = vector_search.knn(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=LEG_K,
+    ).select(
+        F.lit("vector").alias("source"),
+        F.col("vec_id").alias("id"),
+        F.col("score"),
+    )
+    bm_leg = bm25_ops.bm25_search(docs, QUERY_TERMS, k=LEG_K).select(
+        F.lit("bm25").alias("source"),
+        F.col("doc_id").alias("id"),
+        F.col("score"),
+    )
+    return fusion.rrf_fuse_graph_append(
+        [vec_leg, bm_leg], _graph_leg_df(spark, sf_dir), limit=KNN_K
+    )
+
+
+# -- §2.6 vector⊕graph weighted merge, pass-through singles
+# (search_service.py:502-542 — distinct from weighted_fusion's
+# coalesce-to-zero multi-vector blend) ----------------------------------------
+
+_MERGE_VG_SQL = f"""
+WITH vec_leg AS ({{vec}}),
+graph_leg AS (
+  SELECT id, score FROM (
+    SELECT doc_id AS id,
+           len(list_intersect(list_distinct({_BM25_TOKS_SQL}),
+               {_QTERMS_SQL.replace('(', '[').replace(')', ']')})) / 4.0
+             AS score
+    FROM documents)
+  WHERE score > 0
+  ORDER BY score DESC, id ASC LIMIT {{legk}}
+)
+SELECT coalesce(v.vec_id, g.id) AS id,
+       {_R("CASE WHEN v.vec_id IS NOT NULL AND g.id IS NOT NULL "
+           "THEN 0.7 * v.score + 0.3 * g.score "
+           "ELSE coalesce(v.score, g.score) END", 4)} AS merged_score,
+       CAST((CASE WHEN v.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            + (CASE WHEN g.id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sources
+FROM vec_leg v FULL OUTER JOIN graph_leg g ON v.vec_id = g.id
+ORDER BY merged_score DESC, id ASC
+"""
+
+
+@_register(
+    "merge_vector_graph",
+    _MERGE_VG_SQL.format(vec=_VEC_KNN_SQL.format(k=LEG_K), legk=LEG_K),
+)
+def _q_merge_vector_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """_merge_and_rank's vector⊕graph pair semantics
+    (fusion.merge_vector_graph): shared ids blend 0.7/0.3,
+    single-source ids pass through UNCHANGED (the coalesce-to-zero
+    variant is weighted_fusion). Graph leg = query-term coverage
+    ratio per doc (score k/4), top-20."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    vec_leg = vector_search.knn(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=LEG_K,
+    ).withColumnRenamed("vec_id", "id")
+    toks = F.array_distinct(bm25_tokens(F.col("text")))
+    graph_leg = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            (
+                F.size(
+                    F.array_intersect(
+                        toks, F.array(*[F.lit(t) for t in QUERY_TERMS])
+                    )
+                )
+                / 4.0
+            ).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .limit(LEG_K)
+    )
+    return fusion.merge_vector_graph(vec_leg, graph_leg, vector_weight=0.7)
 
 
 # -- §2.8 aggregation pipeline (TPC-H Q1 shape) -------------------------------
@@ -13941,12 +14106,8 @@ _DRIVER_WINDOW_PRIORITY = [
     # broadcast-hint change is plan-shape-tested and judge-swept, and
     # indexed_hybrid_rrf is plan-guarded + judge-swept)
     "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
-    "chunk_heading_aware", "chunk_semantic_ref", "parse_tier_routing",
-    # canary (driver-green in earlier rounds; regression watch).
-    # q1_pricing_summary sits at position 51 — just past the 50-slot
-    # window this round to make room for the six new oracles; it
-    # remains judge-swept and rotates back next round.
-    "hybrid_rrf",
+    "chunk_heading_aware", "chunk_semantic_ref", "hybrid_rrf_graph",
+    "merge_vector_graph",
     # --- the final 43 never-driver-verified oracled queries ---
     # events_* time-series analytics tail
     "events_acf", "events_anomaly_mad", "events_attribution_linear",
@@ -13973,8 +14134,12 @@ _DRIVER_WINDOW_PRIORITY = [
     "curate_length_histogram", "curate_neyman_allocation",
     "curate_token_budget", "incremental_update_stats",
     "ldiversity_audit",
-    # position 51+: standing canary just past this round's window
-    "q1_pricing_summary",
+    # positions 51+: just past this round's window to fit the final
+    # 43 never-verified + the eight new r7 oracles in 50 slots.
+    # parse_tier_routing is new-but-parked (judge-swept, rotates in
+    # next round); the two standing canaries are driver-green in
+    # every prior round and remain judge-swept.
+    "parse_tier_routing", "hybrid_rrf", "q1_pricing_summary",
 ]
 
 

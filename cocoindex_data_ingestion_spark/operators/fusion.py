@@ -102,7 +102,7 @@ def rrf_fuse_legs(
     unioned = ranked[0]
     for r in ranked[1:]:
         unioned = unioned.unionByName(r)
-    return (
+    fused = (
         unioned.coalesce(1)
         .groupBy(id_col)
         .agg(
@@ -111,8 +111,92 @@ def rrf_fuse_legs(
             ).alias("rrf_score"),
             F.countDistinct(source_col).alias("n_sources"),
         )
+    )
+    if limit is None:
+        # caller ranks later (e.g. after a graph append) — still an
+        # exchange-free tail, just without the TakeOrdered
+        return fused
+    return fused.orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    ).limit(limit)
+
+
+def rrf_fuse_graph_append(
+    legs: list[DataFrame],
+    graph_leg: DataFrame,
+    limit: int = 10,
+    rrf_k: int = RRF_K,
+    id_col: str = "id",
+    score_col: str = "score",
+    round_to: int = 4,
+) -> DataFrame:
+    """The reference's full ``_fuse_results`` including its graph
+    blend (search_service.py:370-423): vector+bm25 candidates RRF-fuse
+    over ALL their ids; graph results whose ids are NOT already fused
+    are then APPENDED carrying their own score — the reference's
+    graph hits score a flat 1.0 (:160), which by construction
+    outranks every RRF sum (max ≈ 2/61); that oddity is faithful, not
+    a bug here — and one global (score desc, id asc) rank takes the
+    top ``limit``.
+
+    Scale shape: the legs are top-k bounded, the graph leg is its own
+    bounded traversal result, so the append is an anti-join of two
+    k-row frames — nothing corpus-sized reaches the tail."""
+    fused = rrf_fuse_legs(
+        legs, limit=None, rrf_k=rrf_k, id_col=id_col,
+        score_col=score_col, round_to=round_to,
+    )
+    extra = (
+        graph_leg.select(
+            F.col(id_col),
+            stable_round(F.col(score_col), round_to).alias("rrf_score"),
+            F.lit(1).cast("long").alias("n_sources"),
+        )
+        .join(fused.select(id_col), id_col, "left_anti")
+    )
+    return (
+        fused.unionByName(extra)
         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
         .limit(limit)
+    )
+
+
+def merge_vector_graph(
+    vector: DataFrame,
+    graph: DataFrame,
+    vector_weight: float = 0.7,
+    id_col: str = "id",
+    score_col: str = "score",
+    round_to: int = 4,
+) -> DataFrame:
+    """The reference's ``_merge_and_rank`` (search_service.py:502-542)
+    for the vector+graph source pair: ids present in BOTH sources get
+    the weighted blend w·vector + (1−w)·graph; single-source ids keep
+    their own score UNCHANGED (unlike :func:`weighted_fuse`, whose
+    multi-vector semantics coalesce the missing side to 0 — the two
+    reference code paths genuinely differ and both are kept).
+    Output: (id, merged_score, n_sources), ranked desc."""
+    v = vector.select(F.col(id_col), F.col(score_col).alias("_vs"))
+    g = graph.select(F.col(id_col), F.col(score_col).alias("_gs"))
+    both = F.col("_vs").isNotNull() & F.col("_gs").isNotNull()
+    return (
+        v.join(g, id_col, "full_outer")
+        .select(
+            F.col(id_col),
+            stable_round(
+                F.when(
+                    both,
+                    F.lit(vector_weight) * F.col("_vs")
+                    + F.lit(1.0 - vector_weight) * F.col("_gs"),
+                ).otherwise(F.coalesce(F.col("_vs"), F.col("_gs"))),
+                round_to,
+            ).alias("merged_score"),
+            (
+                F.col("_vs").isNotNull().cast("int")
+                + F.col("_gs").isNotNull().cast("int")
+            ).cast("long").alias("n_sources"),
+        )
+        .orderBy(F.col("merged_score").desc(), F.col(id_col).asc())
     )
 
 

@@ -314,6 +314,50 @@ def test_semantic_ref_margins_and_branches(spark):
                 assert r.next_context == rs[i + 1].chunk_text[:200]
 
 
+def test_merge_vector_graph_passthrough_vs_weighted(spark):
+    """_merge_and_rank semantics (search_service.py:502-542): shared
+    ids blend 0.7/0.3; single-source ids pass through UNCHANGED —
+    distinct from weighted_fuse's coalesce-to-zero blend."""
+    from cocoindex_data_ingestion_spark.operators.fusion import (
+        merge_vector_graph, weighted_fuse,
+    )
+
+    vec = spark.createDataFrame([(1, 0.9), (2, 0.8)], "id long, score double")
+    gr = spark.createDataFrame([(2, 0.5), (3, 0.4)], "id long, score double")
+    m = {r.id: r for r in merge_vector_graph(vec, gr).collect()}
+    assert m[1].merged_score == 0.9 and m[1].n_sources == 1  # pass-through
+    assert abs(m[2].merged_score - (0.7 * 0.8 + 0.3 * 0.5)) < 1e-9
+    assert m[2].n_sources == 2
+    assert m[3].merged_score == 0.4  # graph-only pass-through
+    w = {r.id: r for r in weighted_fuse(vec, gr, weight=0.7).collect()}
+    assert abs(w[1].fused_score - 0.7 * 0.9) < 1e-9  # coalesce-to-zero
+
+
+def test_rrf_graph_append_semantics(spark):
+    """_fuse_results graph blend (search_service.py:416-423): graph
+    ids already fused do NOT re-enter; absent ones append with their
+    own (flat 1.0) score and outrank the RRF sums."""
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.fusion import (
+        rrf_fuse_graph_append,
+    )
+
+    leg = spark.createDataFrame(
+        [("vector", 1, 0.9), ("vector", 2, 0.8), ("bm25", 2, 5.0)],
+        "source string, id long, score double",
+    )
+    legs = [leg.filter(F.col("source") == s) for s in ("vector", "bm25")]
+    graph = spark.createDataFrame(
+        [(2, 1.0), (9, 1.0)], "id long, score double"
+    )
+    rows = rrf_fuse_graph_append(legs, graph, limit=10).collect()
+    by_id = {r.id: r for r in rows}
+    assert by_id[9].rrf_score == 1.0 and by_id[9].n_sources == 1
+    assert by_id[2].n_sources == 2  # fused row kept, graph dup dropped
+    assert rows[0].id == 9  # flat graph score outranks RRF sums
+
+
 def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     """With auto-broadcast disabled and AQE off, both small_to_big
     joins must STILL plan as BroadcastHashJoin — proving the explicit
