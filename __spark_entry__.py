@@ -6028,6 +6028,141 @@ def _q_chunk_two_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).drop("bm25_tokens")
 
 
+def _contextualize_sql() -> str:
+    title = "'doc_' || CAST(doc_id AS VARCHAR)"
+    p_prompt = (
+        f"'Document: ' || {title} || chr(10) || chr(10) || "
+        "'Parent Content Summary: ' || substr(parent_text, 1, 600) || "
+        "chr(10) || chr(10) || 'Write 2-3 sentences summarizing the key "
+        "topics and themes covered in this part of the document.'"
+    )
+    c_prompt = (
+        f"'Document: ' || {title} || chr(10) || chr(10) || "
+        "'Context: ' || substr(parent_summary, 1, 200) || "
+        "chr(10) || chr(10) || 'Sentence(s): ' || chunk_text || "
+        "chr(10) || chr(10) || 'Write a single sentence that explains the "
+        "specific fact or concept in this text. Be precise and factual.'"
+    )
+
+    def summary(prompt: str, chunk: str) -> str:
+        return (
+            f"substr(md5({prompt}), 1, 8) || ': ' || "
+            f"array_to_string((string_split({chunk}, ' '))[1:12], ' ')"
+        )
+
+    toks = _bm25_toks_sql_over("contextualized_text")
+    return f"""
+WITH pages AS MATERIALIZED (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR) || ':page:' ||
+             CAST(start // {_S2B_STRIDE} AS VARCHAR)) AS parent_chunk_id,
+         substr(text, CAST(start + 1 AS INTEGER), {_S2B_PAGE}) AS parent_text
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                      {_S2B_STRIDE})) AS start
+        FROM documents)
+),
+psum AS MATERIALIZED (
+  SELECT doc_id, parent_chunk_id, parent_text,
+         {summary(p_prompt, 'parent_text')} AS parent_summary
+  FROM pages
+),
+children AS (
+  SELECT p.doc_id, p.parent_chunk_id, p.parent_summary,
+         md5(p.parent_chunk_id || ':' ||
+             CAST(cstart // {_S2B_CHILD} AS VARCHAR)) AS chunk_id,
+         substr(p.parent_text, CAST(cstart + 1 AS INTEGER), {_S2B_CHILD})
+           AS chunk_text
+  FROM psum p,
+       unnest(generate_series(0, greatest(length(p.parent_text) - 1, 0),
+                              {_S2B_CHILD})) AS t(cstart)
+),
+both_levels AS (
+  SELECT doc_id, parent_chunk_id AS chunk_id, 'page' AS chunk_level,
+         parent_summary AS contextual_summary,
+         parent_summary || chr(10) || chr(10) || parent_text
+           AS contextualized_text
+  FROM psum
+  UNION ALL
+  SELECT doc_id, chunk_id, 'semantic' AS chunk_level,
+         {summary(c_prompt, 'chunk_text')} AS contextual_summary,
+         {summary(c_prompt, 'chunk_text')} || chr(10) || chr(10) ||
+           chunk_text AS contextualized_text
+  FROM children
+)
+SELECT doc_id, chunk_id, chunk_level, contextual_summary,
+       contextualized_text,
+       COALESCE(array_to_string({toks}, ' '), '') AS bm25_tokens_s,
+       len({toks}) AS chunk_size
+FROM both_levels
+"""
+
+
+@_register("chunk_contextualize", _contextualize_sql())
+def _q_chunk_contextualize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anthropic-style contextual retrieval over the two-tier chunks
+    (chunking.contextualize_chunks — two_tier_chunker.py:321-352
+    prompts, :405-485 composition): per-level prompt construction
+    (title + 200-char parent context for children, 600-char content
+    cap for parents), summary (deterministic double: prompt-md5 tag +
+    chunk's first 12 tokens — any prompt drift fails the oracle),
+    contextualized_text = summary\\n\\nchunk, and BM25 tokens over the
+    CONTEXTUALIZED text so summary terms become searchable."""
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        contextualize_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pages = chunking.two_tier_pages(
+        docs, page_size=_S2B_PAGE, page_overlap=_S2B_OVERLAP
+    ).withColumn(
+        "doc_title", F.concat(F.lit("doc_"), F.col("doc_id").cast("string"))
+    )
+    parents = contextualize_chunks(
+        pages.select(
+            "doc_id",
+            F.col("parent_chunk_id").alias("chunk_id"),
+            F.lit("page").alias("chunk_level"),
+            F.col("parent_text").alias("chunk_text"),
+            F.lit("").alias("parent_context"),
+            "doc_title",
+        )
+    )
+    children_raw = chunking.fixed_chunks(
+        pages.select("parent_chunk_id", F.col("parent_text").alias("text")),
+        chunk_size=_S2B_CHILD, overlap=0, id_col="parent_chunk_id",
+    ).select(
+        "parent_chunk_id",
+        F.md5(
+            F.concat_ws(":", "parent_chunk_id", "chunk_index")
+        ).alias("chunk_id"),
+        F.col("chunk_text"),
+    )
+    pmeta = parents.select(
+        F.col("chunk_id").alias("parent_chunk_id"),
+        F.col("doc_id"),
+        F.col("doc_title"),
+        F.col("contextual_summary").alias("parent_context"),
+    )
+    children = contextualize_chunks(
+        children_raw.join(F.broadcast(pmeta), "parent_chunk_id").select(
+            "doc_id",
+            "chunk_id",
+            F.lit("semantic").alias("chunk_level"),
+            "chunk_text",
+            "parent_context",
+            "doc_title",
+        )
+    )
+    cols = [
+        "doc_id", "chunk_id", "chunk_level", "contextual_summary",
+        "contextualized_text",
+        F.array_join("bm25_tokens", " ").alias("bm25_tokens_s"),
+        F.size("bm25_tokens").alias("chunk_size"),
+    ]
+    return parents.select(*cols).unionByName(children.select(*cols))
+
+
 def _two_tier_punct_sql() -> str:
     toks = _bm25_toks_sql_over("c.chunk_text")
     return f"""
@@ -14135,11 +14270,13 @@ _DRIVER_WINDOW_PRIORITY = [
     "curate_token_budget", "incremental_update_stats",
     "ldiversity_audit",
     # positions 51+: just past this round's window to fit the final
-    # 43 never-verified + the eight new r7 oracles in 50 slots.
-    # parse_tier_routing is new-but-parked (judge-swept, rotates in
-    # next round); the two standing canaries are driver-green in
-    # every prior round and remain judge-swept.
-    "parse_tier_routing", "hybrid_rrf", "q1_pricing_summary",
+    # 43 never-verified + seven of the nine new r7 oracles in 50
+    # slots. parse_tier_routing and chunk_contextualize are
+    # new-but-parked (judge-swept, rotate in next round); the two
+    # standing canaries are driver-green in every prior round and
+    # remain judge-swept.
+    "parse_tier_routing", "chunk_contextualize",
+    "hybrid_rrf", "q1_pricing_summary",
 ]
 
 

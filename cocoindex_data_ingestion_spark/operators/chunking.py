@@ -676,6 +676,81 @@ def heading_aware_chunks(
     return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
+def context_prompt(level_col, chunk_col, ctx_col, title_col) -> F.Column:
+    """The reference's contextual-summary prompts, verbatim
+    (two_tier_chunker.py:321-352): semantic chunks get the document
+    title + the parent context truncated to 200 chars + the chunk;
+    parent chunks get the title + the chunk truncated to 600 chars.
+    Pure Column concat — the prompt construction is engine logic, the
+    LLM call behind it is the external seam."""
+    level = F.col(level_col) if isinstance(level_col, str) else level_col
+    chunk = F.col(chunk_col) if isinstance(chunk_col, str) else chunk_col
+    ctx = F.col(ctx_col) if isinstance(ctx_col, str) else ctx_col
+    title = F.col(title_col) if isinstance(title_col, str) else title_col
+    semantic = F.concat(
+        F.lit("Document: "), title,
+        F.lit("\n\nContext: "), F.substring(ctx, 1, 200),
+        F.lit("\n\nSentence(s): "), chunk,
+        F.lit("\n\nWrite a single sentence that explains the specific "
+              "fact or concept in this text. Be precise and factual."),
+    )
+    parent = F.concat(
+        F.lit("Document: "), title,
+        F.lit("\n\nParent Content Summary: "), F.substring(chunk, 1, 600),
+        F.lit("\n\nWrite 2-3 sentences summarizing the key topics and "
+              "themes covered in this part of the document."),
+    )
+    return F.when(level == "semantic", semantic).otherwise(parent)
+
+
+def default_summary_column(prompt_col, chunk_col) -> F.Column:
+    """Deterministic LLM double for contextual summaries: a stable
+    8-hex tag of the EXACT prompt (so any drift in prompt
+    construction changes the output and fails the oracle) + the
+    chunk's first 12 whitespace tokens. Pure expression; the real
+    service swaps in a pandas-UDF LLM call with the same signature."""
+    prompt = F.col(prompt_col) if isinstance(prompt_col, str) else prompt_col
+    chunk = F.col(chunk_col) if isinstance(chunk_col, str) else chunk_col
+    return F.concat(
+        F.substring(F.md5(prompt), 1, 8),
+        F.lit(": "),
+        F.array_join(F.slice(F.split(chunk, " "), 1, 12), " "),
+    )
+
+
+def contextualize_chunks(
+    chunks: DataFrame,
+    level_col: str = "chunk_level",
+    chunk_col: str = "chunk_text",
+    ctx_col: str = "parent_context",
+    title_col: str = "doc_title",
+    summarize=None,
+) -> DataFrame:
+    """Anthropic-style contextual retrieval, the reference's two-tier
+    enrichment step (two_tier_chunker.py:405-485): per chunk, an LLM
+    summary prompted per level → ``contextualized_text`` =
+    ``summary\\n\\nchunk_text`` → BM25 tokens computed over the
+    CONTEXTUALIZED text (that re-tokenization is the point — the
+    summary's terms become searchable). ``summarize(prompt_col,
+    chunk_col) -> Column`` plugs the real LLM; default is the
+    deterministic double. Adds (contextual_summary,
+    contextualized_text, bm25_tokens)."""
+    from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
+
+    fn = summarize or default_summary_column
+    prompt = context_prompt(level_col, chunk_col, ctx_col, title_col)
+    out = chunks.withColumn(
+        "contextual_summary", fn(prompt, F.col(chunk_col))
+    ).withColumn(
+        "contextualized_text",
+        F.concat(F.col("contextual_summary"), F.lit("\n\n"),
+                 F.col(chunk_col)),
+    )
+    return out.withColumn(
+        "bm25_tokens", bm25_tokens("contextualized_text")
+    )
+
+
 def two_tier_pages(
     docs: DataFrame,
     page_size: int = 1200,
