@@ -4638,6 +4638,177 @@ def _q_parse_tier_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- taxonomy tag enrichment (metadata_extraction.py:17-114, ---------------
+#    metadata_taxonomy.py:68-163)
+
+
+def _sql_str_list(vals) -> str:
+    return "[" + ", ".join(f"'{v}'" for v in vals) + "]"
+
+
+def _taxonomy_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators import taxonomy as tx
+
+    comp_list = _sql_str_list(tx.COMPONENTS)
+    iss_list = _sql_str_list(tx.ISSUES)
+    # per-issue variation patterns, identical literals to the Spark side
+    iss_pat = (
+        "CASE i "
+        + " ".join(
+            f"WHEN '{t}' THEN '{tx._issue_pattern(t)}'" for t in tx.ISSUES
+        )
+        + " END"
+    )
+    models_expr = (
+        r"list_concat(list_concat(regexp_extract_all(text2, '\bNC\d{4}\b'), "
+        r"regexp_extract_all(text2, '\bPC\d{4}\b')), "
+        r"regexp_extract_all(text2, '\bSM\d{3}\b'))"
+    )
+    comp_expr = (
+        f"list_filter({comp_list}, "
+        "c -> regexp_matches(lower(text2), '\\b' || c || '\\b'))"
+    )
+    iss_expr = (
+        f"list_filter({iss_list}, "
+        f"i -> regexp_matches(lower(text2), {iss_pat}))"
+    )
+    pm_list = _sql_str_list(tx.PRODUCT_MODELS)
+    act_list = _sql_str_list(tx.ACTIONS)
+    compl_list = _sql_str_list(tx.COMPLIANCE)
+    prio_list = _sql_str_list(tx.PRIORITY)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         text || ' NC20' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' ' || ({comp_list})[(doc_id % {len(tx.COMPONENTS)}) + 1]
+              || ' ' || (CASE doc_id % 3
+                   WHEN 0 THEN ({iss_list})[(doc_id % {len(tx.ISSUES)}) + 1]
+                   WHEN 1 THEN replace(({iss_list})[(doc_id % {len(tx.ISSUES)}) + 1], '-', ' ')
+                   ELSE replace(({iss_list})[(doc_id % {len(tx.ISSUES)}) + 1], '-', '') END)
+              || '.' AS text2,
+         [lang, ' ' || source || ' ',
+          CASE WHEN doc_id % 4 = 0 THEN 'Critical' ELSE 'Troubleshooting' END,
+          CASE WHEN doc_id % 3 = 0 THEN 'nc2050' ELSE 'RoHS' END] AS llm
+  FROM documents
+),
+lists AS (
+  SELECT doc_id,
+         list_concat(list_concat(
+           list_transform(llm, (x, i) -> struct_pack(s := 0, i := i, t := x)),
+           list_transform({models_expr}, (x, i) -> struct_pack(s := 1, i := i, t := x))),
+         list_concat(
+           list_transform({comp_expr}, (x, i) -> struct_pack(s := 2, i := i, t := x)),
+           list_transform({iss_expr}, (x, i) -> struct_pack(s := 3, i := i, t := x)))
+         ) AS cands
+  FROM base
+),
+cand AS (
+  SELECT doc_id, unnest(cands, recursive := false) AS u FROM lists
+),
+rows_ AS (
+  SELECT doc_id, u.s AS src, u.i AS pos, u.t AS tag,
+         trim(lower(u.t)) AS norm
+  FROM cand
+  WHERE trim(lower(u.t)) <> ''
+),
+dedup AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id, norm
+                            ORDER BY src, pos) AS rn
+  FROM rows_
+),
+kept AS (
+  SELECT doc_id, norm,
+         CASE WHEN regexp_matches(tag, '^[A-Z]+[0-9]+') THEN tag
+              ELSE norm END AS out_tag
+  FROM dedup WHERE rn = 1
+),
+classed AS (
+  SELECT doc_id, norm, out_tag,
+         CASE WHEN regexp_matches(out_tag, '^[A-Z]+[0-9]+') THEN 0
+              WHEN list_contains({comp_list}, out_tag) THEN 1
+              WHEN list_contains({iss_list}, out_tag) THEN 2
+              ELSE 3 END AS tag_class
+  FROM kept
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tag_class, out_tag, norm) AS tag_pos
+  FROM classed
+)
+SELECT doc_id, CAST(tag_pos AS BIGINT) AS tag_pos, out_tag AS tag,
+       CAST(tag_class AS BIGINT) AS tag_class,
+       CASE WHEN list_contains({pm_list}, out_tag) THEN 'product'
+            WHEN list_contains({comp_list}, lower(out_tag)) THEN 'component'
+            WHEN list_contains({iss_list}, lower(out_tag)) THEN 'issue'
+            WHEN list_contains({act_list}, lower(out_tag)) THEN 'action'
+            WHEN list_contains({compl_list}, out_tag) THEN 'compliance'
+            WHEN list_contains({prio_list}, lower(out_tag)) THEN 'priority'
+            ELSE 'custom' END AS tag_category
+FROM ranked
+WHERE tag_pos <= {tx.MAX_TAGS}
+"""
+
+
+@_register("document_tag_enrichment", _taxonomy_sql())
+def _q_document_tag_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taxonomy tag enrichment + categorization — the reference's
+    pattern-matching metadata layer (metadata_extraction.py:17-114:
+    NC/PC/SM model regexes, word-boundary component vocabulary,
+    issue spelling variations, combine/dedup-first-wins/sort/cap-15)
+    plus TagTaxonomy.categorize_tag (metadata_taxonomy.py:146-163).
+    LLM tags are a deterministic per-doc double; text is enriched
+    with a deterministic model/component/issue suffix so every
+    branch is exercised (incl. the lowercase-llm-tag-shadows-
+    extracted-model dedup quirk and the unknown-NC20xx custom
+    bucket). All pure JVM expressions + two per-doc windows."""
+    from cocoindex_data_ingestion_spark.operators import taxonomy as tx
+
+    n_c, n_i = len(tx.COMPONENTS), len(tx.ISSUES)
+    comp_arr = F.array(*[F.lit(t) for t in tx.COMPONENTS])
+    iss_arr = F.array(*[F.lit(t) for t in tx.ISSUES])
+    iss_pick = F.element_at(iss_arr, (F.col("doc_id") % n_i + 1).cast("int"))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" NC20"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" "),
+            F.element_at(comp_arr, (F.col("doc_id") % n_c + 1).cast("int")),
+            F.lit(" "),
+            F.when(F.col("doc_id") % 3 == 0, iss_pick)
+            .when(F.col("doc_id") % 3 == 1,
+                  F.replace(iss_pick, F.lit("-"), F.lit(" ")))
+            .otherwise(F.replace(iss_pick, F.lit("-"), F.lit(""))),
+            F.lit("."),
+        ).alias("text2"),
+        F.array(
+            F.col("lang"),
+            F.concat(F.lit(" "), F.col("source"), F.lit(" ")),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("Critical"))
+            .otherwise(F.lit("Troubleshooting")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("nc2050"))
+            .otherwise(F.lit("RoHS")),
+        ).alias("llm_tags"),
+    )
+    from cocoindex_data_ingestion_spark.operators.taxonomy import (
+        taxonomy_tags,
+    )
+
+    out = taxonomy_tags(
+        docs, text_col="text2", llm_tags_col="llm_tags"
+    )
+    return out.select(
+        "doc_id",
+        F.col("tag_pos").cast("long").alias("tag_pos"),
+        "tag",
+        F.col("tag_class").cast("long").alias("tag_class"),
+        "tag_category",
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
