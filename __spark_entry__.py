@@ -4809,6 +4809,121 @@ def _q_document_tag_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- markdown section extraction + preprocess (document_processor.py) ---------
+
+# the synthesized per-doc markdown (both engines build the identical
+# string): a dropped preamble, three header shapes (one per level,
+# varying by doc_id), a 7-hash non-header, a no-space non-header, a
+# tab-separated header with trailing title whitespace, and a content
+# line carrying characters outside the preprocess keep-set.
+_MD_SYNTH_SQL = """
+  '  preamble ' || substr(text, 1, 40) || chr(10)
+  || '# Overview' || chr(10)
+  || substr(text, 1, 120) || ' $%@ #tag' || chr(10)
+  || (CASE doc_id % 3
+        WHEN 0 THEN '## Findings  '
+        WHEN 1 THEN '### Findings'
+        ELSE '####### NotAHeader' END) || chr(10)
+  || substr(text, 41, 160) || chr(10)
+  || '#NoSpace' || chr(10)
+  || '##' || chr(9) || ' Tabbed ' || chr(10)
+  || substr(text, 201, 120)
+"""
+
+_DOC_SECTIONS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, {_MD_SYNTH_SQL} AS md FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         unnest(list_transform(str_split(md, chr(10)),
+                               (x, i) -> struct_pack(pos := i, line := x)),
+                recursive := false) AS u
+  FROM base
+),
+l2 AS (
+  SELECT doc_id, u.pos AS pos, u.line AS line,
+         regexp_matches(u.line, '^#{{1,6}}\s+.+$') AS is_header
+  FROM lines
+),
+grp AS (
+  SELECT *,
+         sum(CASE WHEN is_header THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS section_idx
+  FROM l2
+),
+secs AS (
+  SELECT doc_id, section_idx,
+         max(CASE WHEN is_header
+                  THEN length(regexp_extract(line, '^(#{{1,6}})\s', 1))
+                  END) AS level,
+         max(CASE WHEN is_header
+                  THEN regexp_extract(line, '^#{{1,6}}\s+(.+)$', 1)
+                  END) AS title,
+         coalesce(string_agg(CASE WHEN NOT is_header THEN line END,
+                             chr(10) ORDER BY pos), '') AS raw
+  FROM grp WHERE section_idx > 0
+  GROUP BY doc_id, section_idx
+),
+stripped AS (
+  SELECT doc_id, section_idx, level, title,
+         regexp_replace(raw, '^\s+|\s+$', '', 'g') AS content
+  FROM secs
+)
+SELECT doc_id, CAST(section_idx AS BIGINT) AS section_idx,
+       CAST(level AS BIGINT) AS level, title, content,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(content, '\s+', ' ', 'g'),
+           '[^\w\s.,;:!?\-()"''/]', '', 'g'),
+         '^\s+|\s+$', '', 'g') AS clean_content
+FROM stripped
+"""
+
+
+@_register("doc_markdown_sections", _DOC_SECTIONS_SQL)
+def _q_doc_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown section extraction + text preprocessing — the app
+    DocumentProcessor (document_processor.py:214-253 extract_sections,
+    :204-212 preprocess_text). Faithful quirks exercised: preamble
+    lines before the first header are dropped, 7+ hashes and
+    hash-without-whitespace are not headers, titles keep trailing
+    whitespace (the ``(.+)$`` capture), section content joins with
+    newlines then strips ALL whitespace, and preprocess collapses
+    whitespace then drops characters outside the keep-set. Pure
+    expressions: posexplode over lines, one running-count window per
+    doc, one per-section aggregate."""
+    from cocoindex_data_ingestion_spark.operators.docproc import (
+        extract_sections,
+        preprocess_text_col,
+    )
+
+    t = F.col("text")
+    nl, tab = F.lit("\n"), F.lit("\t")
+    md = F.concat(
+        F.lit("  preamble "), F.substring(t, 1, 40), nl,
+        F.lit("# Overview"), nl,
+        F.substring(t, 1, 120), F.lit(" $%@ #tag"), nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("## Findings  "))
+        .when(F.col("doc_id") % 3 == 1, F.lit("### Findings"))
+        .otherwise(F.lit("####### NotAHeader")), nl,
+        F.substring(t, 41, 160), nl,
+        F.lit("#NoSpace"), nl,
+        F.lit("##"), tab, F.lit(" Tabbed "), nl,
+        F.substring(t, 201, 120),
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", md.alias("md"))
+    secs = extract_sections(docs, text_col="md")
+    return secs.select(
+        "doc_id",
+        F.col("section_idx").cast("long").alias("section_idx"),
+        F.col("level").cast("long").alias("level"),
+        "title",
+        "content",
+        preprocess_text_col(F.col("content")).alias("clean_content"),
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
