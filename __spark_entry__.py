@@ -4924,6 +4924,177 @@ def _q_doc_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- chunk editing: split / merge with renumbering (api/chunks.py) ------------
+
+# shared base: the oracled fixed-chunk table with the API's chunk
+# identity columns (document_id, chunk_id, chunk_number, positions)
+_CHUNK_EDIT_BASE_SQL = f"""
+  SELECT doc_id AS document_id,
+         md5(CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(start // {_CHUNK_STRIDE} AS VARCHAR)) AS chunk_id,
+         CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_number,
+         substr(text, CAST(start + 1 AS INTEGER), {_CHUNK_SIZE}) AS chunk_text,
+         CAST(start AS BIGINT) AS start_position,
+         CAST(least(start + {_CHUNK_SIZE}, length(text)) AS BIGINT)
+           AS end_position
+  FROM (
+    SELECT doc_id, text,
+           unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                  {_CHUNK_STRIDE})) AS start
+    FROM documents
+  )
+"""
+
+_SPLIT_AT = 7
+
+_CHUNK_SPLIT_SQL = f"""
+WITH c AS ({_CHUNK_EDIT_BASE_SQL}),
+v AS (
+  SELECT document_id FROM c
+  WHERE chunk_number = 1 AND length(chunk_text) > {_SPLIT_AT}
+),
+base AS (
+  SELECT c.document_id, c.chunk_id,
+         CASE WHEN v.document_id IS NOT NULL AND c.chunk_number > 1
+              THEN c.chunk_number + 1 ELSE c.chunk_number END AS chunk_number,
+         CASE WHEN v.document_id IS NOT NULL AND c.chunk_number = 1
+              THEN substr(c.chunk_text, 1, {_SPLIT_AT})
+              ELSE c.chunk_text END AS chunk_text,
+         c.start_position,
+         CASE WHEN v.document_id IS NOT NULL AND c.chunk_number = 1
+              THEN c.start_position + {_SPLIT_AT}
+              ELSE c.end_position END AS end_position,
+         CAST(NULL AS VARCHAR) AS split_from
+  FROM c LEFT JOIN v USING (document_id)
+),
+sib AS (
+  SELECT c.document_id,
+         md5(c.chunk_id || ':{_SPLIT_AT}') AS chunk_id,
+         CAST(2 AS BIGINT) AS chunk_number,
+         substr(c.chunk_text, {_SPLIT_AT} + 1,
+                length(c.chunk_text) - {_SPLIT_AT}) AS chunk_text,
+         c.start_position + {_SPLIT_AT} AS start_position,
+         c.start_position + length(c.chunk_text) AS end_position,
+         c.chunk_id AS split_from
+  FROM c JOIN v USING (document_id) WHERE c.chunk_number = 1
+)
+SELECT document_id, chunk_id, chunk_number, chunk_text,
+       start_position, end_position, split_from,
+       CAST(length(chunk_text) AS BIGINT) AS chunk_size
+FROM (SELECT * FROM base UNION ALL SELECT * FROM sib)
+"""
+
+
+def _chunk_edit_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = chunking.fixed_chunks(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+    return out.select(
+        F.col("doc_id").alias("document_id"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_index").cast("string"),
+            )
+        ).alias("chunk_id"),
+        F.col("chunk_index").cast("long").alias("chunk_number"),
+        "chunk_text",
+        F.col("location_start").cast("long").alias("start_position"),
+        F.col("location_end").cast("long").alias("end_position"),
+    )
+
+
+@_register("chunk_edit_split", _CHUNK_SPLIT_SQL)
+def _q_chunk_edit_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk split with renumbering (api/chunks.py:352-431): each
+    document's chunk #1 splits at position 7 — the first part keeps
+    id/number with end = start + 7, later chunks renumber +1, the new
+    sibling inserts at #2 spanning the remainder with split_from set
+    and a deterministic md5 id (the API's DB-generated UUID seam).
+    Docs whose chunk #1 is missing or ≤7 chars pass through; an
+    always-out-of-range split on chunk #0 of every 10th doc exercises
+    the API's 400-reject path (ignored in batch form). One broadcast
+    of the edit list; the chunk table is touched map-side only."""
+    from cocoindex_data_ingestion_spark.operators.chunk_edit import (
+        split_chunks,
+    )
+
+    c = _chunk_edit_base(spark, sf_dir)
+    splits = c.filter(F.col("chunk_number") == 1).select(
+        "chunk_id", F.lit(_SPLIT_AT).alias("split_position")
+    ).unionByName(
+        c.filter(
+            (F.col("chunk_number") == 0) & (F.col("document_id") % 10 == 0)
+        ).select("chunk_id", F.lit(999999).alias("split_position"))
+    )
+    out = split_chunks(c, splits, doc_col="document_id")
+    return out.select(
+        "document_id", "chunk_id", "chunk_number", "chunk_text",
+        "start_position", "end_position", "split_from",
+        F.length("chunk_text").cast("long").alias("chunk_size"),
+    )
+
+
+_CHUNK_MERGE_SQL = f"""
+WITH c AS ({_CHUNK_EDIT_BASE_SQL}),
+v AS (
+  SELECT document_id,
+         min(CASE WHEN chunk_number = 0 THEN chunk_text END) AS t0,
+         min(CASE WHEN chunk_number = 1 THEN chunk_text END) AS t1,
+         min(CASE WHEN chunk_number = 1 THEN end_position END) AS e1
+  FROM c WHERE chunk_number <= 1
+  GROUP BY document_id
+  HAVING count(*) = 2
+)
+SELECT c.document_id,
+       c.chunk_id,
+       CASE WHEN v.document_id IS NOT NULL AND c.chunk_number > 1
+            THEN c.chunk_number - 1 ELSE c.chunk_number END AS chunk_number,
+       CASE WHEN v.document_id IS NOT NULL AND c.chunk_number = 0
+            THEN v.t0 || ' ' || v.t1 ELSE c.chunk_text END AS chunk_text,
+       c.start_position,
+       CASE WHEN v.document_id IS NOT NULL AND c.chunk_number = 0
+            THEN v.e1 ELSE c.end_position END AS end_position,
+       CAST(CASE WHEN v.document_id IS NOT NULL AND c.chunk_number = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS n_absorbed
+FROM c LEFT JOIN v USING (document_id)
+WHERE NOT (v.document_id IS NOT NULL AND c.chunk_number = 1)
+"""
+
+
+@_register("chunk_edit_merge", _CHUNK_MERGE_SQL)
+def _q_chunk_edit_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk merge with renumbering (api/chunks.py:434-513): per
+    document, chunks #0 and #1 merge — the first keeps its id and
+    number with text joined by ' ' and end = last.end, the absorbed
+    chunk is deleted, chunks past the last renumber −1, merged_from
+    records the absorbed ids (surfaced as a count — the driver
+    compare rejects array cells). Docs with a single chunk pass
+    through untouched."""
+    from cocoindex_data_ingestion_spark.operators.chunk_edit import (
+        merge_chunks,
+    )
+
+    c = _chunk_edit_base(spark, sf_dir)
+    groups = c.filter(F.col("chunk_number") <= 1).groupBy(
+        "document_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.collect_list("chunk_id").alias("ids"),
+    ).filter(F.col("n") == 2).select(
+        F.explode("ids").alias("chunk_id"),
+        F.col("document_id").cast("string").alias("group_id"),
+    )
+    out = merge_chunks(c, groups, doc_col="document_id")
+    return out.select(
+        "document_id", "chunk_id", "chunk_number", "chunk_text",
+        "start_position", "end_position",
+        F.size("merged_from").cast("long").alias("n_absorbed"),
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
