@@ -5095,6 +5095,107 @@ def _q_chunk_edit_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- path / filename safety audit (utils/path_validator.py) -------------------
+
+
+def _path_audit_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators import expectations as ex
+
+    def lit(s: str) -> str:
+        if s == "\x00":
+            return "chr(0)"
+        return "'" + s.replace("'", "''") + "'"
+
+    arms = ["WHEN p IS NULL OR p = '' THEN 'empty'"]
+    for pat in ex.PATH_SUSPICIOUS:
+        arms.append(
+            f"WHEN contains(lower(p), {lit(pat)}) "
+            f"THEN 'suspicious:{ex._label(pat)}'"
+        )
+    for ch in ex.FILENAME_FORBIDDEN:
+        arms.append(
+            f"WHEN length(fname) > 0 AND contains(fname, {lit(ch)}) "
+            f"THEN 'forbidden:{ex._label(ch)}'"
+        )
+    reserved = ", ".join(f"'{r}'" for r in ex.FILENAME_RESERVED)
+    arms.append(
+        "WHEN length(fname) > 0 AND "
+        f"upper(string_split(fname, '.')[1]) IN ({reserved}) THEN 'reserved'"
+    )
+    arms.append(
+        f"WHEN length(fname) > 0 AND length(fname) > {ex.FILENAME_MAX_LEN} "
+        "THEN 'too_long'"
+    )
+    arms.append(
+        "WHEN length(fname) > 0 AND starts_with(fname, '.') THEN 'hidden'"
+    )
+    case = "CASE " + " ".join(arms) + " ELSE 'ok' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN '/data/docs/doc_' || doc_id || '.txt'
+           WHEN 1 THEN '/data/docs/.hidden_' || doc_id
+           WHEN 2 THEN '/data/docs/COM' || (doc_id % 10) || '.log'
+           WHEN 3 THEN '/data/docs/doc|' || doc_id
+           WHEN 4 THEN '/etc/passwd'
+           WHEN 5 THEN '/data/docs/' || repeat('x', 300) || '.txt'
+           WHEN 6 THEN '/data/../docs/doc_' || doc_id || '.txt'
+           ELSE '/data/docs/back\\slash_' || doc_id
+         END AS p
+  FROM documents
+),
+named AS (
+  SELECT doc_id, p, string_split(p, '/')[-1] AS fname FROM base
+)
+SELECT doc_id, p AS source_path, fname AS filename,
+       {case} AS violation,
+       ({case}) = 'ok' AS is_safe
+FROM named
+"""
+
+
+@_register("path_safety_audit", _path_audit_sql())
+def _q_path_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path/filename safety audit — PathValidator.validate_path +
+    validate_filename (path_validator.py:14-149) as a one-scan batch
+    rule: first-failing-check precedence (empty → suspicious pattern
+    → forbidden char → reserved device name → length → hidden),
+    basename semantics, raw-string traversal check (documented
+    stricter-than-resolve divergence). Synthesized paths cover every
+    branch: ok, hidden, COM reserved (COM0 is NOT reserved — only
+    COM1-9, a faithful boundary), forbidden '|' and '\\\\', suspicious
+    /etc/passwd and /../, and a 300-char filename."""
+    from cocoindex_data_ingestion_spark.operators.expectations import (
+        path_safety_audit,
+    )
+
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 8 == 0, F.concat(F.lit("/data/docs/doc_"),
+                                    d.cast("string"), F.lit(".txt")))
+        .when(d % 8 == 1, F.concat(F.lit("/data/docs/.hidden_"),
+                                   d.cast("string")))
+        .when(d % 8 == 2, F.concat(F.lit("/data/docs/COM"),
+                                   (d % 10).cast("string"), F.lit(".log")))
+        .when(d % 8 == 3, F.concat(F.lit("/data/docs/doc|"),
+                                   d.cast("string")))
+        .when(d % 8 == 4, F.lit("/etc/passwd"))
+        .when(d % 8 == 5, F.concat(F.lit("/data/docs/"),
+                                   F.lit("x" * 300), F.lit(".txt")))
+        .when(d % 8 == 6, F.concat(F.lit("/data/../docs/doc_"),
+                                   d.cast("string"), F.lit(".txt")))
+        .otherwise(F.concat(F.lit("/data/docs/back\\slash_"),
+                            d.cast("string")))
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", path.alias("source_path")
+    )
+    return path_safety_audit(docs, "source_path").select(
+        "doc_id", "source_path", "filename", "violation", "is_safe"
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 

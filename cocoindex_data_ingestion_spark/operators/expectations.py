@@ -209,3 +209,86 @@ def l_diversity_audit(
         )
         .filter(F.col("sensitive_cardinality") < l)
     )
+
+
+# -- path / filename safety audit (utils/path_validator.py) -------------------
+
+# validate_path suspicious patterns (:72-82), checked lowercased and
+# in list order against the path string. The reference matches the
+# RESOLVED path; a batch audit has no filesystem, so this checks the
+# raw string — stricter on unresolved '..' traversal, documented.
+PATH_SUSPICIOUS = [
+    "/etc/passwd",
+    "/etc/shadow",
+    "c:\\windows\\system32",
+    "c:\\windows\\system",
+    "/proc/",
+    "/sys/",
+    "\\..\\",
+    "/../",
+    "\x00",
+]
+
+# validate_filename forbidden characters (:123), in list order
+FILENAME_FORBIDDEN = ["/", "\\", "\x00", ":", "*", "?", '"', "<", ">", "|"]
+
+# reserved Windows device names (:131-135)
+FILENAME_RESERVED = (
+    ["CON", "PRN", "AUX", "NUL"]
+    + [f"COM{i}" for i in range(1, 10)]
+    + [f"LPT{i}" for i in range(1, 10)]
+)
+
+FILENAME_MAX_LEN = 255  # :142
+
+
+def _label(pat: str) -> str:
+    return pat.replace("\x00", "<nul>")
+
+
+def path_safety_audit(
+    df: DataFrame, path_col: str = "source_path"
+) -> DataFrame:
+    """Row-level twin of ``PathValidator.validate_path`` +
+    ``validate_filename`` (path_validator.py:14-149): adds
+    ``filename`` (basename), ``violation`` (the FIRST failing check
+    in the reference's raise order: empty path → suspicious pattern →
+    forbidden filename char → reserved device name → length → hidden
+    file; ``'ok'`` if none), and ``is_safe``.
+
+    Check order matters: the reference raises on the first hit, so a
+    path can carry several defects but reports one — the audit
+    reproduces that precedence exactly. Basename extraction mirrors
+    ``os.path.basename`` for '/'-separated paths (backslashes stay in
+    the name, where the forbidden-char check catches them). Pure
+    codegen expressions, one scan, no shuffle."""
+    p = F.col(path_col)
+    lp = F.lower(p)
+    fname = F.element_at(F.split(p, "/"), -1)
+    name_no_ext = F.element_at(F.split(fname, r"\."), 1)
+    checks: list[tuple[Column, str]] = [
+        (p.isNull() | (p == ""), "empty")
+    ]
+    checks += [
+        (lp.contains(F.lit(pat)), f"suspicious:{_label(pat)}")
+        for pat in PATH_SUSPICIOUS
+    ]
+    nonempty = F.length(fname) > 0
+    checks += [
+        (nonempty & fname.contains(F.lit(ch)), f"forbidden:{_label(ch)}")
+        for ch in FILENAME_FORBIDDEN
+    ]
+    checks += [
+        (
+            nonempty & F.upper(name_no_ext).isin(FILENAME_RESERVED),
+            "reserved",
+        ),
+        (nonempty & (F.length(fname) > FILENAME_MAX_LEN), "too_long"),
+        (nonempty & fname.startswith("."), "hidden"),
+    ]
+    violation = F.lit("ok")
+    for cond, label in reversed(checks):
+        violation = F.when(cond, F.lit(label)).otherwise(violation)
+    return df.withColumn("filename", fname).withColumn(
+        "violation", violation
+    ).withColumn("is_safe", violation == "ok")
