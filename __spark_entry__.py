@@ -5196,6 +5196,130 @@ def _q_path_safety_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- job ledger: event-sourced async-task state (job_tracker.py) ---------------
+
+_JOB_LEDGER_SQL = """
+WITH ev AS (
+  SELECT user_id AS job_id, event_id AS seq, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'signup' THEN 'queued'
+              WHEN event_type = 'purchase' THEN 'completed'
+              WHEN event_type = 'error' THEN 'failed'
+              WHEN event_type = 'click' AND value > 150 THEN 'cancelled'
+              ELSE 'running' END AS status,
+         CASE WHEN event_type = 'view'
+                   OR (event_type = 'click' AND value <= 150)
+              THEN CAST(floor(value) AS BIGINT) END AS progress,
+         CASE WHEN event_type = 'signup' THEN 'signed up'
+              WHEN event_type = 'purchase' THEN 'done' END AS message,
+         CASE WHEN event_type = 'error' THEN 'boom' END AS error
+  FROM events
+),
+ann AS (
+  SELECT *,
+         status = 'cancelled' AS is_cancel,
+         last_value(CASE WHEN status <> 'cancelled' THEN status END
+                    IGNORE NULLS) OVER w_prev AS prev_upd_status,
+         last_value(CASE WHEN status <> 'cancelled' THEN seq END
+                    IGNORE NULLS) OVER w_prev AS prev_upd_seq
+  FROM ev
+  WINDOW w_prev AS (PARTITION BY job_id ORDER BY us, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+seg AS (
+  SELECT *,
+         CASE WHEN is_cancel THEN row_number() OVER (
+           PARTITION BY job_id, coalesce(prev_upd_seq, -1), is_cancel
+           ORDER BY us, seq) END AS rn_seg
+  FROM ann
+),
+eff AS (
+  SELECT *,
+         NOT is_cancel AS is_update,
+         (is_cancel AND rn_seg = 1 AND
+          (prev_upd_status IS NULL OR prev_upd_status NOT IN
+             ('completed', 'failed', 'cancelled'))) AS valid_cancel
+  FROM seg
+),
+folded AS (
+  SELECT job_id, us, is_update,
+         last_value(CASE WHEN is_update OR valid_cancel THEN status END
+                    IGNORE NULLS) OVER w_full AS f_status,
+         last_value(CASE WHEN is_update AND
+                              (progress IS NOT NULL OR status = 'completed')
+                         THEN CASE WHEN status = 'completed'
+                                   THEN CAST(100 AS BIGINT)
+                                   ELSE least(CAST(100 AS BIGINT),
+                                              greatest(CAST(0 AS BIGINT),
+                                                       progress)) END
+                         END IGNORE NULLS) OVER w_full AS f_progress,
+         last_value(CASE WHEN is_update AND message IS NOT NULL THEN message
+                         WHEN valid_cancel THEN 'Job cancelled by user'
+                         END IGNORE NULLS) OVER w_full AS f_message,
+         last_value(CASE WHEN is_update AND error IS NOT NULL THEN error END
+                    IGNORE NULLS) OVER w_full AS f_error,
+         CASE WHEN (is_update AND status IN ('completed', 'failed',
+                                             'cancelled'))
+                   OR valid_cancel THEN us END AS completed_us
+  FROM eff
+  WINDOW w_full AS (PARTITION BY job_id ORDER BY us, seq
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING)
+)
+SELECT job_id,
+       max(f_status) AS status,
+       coalesce(max(f_progress), CAST(0 AS BIGINT)) AS progress,
+       coalesce(max(f_message), 'Job queued') AS message,
+       max(f_error) AS error,
+       min(us) AS created_at_us,
+       max(CASE WHEN is_update THEN us END) AS updated_at_us,
+       max(completed_us) AS completed_at_us
+FROM folded GROUP BY job_id
+"""
+
+
+@_register("job_ledger_latest", _JOB_LEDGER_SQL)
+def _q_job_ledger_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Job-ledger fold — JobTracker (job_tracker.py:29-125) as a
+    batch event-sourced materialization: last-assignment-wins per
+    field, progress clamp + COMPLETED→100, completed_at stamped on
+    terminal entry and never cleared, cancel calls refused once
+    terminal (only the first cancel after a non-terminal update
+    counts), cancel setting message+completed_at but NOT updated_at.
+    Events map deterministically onto API calls (signup=create,
+    purchase=complete, error=fail, high-value click=cancel, rest=
+    progress updates) so every rule is exercised on real sequences."""
+    from cocoindex_data_ingestion_spark.operators.jobs import job_ledger
+
+    ev = _t(spark, sf_dir, "events")
+    et, val = F.col("event_type"), F.col("value")
+    updates = ev.select(
+        F.col("user_id").alias("job_id"),
+        F.col("event_id").alias("seq"),
+        _ts_us("ts").alias("us"),
+        F.when(et == "signup", F.lit("queued"))
+        .when(et == "purchase", F.lit("completed"))
+        .when(et == "error", F.lit("failed"))
+        .when((et == "click") & (val > 150), F.lit("cancelled"))
+        .otherwise(F.lit("running"))
+        .alias("status"),
+        F.when(
+            (et == "view") | ((et == "click") & (val <= 150)),
+            F.floor(val).cast("long"),
+        ).alias("progress"),
+        F.when(et == "signup", F.lit("signed up"))
+        .when(et == "purchase", F.lit("done"))
+        .alias("message"),
+        F.when(et == "error", F.lit("boom")).alias("error"),
+    )
+    out = job_ledger(updates, ts_col="us")
+    return out.select(
+        "job_id", "status", "progress", "message", "error",
+        F.col("created_at").alias("created_at_us"),
+        F.col("updated_at").alias("updated_at_us"),
+        F.col("completed_at").alias("completed_at_us"),
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
