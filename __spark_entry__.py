@@ -4881,6 +4881,24 @@ FROM stripped
 """
 
 
+def _md_synth_col() -> F.Column:
+    """Spark twin of _MD_SYNTH_SQL (shared per-doc markdown)."""
+    t = F.col("text")
+    nl, tab = F.lit("\n"), F.lit("\t")
+    return F.concat(
+        F.lit("  preamble "), F.substring(t, 1, 40), nl,
+        F.lit("# Overview"), nl,
+        F.substring(t, 1, 120), F.lit(" $%@ #tag"), nl,
+        F.when(F.col("doc_id") % 3 == 0, F.lit("## Findings  "))
+        .when(F.col("doc_id") % 3 == 1, F.lit("### Findings"))
+        .otherwise(F.lit("####### NotAHeader")), nl,
+        F.substring(t, 41, 160), nl,
+        F.lit("#NoSpace"), nl,
+        F.lit("##"), tab, F.lit(" Tabbed "), nl,
+        F.substring(t, 201, 120),
+    )
+
+
 @_register("doc_markdown_sections", _DOC_SECTIONS_SQL)
 def _q_doc_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markdown section extraction + text preprocessing — the app
@@ -4898,21 +4916,9 @@ def _q_doc_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         preprocess_text_col,
     )
 
-    t = F.col("text")
-    nl, tab = F.lit("\n"), F.lit("\t")
-    md = F.concat(
-        F.lit("  preamble "), F.substring(t, 1, 40), nl,
-        F.lit("# Overview"), nl,
-        F.substring(t, 1, 120), F.lit(" $%@ #tag"), nl,
-        F.when(F.col("doc_id") % 3 == 0, F.lit("## Findings  "))
-        .when(F.col("doc_id") % 3 == 1, F.lit("### Findings"))
-        .otherwise(F.lit("####### NotAHeader")), nl,
-        F.substring(t, 41, 160), nl,
-        F.lit("#NoSpace"), nl,
-        F.lit("##"), tab, F.lit(" Tabbed "), nl,
-        F.substring(t, 201, 120),
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _md_synth_col().alias("md")
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", md.alias("md"))
     secs = extract_sections(docs, text_col="md")
     return secs.select(
         "doc_id",
@@ -4921,6 +4927,116 @@ def _q_doc_markdown_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
         "title",
         "content",
         preprocess_text_col(F.col("content")).alias("clean_content"),
+    )
+
+
+# -- app-level greedy recursive chunker (document_processor.py:56-114) --------
+
+_REC_CS, _REC_OV, _REC_MIN = 120, 30, 20
+_REC_TAIL = int(_REC_CS * 0.8)
+
+
+def _recursive_ref_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.docproc import (
+        RECURSIVE_SEPARATORS,
+    )
+
+    def lit(sep: str) -> str:
+        pieces = sep.split("\n")
+        return " || chr(10) || ".join(
+            "'" + p.replace("'", "''") + "'" for p in pieces
+        )
+
+    def hier(w: str) -> str:
+        # break length = last-occurrence start + len(sep), computed as
+        # length(w) - strpos(reverse(w), reverse(sep)) + 1; the ""
+        # separator is the ELSE arm (full window)
+        arms = []
+        for sep in RECURSIVE_SEPARATORS:
+            if sep == "":
+                continue
+            s = lit(sep)
+            arms.append(
+                f"WHEN contains(substr({w}, {_REC_TAIL + 1}), {s}) "
+                f"THEN length({w}) - strpos(reverse({w}), reverse({s})) + 1"
+            )
+        return "CASE " + " ".join(arms) + f" ELSE length({w}) END"
+
+    w_rec = f"substr(c, cur + 1, {_REC_CS})"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_MD_SYNTH_SQL} AS md FROM documents
+),
+d AS (SELECT doc_id, md AS c, length(md) AS n FROM base WHERE length(md) > 0),
+walk AS (
+  SELECT doc_id, c, n, 0 AS cur FROM d
+  UNION ALL
+  SELECT doc_id, c, n, cur + ({hier(w_rec)}) - {_REC_OV} AS cur
+  FROM walk WHERE cur + {_REC_CS} < n
+),
+steps AS (
+  SELECT doc_id, c, n, cur, substr(c, cur + 1, {_REC_CS}) AS win,
+         cur + {_REC_CS} >= n AS is_last
+  FROM walk
+),
+cut AS (
+  SELECT *, CASE WHEN is_last THEN n - cur ELSE {hier("win")} END AS clen
+  FROM steps
+),
+slices AS (
+  SELECT doc_id, cur AS s, cur + clen AS e, substr(c, cur + 1, clen) AS raw
+  FROM cut
+),
+emitted AS (
+  SELECT * FROM slices
+  WHERE length(regexp_replace(raw, '^\\s+|\\s+$', '', 'g')) >= {_REC_MIN}
+)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS BIGINT)
+         AS chunk_index,
+       CAST(s AS BIGINT) AS location_start,
+       CAST(e AS BIGINT) AS location_end,
+       regexp_replace(raw, '^\\s+|\\s+$', '', 'g') AS chunk_text,
+       substr(md5(raw), 1, 8) AS chunk_id
+FROM emitted
+"""
+
+
+@_register("chunk_recursive_ref", _recursive_ref_sql())
+def _q_chunk_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The app-level greedy recursive chunker — DocumentProcessor.
+    _recursive_chunk (document_processor.py:56-114), fully oracled as
+    a DuckDB recursive CTE (the cursor walk is the recursion; the
+    separator hierarchy compiles to a CASE over contains/reverse-
+    strpos, and the "" fallback is the ELSE arm). Distinct from the
+    rows-only `chunk_recursive` (the Rust SplitRecursively merge-DP,
+    src/ops/functions/split_recursively.rs): this is the *service*
+    chunker with the fixed 0.8-tail break search, last-occurrence
+    breaks, skip-but-advance min-size rule, stripped text vs
+    unstripped md5 id/offsets, and overlap advance. Runs over the
+    shared markdown synthesis so every separator tier fires. Spark
+    side: mapInPandas per-doc walk (bounded, linear per doc)."""
+    from cocoindex_data_ingestion_spark.operators.docproc import (
+        recursive_chunks_ref,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _md_synth_col().alias("md")
+    )
+    out = recursive_chunks_ref(
+        docs,
+        chunk_size=_REC_CS,
+        chunk_overlap=_REC_OV,
+        min_chunk_size=_REC_MIN,
+        text_col="md",
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "location_start",
+        "location_end",
+        "chunk_text",
+        "chunk_id",
     )
 
 

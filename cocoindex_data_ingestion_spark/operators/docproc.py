@@ -29,6 +29,9 @@ document length itself.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -114,3 +117,110 @@ def extract_sections(
             strip_ws(F.col("raw_content")).alias("content"),
         )
     )
+
+
+# -- app-level greedy recursive chunker (document_processor.py:56-114) --------
+
+# separator hierarchy (:66-75); the trailing "" entry makes the break
+# search always succeed at full window size
+RECURSIVE_SEPARATORS = ["\n## ", "\n### ", "\n#### ", "\n\n", "\n", ". ", " ", ""]
+
+
+def recursive_chunk_text(
+    content: str,
+    chunk_size: int = 1500,
+    chunk_overlap: int = 200,
+    min_chunk_size: int = 100,
+) -> list[tuple[int, int, int, str, str]]:
+    """Faithful single-doc port of ``DocumentProcessor.
+    _recursive_chunk`` (:56-114). Returns (chunk_index, start, end,
+    text, chunk_id) tuples.
+
+    Semantics preserved exactly:
+    - the break search scans the FIXED tail ``window[int(0.8*size):]``
+      (not 0.8 of the actual window), and only when the window does
+      not already reach end-of-content;
+    - the first separator of the hierarchy present in the tail wins,
+      breaking after its LAST occurrence in the whole window (for a
+      tail offset ≥ 1 that occurrence is always > 0, so the
+      reference's ``last_sep > 0`` guard never rejects);
+    - the "" separator keeps the full window (``rfind('') == len``);
+    - chunks whose STRIPPED text is shorter than ``min_chunk_size``
+      are skipped but still advance the cursor;
+    - ``end`` counts the unstripped slice, and ``chunk_id`` is
+      ``md5(unstripped)[:8]`` while the stored text is stripped
+      (faithful quirk);
+    - the cursor advances by ``len(window) - overlap`` and the final
+      partial window never searches for a break.
+    """
+    import hashlib
+
+    tail_at = int(chunk_size * 0.8)
+    assert tail_at >= 1, "tail offset must be >= 1 (see last_sep guard)"
+    out: list[tuple[int, int, int, str, str]] = []
+    n = len(content)
+    cur = 0
+    while cur < n:
+        chunk_end = min(cur + chunk_size, n)
+        chunk_text = content[cur:chunk_end]
+        if chunk_end < n:
+            for sep in RECURSIVE_SEPARATORS:
+                if sep in chunk_text[tail_at:]:
+                    last_sep = chunk_text.rfind(sep)
+                    if last_sep > 0:
+                        chunk_text = content[cur : cur + last_sep + len(sep)]
+                        break
+        if len(chunk_text.strip()) >= min_chunk_size:
+            out.append(
+                (
+                    len(out),
+                    cur,
+                    cur + len(chunk_text),
+                    chunk_text.strip(),
+                    hashlib.md5(chunk_text.encode()).hexdigest()[:8],
+                )
+            )
+        if chunk_end < n:
+            cur = cur + len(chunk_text) - chunk_overlap
+        else:
+            break
+    return out
+
+
+def recursive_chunks_ref(
+    docs: DataFrame,
+    chunk_size: int = 1500,
+    chunk_overlap: int = 200,
+    min_chunk_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus form of :func:`recursive_chunk_text` — per-document
+    sequential logic via mapInPandas (Arrow batches; each task holds
+    one batch of documents, nothing global). The walk advances at
+    least ``int(0.8*chunk_size) - overlap`` chars per step, so work
+    per document is linear in its length."""
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_index int, location_start long, "
+        "location_end long, chunk_text string, chunk_id string"
+    )
+    cs, ov, mn = int(chunk_size), int(chunk_overlap), int(min_chunk_size)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                for idx, start, end, txt, cid in recursive_chunk_text(
+                    text or "", cs, ov, mn
+                ):
+                    rows.append((did, idx, start, end, txt, cid))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "chunk_index", "location_start",
+                    "location_end", "chunk_text", "chunk_id",
+                ],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
