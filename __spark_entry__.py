@@ -5436,6 +5436,151 @@ def _q_job_ledger_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- embedding similarity metrics + cost accounting ----------------------------
+#    (embedding_service.py:101-103,197-238)
+
+_EUCL_SQL_A = "a.embedding::DOUBLE[]"
+_EUCL_SQL_B = "b.embedding::DOUBLE[]"
+
+_EMB_SIM_METRICS_SQL = f"""
+SELECT a.vec_id,
+       {{cos}} AS cosine_sim,
+       {{euc}} AS euclidean_sim,
+       {{dot}} AS dot_sim
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+def _emb_sim_sql() -> str:
+    from cocoindex_data_ingestion_spark.functions.similarity import (
+        euclidean_sim_sql,
+    )
+
+    dot = (
+        f"list_sum(list_transform(list_zip({_EUCL_SQL_A}, {_EUCL_SQL_B}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return _EMB_SIM_METRICS_SQL.format(
+        cos=_R(cosine_sim_sql(_EUCL_SQL_A, _EUCL_SQL_B), 4),
+        euc=_R(euclidean_sim_sql(_EUCL_SQL_A, _EUCL_SQL_B), 4),
+        dot=_R(dot, 4),
+    )
+
+
+@_register("embedding_similarity_metrics", _emb_sim_sql())
+def _q_embedding_similarity_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The EmbeddingService similarity-metric trio
+    (embedding_service.py:197-238): cosine, euclidean inverted to
+    1/(1+d), and raw dot product — computed over consecutive
+    embedding pairs as pure zip_with/aggregate expressions (no UDF;
+    one equi-join on vec_id, broadcast-able at any k)."""
+    from cocoindex_data_ingestion_spark.functions.similarity import (
+        euclidean_sim,
+    )
+    from cocoindex_data_ingestion_spark.functions.similarity import dot as vdot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("embedding").alias("vb")
+    )
+    pairs = a.join(b, "vec_id")
+    return pairs.select(
+        "vec_id",
+        stable_round(similarity_cosine("va", "vb"), 4).alias("cosine_sim"),
+        stable_round(euclidean_sim("va", "vb"), 4).alias("euclidean_sim"),
+        stable_round(vdot("va", "vb"), 4).alias("dot_sim"),
+    )
+
+
+def _emb_cost_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        EMBEDDING_MODELS,
+        TOKENS_PER_WORD_EST,
+    )
+
+    names = list(EMBEDDING_MODELS)
+    model = (
+        "CASE doc_id % 3 "
+        + " ".join(
+            f"WHEN {i} THEN '{n}'" for i, n in enumerate(names[:2])
+        )
+        + f" ELSE '{names[2]}' END"
+    )
+    dims = (
+        "CASE doc_id % 3 "
+        + " ".join(
+            f"WHEN {i} THEN {EMBEDDING_MODELS[n]['dimensions']}"
+            for i, n in enumerate(names[:2])
+        )
+        + f" ELSE {EMBEDDING_MODELS[names[2]]['dimensions']} END"
+    )
+    price = (
+        "CASE doc_id % 3 "
+        + " ".join(
+            f"WHEN {i} THEN {EMBEDDING_MODELS[n]['price_per_1k_tokens']}"
+            for i, n in enumerate(names[:2])
+        )
+        + f" ELSE {EMBEDDING_MODELS[names[2]]['price_per_1k_tokens']} END"
+    )
+    toks = (
+        "(CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END "
+        f"* {TOKENS_PER_WORD_EST})"
+    )
+    return f"""
+SELECT doc_id,
+       {model} AS model,
+       CAST({dims} AS BIGINT) AS dimensions,
+       {_R(toks, 4)} AS est_tokens,
+       {_R(f"{toks} / 1000 * ({price})", 10)} AS cost_estimate
+FROM documents
+"""
+
+
+@_register("embedding_cost_estimate", _emb_cost_sql())
+def _q_embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cost accounting (embedding_service.py:29-43 model
+    table, :101-103 estimator): token_count = whitespace words × 1.3,
+    cost = tokens/1000 × the model's price_per_1k_tokens; model
+    assigned deterministically per doc to cover all three pricing
+    rows. One codegen projection, no shuffle."""
+    from cocoindex_data_ingestion_spark.operators.embedding import (
+        EMBEDDING_MODELS,
+        TOKENS_PER_WORD_EST,
+    )
+
+    names = list(EMBEDDING_MODELS)
+    d = F.col("doc_id")
+    sel = lambda key: (  # noqa: E731
+        F.when(d % 3 == 0, F.lit(EMBEDDING_MODELS[names[0]][key]))
+        .when(d % 3 == 1, F.lit(EMBEDDING_MODELS[names[1]][key]))
+        .otherwise(F.lit(EMBEDDING_MODELS[names[2]][key]))
+    )
+    model = (
+        F.when(d % 3 == 0, F.lit(names[0]))
+        .when(d % 3 == 1, F.lit(names[1]))
+        .otherwise(F.lit(names[2]))
+    )
+    toks = (
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        * F.lit(TOKENS_PER_WORD_EST)
+    )
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        model.alias("model"),
+        sel("dimensions").cast("long").alias("dimensions"),
+        stable_round(toks, 4).alias("est_tokens"),
+        stable_round(
+            toks / 1000 * sel("price_per_1k_tokens"), 10
+        ).alias("cost_estimate"),
+    )
+
+
 # -- approximate sketches (rows-only: engine-specific algorithms) -------------
 
 
@@ -15069,11 +15214,18 @@ _DRIVER_WINDOW_PRIORITY = [
     "ldiversity_audit",
     # positions 51+: just past this round's window to fit the final
     # 43 never-verified + seven of the nine new r7 oracles in 50
-    # slots. parse_tier_routing and chunk_contextualize are
-    # new-but-parked (judge-swept, rotate in next round); the two
-    # standing canaries are driver-green in every prior round and
-    # remain judge-swept.
+    # slots. parse_tier_routing, chunk_contextualize, and the seven
+    # second-wave r7 oracles (document_tag_enrichment,
+    # doc_markdown_sections, chunk_recursive_ref, chunk_edit_split,
+    # chunk_edit_merge, path_safety_audit, job_ledger_latest) are
+    # new-but-parked (judge-swept + stability-probed this round,
+    # rotate in next round); the two standing canaries are
+    # driver-green in every prior round and remain judge-swept.
     "parse_tier_routing", "chunk_contextualize",
+    "document_tag_enrichment", "doc_markdown_sections",
+    "chunk_recursive_ref", "chunk_edit_split", "chunk_edit_merge",
+    "path_safety_audit", "job_ledger_latest",
+    "embedding_similarity_metrics", "embedding_cost_estimate",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

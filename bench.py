@@ -239,6 +239,19 @@ HEADLINE = [
     # nothing; heading/semantic chunkers get corpus-scale rows in
     # SCALING.md instead)
     "parse_tier_routing",
+    # round-7 second-wave additions (corpus-scale rows; the chunk
+    # split/merge edit queries scale with the fixed-chunk table, the
+    # taxonomy/section/recursive-chunker rows with document count,
+    # the job ledger with the events table)
+    "document_tag_enrichment",
+    "doc_markdown_sections",
+    "chunk_recursive_ref",
+    "chunk_edit_split",
+    "chunk_edit_merge",
+    "path_safety_audit",
+    "job_ledger_latest",
+    "embedding_similarity_metrics",
+    "embedding_cost_estimate",
 ]
 
 SMALL_RESULT = {

@@ -91,3 +91,33 @@ def maxsim(query_vecs: Column | str, doc_vecs: Column | str) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def euclidean_sim(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance inverted to a similarity, ``1 / (1 + d)``
+    (EmbeddingService.calculate_similarity metric='euclidean',
+    app/services/embedding_service.py:228-231). Double precision,
+    pure expressions."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    sq = F.aggregate(
+        F.zip_with(
+            ca, cb,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.sqrt(sq))
+
+
+def euclidean_sim_sql(a: str, b: str) -> str:
+    """DuckDB twin of :func:`euclidean_sim` (same accumulation
+    shape)."""
+    sq = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * "
+        "(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+    return f"(1.0 / (1.0 + sqrt({sq})))"

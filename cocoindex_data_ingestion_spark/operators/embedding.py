@@ -148,3 +148,15 @@ def batched_api_embedder(
             yield pd.Series(out)
 
     return embed_udf
+
+
+# Supported embedding models with dimensions and pricing
+# (EmbeddingService.MODELS, app/services/embedding_service.py:29-43).
+# Cost accounting (:101-103): token_count = len(text.split()) * 1.3,
+# cost = token_count / 1000 * price_per_1k_tokens.
+EMBEDDING_MODELS = {
+    "text-embedding-3-small": {"dimensions": 1536, "price_per_1k_tokens": 0.00002},
+    "text-embedding-3-large": {"dimensions": 3072, "price_per_1k_tokens": 0.00013},
+    "text-embedding-ada-002": {"dimensions": 1536, "price_per_1k_tokens": 0.00010},
+}
+TOKENS_PER_WORD_EST = 1.3  # embedding_service.py:102
