@@ -5436,6 +5436,264 @@ def _q_job_ledger_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Notion block → markdown (notion_connector.py:297-622) ---------------------
+
+# One spec generates BOTH engines' synthesized block table (exprs are
+# written in the SQL subset Spark SQL and DuckDB share; `{S}` expands
+# to the engine's string type). slot → (parent_slot, overrides).
+_NOTION_SLOTS: list[tuple[int, int | None, dict[str, str]]] = [
+    (0, None, {"block_type": "CASE doc_id % 3 WHEN 0 THEN 'heading_1' "
+                             "WHEN 1 THEN 'heading_2' ELSE 'heading_3' END",
+               "text": "'Doc ' || CAST(doc_id AS {S})"}),
+    (1, 0, {"block_type": "'paragraph'", "text": "substr(text, 1, 50)"}),
+    (2, 0, {"block_type": "'quote'", "text": "substr(text, 51, 30)"}),
+    (3, None, {"block_type": "'paragraph'", "text": "substr(text, 1, 80)"}),
+    (4, None, {"block_type": "'paragraph'",
+               "text": "CASE WHEN doc_id % 4 = 0 THEN '' "
+                       "ELSE substr(text, 81, 40) END"}),
+    (5, None, {"block_type": "'bulleted_list_item'",
+               "text": "'point ' || lang"}),
+    (6, 5, {"block_type": "'paragraph'",
+            "text": "substr(text, 121, 30) || chr(10) || 'more'"}),
+    (7, None, {"block_type": "'numbered_list_item'", "text": "'first'"}),
+    (8, 7, {"block_type": "'paragraph'", "text": "'li' || chr(10) || 'nes'"}),
+    (9, None, {"block_type": "'to_do'", "text": "'task'",
+               "checked": "doc_id % 2 = 0"}),
+    (10, None, {"block_type": "'toggle'", "text": "'details'"}),
+    (11, 10, {"block_type": "'paragraph'", "text": "''"}),
+    (12, 10, {"block_type": "'divider'"}),
+    (13, None, {"block_type": "'table'",
+                "has_children": "doc_id % 5 <> 0"}),
+    (14, 13, {"block_type": "CASE WHEN doc_id % 7 = 0 THEN 'paragraph' "
+                            "ELSE 'table_row' END",
+              "text": "CASE WHEN doc_id % 7 = 0 THEN 'stray' END",
+              "cells": "lang|source",
+              "__where": "doc_id % 5 <> 0"}),
+    (15, 13, {"block_type": "'table_row'",
+              "cells": "substr(text, 1, 10)|'x'",
+              "__where": "doc_id % 5 <> 0"}),
+    (16, None, {"block_type": "'code'", "language": "'sql'",
+                "text": "substr(text, 31, 40)"}),
+    (17, None, {"block_type": "'bookmark'",
+                "url": "'http://ex/' || CAST(doc_id AS {S})",
+                "caption": "CASE WHEN doc_id % 3 = 0 THEN '' "
+                           "ELSE 'cap' END"}),
+    (18, None, {"block_type": "CASE doc_id % 6 WHEN 0 THEN 'link_preview' "
+                              "WHEN 1 THEN 'link_preview' "
+                              "WHEN 2 THEN 'child_page' "
+                              "WHEN 3 THEN 'image' "
+                              "WHEN 4 THEN 'link_to_page' "
+                              "ELSE 'callout' END",
+                "url": "CASE WHEN doc_id % 6 = 0 THEN 'http://l' END",
+                "title": "CASE WHEN doc_id % 6 = 2 THEN 'Sub' END",
+                "caption": "CASE WHEN doc_id % 6 = 3 THEN lang END",
+                "ref_id": "CASE WHEN doc_id % 6 = 4 "
+                          "THEN 'pg' || CAST(doc_id AS {S}) END"}),
+    (19, None, {"block_type": "CASE WHEN doc_id % 9 = 0 "
+                              "THEN 'table_of_contents' ELSE 'embed' END",
+                "url": "CASE WHEN doc_id % 9 <> 0 "
+                       "THEN 'http://e/' || CAST(doc_id AS {S}) END"}),
+]
+
+_NOTION_COLS = [
+    "block_type", "text", "checked", "language", "url", "ref_id",
+    "title", "caption", "cells", "has_children",
+]
+
+
+def _notion_blocks_selects(dialect: str) -> list[str]:
+    """One SELECT per slot; dialect is 'spark' or 'duck'."""
+    s_type = "STRING" if dialect == "spark" else "VARCHAR"
+    arr = (lambda items: "array(" + ", ".join(items) + ")") \
+        if dialect == "spark" else \
+        (lambda items: "[" + ", ".join(items) + "]")
+    null_of = {
+        "text": f"CAST(NULL AS {s_type})",
+        "checked": "CAST(NULL AS BOOLEAN)",
+        "language": f"CAST(NULL AS {s_type})",
+        "url": f"CAST(NULL AS {s_type})",
+        "ref_id": f"CAST(NULL AS {s_type})",
+        "title": f"CAST(NULL AS {s_type})",
+        "caption": f"CAST(NULL AS {s_type})",
+        "cells": f"CAST(NULL AS {s_type}[])" if dialect == "duck"
+                 else f"CAST(NULL AS ARRAY<{s_type}>)",
+        "has_children": "CAST(NULL AS BOOLEAN)",
+    }
+    out = []
+    children = {p for _, p, _ in _NOTION_SLOTS if p is not None}
+    for slot, parent, spec in _NOTION_SLOTS:
+        cols = [
+            "doc_id AS page_id",
+            f"'b_' || CAST(doc_id AS {{S}}) || '_{slot}' AS block_id",
+            (f"'b_' || CAST(doc_id AS {{S}}) || '_{parent}' AS parent_id"
+             if parent is not None
+             else f"CAST(NULL AS {s_type}) AS parent_id"),
+            f"{slot} AS pos",
+        ]
+        for c in _NOTION_COLS:
+            if c == "cells" and "cells" in spec:
+                expr = arr(spec["cells"].split("|"))
+            elif c == "has_children" and c not in spec:
+                expr = "true" if slot in children else "false"
+            elif c in spec:
+                expr = spec[c]
+            else:
+                expr = null_of[c]
+            cols.append(f"{expr} AS {c}")
+        sel = ", ".join(cols).replace("{S}", s_type)
+        where = f" WHERE {spec['__where']}" if "__where" in spec else ""
+        out.append(f"SELECT {sel} FROM documents{where}")
+    return out
+
+
+def _notion_md_sql() -> str:
+    """DuckDB twin of the bottom-up fold for the depth-2 synthesized
+    tree: base templates → one child aggregation → page assembly."""
+    selects = " UNION ALL ".join(_notion_blocks_selects("duck"))
+    base_md = """
+      CASE block_type
+        WHEN 'link_preview' THEN
+          CASE WHEN coalesce(url, '') <> ''
+               THEN '[Link: ' || url || '](' || url || ')'
+               ELSE '[Link]' END
+        WHEN 'table' THEN '[Empty table]'
+        WHEN 'paragraph' THEN coalesce(text, '')
+        WHEN 'heading_1' THEN '# ' || coalesce(text, '')
+        WHEN 'heading_2' THEN '## ' || coalesce(text, '')
+        WHEN 'heading_3' THEN '### ' || coalesce(text, '')
+        WHEN 'bulleted_list_item' THEN '- ' || coalesce(text, '')
+        WHEN 'numbered_list_item' THEN '1. ' || coalesce(text, '')
+        WHEN 'to_do' THEN '- [' ||
+          (CASE WHEN coalesce(checked, false) THEN 'x' ELSE ' ' END) ||
+          '] ' || coalesce(text, '')
+        WHEN 'toggle' THEN '▼ ' || coalesce(text, '')
+        WHEN 'quote' THEN '> ' || coalesce(text, '')
+        WHEN 'code' THEN '```' || coalesce(language, '') || chr(10) ||
+          coalesce(text, '') || chr(10) || '```'
+        WHEN 'divider' THEN '---'
+        WHEN 'child_page' THEN '[' || coalesce(title, 'Untitled') ||
+          '](notion://' || block_id || ')'
+        WHEN 'child_database' THEN '[' || coalesce(title, 'Database') ||
+          '](notion://' || block_id || ')'
+        WHEN 'image' THEN '![' || coalesce(caption, '') || '](image)'
+        WHEN 'video' THEN '[Video: ' || coalesce(caption, '') || '](video)'
+        WHEN 'file' THEN '[File: ' || coalesce(caption, '') || '](file)'
+        WHEN 'pdf' THEN '[PDF: ' || coalesce(caption, '') || '](pdf)'
+        WHEN 'bookmark' THEN '[' ||
+          (CASE WHEN coalesce(caption, '') <> '' THEN caption
+                ELSE coalesce(url, '') END) ||
+          '](' || coalesce(url, '') || ')'
+        WHEN 'embed' THEN '[Embed](' || coalesce(url, '') || ')'
+        WHEN 'table_of_contents' THEN '[Table of Contents]'
+        WHEN 'link_to_page' THEN '[Link to page](notion://' ||
+          coalesce(ref_id, '') || ')'
+        WHEN 'table_row' THEN ''
+        ELSE '[' || block_type || ']'
+      END
+    """
+    indent2 = "'  ' || replace(k.md, chr(10), chr(10) || '  ')"
+    indent3 = "'   ' || replace(k.md, chr(10), chr(10) || '   ')"
+    return f"""
+WITH blocks AS ({selects}),
+based AS (
+  SELECT *, ({base_md}) AS md FROM blocks
+),
+kids AS (
+  SELECT parent_id AS kp,
+         list(struct_pack(pos := pos, block_type := block_type,
+                          md := md, cells := cells) ORDER BY pos) AS ks
+  FROM based WHERE parent_id IS NOT NULL GROUP BY parent_id
+),
+rowlines AS (
+  SELECT kp,
+         list_filter(
+           list_transform(ks, (k, i) ->
+             CASE WHEN k.block_type = 'table_row' THEN
+               '| ' || array_to_string(k.cells, ' | ') || ' |' ||
+               (CASE WHEN i = 1
+                     THEN chr(10) || '|' || repeat(' --- |', len(k.cells))
+                     ELSE '' END)
+             END),
+           x -> x IS NOT NULL) AS tlines,
+         list_filter(ks, k -> k.md IS NOT NULL AND k.md <> '') AS nonempty
+  FROM kids
+),
+folded AS (
+  SELECT b.page_id, b.parent_id, b.pos,
+         CASE
+           WHEN r.kp IS NULL THEN b.md
+           WHEN b.block_type = 'table' THEN
+             CASE WHEN len(r.tlines) > 0
+                  THEN array_to_string(r.tlines, chr(10))
+                  ELSE '[Empty table]' END
+           WHEN b.block_type IN ('heading_1', 'heading_2', 'heading_3') THEN
+             CASE WHEN len(r.nonempty) > 0
+                  THEN b.md || chr(10) || chr(10) || array_to_string(
+                    list_transform(r.nonempty, k -> k.md),
+                    chr(10) || chr(10))
+                  ELSE b.md END
+           WHEN b.block_type IN ('bulleted_list_item', 'to_do', 'toggle') THEN
+             CASE WHEN len(r.nonempty) > 0
+                  THEN b.md || chr(10) || array_to_string(
+                    list_transform(r.nonempty, k -> {indent2}), chr(10))
+                  ELSE b.md END
+           WHEN b.block_type = 'numbered_list_item' THEN
+             CASE WHEN len(r.nonempty) > 0
+                  THEN b.md || chr(10) || array_to_string(
+                    list_transform(r.nonempty, k -> {indent3}), chr(10))
+                  ELSE b.md END
+           ELSE b.md
+         END AS md
+  FROM based b LEFT JOIN rowlines r ON b.block_id = r.kp
+),
+pages AS (
+  SELECT page_id,
+         array_to_string(
+           list_transform(
+             list_filter(
+               list(struct_pack(pos := pos, md := md) ORDER BY pos),
+               s -> s.md <> ''),
+             s -> s.md),
+           chr(10) || chr(10)) AS content
+  FROM folded WHERE parent_id IS NULL GROUP BY page_id
+)
+SELECT page_id, content, sha256(content) AS content_hash FROM pages
+"""
+
+
+@_register("notion_page_markdown", _notion_md_sql())
+def _q_notion_page_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notion block → markdown conversion + page assembly + change
+    hash (notion_connector.py:297-344,346-577,579-633): the full
+    per-type template set, heading blank-line nesting, 2-space bullet/
+    to-do/toggle and 3-space numbered indents applied to EVERY child
+    line, empty-markdown children skipped, the table separator-only-
+    at-child-index-0 quirk, caption-or-url bookmarks, and sha256
+    content hashing. The API walk is env-blocked (documented); this
+    oracles the entire deterministic conversion over a synthesized
+    depth-2 block table generated from ONE spec shared by both
+    engines. Spark side: bottom-up fold (groupBy parent + hash join
+    per depth round, pure expressions)."""
+    from cocoindex_data_ingestion_spark.operators.notion import (
+        pages_markdown,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    parts = [
+        spark.sql(s) for s in _notion_blocks_selects("spark")
+    ]
+    blocks = parts[0]
+    for p in parts[1:]:
+        blocks = blocks.unionByName(p)
+    out = pages_markdown(blocks, max_depth=2)
+    return out.select(
+        F.col("page_id").cast("long").alias("page_id"),
+        "content",
+        "content_hash",
+    )
+
+
 # -- embedding similarity metrics + cost accounting ----------------------------
 #    (embedding_service.py:101-103,197-238)
 
@@ -15226,6 +15484,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_recursive_ref", "chunk_edit_split", "chunk_edit_merge",
     "path_safety_audit", "job_ledger_latest",
     "embedding_similarity_metrics", "embedding_cost_estimate",
+    "notion_page_markdown",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

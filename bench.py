@@ -252,6 +252,7 @@ HEADLINE = [
     "job_ledger_latest",
     "embedding_similarity_metrics",
     "embedding_cost_estimate",
+    "notion_page_markdown",
 ]
 
 SMALL_RESULT = {
