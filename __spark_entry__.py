@@ -5694,6 +5694,206 @@ def _q_notion_page_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- entity quality validation (utils/entity_quality.py) -----------------------
+
+# (slot, name_expr, type_expr, conf_expr, rel_expr) in the SQL subset
+# both engines share
+_EQ_SLOTS = [
+    (0, "'API'", "'component'", "0.5", "0"),
+    (1, "'it'", "'CONCEPT'", "0.5", "0"),
+    (2, "'this'", None, "0.9", "CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END"),
+    (3, "'xy'", None, "0.9", "0"),
+    (4, "'what is this'", None, "0.9", "0"),
+    (5, "'was broken'", None, "0.9", "doc_id % 7"),
+    (6, "'issue'", "'concept'", "0.9", "3"),
+    (7, "'process'", "'procedure'", "0.2 + (doc_id % 5) * 0.2", "0"),
+    (8, "'a b c d e f g h i j'", None, "0.9", "0"),
+    (9, "'review today'", None, "0.9", "0"),
+    (10, "'123 45'", None, "0.9", "0"),
+    (11, "substr(text, 1, 20)", "'component'",
+     "0.2 + (doc_id % 5) * 0.2", "doc_id % 4"),
+    (12, "'power supply'", "'other'", "0.9", "1"),
+    (13, "'microfiber cloth'", "'TOOL'", "0.9", "0"),
+    (14, "'applicator tool wipe'", "'TOOL'", "0.9", "0"),
+    (15, "'wipes'", "'MATERIAL'", "0.9", "0"),
+]
+
+
+def _eq_candidates_selects(dialect: str) -> list[str]:
+    s_type = "STRING" if dialect == "spark" else "VARCHAR"
+    out = []
+    for slot, name, typ, conf, rel in _EQ_SLOTS:
+        typ_e = typ if typ is not None else f"CAST(NULL AS {s_type})"
+        out.append(
+            f"SELECT doc_id, {slot} AS slot, {name} AS name, "
+            f"{typ_e} AS entity_type, CAST({conf} AS DOUBLE) AS confidence, "
+            f"CAST({rel} AS BIGINT) AS rel_count FROM documents"
+        )
+    return out
+
+
+def _entity_quality_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators import entity_quality as eq
+
+    def slist(vals):
+        return "[" + ", ".join("'" + v.replace("'", "''") + "'" for v in vals) + "]"
+
+    acros = slist(eq.KNOWN_ACRONYMS)
+    generic = slist(eq.GENERIC_STOPWORDS)
+    verbs = slist(eq.VERB_INDICATORS)
+    questions = slist(eq.QUESTION_INDICATORS)
+    exceptions = slist(eq.DOMAIN_EXCEPTIONS)
+    temporal = slist(eq.TEMPORAL_WORDS)
+    pronouns = slist(eq.PRONOUNS)
+    specific = slist(eq.SPECIFIC_TYPES)
+    gtypes = slist(eq.GENERIC_TYPES)
+    mat = " OR ".join(f"contains(lx, '{w}')" for w in eq.MATERIAL_TERMS)
+    mat_c = " OR ".join(
+        f"contains(lx, '{w}')" for w in eq.MATERIAL_COUNTER_TERMS
+    )
+    selects = " UNION ALL ".join(_eq_candidates_selects("duck"))
+    return f"""
+WITH cand AS ({selects}),
+w AS (
+  SELECT *, trim(lower(name)) AS lo,
+         lower(coalesce(name, '')) AS lx,
+         CASE WHEN length(trim(lower(name))) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE regexp_split_to_array(trim(lower(name)), '\\s+') END
+           AS words
+  FROM cand
+),
+v AS (
+  SELECT *,
+         CASE
+           WHEN name IS NULL OR trim(name) = '' THEN 'empty_name'
+           WHEN list_contains({acros}, upper(name)) THEN ''
+           WHEN length(lo) < 3 THEN 'too_short'
+           WHEN list_contains({pronouns}, lo) THEN 'pronoun'
+           WHEN list_has_any(words, {questions}) THEN 'question_phrase'
+           WHEN list_contains({verbs}, words[1]) THEN 'verb_phrase'
+           WHEN list_contains({generic}, lo)
+                AND NOT list_contains({exceptions}, lo)
+                AND len(words) = 1 THEN 'generic_term'
+           WHEN len(words) > 9 THEN 'sentence_fragment'
+           WHEN list_has_any(words, {temporal}) THEN 'temporal_reference'
+           WHEN length(replace(lo, ' ', '')) > 0
+                AND regexp_matches(replace(lo, ' ', ''), '^[0-9]+$')
+                THEN 'pure_number'
+           ELSE ''
+         END AS invalid_reason
+  FROM w
+),
+s AS (
+  SELECT *,
+         list_contains({acros}, upper(name)) AS is_acro,
+         confidence AS s0
+  FROM v
+),
+s1 AS (SELECT *, CASE WHEN is_acro THEN s0 * 1.5 ELSE s0 END AS sa FROM s),
+s2 AS (SELECT *, CASE WHEN length(name) < 3 AND NOT is_acro THEN sa * 0.3
+                      WHEN length(name) < 5 THEN sa * 0.7
+                      ELSE sa END AS sb FROM s1),
+s3 AS (SELECT *, CASE WHEN list_contains({generic}, lo) THEN sb * 0.3
+                      ELSE sb END AS sc FROM s2),
+s4 AS (SELECT *, CASE WHEN len(words) > 0
+                           AND list_contains({verbs}, words[1])
+                      THEN sc * 0.2 ELSE sc END AS sd FROM s3),
+s5 AS (SELECT *, CASE WHEN list_has_any(words, {questions})
+                      THEN sd * 0.1 ELSE sd END AS se FROM s4),
+s6 AS (SELECT *, CASE WHEN len(words) BETWEEN 2 AND 3 THEN se * 1.2
+                      ELSE se END AS sf FROM s5),
+s7 AS (SELECT *, CASE WHEN len(words) > 5 THEN sf * 0.2 ELSE sf END AS sg
+       FROM s6),
+s8 AS (SELECT *, CASE WHEN rel_count > 0
+                      THEN sg * (1.0 + least(rel_count * 0.1, 0.5))
+                      ELSE sg END AS sh FROM s7),
+s9 AS (SELECT *, CASE WHEN list_contains({specific}, lower(entity_type))
+                      THEN sh * 1.2 ELSE sh END AS si FROM s8),
+s10 AS (SELECT *, CASE WHEN list_contains({gtypes}, lower(entity_type))
+                       THEN si * 0.8 ELSE si END AS sj FROM s9),
+scored AS (
+  SELECT *, greatest(0.0, least(1.0, sj)) AS qscore FROM s10
+),
+final AS (
+  SELECT *,
+         CASE WHEN invalid_reason <> '' THEN rel_count >= 5
+              ELSE qscore >= {eq.MIN_QUALITY_SCORE} OR rel_count >= 3
+         END AS keep,
+         CASE WHEN invalid_reason <> '' AND rel_count >= 5 THEN 0.5
+              WHEN invalid_reason <> '' THEN 0.0
+              ELSE qscore END AS quality_score,
+         CASE WHEN invalid_reason <> '' AND rel_count >= 5
+              THEN 'kept_despite_' || invalid_reason ||
+                   '_due_to_relationships'
+              WHEN invalid_reason <> '' THEN invalid_reason
+              WHEN qscore >= {eq.MIN_QUALITY_SCORE} THEN 'good_quality'
+              WHEN rel_count >= 3 THEN 'kept_for_relationships'
+              ELSE 'low_quality' END AS quality_reason,
+         CASE WHEN coalesce(entity_type, '') <> 'MATERIAL'
+                   AND ({mat}) AND NOT ({mat_c})
+              THEN 'MATERIAL' ELSE entity_type END AS biased_type
+  FROM scored
+)
+SELECT doc_id, CAST(slot AS BIGINT) AS slot, name, entity_type,
+       rel_count AS relationship_count, invalid_reason, keep,
+       {_R("quality_score", 6)} AS quality_score, quality_reason,
+       biased_type
+FROM final
+"""
+
+
+@_register("entity_quality_keep", _entity_quality_sql())
+def _q_entity_quality_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact EntityQualityValidator port (entity_quality.py:94-265)
+    plus the mention-filter MATERIAL bias
+    (entity_extraction_runner_v2.py:862-871): raise-order validity
+    reasons (acronym whitelist first — 'it' is valid because 'IT' is
+    a known acronym, while 'this' is a pronoun), the multiplicative
+    quality score replayed factor-by-factor in both engines (IEEE-
+    identical), the relationship rescues (invalid kept at 0.5 with
+    ≥5 rels; low-quality valid kept with ≥3), and substring-
+    containment MATERIAL overrides with tool counter-signals.
+    Candidates synthesized from one shared spec; the faithful quirk
+    that the score's generic-term penalty has NO domain-exception
+    escape (so 'process' scores 0.3× despite validating) is
+    exercised."""
+    from cocoindex_data_ingestion_spark.operators import entity_quality as eq
+
+    docs = _t(spark, sf_dir, "documents")
+    structs = []
+    for slot, name, typ, conf, rel in _EQ_SLOTS:
+        typ_e = typ if typ is not None else "CAST(NULL AS STRING)"
+        structs.append(
+            f"named_struct('slot', {slot}, 'name', {name}, "
+            f"'entity_type', CAST({typ_e} AS STRING), "
+            f"'confidence', CAST({conf} AS DOUBLE), "
+            f"'rel_count', CAST({rel} AS BIGINT))"
+        )
+    # ONE generator projection (not a 16-way union): the validator
+    # expression then compiles once instead of per branch
+    cand = docs.selectExpr(
+        "doc_id", f"inline(array({', '.join(structs)}))"
+    )
+    ann = eq.annotate_should_keep(
+        cand, F.col("name"), F.col("entity_type"), F.col("confidence"),
+        F.col("rel_count"),
+    )
+    return ann.select(
+        "doc_id",
+        F.col("slot").cast("long").alias("slot"),
+        "name",
+        "entity_type",
+        F.col("rel_count").alias("relationship_count"),
+        "invalid_reason",
+        "keep",
+        stable_round(F.col("quality_score"), 6).alias("quality_score"),
+        "quality_reason",
+        eq.material_bias(F.col("name"), F.col("entity_type")).alias(
+            "biased_type"
+        ),
+    )
+
+
 # -- embedding similarity metrics + cost accounting ----------------------------
 #    (embedding_service.py:101-103,197-238)
 
@@ -15484,7 +15684,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "chunk_recursive_ref", "chunk_edit_split", "chunk_edit_merge",
     "path_safety_audit", "job_ledger_latest",
     "embedding_similarity_metrics", "embedding_cost_estimate",
-    "notion_page_markdown",
+    "notion_page_markdown", "entity_quality_keep",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

@@ -253,6 +253,7 @@ HEADLINE = [
     "embedding_similarity_metrics",
     "embedding_cost_estimate",
     "notion_page_markdown",
+    "entity_quality_keep",
 ]
 
 SMALL_RESULT = {
