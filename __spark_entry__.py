@@ -5694,6 +5694,138 @@ def _q_notion_page_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- Google Drive scan routing (google_drive_connector.py) ---------------------
+
+
+def _gdrive_routing_sql() -> str:
+    from cocoindex_data_ingestion_spark.sources import connector_meta as cm
+
+    exts = ['.pdf', '.docx', '.doc', '.txt', '.md', '.gdoc', '.gsheet',
+            '.gslides', '.tar.gz', '']
+    mimes = list(cm.SUPPORTED_MIME_TYPES) + [
+        'application/gzip', 'application/octet-stream',
+    ]
+    name_arms = " ".join(
+        f"WHEN {i} THEN 'doc_' || CAST(doc_id AS VARCHAR) || '{e}'"
+        for i, e in enumerate(exts)
+    )
+    mime_arms = " ".join(
+        f"WHEN {i} THEN '{m}'" for i, m in enumerate(mimes)
+    )
+    sec_arms = " ".join(
+        f"WHEN {i} THEN '{s}'"
+        for i, s in enumerate(
+            ["public", "client", "partner", "employee", "management",
+             "mystery"]
+        )
+    )
+    def map_case(col, mapping, default):
+        arms = " ".join(
+            f"WHEN {col} = '{k}' THEN '{v}'" for k, v in mapping.items()
+        )
+        return f"CASE {arms} ELSE {default} END"
+
+    lvl_arms = " ".join(
+        f"WHEN security = '{k}' THEN {v}"
+        for k, v in cm.ACCESS_LEVELS.items()
+    )
+    sup_list = "[" + ", ".join(f"'{m}'" for m in cm.SUPPORTED_MIME_TYPES) + "]"
+    llama_list = "[" + ", ".join(
+        f"'{m}'" for m in cm.LLAMAPARSE_MIME_TYPES
+    ) + "]"
+    text_list = "[" + ", ".join(
+        f"'{m}'" for m in cm.TEXT_DECODABLE_MIME_TYPES
+    ) + "]"
+    return f"""
+WITH listing AS (
+  SELECT doc_id,
+         CASE doc_id % 10 {name_arms} END AS name,
+         CASE doc_id % 10 {mime_arms} END AS mime_type,
+         CASE doc_id % 6 {sec_arms} END AS security,
+         CASE WHEN doc_id % 11 = 0 THEN '' ELSE text END AS content,
+         CASE WHEN doc_id % 3 = 0 THEN sha256(text) ELSE 'stale' END
+           AS stored_hash
+  FROM documents
+),
+ann AS (
+  SELECT *,
+         lower(CASE WHEN regexp_extract(name, '(\\.[^.]*)$', 1) = name
+                    THEN ''
+                    ELSE regexp_extract(name, '(\\.[^.]*)$', 1) END) AS ext
+  FROM listing
+)
+SELECT doc_id, name, mime_type, ext,
+       list_contains({sup_list}, mime_type) AS supported,
+       {map_case('mime_type', cm.SUPPORTED_MIME_TYPES, 'CAST(NULL AS VARCHAR)')} AS dest_ext,
+       {map_case('mime_type', cm.GOOGLE_DOCS_EXPORT_FORMATS, 'CAST(NULL AS VARCHAR)')} AS export_format,
+       list_contains({llama_list}, mime_type) AS send_to_llamaparse,
+       list_contains({text_list}, mime_type) AS text_decodable,
+       CAST(CASE {lvl_arms} ELSE {cm.DEFAULT_ACCESS_LEVEL} END AS BIGINT)
+         AS access_level,
+       (list_contains(['.pdf', '.gdoc', '.md'], ext)
+        OR mime_type = 'application/vnd.google-apps.document') AS selected,
+       (content <> '' AND stored_hash <> sha256(content)) AS changed
+FROM ann
+"""
+
+
+@_register("gdrive_scan_routing", _gdrive_routing_sql())
+def _q_gdrive_scan_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Google Drive scan routing — the connector's deterministic
+    layer (google_drive_connector.py:40-55 MIME tables, :394-399
+    text decodability, :441-461 LlamaParse whitelist, :463-479
+    access levels incl. the unknown→employee default, :519-536
+    extension + pseudo-extension selection, :404-439 sha256 change
+    detection skipping empty content). Listing synthesized per doc
+    across all 10 extension/MIME branches; the API walk stays the
+    documented env-blocked seam."""
+    from cocoindex_data_ingestion_spark.sources import connector_meta as cm
+
+    exts = ['.pdf', '.docx', '.doc', '.txt', '.md', '.gdoc', '.gsheet',
+            '.gslides', '.tar.gz', '']
+    mimes = list(cm.SUPPORTED_MIME_TYPES) + [
+        'application/gzip', 'application/octet-stream',
+    ]
+    secs = ["public", "client", "partner", "employee", "management",
+            "mystery"]
+    d = F.col("doc_id")
+    name = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    sec = F.lit(None).cast("string")
+    for i, (e, m) in enumerate(zip(exts, mimes)):
+        cond = d % 10 == i
+        nm = F.concat(F.lit("doc_"), d.cast("string"), F.lit(e))
+        name = F.when(cond, nm).otherwise(name)
+        mime = F.when(cond, F.lit(m)).otherwise(mime)
+    for i, s in enumerate(secs):
+        sec = F.when(d % 6 == i, F.lit(s)).otherwise(sec)
+    listing = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        name.alias("name"),
+        mime.alias("mime_type"),
+        sec.alias("security"),
+        F.when(d % 11 == 0, F.lit("")).otherwise(F.col("text")).alias(
+            "content"
+        ),
+        F.when(d % 3 == 0, F.sha2(F.col("text"), 256))
+        .otherwise(F.lit("stale"))
+        .alias("stored_hash"),
+    )
+    ann = cm.annotate_routing(listing)
+    return ann.select(
+        "doc_id", "name", "mime_type", "ext", "supported", "dest_ext",
+        "export_format", "send_to_llamaparse", "text_decodable",
+        cm.access_level(F.col("security")).alias("access_level"),
+        cm.file_type_selected(
+            F.col("ext"), F.col("mime_type"), [".pdf", ".gdoc", ".md"]
+        ).alias("selected"),
+        (
+            (F.col("content") != "")
+            & (F.col("stored_hash") != F.sha2(F.col("content"), 256))
+        ).alias("changed"),
+    )
+
+
 # -- entity quality validation (utils/entity_quality.py) -----------------------
 
 # (slot, name_expr, type_expr, conf_expr, rel_expr) in the SQL subset
@@ -15685,6 +15817,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "path_safety_audit", "job_ledger_latest",
     "embedding_similarity_metrics", "embedding_cost_estimate",
     "notion_page_markdown", "entity_quality_keep",
+    "gdrive_scan_routing",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

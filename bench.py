@@ -254,6 +254,7 @@ HEADLINE = [
     "embedding_cost_estimate",
     "notion_page_markdown",
     "entity_quality_keep",
+    "gdrive_scan_routing",
 ]
 
 SMALL_RESULT = {
