@@ -5826,6 +5826,92 @@ def _q_gdrive_scan_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- LLM call cost accounting (llm_service.py:396-428) --------------------------
+
+
+def _llm_cost_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.extract import LLM_PRICING
+
+    pairs = [
+        (prov, m, r["input"], r["output"])
+        for prov, models in LLM_PRICING.items()
+        for m, r in models.items()
+    ]
+    prov_arms = " ".join(
+        f"WHEN {i} THEN '{p}'" for i, (p, _m, _i, _o) in enumerate(pairs)
+    )
+    model_arms = " ".join(
+        f"WHEN {i} THEN '{m}'" for i, (_p, m, _i, _o) in enumerate(pairs)
+    )
+    cost_arms = " ".join(
+        f"WHEN provider = '{p}' AND model = '{m}' "
+        f"THEN (prompt_tokens / 1000.0) * {i} + "
+        f"(completion_tokens / 1000.0) * {o}"
+        for p, m, i, o in pairs
+    )
+    n = len(pairs) + 1  # one extra slot: unknown model → 0.0
+    return f"""
+WITH calls AS (
+  SELECT doc_id,
+         CASE doc_id % {n} {prov_arms} ELSE 'openai' END AS provider,
+         CASE doc_id % {n} {model_arms} ELSE 'gpt-9-nano' END AS model,
+         CAST(n_chars AS DOUBLE) AS prompt_tokens,
+         CAST(doc_id % 700 AS DOUBLE) AS completion_tokens
+  FROM documents
+)
+SELECT doc_id, provider, model,
+       CAST(prompt_tokens AS BIGINT) AS prompt_tokens,
+       CAST(completion_tokens AS BIGINT) AS completion_tokens,
+       {_R(f"CASE {cost_arms} ELSE 0.0 END", 10)} AS cost_usd
+FROM calls
+"""
+
+
+@_register("llm_cost_estimate", _llm_cost_sql())
+def _q_llm_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM call cost accounting (LLMService._estimate_cost,
+    llm_service.py:396-428): the verbatim per-1K-token pricing table
+    over both providers and all ten models, unknown pairs costing
+    0.0 — the batch-ledger column for extraction pipelines. Usage
+    synthesized per doc to cover every pricing row."""
+    from cocoindex_data_ingestion_spark.operators.extract import (
+        LLM_PRICING,
+        llm_cost_estimate,
+    )
+
+    pairs = [
+        (prov, m)
+        for prov, models in LLM_PRICING.items()
+        for m in models
+    ]
+    n = len(pairs) + 1
+    d = F.col("doc_id")
+    prov = F.lit("openai")
+    model = F.lit("gpt-9-nano")
+    for i, (p, m) in enumerate(pairs):
+        prov = F.when(d % n == i, F.lit(p)).otherwise(prov)
+        model = F.when(d % n == i, F.lit(m)).otherwise(model)
+    calls = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        prov.alias("provider"),
+        model.alias("model"),
+        F.col("n_chars").cast("double").alias("prompt_tokens"),
+        (d % 700).cast("double").alias("completion_tokens"),
+    )
+    return calls.select(
+        "doc_id", "provider", "model",
+        F.col("prompt_tokens").cast("long").alias("prompt_tokens"),
+        F.col("completion_tokens").cast("long").alias("completion_tokens"),
+        stable_round(
+            llm_cost_estimate(
+                F.col("provider"), F.col("model"),
+                F.col("prompt_tokens"), F.col("completion_tokens"),
+            ),
+            10,
+        ).alias("cost_usd"),
+    )
+
+
 # -- entity quality validation (utils/entity_quality.py) -----------------------
 
 # (slot, name_expr, type_expr, conf_expr, rel_expr) in the SQL subset
@@ -15817,7 +15903,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "path_safety_audit", "job_ledger_latest",
     "embedding_similarity_metrics", "embedding_cost_estimate",
     "notion_page_markdown", "entity_quality_keep",
-    "gdrive_scan_routing",
+    "gdrive_scan_routing", "llm_cost_estimate",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

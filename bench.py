@@ -255,6 +255,7 @@ HEADLINE = [
     "notion_page_markdown",
     "entity_quality_keep",
     "gdrive_scan_routing",
+    "llm_cost_estimate",
 ]
 
 SMALL_RESULT = {

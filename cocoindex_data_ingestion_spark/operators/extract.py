@@ -76,3 +76,44 @@ def extract_by_llm(
         raw, "_raw_json", output_type, opts, out_col="extracted"
     )
     return out.drop("_raw_json")
+
+
+# -- LLM call cost estimation (llm_service.py:396-428) -------------------------
+
+# pricing per 1K tokens (verbatim table)
+LLM_PRICING = {
+    "openai": {
+        "gpt-4o": {"input": 0.005, "output": 0.015},
+        "gpt-4o-mini": {"input": 0.00015, "output": 0.0006},
+        "gpt-4-turbo-preview": {"input": 0.01, "output": 0.03},
+        "gpt-3.5-turbo": {"input": 0.0005, "output": 0.0015},
+    },
+    "gemini": {
+        "gemini-2.5-pro": {"input": 0.0035, "output": 0.0105},
+        "gemini-2.5-flash": {"input": 0.00035, "output": 0.00105},
+        "gemini-2.0-flash": {"input": 0.00025, "output": 0.00075},
+        "gemini-2.0-flash-lite": {"input": 0.0001, "output": 0.0003},
+        "gemini-1.5-pro": {"input": 0.0035, "output": 0.0105},
+        "gemini-1.5-flash": {"input": 0.00035, "output": 0.00105},
+    },
+}
+
+
+def llm_cost_estimate(provider, model, prompt_tokens, completion_tokens):
+    """``LLMService._estimate_cost`` (:396-428): per-1K-token pricing
+    by (provider, model); unknown pairs cost 0.0. Pure expression —
+    the per-call accounting column of a batch extraction ledger.
+    (The reference rounds with Python's round(x, 6); callers round
+    for output with the engine-stable ``stable_round``.)"""
+    from pyspark.sql import functions as F
+
+    p = prompt_tokens.cast("double") / 1000
+    c = completion_tokens.cast("double") / 1000
+    cost = F.lit(0.0)
+    for prov, models in LLM_PRICING.items():
+        for m, rates in models.items():
+            cost = F.when(
+                (provider == prov) & (model == m),
+                p * rates["input"] + c * rates["output"],
+            ).otherwise(cost)
+    return cost

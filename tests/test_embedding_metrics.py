@@ -60,3 +60,34 @@ def test_model_table_verbatim():
         "text-embedding-3-large",
         "text-embedding-ada-002",
     }
+
+
+def test_llm_cost_table_and_unknown_model(spark):
+    from pyspark.sql import functions as F
+    from cocoindex_data_ingestion_spark.operators.extract import (
+        LLM_PRICING,
+        llm_cost_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("openai", "gpt-4o", 2000.0, 1000.0),
+            ("gemini", "gemini-2.0-flash-lite", 1000.0, 0.0),
+            ("openai", "gpt-9-nano", 5000.0, 5000.0),
+            ("gemini", "gpt-4o", 1000.0, 1000.0),  # wrong provider → 0
+        ],
+        "p string, m string, pt double, ct double",
+    )
+    got = [
+        r["c"]
+        for r in df.select(
+            llm_cost_estimate(
+                F.col("p"), F.col("m"), F.col("pt"), F.col("ct")
+            ).alias("c")
+        ).collect()
+    ]
+    assert got[0] == pytest.approx(2 * 0.005 + 1 * 0.015)
+    assert got[1] == pytest.approx(0.0001)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    assert LLM_PRICING["openai"]["gpt-3.5-turbo"]["output"] == 0.0015
