@@ -6539,6 +6539,112 @@ def _q_rag_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- RAG prompt build + provider routing (query.py:50-76) ----------------------
+
+_PROMPT_HEADER = (
+    "You are a helpful assistant answering using the provided context.\n"
+    "If the answer is not in the context, say you don't have enough "
+    "information.\n"
+    "Cite the document ids inline like [doc:ID] where relevant.\n"
+    "\nContext:"
+)
+_PROMPT_MODELS = ["gpt-4o-mini", "gemini-2.5-flash", "claude-x"]
+_USER_QUERY = " ".join(QUERY_TERMS)
+
+
+def _rag_prompt_sql() -> str:
+    hybrid_q = _hybrid_sql(limit=5)
+    header = _PROMPT_HEADER.replace("'", "''").replace(
+        "\n", "' || CHR(10) || '"
+    )
+    models = ", ".join(f"('{m}')" for m in _PROMPT_MODELS)
+    return f"""
+WITH ranked AS ({hybrid_q}),
+cites AS (
+  SELECT row_number() OVER (ORDER BY r.rrf_score DESC, r.id ASC) AS rank,
+         '(doc:' || CAST(r.id AS VARCHAR) || ') ' || d.text AS snippet
+  FROM ranked r JOIN documents d ON d.doc_id = r.id
+),
+ctx AS (
+  SELECT string_agg('[' || CAST(rank AS VARCHAR) || '] ' || snippet,
+                    CHR(10) ORDER BY rank) AS context
+  FROM cites
+),
+prompt AS (
+  SELECT '{header}' || CHR(10) || context || CHR(10) ||
+         CHR(10) || 'User question:' || CHR(10) || '{_USER_QUERY}' ||
+         CHR(10) || CHR(10) || 'Answer:' AS prompt
+  FROM ctx
+)
+SELECT m.model,
+       CASE WHEN starts_with(lower(m.model), 'gpt') THEN 'openai'
+            WHEN starts_with(lower(m.model), 'gemini') THEN 'gemini'
+            ELSE 'openai' END AS provider,
+       p.prompt
+FROM (VALUES {models}) m(model), prompt p
+"""
+
+
+@_register("rag_prompt_build", _rag_prompt_sql())
+def _q_rag_prompt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The query endpoint's EXACT prompt assembly + provider routing
+    (query.py:60-76 _build_prompt: header lines, '[i] (doc:ID)
+    snippet' context entries in rank order, user-question/answer
+    footer, '\\n' join; :50-58 _provider_from_model prefix routing
+    with the OpenAI default). Retrieval = the same top-5 hybrid legs
+    as rag_context_assembly; the LLM call stays the external seam."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    ranked = hybrid.hybrid_search(
+        docs,
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        QUERY_TERMS,
+        k=5,
+        leg_k=LEG_K,
+    )
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    cites = (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .join(docs, ranked.id == docs.doc_id)
+        .select(
+            "rank",
+            F.concat(
+                F.lit("["), F.col("rank").cast("string"), F.lit("] (doc:"),
+                F.col("id").cast("string"), F.lit(") "), F.col("text"),
+            ).alias("line"),
+        )
+    )
+    prompt = cites.groupBy().agg(
+        F.concat(
+            F.lit(_PROMPT_HEADER + "\n"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rank", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ),
+            F.lit("\n\nUser question:\n" + _USER_QUERY + "\n\nAnswer:"),
+        ).alias("prompt")
+    )
+    models = spark.createDataFrame(
+        [(m,) for m in _PROMPT_MODELS], "model string"
+    )
+    lm = F.lower(F.col("model"))
+    return models.crossJoin(F.broadcast(prompt)).select(
+        "model",
+        F.when(lm.startswith("gpt"), F.lit("openai"))
+        .when(lm.startswith("gemini"), F.lit("gemini"))
+        .otherwise(F.lit("openai"))
+        .alias("provider"),
+        "prompt",
+    )
+
+
 # -- §2.6 RAG retrieval composed with metadata/security filters ---------------
 # (app/api/query.py:29-47,131-142: departments + security_tiers
 # multi-selects applied to retrieval before prompting)
@@ -15903,7 +16009,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "path_safety_audit", "job_ledger_latest",
     "embedding_similarity_metrics", "embedding_cost_estimate",
     "notion_page_markdown", "entity_quality_keep",
-    "gdrive_scan_routing", "llm_cost_estimate",
+    "gdrive_scan_routing", "llm_cost_estimate", "rag_prompt_build",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

@@ -256,6 +256,7 @@ HEADLINE = [
     "entity_quality_keep",
     "gdrive_scan_routing",
     "llm_cost_estimate",
+    "rag_prompt_build",
 ]
 
 SMALL_RESULT = {
