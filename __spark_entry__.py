@@ -5040,6 +5040,178 @@ def _q_chunk_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- SplitRecursively merge DP over atoms (split_recursively.rs:597-743) -------
+
+_DP_CS, _DP_MN, _DP_W = 100, 40, 24
+
+
+def _merge_dp_sql() -> str:
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DOUBLE_NEWLINE,
+        INLINE,
+        MISSING_OVERLAP_COST,
+        PER_LINE_BREAK_LEVEL_GAP_COST,
+        SYNTAX_LEVEL_GAP_COST,
+        TOO_SMALL_CHUNK_COST,
+    )
+
+    hs = [0]
+    for k in range(1, 8):
+        hs.append(hs[-1] + SYNTAX_LEVEL_GAP_COST // k)
+    hs_sql = "[" + ", ".join(map(str, hs)) + "]"
+    big = 10**9
+    isyn = (
+        "coalesce(list_min(list_transform(a[sx + 2 : i + 1], "
+        f"x -> x.bs)), {big})"
+    )
+    ilb = (
+        "coalesce(list_max(list_transform(a[sx + 2 : i + 1], "
+        "x -> x.il)), 0)"
+    )
+    gaps = f"""(
+  CASE WHEN a[sx + 1].bs > {isyn}
+       THEN {hs_sql}[a[sx + 1].bs - {isyn} + 1] ELSE 0 END
+  + CASE WHEN a[i + 2].bs > {isyn}
+         THEN {hs_sql}[a[i + 2].bs - {isyn} + 1] ELSE 0 END
+  + {PER_LINE_BREAK_LEVEL_GAP_COST} * (
+      ({ilb} - least(a[sx + 1].bl, {ilb}))
+      + ({ilb} - least(a[i + 2].bl, {ilb})))
+  + CASE WHEN (a[i + 1].e - a[sx + 1].s) < {_DP_MN}
+         THEN {TOO_SMALL_CHUNK_COST} ELSE 0 END
+)"""
+    adm = f"(a[i + 1].e - a[sx + 1].s) <= {_DP_CS}"
+    half = MISSING_OVERLAP_COST // 2
+    # best candidate as one sortable struct: rank 0 = admissible (full
+    # cost incl. prev plan + the overlap-0 constant), rank 1 = the
+    # break-fallback at sx = i (no constant — faithful), rank 2 =
+    # never chosen; ties pick the LARGEST start (negst), mirroring
+    # the reference's strict-< downward scan
+    best = f"""list_sort(list_transform(generate_series(0, i), sx ->
+           struct_pack(
+             r := CASE WHEN {adm} THEN 0 WHEN sx = i THEN 1 ELSE 2 END,
+             c := CASE WHEN {adm} THEN {gaps} + costs[sx + 1] + {half}
+                       WHEN sx = i THEN {gaps} + costs[sx + 1]
+                       ELSE 0 END,
+             negst := -sx, st := sx)))[1]"""
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
+),
+idxs AS (
+  SELECT doc_id, n,
+         unnest(generate_series(0, CAST(ceil(n / {_DP_W}.0) AS BIGINT) - 1))
+           AS i
+  FROM docs
+),
+atoms AS (
+  SELECT doc_id, i AS idx, i * {_DP_W} AS s,
+         least(n, i * {_DP_W} + {_DP_W}) AS e,
+         (i * 7) % 4 AS bs, (i * 5) % 2 AS il, (i * 3) % 3 AS bl
+  FROM idxs
+),
+with_sentinel AS (
+  SELECT doc_id, idx, s, e, bs, il, bl FROM atoms
+  UNION ALL
+  SELECT doc_id, CAST(ceil(n / {_DP_W}.0) AS BIGINT), n, n,
+         0, {INLINE}, {DOUBLE_NEWLINE}
+  FROM docs
+),
+meta AS (
+  SELECT doc_id,
+         list(struct_pack(s := s, e := e, bs := bs, il := il, bl := bl)
+              ORDER BY idx) AS a,
+         count(*) AS na
+  FROM with_sentinel GROUP BY doc_id
+),
+dp AS (
+  SELECT doc_id, a, na, 0 AS i,
+         CAST([0] AS BIGINT[]) AS costs,
+         CAST([0] AS BIGINT[]) AS prevs,
+         CAST([0] AS BIGINT[]) AS starts
+  FROM meta
+  UNION ALL
+  SELECT doc_id, a, na, i + 1,
+         list_append(costs, {best}.c),
+         list_append(prevs, {best}.st),
+         list_append(starts, {best}.st)
+  FROM dp WHERE i < na - 1
+),
+final AS (
+  SELECT doc_id, a, na, costs, prevs, starts FROM dp WHERE i = na - 1
+),
+bt AS (
+  SELECT doc_id, a, prevs, starts, CAST(na - 1 AS BIGINT) AS p FROM final
+  UNION ALL
+  SELECT doc_id, a, prevs, starts, prevs[p + 1] AS p
+  FROM bt WHERE p > 0
+),
+chunks AS (
+  SELECT doc_id, a[starts[p + 1] + 1].s AS s, a[p].e AS e
+  FROM bt WHERE p > 0
+)
+SELECT c.doc_id,
+       CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.s) - 1
+            AS BIGINT) AS chunk_index,
+       CAST(c.s AS BIGINT) AS location_start,
+       CAST(c.e AS BIGINT) AS location_end,
+       substr(d.text, CAST(c.s + 1 AS INTEGER),
+              CAST(c.e - c.s AS INTEGER)) AS chunk_text
+FROM chunks c JOIN docs d USING (doc_id)
+"""
+
+
+@_register("chunk_merge_dp", _merge_dp_sql())
+def _q_chunk_merge_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SplitRecursively merge DP — the cost-model heart of the
+    reference chunker (split_recursively.rs:27-30,597-743) — with a
+    TRUE cross-engine oracle: the sequential shortest-path fold
+    becomes a DuckDB recursive CTE carrying the plans arrays as list
+    state (per-candidate cost = harmonic syntax-gap prefix sums +
+    64×line-break gaps + 2^20 too-small + overlap-0 constant;
+    admissibility and the break-fallback encoded in one sortable
+    struct whose tie-break mirrors the strict-< downward scan), then
+    a second recursive CTE backtracks the prev pointers into chunks.
+    Atoms are a caller-supplied table here (stride windows with
+    synthesized levels over the real corpus text — covering gap,
+    too-small, and fallback branches); the regex ATOMIZER that
+    produces real atoms is pytest-pinned (test_split_dp), so the two
+    halves of the formerly rows-only `chunk_recursive` are now each
+    independently verified."""
+    from cocoindex_data_ingestion_spark.operators.chunking import (
+        merge_dp_over_atoms,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d, t = F.col("doc_id"), F.col("text")
+    n = F.length(t)
+    atoms = docs.select(
+        d,
+        F.posexplode(
+            F.sequence(F.lit(0), F.ceil(n / _DP_W).cast("long") - 1)
+        ).alias("pos", "i"),
+        n.alias("n"),
+    ).select(
+        d.alias("doc_id"),
+        F.col("i").alias("idx"),
+        (F.col("i") * _DP_W).alias("start"),
+        F.least(F.col("n"), F.col("i") * _DP_W + _DP_W).alias("end"),
+        ((F.col("i") * 7) % 4).alias("boundary_syntax_level"),
+        ((F.col("i") * 5) % 2).alias("internal_lb_level"),
+        ((F.col("i") * 3) % 3).alias("boundary_lb_level"),
+    )
+    out = merge_dp_over_atoms(
+        atoms, docs, chunk_size=_DP_CS, min_chunk_size=_DP_MN
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "location_start",
+        "location_end",
+        "chunk_text",
+    )
+
+
 # -- chunk editing: split / merge with renumbering (api/chunks.py) ------------
 
 # shared base: the oracled fixed-chunk table with the API's chunk
@@ -16010,6 +16182,7 @@ _DRIVER_WINDOW_PRIORITY = [
     "embedding_similarity_metrics", "embedding_cost_estimate",
     "notion_page_markdown", "entity_quality_keep",
     "gdrive_scan_routing", "llm_cost_estimate", "rag_prompt_build",
+    "chunk_merge_dp",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 

@@ -257,6 +257,7 @@ HEADLINE = [
     "gdrive_scan_routing",
     "llm_cost_estimate",
     "rag_prompt_build",
+    "chunk_merge_dp",
 ]
 
 SMALL_RESULT = {

@@ -838,3 +838,71 @@ def two_tier_chunks(
             F.size(bm25_tokens("chunk_text")).alias("chunk_size"),
         )
     )
+
+
+def merge_dp_over_atoms(
+    atoms: DataFrame,
+    docs: DataFrame,
+    chunk_size: int,
+    min_chunk_size: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentinel_syntax_level: int = 0,
+) -> DataFrame:
+    """The SplitRecursively merge DP (split_recursively.rs:597-743)
+    exposed over a CALLER-SUPPLIED atom table — the DP-only surface,
+    so the cost model itself gets a cross-engine oracle while the
+    regex atomizer stays pytest-pinned (its recursion produces the
+    same ``_Atom`` rows).
+
+    ``atoms``: (id, idx, start, end, boundary_syntax_level,
+    internal_lb_level, boundary_lb_level); the terminal sentinel atom
+    (AtomChunksCollector.finish, split_recursively.py:246-251) is
+    appended here with the given syntax level. Overlap = 0 (the
+    heap-admissibility path is exercised in test_split_dp).
+
+    Per-document sequential DP → cogrouped applyInPandas: atoms and
+    text meet once per document, documents independent, no state
+    beyond one document's atom list.
+    """
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DOUBLE_NEWLINE, INLINE, RecursiveChunker, _Atom,
+    )
+
+    id_type = dict(docs.dtypes)[id_col]
+    schema = (
+        f"{id_col} {id_type}, chunk_index int, location_start long, "
+        "location_end long, chunk_text string"
+    )
+    cs, mn, ssl = chunk_size, min_chunk_size, sentinel_syntax_level
+
+    def run(key, atom_pdf: pd.DataFrame, doc_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = [
+            id_col, "chunk_index", "location_start", "location_end",
+            "chunk_text",
+        ]
+        if doc_pdf.empty or atom_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        did = key[0]
+        text = doc_pdf[text_col].iloc[0] or ""
+        ap = atom_pdf.sort_values("idx")
+        alist = [
+            _Atom(int(s), int(e), int(bs), int(il), int(bl))
+            for s, e, bs, il, bl in zip(
+                ap["start"], ap["end"], ap["boundary_syntax_level"],
+                ap["internal_lb_level"], ap["boundary_lb_level"],
+            )
+        ]
+        alist.append(_Atom(len(text), len(text), ssl, INLINE, DOUBLE_NEWLINE))
+        chunker = RecursiveChunker(text, cs, mn, 0)
+        rows = [
+            (did, i, s, e, txt)
+            for i, (s, e, txt) in enumerate(chunker._merge(alist))
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        atoms.groupBy(id_col)
+        .cogroup(docs.groupBy(id_col))
+        .applyInPandas(run, schema=schema)
+    )
