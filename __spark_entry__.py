@@ -8311,6 +8311,145 @@ def _q_rel_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.7 app-model relationship registry + entity typer ----------------------
+# app/models/relationships.py:11-219 (14-type matrix + validate_entities),
+# :306-341 (get_entity_type keyword heuristic), :250-270
+# (to_cypher_properties truthiness rules). Branch coverage: every one
+# of the 14 labels appears (valid AND invalid combos), the metadata
+# override, each keyword family, the 'app'-in-'pineapple' substring
+# quirk, the Department-before-Document probe order, the unknown-label
+# None from get_by_label, and page_number=0 / '' dropped from Cypher
+# props.
+
+_REL_MODEL_CASES = [
+    # (id, src_name, src_meta, label, tgt_name, tgt_meta,
+    #  page_number, section, validator, n_additional)
+    (0, "temperature sensor", None, "COMPONENT_OF", "x500 dispenser", None,
+     12, "intro", "alice", 0),
+    (1, "cloud platform", None, "CONNECTS_TO", "mobile app", None,
+     0, None, None, 2),
+    (2, "firmware", None, "DEPENDS_ON", "water pump", None,
+     None, "", "", 1),
+    (3, "user manual", None, "TROUBLESHOOTS", "drip valve", None,
+     3, "faq", "", 0),
+    (4, "troubleshooting notes", "Guide", "TROUBLESHOOTS", "leak", "Issue",
+     None, None, "bob", 0),
+    (5, "anything", None, "RELATES_TO", "whatever", None,
+     1, "s", "v", 3),
+    (6, "sales team", None, "RESPONSIBLE_FOR", "supply chain", None,
+     None, None, None, 0),
+    (7, "spec sheet", None, "DEFINES", "pairing protocol", "Standard",
+     2, None, None, 0),
+    (8, "pineapple", None, "UNKNOWN_LABEL", "grapes", None,
+     None, None, None, 1),
+    (9, "marketing report", None, "TARGETS", "enterprise", "Segment",
+     None, "q3", None, 0),
+    (10, "model x600", "Product", "SERVES", "emea", "Market",
+     None, None, None, 2),
+    (11, "billing dispute", "Issue", "IMPACTS", "checkout", "Process",
+     0, "", None, 0),
+    (12, "api gateway", None, "COMPATIBLE_WITH", "usb board", None,
+     None, None, None, 0),
+    (13, "print spec", None, "REFERENCES", "iso 9001", "Standard",
+     44, None, "carol", 0),
+    (14, "quick guide", None, "DOCUMENTS", "filter module", None,
+     None, None, None, 0),
+    (15, "legacy firmware", None, "REPLACES", "beta software", None,
+     None, "changelog", None, 1),
+    # metadata {"type": ""} present-but-empty: returned VERBATIM
+    # (reference checks key membership, not truthiness); the Any
+    # wildcard still validates the '' type.
+    (16, "unnamed widget", "", "RELATES_TO", "thing", None,
+     None, None, None, 0),
+]
+
+
+def _rel_model_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.relationship_model import (
+        N_CORE_CYPHER_PROPS, VALIDATE_SQL, entity_type_sql,
+        rel_types_values_sql,
+    )
+
+    def lit(v):
+        if v is None:
+            return "NULL"
+        return repr(v) if isinstance(v, str) else str(v)
+
+    values = ", ".join(
+        "(" + ", ".join(lit(v) for v in row) + ")"
+        for row in _REL_MODEL_CASES
+    )
+    valid = VALIDATE_SQL.format(src="t.source_type", tgt="t.target_type")
+    truthy_str = (
+        "CASE WHEN {c} IS NOT NULL AND length({c}) > 0 THEN 1 ELSE 0 END"
+    )
+    return f"""
+WITH cases AS (
+  SELECT * FROM (VALUES {values}) AS v(
+    id, src_name, src_meta, label, tgt_name, tgt_meta,
+    page_number, section, validator, n_additional)
+),
+typed AS (
+  SELECT id, label, page_number, section, validator, n_additional,
+         {entity_type_sql("src_name", "src_meta")} AS source_type,
+         {entity_type_sql("tgt_name", "tgt_meta")} AS target_type
+  FROM cases
+)
+SELECT t.id, t.label, t.source_type, t.target_type,
+       CASE WHEN rel_types.label IS NULL THEN NULL ELSE {valid} END
+         AS is_valid,
+       rel_types.n_suggested_props,
+       CAST({N_CORE_CYPHER_PROPS}
+            + (CASE WHEN t.page_number IS NOT NULL AND t.page_number != 0
+                    THEN 1 ELSE 0 END)
+            + ({truthy_str.format(c="t.section")})
+            + ({truthy_str.format(c="t.validator")})
+            + t.n_additional AS INTEGER) AS n_cypher_props
+FROM typed t LEFT JOIN {rel_types_values_sql()} ON t.label = rel_types.label
+ORDER BY t.id
+"""
+
+
+@_register("relationship_model_validation", _rel_model_sql())
+def _q_rel_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App-model relationship validation: type both endpoint names
+    with the get_entity_type keyword heuristic (metadata override
+    honored), look the label up in the 14-type registry (unknown →
+    NULL, get_by_label's None), check the source/target constraint
+    matrix with Any wildcards, and count the to_cypher_properties
+    payload under its truthiness rules. Expression-only against a
+    broadcast 14-row literal — one narrow map stage at any N."""
+    from cocoindex_data_ingestion_spark.operators.relationship_model import (
+        cypher_props_count_col, entity_type_col, rel_types_df,
+        validate_entities_col,
+    )
+
+    cases = spark.createDataFrame(
+        _REL_MODEL_CASES,
+        "id int, src_name string, src_meta string, label string, "
+        "tgt_name string, tgt_meta string, page_number int, "
+        "section string, validator string, n_additional int",
+    ).coalesce(1)
+    typed = cases.select(
+        "id", "label", "page_number", "section", "validator",
+        "n_additional",
+        entity_type_col("src_name", "src_meta").alias("source_type"),
+        entity_type_col("tgt_name", "tgt_meta").alias("target_type"),
+    )
+    joined = typed.join(F.broadcast(rel_types_df(spark)), "label", "left")
+    return joined.select(
+        "id", "label", "source_type", "target_type",
+        F.when(
+            F.col("source_types").isNotNull(),
+            validate_entities_col("source_type", "target_type"),
+        ).alias("is_valid"),
+        "n_suggested_props",
+        cypher_props_count_col(
+            "page_number", "section", "validator", "n_additional"
+        ).alias("n_cypher_props"),
+    ).orderBy("id")
+
+
 # -- §2.7 typed relationships from cue verbs over the corpus ------------------
 
 _REL_CUES = [
