@@ -5608,6 +5608,148 @@ def _q_job_ledger_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.5 state-manager reporting (state_manager.py:214-375) -------------------
+# Per-document transition histories via the deterministic ledger
+# double (operators/state_machine.LEDGER_PATHS: doc i walks path
+# i % 7, transition k at epoch second i*100 + k*7); the fold +
+# metrics are the ported semantics. document_state.py:131-150:
+# duration = LAST ingested ts − FIRST processing ts (path 6's retry
+# loop makes "first" load-bearing), only for currently-INGESTED docs.
+
+
+def _state_ledger_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.state_machine import (
+        LEDGER_PATHS,
+    )
+
+    paths = ", ".join(
+        "({i}, [{s}])".format(
+            i=i, s=", ".join(f"'{st}'" for st in p)
+        )
+        for i, p in enumerate(LEDGER_PATHS)
+    )
+    return f"""
+paths AS (
+  SELECT * FROM (VALUES {paths}) AS p(path_id, states)
+),
+ledger AS (
+  SELECT d.doc_id,
+         unnest(range(0, len(p.states))) AS seq,
+         unnest(p.states) AS to_state
+  FROM documents d JOIN paths p ON p.path_id = d.doc_id % {len(LEDGER_PATHS)}
+),
+stamped AS (
+  SELECT doc_id, seq, to_state,
+         CAST(doc_id * 100 + seq * 7 AS BIGINT) AS ts
+  FROM ledger
+),
+folded AS (
+  SELECT doc_id,
+         arg_max(to_state, seq) AS current_state,
+         max(ts) AS last_transition_ts,
+         min(CASE WHEN to_state = 'processing' THEN ts END) AS fp,
+         max(CASE WHEN to_state = 'ingested' THEN ts END) AS li
+  FROM stamped GROUP BY doc_id
+),
+per_doc AS (
+  SELECT *,
+         CASE WHEN current_state = 'ingested'
+               AND fp IS NOT NULL AND li IS NOT NULL
+              THEN li - fp END AS dur
+  FROM folded
+)"""
+
+
+def _state_metrics_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.state_machine import STATES
+
+    counts = ", ".join(
+        f"CAST(sum(CASE WHEN current_state = '{s}' THEN 1 ELSE 0 END) "
+        f"AS BIGINT) AS n_{s}"
+        for s in STATES
+    )
+    return f"""
+WITH {_state_ledger_sql()},
+agg AS (
+  SELECT {counts},
+         CAST(count(*) AS BIGINT) AS total_documents,
+         avg(dur) AS avg_dur
+  FROM per_doc
+)
+SELECT n_discovered, n_processing, n_pending_review, n_approved,
+       n_ingested, n_failed, n_rejected, total_documents,
+       {_R("CAST(n_ingested AS DOUBLE) / greatest(total_documents, 1)", 6)}
+         AS success_rate,
+       {_R("CAST(n_failed AS DOUBLE) / greatest(total_documents, 1)", 6)}
+         AS failure_rate,
+       {_R("coalesce(avg_dur, 0.0)", 6)} AS average_processing_time,
+       n_pending_review AS documents_pending_review,
+       n_failed AS documents_failed
+FROM agg
+"""
+
+
+@_register("doc_state_metrics", _state_metrics_sql())
+def _q_doc_state_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_processing_metrics + get_state_statistics
+    (state_manager.py:268-287, 342-375): fold each document's
+    transition history (one grouped pass, map-side combinable), then
+    one global aggregation — per-state counts, success/failure rates
+    over max(total, 1), mean processing duration across ingested
+    documents. The reference's 1000-row DB pagination cap on the
+    duration scan is an arbitrary-order artifact, deliberately not
+    reproduced (documented in processing_metrics)."""
+    from cocoindex_data_ingestion_spark.operators import state_machine as sm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    folded = sm.fold_document_states(sm.simulate_transition_ledger(docs))
+    out = sm.processing_metrics(folded)
+    return out.select(
+        *[f"n_{s}" for s in sm.STATES],
+        "total_documents",
+        stable_round(F.col("success_rate"), 6).alias("success_rate"),
+        stable_round(F.col("failure_rate"), 6).alias("failure_rate"),
+        stable_round(F.col("average_processing_time"), 6).alias(
+            "average_processing_time"
+        ),
+        "documents_pending_review",
+        "documents_failed",
+    )
+
+
+_STATE_ACTIONS_LIMIT = 100
+
+
+def _state_actions_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.state_machine import (
+        ACTION_STATES,
+    )
+
+    states = ", ".join(f"'{s}'" for s in ACTION_STATES)
+    return f"""
+WITH {_state_ledger_sql()}
+SELECT doc_id, current_state AS status, last_transition_ts
+FROM per_doc
+WHERE current_state IN ({states})
+ORDER BY doc_id LIMIT {_STATE_ACTIONS_LIMIT}
+"""
+
+
+@_register("doc_state_actions", _state_actions_sql())
+def _q_doc_state_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_documents_requiring_action (state_manager.py:238-265):
+    documents currently in pending_review/failed/rejected, capped at
+    100 — the reference cap rides arbitrary DB order, determinized
+    here (and in the oracle) as lowest-id-first."""
+    from cocoindex_data_ingestion_spark.operators import state_machine as sm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    folded = sm.fold_document_states(sm.simulate_transition_ledger(docs))
+    return sm.documents_requiring_action(
+        folded, limit=_STATE_ACTIONS_LIMIT
+    )
+
+
 # -- Notion block → markdown (notion_connector.py:297-622) ---------------------
 
 # One spec generates BOTH engines' synthesized block table (exprs are

@@ -75,3 +75,136 @@ def assert_no_invalid(df: DataFrame) -> None:
     n = df.filter(F.col("_invalid_transition")).limit(1).count()
     if n:
         raise ValueError("invalid state transition attempted")
+
+
+# -- state-manager reporting (app/services/state_manager.py:214-375) ----------
+
+# Eight representative VALID walks through the transition table — the
+# deterministic double for per-document transition histories (the
+# reference reads these from the state_transitions table). Every path
+# starts at discovered and every state occurs as SOME document's
+# current state; 3 and 7 exercise the failed→processing retry, 7
+# additionally pins "first processing, last ingested" in
+# get_processing_duration (document_state.py:131-150).
+LEDGER_PATHS: tuple[tuple[str, ...], ...] = (
+    ("discovered",),
+    ("discovered", "processing"),
+    ("discovered", "processing", "failed"),
+    ("discovered", "processing", "failed", "processing", "pending_review"),
+    ("discovered", "processing", "pending_review", "rejected"),
+    ("discovered", "processing", "pending_review", "approved"),
+    ("discovered", "processing", "pending_review", "approved", "ingested"),
+    ("discovered", "processing", "failed", "processing", "pending_review",
+     "approved", "ingested"),
+)
+
+# States whose documents need user attention
+# (state_manager.py:238-265 get_documents_requiring_action)
+ACTION_STATES = ("pending_review", "failed", "rejected")
+
+_LEDGER_STEP_S = 7  # seconds between consecutive transitions
+
+
+def simulate_transition_ledger(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic transition-history double: document ``i`` walks
+    ``LEDGER_PATHS[i % 7]`` with transition ``k`` stamped at epoch
+    second ``i*100 + k*7``. Expression-only (element_at over a literal
+    array-of-arrays + posexplode) — no shuffle; the real deployment
+    replaces this with a scan of the state_transitions table."""
+    paths = F.array(*[
+        F.array(*[F.lit(s) for s in p]) for p in LEDGER_PATHS
+    ])
+    path = F.element_at(paths, (F.col(id_col) % len(LEDGER_PATHS) + 1).cast("int"))
+    return (
+        docs.select(F.col(id_col), path.alias("_path"))
+        .select(id_col, F.posexplode("_path").alias("seq", "to_state"))
+        .select(
+            id_col,
+            F.col("seq").cast("long").alias("seq"),
+            "to_state",
+            (F.col(id_col) * 100 + F.col("seq") * _LEDGER_STEP_S)
+            .cast("long")
+            .alias("ts"),
+        )
+    )
+
+
+def fold_document_states(
+    ledger: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document fold of a transition ledger (columns id, seq,
+    to_state, ts): current state = last transition; processing
+    duration (document_state.py:131-150) = last ingested ts − FIRST
+    processing ts, defined only for documents currently INGESTED.
+    One grouped pass — map-side combinable, no per-doc history held
+    on the driver."""
+    return ledger.groupBy(id_col).agg(
+        F.max_by("to_state", "seq").alias("current_state"),
+        F.max("ts").alias("last_transition_ts"),
+        F.min(
+            F.when(F.col("to_state") == "processing", F.col("ts"))
+        ).alias("_first_processing_ts"),
+        F.max(
+            F.when(F.col("to_state") == "ingested", F.col("ts"))
+        ).alias("_last_ingested_ts"),
+    ).withColumn(
+        "processing_duration_s",
+        F.when(
+            (F.col("current_state") == "ingested")
+            & F.col("_first_processing_ts").isNotNull()
+            & F.col("_last_ingested_ts").isNotNull(),
+            F.col("_last_ingested_ts") - F.col("_first_processing_ts"),
+        ).cast("long"),
+    ).drop("_first_processing_ts", "_last_ingested_ts")
+
+
+def processing_metrics(folded: DataFrame) -> DataFrame:
+    """``get_processing_metrics`` (state_manager.py:342-375) as one
+    global aggregation over the per-document fold: per-state counts
+    (get_state_statistics :268-287), total, success/failure rates
+    against max(total, 1), mean processing duration over ingested
+    documents (0.0 when none). Deviation noted: the reference caps
+    the duration scan at the first 1000 ingested rows its DB returns
+    (an arbitrary-order pagination artifact); this port averages over
+    ALL ingested documents."""
+    cur = F.col("current_state")
+    aggs = [
+        F.sum(F.when(cur == s, 1).otherwise(0)).cast("long").alias(f"n_{s}")
+        for s in STATES
+    ]
+    aggs += [
+        F.count("*").cast("long").alias("total_documents"),
+        F.avg("processing_duration_s").alias("_avg_dur"),
+    ]
+    out = folded.agg(*aggs)
+    total = F.greatest(F.col("total_documents"), F.lit(1))
+    return out.select(
+        *[f"n_{s}" for s in STATES],
+        "total_documents",
+        (F.col("n_ingested") / total).alias("success_rate"),
+        (F.col("n_failed") / total).alias("failure_rate"),
+        F.coalesce(F.col("_avg_dur"), F.lit(0.0)).alias(
+            "average_processing_time"
+        ),
+        F.col("n_pending_review").alias("documents_pending_review"),
+        F.col("n_failed").alias("documents_failed"),
+    )
+
+
+def documents_requiring_action(
+    folded: DataFrame, id_col: str = "doc_id", limit: int = 100
+) -> DataFrame:
+    """``get_documents_requiring_action`` (:238-265): documents whose
+    CURRENT state is pending_review/failed/rejected, capped at
+    ``limit``. The reference's cap rides the DB's arbitrary row
+    order; this port determinizes it as lowest-id-first (documented
+    canonicalization, matching the oracle)."""
+    return (
+        folded.filter(F.col("current_state").isin(*ACTION_STATES))
+        .select(id_col, F.col("current_state").alias("status"),
+                "last_transition_ts")
+        .orderBy(id_col)
+        .limit(limit)
+    )
