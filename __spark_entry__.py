@@ -8592,6 +8592,153 @@ def _q_rel_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
+# -- §2.4 document listing endpoint (app/api/documents.py:56-153) --------------
+# The reference flow, ORDER OF OPERATIONS PRESERVED: Supabase query =
+# status filter + ORDER created_at DESC + LIMIT 100
+# (supabase_service.py:127-155), THEN the endpoint's Python-side
+# source filter, THEN the manual offset — so limit applies BEFORE the
+# source filter and pagination (the endpoint's documented quirk).
+# created_at is doc_id here (ingestion ordinal double); status is the
+# state-machine ledger's current state; per-doc chunk_count counts the
+# fixed chunker's chunks table, entity_count counts quality-filtered
+# gazetteer mentions, and metadata_complete applies the endpoint's
+# rule (title/author/summary/key_topics all present and non-blank)
+# to the DocumentMetadata service record — author is an LLM-only
+# field, doubled deterministically as NULL on doc_id % 3 == 0.
+
+_LISTING_STATUS = "ingested"
+_LISTING_SOURCE = "src6"
+_LISTING_LIMIT = 100
+_LISTING_OFFSET = 2
+
+
+def _doc_listing_sql() -> str:
+    clean = (
+        "CASE WHEN length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 80 "
+        "THEN rtrim(substring(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 77)) || '...' "
+        "ELSE trim(regexp_replace(text, '\\s+', ' ', 'g')) END"
+    )
+    gaz_terms = "[" + ", ".join(f"'{t}'" for t in _GAZETTEER) + "]"
+    return f"""
+WITH {_state_ledger_sql()},
+listed AS (
+  SELECT d.doc_id, d.text, d.source, p.current_state AS status
+  FROM documents d JOIN per_doc p USING (doc_id)
+  WHERE p.current_state = '{_LISTING_STATUS}'
+  ORDER BY d.doc_id DESC LIMIT {_LISTING_LIMIT}
+),
+page AS (
+  SELECT * FROM listed WHERE source = '{_LISTING_SOURCE}'
+  ORDER BY doc_id DESC OFFSET {_LISTING_OFFSET}
+),
+mcount AS (
+  SELECT doc_id, count(*) AS entity_count FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE list_contains({gaz_terms}, token) GROUP BY doc_id
+)
+SELECT g.doc_id,
+       {clean.replace("text", "g.text")} AS title,
+       g.source AS source_type,
+       g.status,
+       (g.doc_id % 3 != 0
+        AND len(list_filter({_BM25_TOKS_SQL.replace("text", "g.text")},
+                            t -> TRUE)) > 0) AS metadata_complete,
+       CAST(greatest(length(g.text) - 1, 0) // {_CHUNK_STRIDE} + 1 AS BIGINT)
+         AS chunk_count,
+       CAST(coalesce(m.entity_count, 0) AS BIGINT) AS entity_count
+FROM page g LEFT JOIN mcount m ON g.doc_id = m.doc_id
+ORDER BY g.doc_id DESC
+"""
+
+
+@_register("doc_listing_rollup", _doc_listing_sql())
+def _q_doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_documents (documents.py:56-153): status-filtered,
+    created_at-DESC-ordered, LIMIT-capped Supabase read, THEN the
+    Python source filter, THEN the manual offset — quirk preserved:
+    pagination happens after the cap, so a source filter can starve
+    pages. Each listed row carries the chunks-table count (fixed
+    chunker), the entity_mentions count (quality-filtered gazetteer
+    leg — the endpoint counts ALL mentions, not canonicalized ones),
+    and the metadata_complete flag over the DocumentMetadata record.
+    Counts join per-doc AFTER pagination, so at scale the expensive
+    legs run over ≤100 rows, not the corpus."""
+    from cocoindex_data_ingestion_spark.operators import (
+        chunking,
+        entities as ent,
+        state_machine as sm,
+    )
+    from cocoindex_data_ingestion_spark.operators.docmeta import (
+        extract_document_metadata,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    folded = sm.fold_document_states(
+        sm.simulate_transition_ledger(docs.select("doc_id"))
+    )
+    listed = (
+        docs.join(folded.select("doc_id", "current_state"), "doc_id")
+        .filter(F.col("current_state") == _LISTING_STATUS)
+        .orderBy(F.col("doc_id").desc())
+        .limit(_LISTING_LIMIT)
+    )
+    page = (
+        listed.filter(F.col("source") == _LISTING_SOURCE)
+        .orderBy(F.col("doc_id").desc())
+        .offset(_LISTING_OFFSET)
+    )
+
+    chunks = (
+        chunking.fixed_chunks(
+            page, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+        )
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("chunk_count"))
+    )
+    mention_src = page.select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    mentions = ent.quality_filter(
+        ent.extract_mentions_gazetteer(mention_src, _GAZETTEER)
+    )
+    mcount = mentions.groupBy(
+        F.col("document_id").cast("long").alias("doc_id")
+    ).agg(F.count("*").alias("entity_count"))
+
+    meta = extract_document_metadata(page).select(
+        "doc_id", "title", "summary", "tags"
+    )
+    author = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("author-"), F.col("source"))
+    )
+    out = (
+        page.select("doc_id", "source", F.col("current_state").alias("status"))
+        .join(meta, "doc_id", "left")
+        .join(chunks, "doc_id", "left")
+        .join(mcount, "doc_id", "left")
+        .withColumn(
+            "metadata_complete",
+            (F.length("title") > 0)
+            & (F.length("summary") > 0)
+            & author.isNotNull()
+            & (F.size("tags") > 0),
+        )
+    )
+    return out.select(
+        "doc_id", "title",
+        F.col("source").alias("source_type"),
+        "status", "metadata_complete",
+        F.coalesce(F.col("chunk_count"), F.lit(0)).cast("long").alias(
+            "chunk_count"
+        ),
+        F.coalesce(F.col("entity_count"), F.lit(0)).cast("long").alias(
+            "entity_count"
+        ),
+    ).orderBy(F.col("doc_id").desc())
+
+
 # -- §2.7 typed relationships from cue verbs over the corpus ------------------
 
 _REL_CUES = [
