@@ -8739,6 +8739,178 @@ def _q_doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").desc())
 
 
+# -- §2.6 bridge hybrid search (app/api/bridge.py:251-466) ---------------------
+# The UI bridge's OWN fusion algorithm — distinct from the
+# search_service RRF/weighted/merge families already ported:
+#   * vector leg = top (2·limit) similar chunks, THEN a score
+#     threshold filter, max score per document (bridge.py:266-294;
+#     the endpoint's 0.7 default assumes calibrated text embeddings —
+#     0.25 here matches this corpus's hash-embedding score scale,
+#     the >=-threshold semantics are what's ported);
+#   * graph leg = ONE root entity whose lowercase name CONTAINS the
+#     query (Cypher LIMIT 1, determinized lowest-name-first), BFS to
+#     depth 2, graph_score = 1/(1+distance) with MIN path distance
+#     per node (bridge.py:299-372, 419-436);
+#   * the graph side's documents are SYNTHETIC 'doc_<entity-id>' ids
+#     (bridge.py:425 "for demo, create synthetic document ID"), so
+#     the two legs NEVER merge on a shared key — quirk preserved;
+#   * final = vector_weight·vector_score + graph_weight·graph_score,
+#     sort desc, top limit (ties determinized by document_id asc).
+
+_BRIDGE_Q = "ar"          # matches entity 'spark' on this corpus
+_BRIDGE_THRESH = 0.25
+_BRIDGE_VW, _BRIDGE_GW = 0.7, 0.3
+_BRIDGE_DEPTH = 2         # endpoint default
+
+
+def _bridge_hybrid_sql() -> str:
+    terms = "[" + ", ".join(f"'{t}'" for t in _GAZETTEER) + "]"
+    vec = _VEC_KNN_SQL.format(k=2 * KNN_K)
+    return f"""
+WITH vec_top AS ({vec}),
+vec_leg AS (
+  SELECT CAST(vec_id AS VARCHAR) AS document_id, max(score) AS vector_score
+  FROM vec_top WHERE score >= {_BRIDGE_THRESH} GROUP BY 1
+),
+m AS (
+  SELECT DISTINCT doc_id AS chunk, token AS name
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents)
+  WHERE list_contains({terms}, token)
+),
+edges AS (
+  SELECT DISTINCT a.name AS src, b.name AS dst
+  FROM m a JOIN m b ON a.chunk = b.chunk AND a.name <> b.name
+),
+root AS (
+  SELECT min(name) AS name FROM (SELECT DISTINCT name FROM m)
+  WHERE contains(lower(name), lower('{_BRIDGE_Q}'))
+),
+d1 AS (
+  SELECT DISTINCT e.dst AS name FROM edges e JOIN root r ON e.src = r.name
+),
+d2 AS (
+  SELECT DISTINCT e.dst AS name
+  FROM edges e JOIN d1 ON e.src = d1.name
+),
+hops AS (
+  SELECT name, 0 AS hop FROM root
+  UNION ALL SELECT name, 1 FROM d1
+  UNION ALL SELECT name, 2 FROM d2
+),
+graph_leg AS (
+  SELECT 'doc_' || name AS document_id,
+         1.0 / (1 + min(hop)) AS graph_score
+  FROM hops GROUP BY name
+)
+SELECT coalesce(v.document_id, g.document_id) AS document_id,
+       {_R(f"{_BRIDGE_VW} * coalesce(v.vector_score, 0.0)"
+           f" + {_BRIDGE_GW} * coalesce(g.graph_score, 0.0)", 4)} AS score,
+       coalesce(v.vector_score, 0.0) AS vector_score,
+       {_R("coalesce(g.graph_score, 0.0)", 4)} AS graph_score
+FROM vec_leg v FULL OUTER JOIN graph_leg g USING (document_id)
+ORDER BY score DESC, document_id ASC
+LIMIT {KNN_K}
+"""
+
+
+@_register("bridge_hybrid_search", _bridge_hybrid_sql())
+def _q_bridge_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bridge API's weighted vector+graph fusion. Scale shape:
+    the vector leg is a TakeOrderedAndProject over the embedding
+    scan; the graph leg's BFS is two equi-joins over the (tiny,
+    broadcast) entity edge list rooted at one node; the fusion is a
+    full-outer join of two ≤2·limit row sets — no corpus-sized
+    shuffle anywhere."""
+    from cocoindex_data_ingestion_spark.operators import entities as ent
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _qvec_df(emb)
+    top = vector_search.knn(
+        emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q)),
+        F.col("qvec"),
+        k=2 * KNN_K,
+    )
+    vec_leg = (
+        top.filter(F.col("score") >= _BRIDGE_THRESH)
+        .groupBy(F.col("vec_id").cast("string").alias("document_id"))
+        .agg(F.max("score").alias("vector_score"))
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("chunk_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("chunk_text"),
+    )
+    mentions = ent.quality_filter(
+        ent.extract_mentions_gazetteer(docs, _GAZETTEER)
+    )
+    m = mentions.select(
+        F.col("chunk_id").alias("chunk"), F.col("text").alias("name")
+    ).distinct()
+    a, b = m.alias("a"), m.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.name") != F.col("b.name")),
+        )
+        .select(F.col("a.name").alias("src"), F.col("b.name").alias("dst"))
+        .distinct()
+    )
+    root = (
+        m.select("name")
+        .distinct()
+        .filter(F.lower(F.col("name")).contains(_BRIDGE_Q.lower()))
+        .agg(F.min("name").alias("name"))
+        .where(F.col("name").isNotNull())
+    )
+    d1 = (
+        edges.join(F.broadcast(root), edges.src == root.name)
+        .select("dst")
+        .distinct()
+    )
+    d2 = (
+        edges.join(
+            F.broadcast(d1.withColumnRenamed("dst", "mid")),
+            edges.src == F.col("mid"),
+        )
+        .select("dst")
+        .distinct()
+    )
+    hops = (
+        root.select("name", F.lit(0).alias("hop"))
+        .unionByName(d1.select(F.col("dst").alias("name"), F.lit(1).alias("hop")))
+        .unionByName(d2.select(F.col("dst").alias("name"), F.lit(2).alias("hop")))
+    )
+    graph_leg = (
+        hops.groupBy("name")
+        .agg(F.min("hop").alias("min_hop"))
+        .select(
+            F.concat(F.lit("doc_"), F.col("name")).alias("document_id"),
+            (F.lit(1.0) / (F.col("min_hop") + 1)).alias("graph_score"),
+        )
+    )
+
+    fused = vec_leg.join(graph_leg, "document_id", "full")
+    return (
+        fused.select(
+            "document_id",
+            stable_round(
+                F.lit(_BRIDGE_VW) * F.coalesce("vector_score", F.lit(0.0))
+                + F.lit(_BRIDGE_GW) * F.coalesce("graph_score", F.lit(0.0)),
+                4,
+            ).alias("score"),
+            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
+            stable_round(
+                F.coalesce("graph_score", F.lit(0.0)), 4
+            ).alias("graph_score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("document_id").asc())
+        .limit(KNN_K)
+    )
+
+
 # -- §2.7 typed relationships from cue verbs over the corpus ------------------
 
 _REL_CUES = [
