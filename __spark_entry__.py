@@ -5608,6 +5608,52 @@ def _q_job_ledger_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- §2.5 job listing endpoint (processing.py:360-382 over
+# job_tracker.list_jobs:87-109): status filter, newest-created-first
+# sort, THEN [offset : offset+limit] — pagination after the sort,
+# unlike the documents endpoint's cap-then-filter quirk. The
+# reference's Python sort is stable on an arbitrary dict order, so
+# created_at ties are determinized job_id-ascending here and in the
+# oracle. The job_type filter has no analogue in the event-derived
+# ledger double (all jobs are one type) and is exercised as a no-op.
+
+_JOB_LIST_STATUS = "running"
+_JOB_LIST_LIMIT, _JOB_LIST_OFFSET = 50, 5
+
+
+def _job_listing_sql() -> str:
+    return f"""
+WITH ledger AS ({_JOB_LEDGER_SQL}
+)
+SELECT job_id, status, progress, message,
+       created_at_us, updated_at_us
+FROM ledger
+WHERE status = '{_JOB_LIST_STATUS}'
+ORDER BY created_at_us DESC, job_id ASC
+OFFSET {_JOB_LIST_OFFSET} LIMIT {_JOB_LIST_LIMIT}
+"""
+
+
+@_register("job_listing", _job_listing_sql())
+def _q_job_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """list_jobs over the event-sourced job ledger: the fold is the
+    shared leg (job_ledger_latest); the endpoint adds filter → sort
+    (created_at DESC) → offset/limit. The page is a
+    TakeOrderedAndProject over the folded ledger — no extra
+    corpus-scale shuffle beyond the fold itself."""
+    folded = _q_job_ledger_latest(spark, sf_dir)
+    return (
+        folded.filter(F.col("status") == _JOB_LIST_STATUS)
+        .select(
+            "job_id", "status", "progress", "message",
+            "created_at_us", "updated_at_us",
+        )
+        .orderBy(F.col("created_at_us").desc(), F.col("job_id").asc())
+        .offset(_JOB_LIST_OFFSET)
+        .limit(_JOB_LIST_LIMIT)
+    )
+
+
 # -- §2.5 state-manager reporting (state_manager.py:214-375) -------------------
 # Per-document transition histories via the deterministic ledger
 # double (operators/state_machine.LEDGER_PATHS: doc i walks path
