@@ -6186,6 +6186,77 @@ def _q_gdrive_scan_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- LlamaParse client helpers (llamaparse_service.py:284-300, 395-409) --------
+# Filename-suffix MIME inference (ordered endswith probes, lowercased,
+# octet-stream default) + the _normalize_response markdown coalesce
+# (Python `or`: EMPTY strings fall through, not just None). Branch
+# coverage: every suffix, uppercase names, a double extension, .htm
+# vs .html, extensionless, unknown suffix; and all four coalesce
+# arms incl. the empty-markdown fall-through.
+
+_LLAMAPARSE_CASES = [
+    # (id, filename, markdown, content, md)
+    (0, "report.pdf", "# doc", None, None),
+    (1, "Slides.PPTX", "", "from content", None),
+    (2, "notes.docx", None, "", "from md"),
+    (3, "legacy.doc", None, None, None),
+    (4, "book.xlsx", "", "", ""),
+    (5, "readme.txt", "x", "y", "z"),
+    (6, "page.html", None, "c only", None),
+    (7, "old.HTM", None, None, "m only"),
+    (8, "archive.tar.pdf", "tar pdf", None, None),
+    (9, "noext", None, "nc", None),
+    (10, "bundle.zip", None, None, "nm"),
+    (11, "dotted.", "d", None, None),
+]
+
+
+def _llamaparse_norm_sql() -> str:
+    from cocoindex_data_ingestion_spark.sources.connector_meta import (
+        infer_mime_sql, normalized_markdown_sql,
+    )
+
+    def lit(v):
+        return "NULL" if v is None else repr(v)
+
+    values = ", ".join(
+        f"({i}, {lit(n)}, {lit(m)}, {lit(c)}, {lit(d)})"
+        for i, n, m, c, d in _LLAMAPARSE_CASES
+    )
+    return f"""
+SELECT id, filename,
+       {infer_mime_sql("filename")} AS mime,
+       {normalized_markdown_sql("markdown", "content", "md")}
+         AS norm_markdown
+FROM (VALUES {values}) AS t(id, filename, markdown, content, md)
+ORDER BY id
+"""
+
+
+@_register("llamaparse_normalize", _llamaparse_norm_sql())
+def _q_llamaparse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LlamaParse client-side deterministic layer: suffix→MIME
+    inference and the response-normalization markdown coalesce with
+    its empty-string fall-through quirk. The HTTP upload/poll loop
+    stays the documented env-blocked seam (no network here)."""
+    from cocoindex_data_ingestion_spark.sources.connector_meta import (
+        infer_mime, normalized_markdown,
+    )
+
+    df = spark.createDataFrame(
+        _LLAMAPARSE_CASES,
+        "id int, filename string, markdown string, content string, "
+        "md string",
+    ).coalesce(1)
+    return df.select(
+        "id", "filename",
+        infer_mime(F.col("filename")).alias("mime"),
+        normalized_markdown(
+            F.col("markdown"), F.col("content"), F.col("md")
+        ).alias("norm_markdown"),
+    ).orderBy("id")
+
+
 # -- LLM call cost accounting (llm_service.py:396-428) --------------------------
 
 

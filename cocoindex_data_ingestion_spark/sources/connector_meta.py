@@ -122,3 +122,65 @@ def file_type_selected(
         if gext in want:
             cond = cond | (mime == gmt)
     return cond
+
+
+# -- LlamaParse client-side helpers (llamaparse_service.py:284-300, 395-409) --
+
+# Suffix → MIME, probed IN ORDER with endswith on the lowercased
+# filename (so 'archive.tar.pdf' is a pdf and 'x.htm'/'x.html' both
+# map to text/html); anything else is application/octet-stream.
+INFER_MIME_SUFFIXES: tuple[tuple[str, str], ...] = (
+    (".pdf", "application/pdf"),
+    (".docx", "application/vnd.openxmlformats-officedocument"
+              ".wordprocessingml.document"),
+    (".doc", "application/msword"),
+    (".pptx", "application/vnd.openxmlformats-officedocument"
+              ".presentationml.presentation"),
+    (".xlsx", "application/vnd.openxmlformats-officedocument"
+              ".spreadsheetml.sheet"),
+    (".txt", "text/plain"),
+    (".html", "text/html"),
+    (".htm", "text/html"),
+)
+INFER_MIME_DEFAULT = "application/octet-stream"
+
+
+def infer_mime(name: Column) -> Column:
+    """``LlamaParseService._infer_mime`` (:284-300) as one CASE
+    chain."""
+    low = F.lower(name)
+    out = F.lit(INFER_MIME_DEFAULT)
+    for suffix, mime in reversed(INFER_MIME_SUFFIXES):
+        out = F.when(low.endswith(suffix), F.lit(mime)).otherwise(out)
+    return out
+
+
+def infer_mime_sql(name_expr: str) -> str:
+    """DuckDB twin generated from the same suffix table."""
+    branches = " ".join(
+        f"WHEN ends_with(lower({name_expr}), '{s}') THEN '{m}'"
+        for s, m in INFER_MIME_SUFFIXES
+    )
+    return f"CASE {branches} ELSE '{INFER_MIME_DEFAULT}' END"
+
+
+def normalized_markdown(markdown: Column, content: Column, md: Column) -> Column:
+    """``_normalize_response`` markdown coalesce (:399): Python
+    ``or`` chains skip EMPTY strings, not just None — an empty
+    'markdown' field falls through to 'content' then 'md' (quirk
+    preserved); all-falsy yields NULL."""
+    def _nonempty(c: Column) -> Column:
+        return F.when(c.isNotNull() & (F.length(c) > 0), c)
+
+    return F.coalesce(
+        _nonempty(markdown), _nonempty(content), _nonempty(md)
+    )
+
+
+def normalized_markdown_sql(m: str, c: str, d: str) -> str:
+    ne = "CASE WHEN {x} IS NOT NULL AND length({x}) > 0 THEN {x} END"
+    return (
+        "coalesce("
+        + ", ".join(ne.format(x=x) for x in (m, c, d))
+        + ")"
+    )
