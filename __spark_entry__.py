@@ -8856,6 +8856,86 @@ def _q_doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").desc())
 
 
+# -- §2.4 chunk listing w/ context windows (documents.py:255-327) --------------
+# include_context=true: for each chunk, up to context_size characters
+# of the parent document BEFORE start_position and AFTER end_position,
+# clamped to the document bounds (max(0, start-cs) / min(len, end+cs)).
+# Composed over the fixed chunker's chunks table; per-document scope
+# doubled as a doc_id filter so the query stays a pruned scan.
+
+_CTX_SIZE = 200           # endpoint default context_size
+_CTX_DOC_MOD, _CTX_DOC_RES = 100, 7
+
+
+def _chunks_ctx_sql() -> str:
+    return f"""
+WITH g AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {_CHUNK_STRIDE})) AS start
+  FROM documents WHERE doc_id % {_CTX_DOC_MOD} = {_CTX_DOC_RES}
+),
+c AS (
+  SELECT doc_id, text,
+         CAST(start // {_CHUNK_STRIDE} AS BIGINT) AS chunk_index,
+         CAST(start AS BIGINT) AS start_position,
+         CAST(least(start + {_CHUNK_SIZE}, length(text)) AS BIGINT)
+           AS end_position
+  FROM g
+)
+SELECT doc_id, chunk_index, start_position, end_position,
+       end_position - start_position AS chunk_size,
+       substr(text,
+              CAST(greatest(start_position - {_CTX_SIZE}, 0) + 1 AS INTEGER),
+              CAST(start_position
+                   - greatest(start_position - {_CTX_SIZE}, 0) AS INTEGER))
+         AS context_before,
+       substr(text, CAST(end_position + 1 AS INTEGER),
+              CAST(least(length(text), end_position + {_CTX_SIZE})
+                   - end_position AS INTEGER)) AS context_after
+FROM c
+ORDER BY doc_id, chunk_index
+"""
+
+
+@_register("doc_chunks_with_context", _chunks_ctx_sql())
+def _q_doc_chunks_ctx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_document_chunks?include_context=true: the chunks table
+    ordered by chunk_index, each row carrying the surrounding
+    document text clamped to [0, len] — pure substring expressions
+    over the chunker output, no join (the chunker keeps the parent
+    text in-row), scan pruned by the document filter."""
+    from cocoindex_data_ingestion_spark.operators import chunking
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % _CTX_DOC_MOD == _CTX_DOC_RES
+    )
+    chunks = chunking.fixed_chunks(
+        docs, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP,
+        keep_text=True,
+    )
+    start, end = F.col("location_start"), F.col("location_end")
+    before_start = F.greatest(start - _CTX_SIZE, F.lit(0))
+    after_end = F.least(F.length("text"), end + _CTX_SIZE)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        start.cast("long").alias("start_position"),
+        end.cast("long").alias("end_position"),
+        (end - start).cast("long").alias("chunk_size"),
+        F.substring(
+            F.col("text"),
+            (before_start + 1).cast("int"),
+            (start - before_start).cast("int"),
+        ).alias("context_before"),
+        F.substring(
+            F.col("text"),
+            (end + 1).cast("int"),
+            (after_end - end).cast("int"),
+        ).alias("context_after"),
+    ).orderBy("doc_id", "chunk_index")
+
+
 # -- §2.6 bridge hybrid search (app/api/bridge.py:251-466) ---------------------
 # The UI bridge's OWN fusion algorithm — distinct from the
 # search_service RRF/weighted/merge families already ported:

@@ -42,12 +42,15 @@ def fixed_chunks(
     overlap: int = DEFAULT_OVERLAP,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Fixed char windows, stride = chunk_size − overlap.
 
     Pure Column pipeline: no UDF, no shuffle; each output chunk row
     carries Range-key semantics (location_start/location_end,
     src/base/schema.rs:39) and reproduces substring(text, start, len).
+    ``keep_text`` keeps the parent document text in-row (for
+    context-window consumers, avoiding a re-join to the corpus).
     """
     stride = chunk_size - overlap
     assert stride > 0
@@ -61,17 +64,20 @@ def fixed_chunks(
         F.col(text_col),
         F.posexplode(starts).alias("chunk_index", "location_start"),
     )
-    return out.select(
-        id_col,
-        "chunk_index",
-        "location_start",
+    cols = [
+        F.col(id_col),
+        F.col("chunk_index"),
+        F.col("location_start"),
         F.least(F.col("location_start") + chunk_size, F.length(text_col)).alias(
             "location_end"
         ),
         F.substring(F.col(text_col), F.col("location_start") + 1, chunk_size).alias(
             "chunk_text"
         ),
-    )
+    ]
+    if keep_text:
+        cols.append(F.col(text_col))
+    return out.select(*cols)
 
 
 def _pack_sentences(
