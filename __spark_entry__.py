@@ -8803,6 +8803,11 @@ def _q_doc_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
         listed.filter(F.col("source") == _LISTING_SOURCE)
         .orderBy(F.col("doc_id").desc())
         .offset(_LISTING_OFFSET)
+        # four downstream legs (chunks, mentions, metadata, the final
+        # select) reference the page; materialize the ≤limit-row page
+        # once instead of re-running the corpus scan + status fold +
+        # top-k per leg
+        .localCheckpoint(eager=False)
     )
 
     chunks = (
@@ -9042,9 +9047,16 @@ def _q_bridge_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     mentions = ent.quality_filter(
         ent.extract_mentions_gazetteer(docs, _GAZETTEER)
     )
-    m = mentions.select(
-        F.col("chunk_id").alias("chunk"), F.col("text").alias("name")
-    ).distinct()
+    m = (
+        mentions.select(
+            F.col("chunk_id").alias("chunk"), F.col("text").alias("name")
+        )
+        .distinct()
+        # referenced three times (both sides of the edge self-join +
+        # the root probe) — materialize the distinct mention set once
+        # instead of re-running the corpus extraction per reference
+        .localCheckpoint(eager=False)
+    )
     a, b = m.alias("a"), m.alias("b")
     edges = (
         a.join(
