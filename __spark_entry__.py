@@ -5657,7 +5657,7 @@ def _q_job_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- §2.5 state-manager reporting (state_manager.py:214-375) -------------------
 # Per-document transition histories via the deterministic ledger
 # double (operators/state_machine.LEDGER_PATHS: doc i walks path
-# i % 7, transition k at epoch second i*100 + k*7); the fold +
+# i % 8, transition k at epoch second i*100 + k*7); the fold +
 # metrics are the ported semantics. document_state.py:131-150:
 # duration = LAST ingested ts − FIRST processing ts (path 6's retry
 # loop makes "first" load-bearing), only for currently-INGESTED docs.
@@ -5794,6 +5794,71 @@ def _q_doc_state_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sm.documents_requiring_action(
         folded, limit=_STATE_ACTIONS_LIMIT
     )
+
+
+# -- §2.5 SSE change-event stream (app/api/sse.py:81-162) ----------------------
+# The event generator polls document states and emits an event only
+# when a state DIFFERS from last_states (first observation always
+# emits). Poll double: every ledger transition is observed TWICE
+# (ticks 0/1), so the dedup does real work — the duplicate
+# observation must emit nothing. Event-type mapping quirk preserved:
+# the code branches on 'complete', a state the machine never
+# produces, so reaching 'ingested' emits the generic 'status_update'
+# (the module docstring promises processing_complete — dead arm).
+
+
+def _sse_events_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.state_machine import (
+        SSE_DEFAULT_EVENT, SSE_EVENT_TYPES,
+    )
+
+    arms = " ".join(
+        f"WHEN '{s}' THEN '{e}'" for s, e in SSE_EVENT_TYPES.items()
+    )
+    return f"""
+WITH {_state_ledger_sql()},
+polls AS (
+  SELECT doc_id, seq, unnest([0, 1]) AS tick, to_state
+  FROM stamped
+),
+lagged AS (
+  SELECT doc_id, seq, tick, to_state,
+         lag(to_state) OVER (PARTITION BY doc_id ORDER BY seq, tick)
+           AS prev
+  FROM polls
+)
+SELECT doc_id, seq, tick, to_state AS status,
+       CASE to_state {arms} ELSE '{SSE_DEFAULT_EVENT}' END AS event_type
+FROM lagged
+WHERE prev IS NULL OR prev <> to_state
+ORDER BY doc_id, seq, tick
+"""
+
+
+@_register("sse_document_events", _sse_events_sql())
+def _q_sse_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSE document-update stream in batch form: poll snapshots →
+    per-document change detection (one window pass) → typed events.
+    The real-time twin is the same operator over a readStream of
+    state snapshots; the batch/stream parity argument is the same
+    one the ordinal-upsert family carries."""
+    from cocoindex_data_ingestion_spark.operators import state_machine as sm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    ledger = sm.simulate_transition_ledger(docs)
+    polls = ledger.select(
+        "doc_id", "seq", F.explode(F.array(F.lit(0), F.lit(1))).alias("tick"),
+        "to_state",
+    )
+    out = sm.sse_events_from_polls(
+        polls, order_cols=("seq", "tick")
+    )
+    return out.select(
+        "doc_id",
+        F.col("seq").cast("long").alias("seq"),
+        F.col("tick").cast("long").alias("tick"),
+        "status", "event_type",
+    ).orderBy("doc_id", "seq", "tick")
 
 
 # -- Notion block → markdown (notion_connector.py:297-622) ---------------------

@@ -109,8 +109,8 @@ def simulate_transition_ledger(
     docs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
     """Deterministic transition-history double: document ``i`` walks
-    ``LEDGER_PATHS[i % 7]`` with transition ``k`` stamped at epoch
-    second ``i*100 + k*7``. Expression-only (element_at over a literal
+    ``LEDGER_PATHS[i % len(LEDGER_PATHS)]`` with transition ``k``
+    stamped at epoch second ``i*100 + k*7``. Expression-only (element_at over a literal
     array-of-arrays + posexplode) — no shuffle; the real deployment
     replaces this with a scan of the state_transitions table."""
     paths = F.array(*[
@@ -207,4 +207,56 @@ def documents_requiring_action(
                 "last_transition_ts")
         .orderBy(id_col)
         .limit(limit)
+    )
+
+
+# -- SSE change-event stream (app/api/sse.py:81-162) ---------------------------
+
+# status → SSE event type (sse.py:133-143). QUIRK PRESERVED: the
+# branch tests 'complete', a value the 7-state machine never
+# produces, so a document reaching 'ingested' emits the generic
+# 'status_update' — despite the module docstring promising
+# 'processing_complete' for ingested.
+SSE_EVENT_TYPES = {
+    "processing": "processing_started",
+    "complete": "processing_complete",  # dead arm (no such state)
+    "failed": "processing_failed",
+    "pending_review": "review_required",
+}
+SSE_DEFAULT_EVENT = "status_update"
+
+
+def sse_event_type_col(status_col) -> Column:
+    c = F.col(status_col) if isinstance(status_col, str) else status_col
+    out = F.lit(SSE_DEFAULT_EVENT)
+    for status, ev in reversed(list(SSE_EVENT_TYPES.items())):
+        out = F.when(c == status, F.lit(ev)).otherwise(out)
+    return out
+
+
+def sse_events_from_polls(
+    polls: DataFrame,
+    id_col: str = "doc_id",
+    order_cols: tuple[str, ...] = ("seq", "tick"),
+    state_col: str = "to_state",
+) -> DataFrame:
+    """The SSE generator's last_states dedup (sse.py:118-146) in
+    batch form: given per-document poll snapshots, emit one event per
+    OBSERVED STATE CHANGE — the first snapshot always emits (the doc
+    is not in last_states yet), repeat observations of the same state
+    emit nothing. One window pass partitioned by document; no
+    cross-document state."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(state_col).over(w)
+    return (
+        polls.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(state_col)))
+        .select(
+            id_col,
+            *order_cols,
+            F.col(state_col).alias("status"),
+            sse_event_type_col(state_col).alias("event_type"),
+        )
     )
