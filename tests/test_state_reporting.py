@@ -115,3 +115,53 @@ def test_transitions_table_unchanged():
     assert TRANSITIONS["ingested"] == ()
     assert TRANSITIONS["failed"] == ("processing",)
     assert TRANSITIONS["rejected"] == ("processing",)
+
+
+# -- SSE change events (app/api/sse.py:81-162) ---------------------------------
+
+
+def test_sse_dedups_repeat_observations(spark):
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.state_machine import (
+        simulate_transition_ledger, sse_events_from_polls,
+    )
+
+    docs = spark.createDataFrame([(7,)], "doc_id long")  # retry path
+    ledger = simulate_transition_ledger(docs)
+    polls = ledger.select(
+        "doc_id", "seq",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("tick"),
+        "to_state",
+    )
+    events = sse_events_from_polls(polls).orderBy("seq", "tick").collect()
+    # every transition emits exactly once (the tick-1 duplicate is
+    # suppressed), including the very first observation
+    assert [e["status"] for e in events] == list(LEDGER_PATHS[7])
+    assert all(e["tick"] == 0 for e in events)
+
+
+def test_sse_event_type_mapping_quirk(spark):
+    from pyspark.sql import functions as F
+
+    from cocoindex_data_ingestion_spark.operators.state_machine import (
+        sse_event_type_col,
+    )
+
+    rows = spark.createDataFrame(
+        [(s,) for s in (
+            "processing", "failed", "pending_review", "ingested",
+            "discovered", "approved", "complete",
+        )],
+        "st string",
+    ).select("st", sse_event_type_col("st").alias("ev")).collect()
+    got = {r["st"]: r["ev"] for r in rows}
+    assert got["processing"] == "processing_started"
+    assert got["failed"] == "processing_failed"
+    assert got["pending_review"] == "review_required"
+    # the dead arm: 'ingested' is NOT mapped to processing_complete —
+    # the reference branches on 'complete', which never occurs
+    assert got["ingested"] == "status_update"
+    assert got["discovered"] == "status_update"
+    assert got["approved"] == "status_update"
+    assert got["complete"] == "processing_complete"
