@@ -9166,19 +9166,31 @@ def _q_bridge_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    fused = vec_leg.join(graph_leg, "document_id", "full")
+    # full-outer merge as union + groupBy (max per side): identical
+    # semantics (the reference max-accumulates per id), but avoids the
+    # SortMergeJoin a full-outer join forces — one small hash
+    # aggregate instead of two sort exchanges
+    unioned = vec_leg.select(
+        "document_id", "vector_score", F.lit(0.0).alias("graph_score")
+    ).unionByName(
+        graph_leg.select(
+            "document_id", F.lit(0.0).alias("vector_score"), "graph_score"
+        )
+    )
+    fused = unioned.groupBy("document_id").agg(
+        F.max("vector_score").alias("vector_score"),
+        F.max("graph_score").alias("graph_score"),
+    )
     return (
         fused.select(
             "document_id",
             stable_round(
-                F.lit(_BRIDGE_VW) * F.coalesce("vector_score", F.lit(0.0))
-                + F.lit(_BRIDGE_GW) * F.coalesce("graph_score", F.lit(0.0)),
+                F.lit(_BRIDGE_VW) * F.col("vector_score")
+                + F.lit(_BRIDGE_GW) * F.col("graph_score"),
                 4,
             ).alias("score"),
-            F.coalesce("vector_score", F.lit(0.0)).alias("vector_score"),
-            stable_round(
-                F.coalesce("graph_score", F.lit(0.0)), 4
-            ).alias("graph_score"),
+            "vector_score",
+            stable_round(F.col("graph_score"), 4).alias("graph_score"),
         )
         .orderBy(F.col("score").desc(), F.col("document_id").asc())
         .limit(KNN_K)
