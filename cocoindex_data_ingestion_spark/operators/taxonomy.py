@@ -17,7 +17,12 @@ Reference behavior (faithful port, Spark-first):
   products/components/issues; dedup by lowercased-stripped value
   keeping the FIRST occurrence; keep original casing only for tags
   matching ``^[A-Z]+\\d+``; sort by (product, component, issue,
-  other) class then tag; cap at 15).
+  other) class then tag; cap at 15). The reference carries a second,
+  refactored copy of the same four helpers as
+  ``app/services/metadata_extraction_service.py:57-117``
+  (``_regex_product_models`` / ``_regex_components`` /
+  ``_regex_issues`` / ``_merge_tags``) — semantically identical,
+  covered by this same port.
 
 Spark-first: everything is pure JVM expressions — per-term literal
 regex ``WHEN`` arms (each pattern compiled once, whole-stage codegen)
