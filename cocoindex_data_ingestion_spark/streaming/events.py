@@ -383,3 +383,75 @@ def foreach_batch_drift(monitor, applied_path: str | None = None):
         os.replace(tmp, path)
 
     return _sink
+
+
+# -- SSE change-event stream, true streaming form (app/api/sse.py:81-162) ------
+
+_SSE_OUT_SCHEMA = "doc_id long, seq long, status string, event_type string"
+_SSE_STATE_SCHEMA = "last_status string"
+
+_SSE_POLL_SCHEMA = "doc_id long, seq long, to_state string"
+
+
+def _sse_fn(
+    key: Tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """last_states change detection (sse.py:118-146) per document
+    key: state carries the last OBSERVED status ACROSS batches, so a
+    poll landing in a later micro-batch that repeats the stored
+    status emits nothing — exactly the generator's dedup."""
+    from ..operators.state_machine import (
+        SSE_DEFAULT_EVENT, SSE_EVENT_TYPES,
+    )
+
+    (last,) = state.get if state.exists else (None,)
+    rows = pd.concat(list(pdfs), ignore_index=True).sort_values("seq")
+    out = []
+    for _, r in rows.iterrows():
+        st = r["to_state"]
+        if st != last:
+            out.append(
+                (
+                    int(key[0]),
+                    int(r["seq"]),
+                    st,
+                    SSE_EVENT_TYPES.get(st, SSE_DEFAULT_EVENT),
+                )
+            )
+            last = st
+    state.update((last,))
+    if out:
+        yield pd.DataFrame(
+            out, columns=["doc_id", "seq", "status", "event_type"]
+        )
+
+
+def sse_change_stream(polls: DataFrame) -> DataFrame:
+    """The SSE generator as a stateful stream over poll snapshots
+    (doc_id, seq, to_state): one emitted event per observed state
+    change, duplicates suppressed ACROSS micro-batches through the
+    state store (state = last status per document — bounded by
+    document cardinality, hash-partitioned across executors). The
+    batch twin is state_machine.sse_events_from_polls; equality on a
+    shared poll set is the parity contract (test_streaming)."""
+    return polls.groupBy("doc_id").applyInPandasWithState(
+        _sse_fn,
+        outputStructType=_SSE_OUT_SCHEMA,
+        stateStructType=_SSE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def read_poll_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream of state-poll snapshots (stand-in for the
+    DB poll loop the reference runs every 2 s)."""
+    return (
+        spark.readStream.schema(_SSE_POLL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )

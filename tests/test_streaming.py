@@ -571,3 +571,61 @@ def test_foreach_batch_drift_fences_and_matches_batch_psi(spark, tmp_path):
     }
     assert stream_psi == batch_psi
     assert stream_psi[0] > 0.3 and stream_psi[2] < 0.05
+
+
+def test_sse_change_stream_matches_batch_twin(spark, tmp_path):
+    """Streaming/batch parity for the SSE change detector: the same
+    poll set, split across TWO micro-batch files (the second file
+    re-observes the first file's final states — those duplicates
+    must be suppressed THROUGH the state store), must produce exactly
+    the batch operator's events."""
+    from cocoindex_data_ingestion_spark.operators import state_machine as sm
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(len(sm.LEDGER_PATHS))], "doc_id long"
+    )
+    ledger = sm.simulate_transition_ledger(docs).select(
+        "doc_id", "seq", "to_state"
+    )
+    # batch twin over polls where every transition is observed twice
+    polls = ledger.select(
+        "doc_id", "seq",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("tick"),
+        "to_state",
+    )
+    expected = [
+        (r["doc_id"], r["seq"], r["status"], r["event_type"])
+        for r in sm.sse_events_from_polls(polls)
+        .orderBy("doc_id", "seq").collect()
+    ]
+
+    in_dir = tmp_path / "polls"
+    in_dir.mkdir()
+    # file 1: first half of each walk; file 2 RE-OBSERVES the last
+    # state of file 1 (cross-batch duplicate) plus the rest
+    first = ledger.filter("seq <= 1")
+    last_of_first = first.groupBy("doc_id").agg(
+        F.max("seq").alias("seq")
+    ).join(first, ["doc_id", "seq"])
+    first.coalesce(1).write.mode("append").parquet(str(in_dir))
+    last_of_first.select("doc_id", "seq", "to_state").unionByName(
+        ledger.filter("seq > 1")
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+
+    stream = se.read_poll_stream(spark, str(in_dir), max_files_per_trigger=1)
+    q = (
+        se.sse_change_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sse_events")
+        .option("checkpointLocation", str(tmp_path / "sse_ckpt"))
+        .start()
+    )
+    _run_to_completion(q)
+    got = [
+        (r["doc_id"], r["seq"], r["status"], r["event_type"])
+        for r in spark.sql(
+            "SELECT * FROM sse_events ORDER BY doc_id, seq"
+        ).collect()
+    ]
+    assert got == expected
