@@ -258,6 +258,19 @@ HEADLINE = [
     "llm_cost_estimate",
     "rag_prompt_build",
     "chunk_merge_dp",
+    # round-7 third-wave additions (app-model/reporting surfaces:
+    # the state ledger + SSE rows scale with document count, the
+    # listing/bridge/job pages are bounded by their limits, the
+    # literal-table queries measure plan overhead only)
+    "relationship_model_validation",
+    "doc_state_metrics",
+    "doc_state_actions",
+    "doc_listing_rollup",
+    "bridge_hybrid_search",
+    "job_listing",
+    "llamaparse_normalize",
+    "doc_chunks_with_context",
+    "sse_document_events",
 ]
 
 SMALL_RESULT = {
@@ -339,6 +352,16 @@ SMALL_RESULT = {
     "mmr_rerank_hierarchical",
     # per-doc projection: count() would prune the routing expressions
     "parse_tier_routing",
+    # round-7 third wave: limit-bounded pages / literal-table and
+    # single-row metric outputs (count() would prune the computed
+    # columns away)
+    "relationship_model_validation", "doc_state_metrics",
+    "doc_state_actions", "doc_listing_rollup", "bridge_hybrid_search",
+    "job_listing", "llamaparse_normalize",
+    # row-count-preserving projection: count() would prune the
+    # substring/context expressions (sse_document_events stays
+    # count()-measured — its change filter keeps the window pass)
+    "doc_chunks_with_context",
 }
 
 

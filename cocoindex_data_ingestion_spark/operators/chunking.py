@@ -867,10 +867,17 @@ def merge_dp_over_atoms(
     appended here with the given syntax level. Overlap = 0 (the
     heap-admissibility path is exercised in test_split_dp).
 
-    Per-document sequential DP → cogrouped applyInPandas: atoms and
-    text meet once per document, documents independent, no state
-    beyond one document's atom list.
+    Per-document sequential DP. Execution shape: atoms pack into one
+    per-document struct array (a single grouped pass), join the text
+    co-partitioned on the id, then ``mapInPandas`` folds WHOLE Arrow
+    batches of documents per Python call — one interpreter entry per
+    ~10k documents instead of one per document (the cogrouped
+    per-key form measured ~3.6 ms/doc of pure invocation overhead at
+    sf0.1). Documents stay independent; state never exceeds one
+    document's atom list.
     """
+    from typing import Iterator
+
     from cocoindex_data_ingestion_spark.functions.split_recursively import (
         DOUBLE_NEWLINE, INLINE, RecursiveChunker, _Atom,
     )
@@ -881,34 +888,47 @@ def merge_dp_over_atoms(
         "location_end long, chunk_text string"
     )
     cs, mn, ssl = chunk_size, min_chunk_size, sentinel_syntax_level
+    cols = [
+        id_col, "chunk_index", "location_start", "location_end",
+        "chunk_text",
+    ]
 
-    def run(key, atom_pdf: pd.DataFrame, doc_pdf: pd.DataFrame) -> pd.DataFrame:
-        cols = [
-            id_col, "chunk_index", "location_start", "location_end",
-            "chunk_text",
-        ]
-        if doc_pdf.empty or atom_pdf.empty:
-            return pd.DataFrame(columns=cols)
-        did = key[0]
-        text = doc_pdf[text_col].iloc[0] or ""
-        ap = atom_pdf.sort_values("idx")
-        alist = [
-            _Atom(int(s), int(e), int(bs), int(il), int(bl))
-            for s, e, bs, il, bl in zip(
-                ap["start"], ap["end"], ap["boundary_syntax_level"],
-                ap["internal_lb_level"], ap["boundary_lb_level"],
+    packed = atoms.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "idx", "start", "end", "boundary_syntax_level",
+                    "internal_lb_level", "boundary_lb_level",
+                )
             )
-        ]
-        alist.append(_Atom(len(text), len(text), ssl, INLINE, DOUBLE_NEWLINE))
-        chunker = RecursiveChunker(text, cs, mn, 0)
-        rows = [
-            (did, i, s, e, txt)
-            for i, (s, e, txt) in enumerate(chunker._merge(alist))
-        ]
-        return pd.DataFrame(rows, columns=cols)
-
-    return (
-        atoms.groupBy(id_col)
-        .cogroup(docs.groupBy(id_col))
-        .applyInPandas(run, schema=schema)
+        ).alias("_atoms")
     )
+    joined = packed.join(docs.select(id_col, text_col), id_col)
+
+    def run(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in pdfs:
+            rows = []
+            for did, alist_raw, text in zip(
+                pdf[id_col], pdf["_atoms"], pdf[text_col]
+            ):
+                text = text or ""
+                alist = [
+                    _Atom(
+                        int(a["start"]), int(a["end"]),
+                        int(a["boundary_syntax_level"]),
+                        int(a["internal_lb_level"]),
+                        int(a["boundary_lb_level"]),
+                    )
+                    for a in alist_raw
+                ]
+                alist.append(
+                    _Atom(len(text), len(text), ssl, INLINE, DOUBLE_NEWLINE)
+                )
+                chunker = RecursiveChunker(text, cs, mn, 0)
+                rows.extend(
+                    (did, i, s, e, txt)
+                    for i, (s, e, txt) in enumerate(chunker._merge(alist))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(run, schema)
