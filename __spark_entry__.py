@@ -5045,7 +5045,14 @@ def _q_chunk_recursive_ref(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DP_CS, _DP_MN, _DP_W = 100, 40, 24
 
 
-def _merge_dp_sql() -> str:
+def _merge_dp_sql(
+    atoms_cte: str | None = None, cs: int = _DP_CS, mn: int = _DP_MN
+) -> str:
+    """The merge-DP recursive CTE, parameterized over the atom
+    source. ``atoms_cte`` must define CTEs ``atoms(doc_id, idx, s,
+    e, bs, il, bl)`` and ``with_sentinel`` (atoms + the terminal
+    sentinel) over the ``docs`` CTE; None uses the synthetic
+    stride-window atoms of ``chunk_merge_dp``."""
     from cocoindex_data_ingestion_spark.functions.split_recursively import (
         DOUBLE_NEWLINE,
         INLINE,
@@ -5076,10 +5083,10 @@ def _merge_dp_sql() -> str:
   + {PER_LINE_BREAK_LEVEL_GAP_COST} * (
       ({ilb} - least(a[sx + 1].bl, {ilb}))
       + ({ilb} - least(a[i + 2].bl, {ilb})))
-  + CASE WHEN (a[i + 1].e - a[sx + 1].s) < {_DP_MN}
+  + CASE WHEN (a[i + 1].e - a[sx + 1].s) < {mn}
          THEN {TOO_SMALL_CHUNK_COST} ELSE 0 END
 )"""
-    adm = f"(a[i + 1].e - a[sx + 1].s) <= {_DP_CS}"
+    adm = f"(a[i + 1].e - a[sx + 1].s) <= {cs}"
     half = MISSING_OVERLAP_COST // 2
     # best candidate as one sortable struct: rank 0 = admissible (full
     # cost incl. prev plan + the overlap-0 constant), rank 1 = the
@@ -5093,12 +5100,8 @@ def _merge_dp_sql() -> str:
                        WHEN sx = i THEN {gaps} + costs[sx + 1]
                        ELSE 0 END,
              negst := -sx, st := sx)))[1]"""
-    return f"""
-WITH RECURSIVE docs AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE length(text) > 0
-),
-idxs AS (
+    if atoms_cte is None:
+        atoms_cte = f"""idxs AS (
   SELECT doc_id, n,
          unnest(generate_series(0, CAST(ceil(n / {_DP_W}.0) AS BIGINT) - 1))
            AS i
@@ -5116,7 +5119,13 @@ with_sentinel AS (
   SELECT doc_id, CAST(ceil(n / {_DP_W}.0) AS BIGINT), n, n,
          0, {INLINE}, {DOUBLE_NEWLINE}
   FROM docs
+)"""
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) > 0
 ),
+{atoms_cte},
 meta AS (
   SELECT doc_id,
          list(struct_pack(s := s, e := e, bs := bs, il := il, bl := bl)
@@ -5204,6 +5213,79 @@ def _q_chunk_merge_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         atoms, docs, chunk_size=_DP_CS, min_chunk_size=_DP_MN
     )
     return out.select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "location_start",
+        "location_end",
+        "chunk_text",
+    )
+
+
+# -- SplitRecursively END-TO-END on the real corpus (word-atom identity) ------
+# Full pipeline — atomizer AND merge DP — oracled on the sf corpus
+# via a corpus-conditional identity: the corpus is single-line,
+# single-spaced words with max word length 8 and min document length
+# 44 (asserted in test_round7_ops), so with min_chunk_size=40 the
+# DEFAULT separator stack (\\n\\n+, \\n, \\s+) degenerates: the first
+# two levels never match, every whole-document piece exceeds 40, and
+# every word piece is <= 40 — the atomizer emits exactly the WORDS,
+# first atom boundary_syntax_level 0, the rest 3, all line-break
+# levels 0, sentinel level 0 (AtomChunksCollector min_level returns
+# to 0). Word offsets are token prefix sums (the entity_mentions
+# move), so the whole split() is SQL-expressible with the
+# parameterized merge-DP CTE. Overlap=0 (the overlap path is the
+# chunk_merge_dp / test_split_dp territory).
+
+_FLAT_CS, _FLAT_MN = 150, 40
+
+
+def _recursive_flat_sql() -> str:
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DOUBLE_NEWLINE, INLINE,
+    )
+
+    atoms_cte = f"""toks AS (
+  SELECT doc_id, n,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM docs
+),
+offs AS (
+  SELECT doc_id, n, w, i,
+         CAST(COALESCE(sum(length(w) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM toks
+),
+atoms AS (
+  SELECT doc_id, i AS idx, s, s + length(w) AS e,
+         CASE WHEN i = 0 THEN 0 ELSE 3 END AS bs, 0 AS il, 0 AS bl
+  FROM offs
+),
+with_sentinel AS (
+  SELECT doc_id, idx, s, e, bs, il, bl FROM atoms
+  UNION ALL
+  SELECT doc_id, 1000000000, n, n, 0, {INLINE}, {DOUBLE_NEWLINE}
+  FROM docs
+)"""
+    return _merge_dp_sql(atoms_cte, cs=_FLAT_CS, mn=_FLAT_MN)
+
+
+@_register("chunk_recursive_flat", _recursive_flat_sql())
+def _q_chunk_recursive_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitRecursively END-TO-END (real atomizer + merge DP, the
+    exact operator behind the rows-only chunk_recursive) with a true
+    cross-engine oracle on this corpus — the word-atom identity plus
+    the recursive-CTE DP. chunk_recursive keeps rows-only status
+    only for parameterizations whose atomizer output isn't
+    SQL-expressible (overlap > 0, punctuated text)."""
+    return chunking.chunk_recursive_dp(
+        _t(spark, sf_dir, "documents"),
+        chunk_size=_FLAT_CS,
+        min_chunk_size=_FLAT_MN,
+        chunk_overlap=0,
+    ).select(
         "doc_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),
         "location_start",

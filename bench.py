@@ -271,6 +271,7 @@ HEADLINE = [
     "llamaparse_normalize",
     "doc_chunks_with_context",
     "sse_document_events",
+    "chunk_recursive_flat",
 ]
 
 SMALL_RESULT = {

@@ -399,3 +399,58 @@ def test_small_to_big_joins_are_broadcast_without_aqe(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_recursive_flat_word_atom_preconditions(spark):
+    """chunk_recursive_flat's oracle rests on the word-atom identity:
+    single-line single-spaced corpus, every word <= min_chunk_size
+    (40), every document longer than min_chunk_size. Assert the
+    bounds at every SF present, plus the atomizer agreement itself on
+    a sample document."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _FLAT_MN
+    from cocoindex_data_ingestion_spark.functions import (
+        split_recursively as sr,
+    )
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    for sf in ("0.001", "0.01", "0.1"):
+        d = f"/root/testdata/sf{sf}"
+        if not os.path.isdir(d):
+            continue
+        docs = load_table(spark, "documents", d)
+        row = docs.select(
+            F.min(F.length("text")).alias("mn"),
+            F.max(
+                F.array_max(
+                    F.transform(
+                        F.split("text", " "), lambda w: F.length(w)
+                    )
+                )
+            ).alias("maxw"),
+            F.max(F.col("text").contains("\n").cast("int")).alias("nl"),
+            F.max(F.col("text").contains("  ").cast("int")).alias("dbl"),
+        ).first()
+        assert row["mn"] > _FLAT_MN, sf
+        assert row["maxw"] <= _FLAT_MN, sf
+        assert row["nl"] == 0 and row["dbl"] == 0, sf
+
+    # atomizer == word split on such text
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ch = sr.RecursiveChunker(text, 150, _FLAT_MN, 0)
+    coll = sr._AtomCollector(text)
+    ch._collect(0, len(text), 0, coll)
+    words, pos, expect = text.split(" "), 0, []
+    for i, w in enumerate(words):
+        expect.append((pos, pos + len(w), 0 if i == 0 else 3, 0, 0))
+        pos += len(w) + 1
+    got = [
+        (a.start, a.end, a.boundary_syntax_level, a.internal_lb_level,
+         a.boundary_lb_level)
+        for a in coll.atoms
+    ]
+    assert got == expect
+    assert coll.min_level == 0  # sentinel syntax level
