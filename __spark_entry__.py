@@ -68,6 +68,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, name, sf_dir)
 
 
+def _local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Literal table as a true LocalRelation. createDataFrame from a
+    Python LIST parallelizes into a 32-task Python-RDD job that
+    re-runs on EVERY execution (measured 0.5-5 s per collect); going
+    through pandas+Arrow plants the rows in the plan as a
+    LocalRelation (~ms, constant-folded by Catalyst)."""
+    import pandas as pd
+
+    fields, depth, cur = [], 0, []
+    for ch in schema:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            fields.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    fields.append("".join(cur))
+    names = [f.strip().split()[0] for f in fields]
+    pdf = pd.DataFrame(rows, columns=names, dtype=object)
+    return spark.createDataFrame(pdf, schema)
+
+
 def _qvec_df(emb: DataFrame) -> DataFrame:
     """The query vector: embedding of vec_id=0 (one-row broadcast)."""
     return emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -96,8 +121,8 @@ def _qvec_vals(spark: SparkSession, sf_dir: str) -> list:
 def _qvec_local_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The query vector as a one-row LocalRelation (for APIs that
     want a DataFrame; see _qvec_vals for the list form)."""
-    return spark.createDataFrame(
-        [(_qvec_vals(spark, sf_dir),)], "qvec array<float>"
+    return _local_df(
+        spark, [(_qvec_vals(spark, sf_dir),)], "qvec array<float>"
     )
 
 
@@ -2242,7 +2267,7 @@ def _punct_values_sql() -> str:
 
 
 def _punct_docs(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_PUNCT_CORPUS, "doc_id long, text string")
+    return _local_df(spark, _PUNCT_CORPUS, "doc_id long, text string")
 
 
 def _sent_pack_ctes(src: str, chunk_size: int) -> str:
@@ -2419,7 +2444,7 @@ def _md_values_sql() -> str:
 
 
 def _md_docs(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_MD_CORPUS, "doc_id long, text string")
+    return _local_df(spark, _MD_CORPUS, "doc_id long, text string")
 
 
 def _heading_aware_sql() -> str:
@@ -3931,8 +3956,8 @@ def _q_transient(spark: SparkSession, sf_dir: str) -> DataFrame:
         embed_documents, hash_embedder,
     )
 
-    qdf = spark.createDataFrame(
-        [(0, " ".join(QUERY_TERMS))], "doc_id long, text string"
+    qdf = _local_df(
+        spark, [(0, " ".join(QUERY_TERMS))], "doc_id long, text string"
     ).coalesce(1)
     out = embed_documents(qdf, hash_embedder(dim=64))
     return out.select(
@@ -3969,8 +3994,9 @@ FROM (VALUES {values}) AS t(id, s)
 def _q_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cocoindex_data_ingestion_spark.functions.duration import parse_duration_us
 
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_DURATION_SAMPLES)], "id long, s string"
+    df = _local_df(
+        spark, [(i, s) for i, s in enumerate(_DURATION_SAMPLES)],
+        "id long, s string",
     ).coalesce(1)
     return df.select(
         F.col("id").cast("int").alias("id"),
@@ -6390,11 +6416,12 @@ def _q_llamaparse_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         infer_mime, normalized_markdown,
     )
 
-    df = spark.createDataFrame(
+    df = _local_df(
+        spark,
         _LLAMAPARSE_CASES,
         "id int, filename string, markdown string, content string, "
         "md string",
-    ).coalesce(1)
+    )
     return df.select(
         "id", "filename",
         infer_mime(F.col("filename")).alias("mime"),
@@ -7209,8 +7236,8 @@ def _q_rag_prompt_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("\n\nUser question:\n" + _USER_QUERY + "\n\nAnswer:"),
         ).alias("prompt")
     )
-    models = spark.createDataFrame(
-        [(m,) for m in _PROMPT_MODELS], "model string"
+    models = _local_df(
+        spark, [(m,) for m in _PROMPT_MODELS], "model string"
     )
     lm = F.lower(F.col("model"))
     return models.crossJoin(F.broadcast(prompt)).select(
@@ -8611,7 +8638,8 @@ def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = runner.update(listing, ["text"], transform, target)
     second = runner.update(listing, ["text"], transform, target)
     n_target = target.read().count()
-    return spark.createDataFrame(
+    return _local_df(
+        spark,
         [
             (
                 first["processed"], first["bumped"], first["skipped"],
@@ -8620,7 +8648,7 @@ def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "processed long, bumped long, skipped long, deleted long, "
         "skipped_second_run long, target_rows long",
-    ).coalesce(1)
+    )
 
 
 # -- §2.7 entity type normalization (entity_extraction_runner_v2.py:361-567) --
@@ -8667,10 +8695,11 @@ def _q_entity_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_entity_type,
     )
 
-    df = spark.createDataFrame(
+    df = _local_df(
+        spark,
         [(i, rt, mt) for i, (rt, mt) in enumerate(_ENTITY_TYPE_CASES)],
         "id int, raw_type string, mention string",
-    ).coalesce(1)
+    )
     return df.select(
         "id", normalize_entity_type("raw_type", "mention").alias("entity_type")
     )
@@ -8708,9 +8737,10 @@ def _q_rel_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         canonicalize_relationship_type,
     )
 
-    df = spark.createDataFrame(
-        [(i, s) for i, s in enumerate(_REL_TYPE_CASES)], "id int, label string"
-    ).coalesce(1)
+    df = _local_df(
+        spark, [(i, s) for i, s in enumerate(_REL_TYPE_CASES)],
+        "id int, label string",
+    )
     return df.select(
         "id",
         canonicalize_relationship_type("label").alias("relationship_type"),
@@ -8830,12 +8860,13 @@ def _q_rel_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         validate_entities_col,
     )
 
-    cases = spark.createDataFrame(
+    cases = _local_df(
+        spark,
         _REL_MODEL_CASES,
         "id int, src_name string, src_meta string, label string, "
         "tgt_name string, tgt_meta string, page_number int, "
         "section string, validator string, n_additional int",
-    ).coalesce(1)
+    )
     typed = cases.select(
         "id", "label", "page_number", "section", "validator",
         "n_additional",
@@ -9319,7 +9350,7 @@ def _q_typed_rel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    cues = spark.createDataFrame([(c,) for c in _REL_CUES], "cue string")
+    cues = _local_df(spark, [(c,) for c in _REL_CUES], "cue string")
     hits = docs.crossJoin(F.broadcast(cues)).select(
         canonicalize_relationship_type("cue").alias("relationship_type"),
         "doc_id",

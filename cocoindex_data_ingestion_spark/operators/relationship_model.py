@@ -194,12 +194,22 @@ def entity_type_sql(name_expr: str, meta_expr: str | None = None) -> str:
 def rel_types_df(spark: SparkSession) -> DataFrame:
     """The 14-row registry as a (broadcastable) DataFrame:
     (label, source_types array, target_types array, n_suggested_props)."""
+    import pandas as pd
+
     rows = [
         (label, list(src), list(tgt), len(props))
         for label, (src, tgt, props) in REL_TYPES.items()
     ]
-    return spark.createDataFrame(
+    # via pandas+Arrow → a LocalRelation in the plan; a Python-list
+    # createDataFrame would re-run a 32-task RDD job per execution
+    pdf = pd.DataFrame(
         rows,
+        columns=["label", "source_types", "target_types",
+                 "n_suggested_props"],
+        dtype=object,
+    )
+    return spark.createDataFrame(
+        pdf,
         "label string, source_types array<string>, "
         "target_types array<string>, n_suggested_props int",
     )
