@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark.functions.compare import (
     stable_round,
     stable_sum,
@@ -323,8 +325,8 @@ def prf_expansion_terms(
         .select("token", F.lit(float(beta)).alias("w"))
     )
     spark = docs.sparkSession
-    orig = spark.createDataFrame(
-        [(t, 1.0) for t in qterms], "token string, w double"
+    orig = local_df(
+        spark, [(t, 1.0) for t in qterms], "token string, w double"
     )
     return orig.unionByName(expansion)
 

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark.functions.compare import (
     stable_avg,
     stable_sum,
@@ -101,7 +103,7 @@ def _lloyd_iterate(
     schema = "cluster long, dim int, c double"
     sizes: dict = {}
     for _ in range(iters):
-        cdf = spark.createDataFrame(cent_rows, schema)
+        cdf = local_df(spark, cent_rows, schema)
         diff = F.col("val") - F.col("c")
         dist = (
             long.join(F.broadcast(cdf), "dim")
@@ -125,7 +127,8 @@ def _lloyd_iterate(
         cent_rows = [(int(r["cluster"]), int(r["dim"]), float(r["c"])) for r in rows]
         sizes = {int(r["cluster"]): int(r["n"]) for r in rows}
 
-    out = spark.createDataFrame(
+    out = local_df(
+        spark,
         [(c, d, v, sizes[c]) for c, d, v in cent_rows],
         "cluster long, dim int, centroid double, n long",
     )

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 
 def bipartite_edges(
     df: DataFrame, src_col: str, dst_col: str
@@ -63,7 +65,7 @@ def n_hop_frontier(
     # once instead of re-scanning (and re-distinct-ing) per hop
     edges = edges.persist()
     try:
-        frontier = spark.createDataFrame([(start_id, 0)], "node_id long, hop int")
+        frontier = local_df(spark, [(start_id, 0)], "node_id long, hop int")
         seen = frontier
         for d in range(1, depth + 1):
             nxt = (

@@ -30,6 +30,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark.functions.compare import (
     stable_round,
     stable_sum,
@@ -116,8 +118,8 @@ def _qvec_df_of(spark: SparkSession, query_vec) -> DataFrame:
     LocalRelation for a plain list (no parquet scan, no resolve
     job — the warm-service path)."""
     if isinstance(query_vec, (list, tuple)):
-        return spark.createDataFrame(
-            [([float(x) for x in query_vec],)], "qvec array<float>"
+        return local_df(
+            spark, [([float(x) for x in query_vec],)], "qvec array<float>"
         )
     return query_vec
 
@@ -194,8 +196,8 @@ def build_search_index(
 
     n_docs = docs.count()
     spark = docs.sparkSession
-    stats = spark.createDataFrame(
-        [(n_docs,)], "n_docs long"
+    stats = local_df(
+        spark, [(n_docs,)], "n_docs long"
     ).crossJoin(dls.agg(F.avg("dl").alias("avgdl")))
     stats.write.mode("overwrite").parquet(f"{index_dir}/stats")
 
@@ -938,8 +940,9 @@ def indexed_bm25_weighted(
     parameters, so the probe is static partition pruning + an IN-list
     pushed into row-group stats)."""
     terms = [t.lower() for t, _w in weighted_terms]
-    wdf = spark.createDataFrame(
-        [(t.lower(), float(w)) for t, w in weighted_terms], "token string, w double"
+    wdf = local_df(
+        spark, [(t.lower(), float(w)) for t, w in weighted_terms],
+        "token string, w double",
     )
     postings = _query_postings(spark, index_dir, terms)
     stats = read_layout(spark, f"{index_dir}/stats")

@@ -28,6 +28,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark.functions.text import tokenize
 
 END_OF_WORD = "</w>"
@@ -129,7 +131,8 @@ def bpe_merges_df(
     ``(rank, left, right, merged, pair_count)``."""
     spark = docs.sparkSession
     merges = bpe_train(docs, n_merges, min_pair_count, text_col)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(r, l, rt, l + rt, n) for r, l, rt, n in merges],
         "rank long, left string, right string, merged string, pair_count long",
     )

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark.functions.compare import stable_round
 from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
 
@@ -693,8 +695,8 @@ def mmr_rerank(
     selected = _greedy_mmr(rel, sim, k, lam, round_to)
 
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        selected, f"rank int, {id_col} long, mmr_score double"
+    return local_df(
+        spark, selected, f"rank int, {id_col} long, mmr_score double"
     )
 
 
@@ -887,8 +889,8 @@ def mmr_rerank_hierarchical(
         sim[(r.id_b, r.id_a)] = r.sim
     selected = _greedy_mmr(rel, sim, k, lam, round_to)
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        selected, f"rank int, {id_col} long, mmr_score double"
+    return local_df(
+        spark, selected, f"rank int, {id_col} long, mmr_score double"
     )
 
 

@@ -24,6 +24,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.localrel import local_df
+
 from cocoindex_data_ingestion_spark import sinks
 from cocoindex_data_ingestion_spark.operators import (
     chunking, embedding, entities, state_machine,
@@ -167,7 +169,7 @@ class IngestionPipeline:
         from cocoindex_data_ingestion_spark.operators.vector_search import knn
 
         qdf = (
-            self.spark.createDataFrame([(query_text,)], "text string")
+            local_df(self.spark, [(query_text,)], "text string")
             .coalesce(1)
             .select(
                 embedding.hash_embedder(dim=self.embed_dim)(F.col("text")).alias(
