@@ -240,3 +240,28 @@ def test_scd2_history_intervals(spark):
     assert u1[-1].is_current and u1[-1].valid_to_us is None
     u2 = [r for r in out if r.user_id == 2]
     assert len(u2) == 1 and u2[0].n_events == 2 and u2[0].is_current
+
+
+def test_local_df_is_a_local_relation(spark):
+    """Driver-side literals must plant LocalRelations (no Python-RDD
+    re-execution per collect) and preserve schema, None cells, and
+    nested array types through the pandas+Arrow path."""
+    from cocoindex_data_ingestion_spark.functions.localrel import (
+        _field_names, local_df,
+    )
+
+    assert _field_names(
+        "a int, v array<struct<x:int,y:string>>, s string"
+    ) == ["a", "v", "s"]
+
+    df = local_df(
+        spark,
+        [(1, [0.5, 0.25], None), (2, [], "x")],
+        "id long, vec array<float>, s string",
+    )
+    plan = df._jdf.queryExecution().optimizedPlan()
+    assert "LocalRelation" in plan.getClass().getSimpleName()
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["s"] is None
+    assert [round(v, 2) for v in rows[1]["vec"]] == [0.5, 0.25]
+    assert rows[2]["vec"] == []
