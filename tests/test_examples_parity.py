@@ -1,0 +1,308 @@
+"""End-to-end parity with the reference's own EXAMPLE programs —
+the programs a cocoindex user actually runs. Each test rebuilds one
+example flow, shape-for-shape, on this engine's API:
+
+- examples/text_embedding/main.py: LocalFile → SplitRecursively
+  (markdown, 2000/500) → embed → collect(filename, location, text,
+  embedding) → vector target with PK (filename, location) + cosine
+  index; then the SHARED transform-flow embeds the query and top-k
+  searches the exported table.
+- examples/docs_to_knowledge_graph/main.py: LocalFile docs →
+  ExtractByLlm(DocumentSummary) + ExtractByLlm(list[Relationship]) →
+  three collectors (document nodes, entity relationships with
+  GeneratedField.UUID, entity mentions) → graph target with a
+  DECLARED Entity label, Document nodes, RELATIONSHIP and MENTION
+  edges (NodeFromFields endpoint auto-creation).
+
+The SentenceTransformer/LLM calls are the documented deterministic
+doubles (no model/API in this environment); everything around them —
+source listing, chunk geometry, collector/export mechanics, MERGE
+idempotency, declaration DDL, endpoint auto-creation, orphan GC —
+is the real engine path.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cocoindex_data_ingestion_spark.operators import chunking
+from cocoindex_data_ingestion_spark.operators.embedding import (
+    hash_embed_series, hash_embedder,
+)
+from cocoindex_data_ingestion_spark.operators.extract import extract_by_llm
+from cocoindex_data_ingestion_spark.plans.flow import Flow
+from cocoindex_data_ingestion_spark.sinks import GraphSink, VectorSink
+from cocoindex_data_ingestion_spark.sources.localfile import read_local_files
+
+DIM = 32
+
+_MD_FILES = {
+    "spark_overview.md": (
+        "# Spark overview\n\n"
+        "Spark executes declarative dataframe plans. The catalyst "
+        "optimizer rewrites joins and pushes filters into scans.\n\n"
+        "## Shuffles\n\nWide operations shuffle data between "
+        "executors; adaptive execution re-plans at runtime.\n"
+    ),
+    "duck_notes.md": (
+        "# DuckDB notes\n\n"
+        "DuckDB runs vectorized queries in process. Its optimizer "
+        "prunes columns aggressively and rewrites correlated "
+        "subqueries.\n"
+    ),
+    "glossary.md": (
+        "# Glossary\n\nbroadcast join: sending the small side to "
+        "every executor. watermark: event-time progress marker.\n"
+    ),
+}
+
+
+@pytest.fixture()
+def md_dir(tmp_path):
+    d = tmp_path / "markdown_files"
+    d.mkdir()
+    for name, text in _MD_FILES.items():
+        (d / name).write_text(text)
+    return str(d)
+
+
+def test_text_embedding_example_flow(spark, tmp_path, md_dir):
+    # -- indexing flow (text_embedding_flow) ------------------------------
+    files = read_local_files(
+        spark, md_dir, include_glob="*.md", binary=False
+    )
+    flow = Flow("TextEmbedding")
+    flow.add_source("documents", files, key_cols=["path"])
+
+    chunks = chunking.chunk_recursive_dp(
+        files.select("path", "filename", F.col("content_text").alias("text")),
+        chunk_size=2000,
+        chunk_overlap=500,
+        language="markdown",
+        id_col="path",
+        text_col="text",
+    )
+    embedded = (
+        chunks.join(
+            files.select("path", "filename"), "path"
+        ).select(
+            "filename",
+            F.col("location_start").alias("location"),
+            F.col("chunk_text").alias("text"),
+            hash_embedder(DIM)(F.col("chunk_text")).alias("embedding"),
+        )
+    )
+    flow._add_to_collector("doc_embeddings", embedded)
+    flow.export(
+        "doc_embeddings", "doc_embeddings", primary_key=["filename", "location"]
+    )
+    assert flow.exports()["doc_embeddings"]["primary_key"] == [
+        "filename", "location",
+    ]
+
+    sink = VectorSink(
+        spark,
+        str(tmp_path / "doc_embeddings"),
+        key_cols=["filename", "location"],
+        schema_ddl=(
+            "filename string, location long, text string, "
+            "embedding array<float>"
+        ),
+        vector_cols={"embedding": DIM},
+    )
+    sink.merge(flow.collector("doc_embeddings"))
+    n = sink.read().count()
+    assert n >= len(_MD_FILES)  # at least one chunk per file
+    # MERGE semantics: re-running the flow is idempotent
+    sink.merge(flow.collector("doc_embeddings"))
+    assert sink.read().count() == n
+
+    # every file must be represented and chunk geometry must hold
+    stored = sink.read()
+    assert {
+        r["filename"] for r in stored.select("filename").distinct().collect()
+    } == set(_MD_FILES)
+    assert stored.filter(F.length("text") > 2000).count() == 0
+
+    # -- query path (search + shared text_to_embedding transform) ---------
+    qvec = list(hash_embed_series(__import__("pandas").Series(
+        ["catalyst optimizer rewrites joins"]), DIM)[0])
+    from cocoindex_data_ingestion_spark.functions.similarity import cosine_sim
+
+    qdf = spark.createDataFrame(
+        __import__("pandas").DataFrame({"qvec": [qvec]}), "qvec array<float>"
+    )
+    hits = (
+        stored.crossJoin(F.broadcast(qdf))
+        .select(
+            "filename", "text",
+            cosine_sim("embedding", "qvec").alias("score"),
+        )
+        .orderBy(F.col("score").desc())
+        .limit(5)
+        .collect()
+    )
+    assert hits[0]["filename"] == "spark_overview.md"
+    assert "catalyst" in hits[0]["text"]
+    scores = [h["score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_docs_to_knowledge_graph_example_flow(spark, tmp_path, md_dir):
+    pd = __import__("pandas")
+
+    def _summary_llm(texts, schema):
+        out = []
+        for t in texts:
+            first = (t or "").split("\n", 1)[0].lstrip("# ").strip()
+            out.append(json.dumps({
+                "title": first,
+                "summary": " ".join((t or "").split()[:8]),
+            }))
+        return pd.Series(out, dtype="object")
+
+    def _relationship_llm(texts, schema):
+        out = []
+        for t in texts:
+            lines = (t or "").splitlines()
+            heads = [ln.lstrip("# ").strip() for ln in lines
+                     if ln.startswith("#")]
+            subject = (heads[0].split() or ["doc"])[0] if heads else "doc"
+            rels = [
+                {"subject": subject, "predicate": "covers",
+                 "object": h.split()[0]}
+                for h in heads[1:]
+            ] or [{"subject": subject, "predicate": "defines",
+                   "object": "terms"}]
+            out.append(json.dumps({"relationships": rels}))
+        return pd.Series(out, dtype="object")
+
+    files = read_local_files(
+        spark, md_dir, include_glob="*.md", binary=False
+    ).select("path", "filename", F.col("content_text").alias("text"))
+
+    flow = Flow("DocsToKG")
+    flow.add_source("documents", files, key_cols=["path"])
+
+    summary_t = T.StructType([
+        T.StructField("title", T.StringType()),
+        T.StructField("summary", T.StringType()),
+    ])
+    summaries = extract_by_llm(
+        files, summary_t, llm_fn=_summary_llm,
+        instruction="Please summarize the content of the document.",
+        id_col="path", text_col="text",
+    )
+    doc_nodes = summaries.join(
+        files.select("path", "filename"), "path"
+    ).select(
+        "filename",
+        F.col("extracted.title").alias("title"),
+        F.col("extracted.summary").alias("summary"),
+    )
+    flow._add_to_collector("document_node", doc_nodes)
+
+    rel_t = T.StructType([
+        T.StructField("relationships", T.ArrayType(T.StructType([
+            T.StructField("subject", T.StringType()),
+            T.StructField("predicate", T.StringType()),
+            T.StructField("object", T.StringType()),
+        ]))),
+    ])
+    rels_raw = extract_by_llm(
+        files, rel_t, llm_fn=_relationship_llm,
+        instruction="Please extract relationships from documents.",
+        id_col="path", text_col="text",
+    )
+    rels = rels_raw.join(files.select("path", "filename"), "path").select(
+        "filename", F.explode("extracted.relationships").alias("r")
+    ).select("filename", "r.subject", "r.predicate", "r.object")
+
+    # GeneratedField.UUID collectors via the flow's stable auto-UUID
+    rel_scope = flow.add_source(
+        "rels", rels, key_cols=["filename", "subject", "predicate", "object"]
+    )
+    rel_scope.collect(
+        "entity_relationship",
+        {"subject": "subject", "object": "object", "predicate": "predicate"},
+        auto_uuid_field="id",
+    )
+    mentions = rels.select("filename", F.col("subject").alias("entity")) \
+        .unionByName(rels.select("filename", F.col("object").alias("entity")))
+    m_scope = flow.add_source(
+        "mentions_src", mentions.distinct(), key_cols=["filename", "entity"]
+    )
+    m_scope.collect(
+        "entity_mention", {"entity": "entity", "filename": "filename"},
+        auto_uuid_field="id",
+    )
+
+    # -- graph export (Neo4j/Kuzu shape via the shared GraphSink) ---------
+    g = GraphSink(
+        spark, str(tmp_path / "graph"),
+        node_schema_ddl="node_id string, label string, _auto boolean",
+        edge_schema_ddl="src string, dst string, rel_type string, id string",
+    )
+    g.declare_label("Entity", ["value"])
+    stmts = g.setup_statements()
+    assert any("Entity" in s and "UNIQUE" in s for s in stmts)
+
+    g.merge_nodes(
+        doc_nodes.select(
+            F.col("filename").alias("node_id"), F.lit("Document").alias("label")
+        ),
+        key="node_id",
+    )
+    rel_edges = flow.collector("entity_relationship").select(
+        F.col("subject").alias("src"), F.col("object").alias("dst"),
+        F.lit("RELATIONSHIP").alias("rel_type"), "id",
+    )
+    g.ensure_declared_endpoints(rel_edges, "Entity")
+    g.merge_edges(rel_edges)
+    mention_edges = flow.collector("entity_mention").select(
+        F.col("filename").alias("src"), F.col("entity").alias("dst"),
+        F.lit("MENTION").alias("rel_type"), "id",
+    )
+    g.merge_edges(mention_edges)
+
+    nodes = g.nodes.read().collect()
+    labels = {r["node_id"]: r["label"] for r in nodes}
+    assert labels.get("spark_overview.md") == "Document"
+    assert labels.get("Spark") == "Entity"  # auto-created endpoint
+    edges = g.edges.read()
+    assert edges.filter("rel_type = 'RELATIONSHIP'").count() > 0
+    assert edges.filter("rel_type = 'MENTION'").count() \
+        == mentions.distinct().count()
+    # Spark covers Shuffles (the '## Shuffles' section of the overview)
+    assert edges.filter(
+        "src = 'Spark' AND dst = 'Shuffles' AND rel_type = 'RELATIONSHIP'"
+    ).count() == 1
+
+    # re-export is idempotent: MERGE by (src, dst, rel_type)
+    n_edges = edges.count()
+    g.merge_edges(rel_edges)
+    g.merge_edges(mention_edges)
+    assert g.edges.read().count() == n_edges
+
+    # GeneratedField.UUID stability: rebuilding the flow yields the
+    # same ids (fingerprint-keyed reuse, the reference's auto-UUID)
+    ids1 = {
+        (r["subject"], r["object"], r["predicate"]): r["id"]
+        for r in flow.collector("entity_relationship").collect()
+    }
+    flow2 = Flow("DocsToKG")
+    s2 = flow2.add_source(
+        "rels", rels, key_cols=["filename", "subject", "predicate", "object"]
+    )
+    s2.collect(
+        "entity_relationship",
+        {"subject": "subject", "object": "object", "predicate": "predicate"},
+        auto_uuid_field="id",
+    )
+    ids2 = {
+        (r["subject"], r["object"], r["predicate"]): r["id"]
+        for r in flow2.collector("entity_relationship").collect()
+    }
+    assert ids1 == ids2
