@@ -306,3 +306,164 @@ def test_docs_to_knowledge_graph_example_flow(spark, tmp_path, md_dir):
         for r in flow2.collector("entity_relationship").collect()
     }
     assert ids1 == ids2
+
+
+def test_product_recommendation_example_flow(spark, tmp_path):
+    """examples/product_recommendation/main.py: LocalFile JSON
+    products → ParseJson → a custom @op function (extract_product_info:
+    id from filename, '$1,299.00' → float price, markdown-template
+    detail) → ExtractByLlm(ProductTaxonomyInfo) → Product nodes +
+    UUID-collected taxonomy edges into the graph target."""
+    pd = __import__("pandas")
+
+    products = {
+        "p100.json": {
+            "title": "Gel Pen Set", "price": "$12.99",
+            "highlights": ["smooth ink", "12 colors"],
+            "description": {"header": "Write smoothly",
+                            "paragraph": "A set of gel pens.",
+                            "bullets": ["fine tip", "quick dry"]},
+        },
+        "p200.json": {
+            "title": "Laser Printer", "price": "$1,299.00",
+            "highlights": ["duplex"],
+            "description": {"header": "Fast printing",
+                            "paragraph": "A compact laser printer.",
+                            "bullets": ["wifi"]},
+        },
+    }
+    src = tmp_path / "products"
+    src.mkdir()
+    for name, obj in products.items():
+        (src / name).write_text(json.dumps(obj))
+
+    files = read_local_files(
+        spark, str(src), include_glob="*.json", binary=False
+    )
+
+    # ParseJson with the declared product schema (functions.ParseJson)
+    product_t = (
+        "title string, price string, highlights array<string>, "
+        "description struct<header:string, paragraph:string, "
+        "bullets:array<string>>"
+    )
+    parsed = files.select(
+        "filename",
+        F.from_json(F.col("content_text"), product_t).alias("p"),
+    )
+
+    # extract_product_info as a typed custom op (@op.function
+    # behavior_version surface: return annotation = engine type)
+    def extract_product_info(p, filename) -> dict:
+        detail = "\n# {t}\n\n## Highlights\n{h}\n\n## Description\n{d}".format(
+            t=p["title"],
+            h="\n".join(f"- {x}" for x in (p["highlights"] or [])),
+            d=" ".join(filter(None, [
+                p["description"]["header"], p["description"]["paragraph"],
+                *(p["description"]["bullets"] or []),
+            ])),
+        )
+        return {
+            "id": filename.removesuffix(".json"),
+            "title": p["title"],
+            "price": float(p["price"].lstrip("$").replace(",", "")),
+            "detail": detail,
+        }
+
+    info_udf = F.udf(
+        extract_product_info,
+        "id string, title string, price double, detail string",
+    )
+    data = parsed.select(
+        info_udf(F.col("p"), F.col("filename")).alias("d")
+    ).select("d.id", "d.title", "d.price", "d.detail")
+
+    rows = {r["id"]: r for r in data.collect()}
+    assert rows["p200"]["price"] == 1299.0  # '$1,299.00' parse
+    assert rows["p100"]["price"] == 12.99
+    assert "## Highlights" in rows["p100"]["detail"]
+
+    # taxonomy extraction double: nouns from the title
+    def _taxonomy_llm(texts, schema):
+        out = []
+        for t in texts:
+            title_line = next(
+                (ln.lstrip("# ") for ln in (t or "").splitlines()
+                 if ln.startswith("# ")), "",
+            )
+            noun = (title_line.split() or ["item"])[-1].lower()
+            comp = "paper" if noun == "printer" else "notebook"
+            out.append(json.dumps({
+                "taxonomies": [{"name": noun}],
+                "complementary_taxonomies": [{"name": comp}],
+            }))
+        return pd.Series(out, dtype="object")
+
+    tax_t = T.StructType([
+        T.StructField("taxonomies", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+        ]))),
+        T.StructField("complementary_taxonomies", T.ArrayType(T.StructType([
+            T.StructField("name", T.StringType()),
+        ]))),
+    ])
+    tax = extract_by_llm(
+        data, tax_t, llm_fn=_taxonomy_llm, id_col="id", text_col="detail",
+    )
+
+    flow = Flow("StoreProduct")
+    tax_rows = tax.select(
+        F.col("id").alias("product_id"),
+        F.explode("extracted.taxonomies").alias("t"),
+    ).select("product_id", F.col("t.name").alias("taxonomy"))
+    s = flow.add_source("tax", tax_rows, key_cols=["product_id", "taxonomy"])
+    s.collect(
+        "product_taxonomy",
+        {"product_id": "product_id", "taxonomy": "taxonomy"},
+        auto_uuid_field="id",
+    )
+    comp_rows = tax.select(
+        F.col("id").alias("product_id"),
+        F.explode("extracted.complementary_taxonomies").alias("t"),
+    ).select("product_id", F.col("t.name").alias("taxonomy"))
+    s2 = flow.add_source("comp", comp_rows, key_cols=["product_id", "taxonomy"])
+    s2.collect(
+        "product_complementary_taxonomy",
+        {"product_id": "product_id", "taxonomy": "taxonomy"},
+        auto_uuid_field="id",
+    )
+
+    g = GraphSink(
+        spark, str(tmp_path / "graph"),
+        node_schema_ddl="node_id string, label string, _auto boolean",
+        edge_schema_ddl="src string, dst string, rel_type string, id string",
+    )
+    g.declare_label("Taxonomy", ["value"])
+    g.merge_nodes(
+        data.select(
+            F.col("id").alias("node_id"), F.lit("Product").alias("label")
+        ),
+        key="node_id",
+    )
+    for coll, rel in [("product_taxonomy", "PRODUCT_TAXONOMY"),
+                      ("product_complementary_taxonomy",
+                       "PRODUCT_COMPLEMENTARY_TAXONOMY")]:
+        edges = flow.collector(coll).select(
+            F.col("product_id").alias("src"),
+            F.col("taxonomy").alias("dst"),
+            F.lit(rel).alias("rel_type"), "id",
+        )
+        g.ensure_declared_endpoints(edges, "Taxonomy")
+        g.merge_edges(edges)
+
+    edges = g.edges.read()
+    assert edges.filter(
+        "src = 'p200' AND dst = 'printer' AND rel_type = 'PRODUCT_TAXONOMY'"
+    ).count() == 1
+    assert edges.filter(
+        "src = 'p200' AND dst = 'paper' "
+        "AND rel_type = 'PRODUCT_COMPLEMENTARY_TAXONOMY'"
+    ).count() == 1
+    labels = {r["node_id"]: r["label"] for r in g.nodes.read().collect()}
+    assert labels["p100"] == "Product"
+    assert labels["printer"] == "Taxonomy"  # auto-created endpoint
