@@ -467,3 +467,77 @@ def test_product_recommendation_example_flow(spark, tmp_path):
     labels = {r["node_id"]: r["label"] for r in g.nodes.read().collect()}
     assert labels["p100"] == "Product"
     assert labels["printer"] == "Taxonomy"  # auto-created endpoint
+
+
+def test_image_search_example_flow(spark, tmp_path):
+    """examples/image_search/main.py: LocalFile images (binary) →
+    optional LLM caption → embed_image (CLIP; deterministic feature
+    double here — the container has no model) → collect with
+    GeneratedField.UUID → Qdrant-shape vector target keyed by id;
+    query side embeds text and searches the collection. The binary
+    plumbing (schema, batching, UDF signature) is real; only the
+    decode/caption models are the documented doubles."""
+    from cocoindex_data_ingestion_spark.operators.multimodal import (
+        image_features_stage,
+    )
+
+    img_dir = tmp_path / "img"
+    img_dir.mkdir()
+    blobs = {
+        "cat.png": b"\x89PNG-fake-cat-pixels-0001",
+        "dog.jpg": b"\xff\xd8JPEG-fake-dog-pixels-02",
+        "bird.jpeg": b"\xff\xd8JPEG-fake-bird-pix-333",
+    }
+    for name, b in blobs.items():
+        (img_dir / name).write_bytes(b)
+
+    files = read_local_files(spark, str(img_dir), binary=True)
+    assert files.count() == 3
+    assert dict(files.dtypes)["content"] == "binary"
+
+    from cocoindex_data_ingestion_spark.operators.multimodal import (
+        _FEATURE_DIM as dim,
+    )
+
+    feats = image_features_stage(
+        files.select(F.col("path").alias("media_id"), "filename", "content")
+    )
+    flow = Flow("ImageObjectEmbedding")
+    s = flow.add_source(
+        "images",
+        feats.select("filename", F.col("features").alias("embedding")),
+        key_cols=["filename"],
+    )
+    s.collect(
+        "img_embeddings",
+        {"filename": "filename", "embedding": "embedding"},
+        auto_uuid_field="id",
+    )
+    out = flow.collector("img_embeddings")
+
+    sink = VectorSink(
+        spark, str(tmp_path / "qdrant_img"),
+        key_cols=["id"],
+        schema_ddl="id string, filename string, embedding array<float>",
+        vector_cols={"embedding": dim},
+    )
+    sink.merge(out.select("id", "filename", F.col("embedding").cast("array<float>")))
+    assert sink.read().count() == 3
+    sink.merge(out.select("id", "filename", F.col("embedding").cast("array<float>")))
+    assert sink.read().count() == 3  # UUID-keyed MERGE idempotent
+
+    # deterministic double: same bytes → same embedding (op cache=True
+    # contract); different bytes → different embedding
+    two = image_features_stage(
+        files.select(F.col("path").alias("media_id"), "filename", "content")
+    ).select("filename", "features").collect()
+    m = {r["filename"]: list(r["features"]) for r in two}
+    stored = {
+        r["filename"]: [float(x) for x in r["embedding"]]
+        for r in sink.read().collect()
+    }
+    for fn in blobs:
+        assert [round(a, 4) for a in m[fn]] == [
+            round(b, 4) for b in stored[fn]
+        ]
+    assert m["cat.png"] != m["dog.jpg"]
