@@ -211,3 +211,128 @@ def jdbc_upsert_writer(url: str, table: str, key_cols: list[str],
         )
 
     return _sink
+
+
+# -- custom target connector (cocoindex op.TargetSpec surface) ------------------
+#
+# Reference: user-defined export targets
+# (examples/custom_output_files/main.py:11-96; engine side
+# python/cocoindex/op.py TargetSpec/target_connector): a connector
+# class with
+#   get_persistent_key(spec, target_name) -> str
+#   describe(key) -> str                              (optional)
+#   apply_setup_change(key, previous_spec, current_spec) -> None
+#   prepare(spec) -> prepared                          (optional)
+#   mutate(*(prepared, {key: value_struct_or_None})) -> None
+# where a None mutation value means DELETE and values mean UPSERT —
+# the same upsert/delete set the built-in targets receive. All
+# connector actions are documented as idempotent.
+
+
+class CustomTargetRunner:
+    """Drives a user connector through the reference lifecycle.
+
+    Spark form: the engine computes the mutation SET as DataFrames
+    (upserts carry the value columns; deletes carry only keys) and
+    feeds the connector in bounded driver-side batches via
+    ``toLocalIterator`` — the reference's connector runs in one
+    process too, and a bounded iterator keeps driver memory flat at
+    any export size. Connectors that are location-transparent (object
+    stores, HTTP services) can opt into ``distributed=True`` to run
+    ``mutate`` inside ``foreachPartition`` on the executors instead.
+    """
+
+    def __init__(self, connector, spec, target_name: str,
+                 previous_spec=None):
+        self.connector = connector
+        self.spec = spec
+        self.key = connector.get_persistent_key(spec, target_name)
+        # setup change: None -> spec on first export; spec -> None on
+        # target removal (drop()); both idempotent by contract
+        connector.apply_setup_change(self.key, previous_spec, spec)
+        prepare = getattr(connector, "prepare", None)
+        self.prepared = prepare(spec) if prepare else spec
+
+    def describe(self) -> str:
+        desc = getattr(self.connector, "describe", None)
+        return desc(self.key) if desc else self.key
+
+    def apply(
+        self,
+        upserts: DataFrame | None,
+        deletes: DataFrame | None = None,
+        key_col: str = "filename",
+        batch_size: int = 1000,
+        distributed: bool = False,
+    ) -> int:
+        """One export pass: every upsert row becomes
+        ``{key: value-row}``, every delete key becomes ``{key: None}``,
+        chunked into ``batch_size`` mutations per connector call."""
+        connector, prepared = self.connector, self.prepared
+
+        def _mutate_batches(rows_iter, value: bool):
+            n = 0
+            muts: dict = {}
+            for row in rows_iter:
+                d = row.asDict(recursive=True)
+                k = d.pop(key_col)
+                muts[k] = _ValueStruct(d) if value else None
+                if len(muts) >= batch_size:
+                    connector.mutate((prepared, muts))
+                    n += len(muts)
+                    muts = {}
+            if muts:
+                connector.mutate((prepared, muts))
+                n += len(muts)
+            return n
+
+        if distributed:
+            def _part(rows):
+                muts = {}
+                for row in rows:
+                    d = row.asDict(recursive=True)
+                    muts[d.pop(key_col)] = _ValueStruct(d)
+                if muts:
+                    connector.mutate((prepared, muts))
+
+            total = 0
+            if upserts is not None:
+                upserts.foreachPartition(_part)
+                total += upserts.count()
+            if deletes is not None:
+                def _part_del(rows):
+                    muts = {row[key_col]: None for row in rows}
+                    if muts:
+                        connector.mutate((prepared, muts))
+
+                deletes.foreachPartition(_part_del)
+                total += deletes.count()
+            return total
+
+        total = 0
+        if upserts is not None:
+            total += _mutate_batches(upserts.toLocalIterator(), True)
+        if deletes is not None:
+            total += _mutate_batches(
+                deletes.select(key_col).toLocalIterator(), False
+            )
+        return total
+
+    def drop(self) -> None:
+        """Target removed from the flow: setup change spec -> None."""
+        self.connector.apply_setup_change(self.key, self.spec, None)
+
+
+class _ValueStruct:
+    """Attribute view over an upsert row (the reference hands the
+    connector a dataclass instance; ``mutation.html`` etc.)."""
+
+    def __init__(self, d: dict):
+        self.__dict__.update(d)
+
+    def __eq__(self, other):
+        return isinstance(other, _ValueStruct) and \
+            self.__dict__ == other.__dict__
+
+    def __repr__(self):
+        return f"_ValueStruct({self.__dict__!r})"

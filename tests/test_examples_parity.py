@@ -541,3 +541,102 @@ def test_image_search_example_flow(spark, tmp_path):
             round(b, 4) for b in stored[fn]
         ]
     assert m["cat.png"] != m["dog.jpg"]
+
+
+def test_custom_output_files_example_flow(spark, tmp_path):
+    """examples/custom_output_files/main.py: the CUSTOM TARGET
+    connector surface — TargetSpec + get_persistent_key /
+    apply_setup_change / prepare / mutate, where a mutation dict maps
+    key → value (upsert) or None (delete). The example's connector
+    writes one .html file per document; this test drives the same
+    connector class through the runner's full lifecycle: first-export
+    setup, upsert, idempotent re-export, delete-on-None, and the
+    drop() teardown removing the directory."""
+    import os
+
+    out_dir = str(tmp_path / "output_html")
+
+    class LocalFileTarget:
+        def __init__(self, directory):
+            self.directory = directory
+
+    class LocalFileTargetConnector:
+        @staticmethod
+        def get_persistent_key(spec, target_name):
+            return spec.directory
+
+        @staticmethod
+        def describe(key):
+            return f"Local directory {key}"
+
+        @staticmethod
+        def apply_setup_change(key, previous, current):
+            if previous is None and current is not None:
+                os.makedirs(current.directory, exist_ok=True)
+            if previous is not None and current is None:
+                if os.path.isdir(previous.directory):
+                    for fn in os.listdir(previous.directory):
+                        if fn.endswith(".html"):
+                            os.remove(os.path.join(previous.directory, fn))
+                    os.rmdir(previous.directory)
+
+        @staticmethod
+        def prepare(spec):
+            return spec
+
+        @staticmethod
+        def mutate(*all_mutations):
+            for spec, mutations in all_mutations:
+                for filename, mutation in mutations.items():
+                    full = os.path.join(spec.directory, filename) + ".html"
+                    if mutation is None:
+                        try:
+                            os.remove(full)
+                        except FileNotFoundError:
+                            pass
+                    else:
+                        with open(full, "w") as f:
+                            f.write(mutation.html)
+
+    from cocoindex_data_ingestion_spark.sinks import CustomTargetRunner
+
+    # the flow body: markdown_to_html transform + collect(filename, html)
+    docs = spark.createDataFrame(
+        [("a.md", "# Title A\n\nbody a"), ("b.md", "# Title B\n\nbody b")],
+        "filename string, content string",
+    )
+    html = docs.select(
+        "filename",
+        F.concat(
+            F.lit("<h1>"),
+            F.regexp_extract("content", r"^# ([^\n]+)", 1),
+            F.lit("</h1><p>"),
+            F.element_at(F.split("content", "\n\n"), 2),
+            F.lit("</p>"),
+        ).alias("html"),
+    )
+
+    runner = CustomTargetRunner(
+        LocalFileTargetConnector, LocalFileTarget(out_dir), "output_html"
+    )
+    assert runner.describe() == f"Local directory {out_dir}"
+    assert os.path.isdir(out_dir)  # first-export setup change
+
+    n = runner.apply(html, key_col="filename")
+    assert n == 2
+    assert sorted(os.listdir(out_dir)) == ["a.md.html", "b.md.html"]
+    with open(os.path.join(out_dir, "a.md.html")) as f:
+        assert f.read() == "<h1>Title A</h1><p>body a</p>"
+
+    # idempotent re-export
+    runner.apply(html, key_col="filename")
+    assert sorted(os.listdir(out_dir)) == ["a.md.html", "b.md.html"]
+
+    # source row removed → None mutation deletes the file
+    runner.apply(None, deletes=docs.filter("filename = 'b.md'"),
+                 key_col="filename")
+    assert os.listdir(out_dir) == ["a.md.html"]
+
+    # target dropped from the flow → spec -> None teardown
+    runner.drop()
+    assert not os.path.isdir(out_dir)
