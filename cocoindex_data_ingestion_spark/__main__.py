@@ -1,0 +1,3 @@
+from cocoindex_data_ingestion_spark.cli import main
+
+raise SystemExit(main())

@@ -225,3 +225,60 @@ class Flow:
 
     def exports(self) -> dict[str, dict]:
         return dict(self._exports)
+
+
+# -- flow registry + @flow_def (python/cocoindex/flow.py user surface) --------
+#
+# Reference: ``@cocoindex.flow_def(name=...)`` registers a builder
+# whose body receives (flow_builder, data_scope) and wires the flow;
+# ``flow.flows()`` lists registered flows and ``flow_by_name`` fetches
+# one. Here the builder receives (flow, spark) — this engine's Flow IS
+# both the builder and the scope — and is evaluated LAZILY on first
+# access (the reference builds lazily too: flows analyze on use).
+
+_FLOW_BUILDERS: dict[str, "callable"] = {}
+_FLOW_CACHE: dict[str, Flow] = {}
+
+
+def flow_def(name: str | None = None):
+    """Decorator: register a flow builder ``fn(flow, spark) -> None``
+    under ``name`` (defaults to the function name)."""
+
+    def wrap(fn):
+        flow_name = name or fn.__name__
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            check_flow_name,
+        )
+
+        check_flow_name(flow_name)
+        if flow_name in _FLOW_BUILDERS:
+            raise FlowError(f"flow '{flow_name}' already registered")
+        _FLOW_BUILDERS[flow_name] = fn
+        fn.__cocoindex_flow_name__ = flow_name
+        return fn
+
+    return wrap
+
+
+def flow_names() -> list[str]:
+    return sorted(_FLOW_BUILDERS)
+
+
+def flow_by_name(name: str, spark) -> Flow:
+    if name not in _FLOW_BUILDERS:
+        raise FlowError(f"unknown flow '{name}'")
+    if name not in _FLOW_CACHE:
+        fl = Flow(name)
+        _FLOW_BUILDERS[name](fl, spark)
+        _FLOW_CACHE[name] = fl
+    return _FLOW_CACHE[name]
+
+
+def all_flows(spark) -> dict[str, Flow]:
+    return {n: flow_by_name(n, spark) for n in flow_names()}
+
+
+def clear_registry() -> None:
+    """Test/app-reload hook: forget every registered flow."""
+    _FLOW_BUILDERS.clear()
+    _FLOW_CACHE.clear()

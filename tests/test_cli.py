@@ -1,0 +1,135 @@
+"""CLI surface (python/cocoindex/cli.py parity): app loading, the
+APP[:FlowName] specifier grammar, ls/show/setup/update/evaluate/drop
+against a real user app file registering a @flow_def flow."""
+
+import io
+import json
+import os
+
+import pytest
+
+from cocoindex_data_ingestion_spark import cli
+from cocoindex_data_ingestion_spark.plans import flow as flowmod
+
+APP_SRC = '''
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.plans.flow import flow_def
+
+
+@flow_def(name="DemoFlow")
+def demo_flow(flow, spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    scope = flow.add_source("docs", docs, key_cols=["doc_id"])
+    scope.transform("n_chars", F.length("text"))
+    scope.collect(
+        "doc_stats", {"doc_id": "doc_id", "n_chars": "n_chars"},
+    )
+    flow.export("doc_stats", "doc_stats", primary_key=["doc_id"])
+'''
+
+
+@pytest.fixture()
+def app_file(tmp_path):
+    flowmod.clear_registry()
+    cli._LOADED_APPS.clear()
+    p = tmp_path / "myapp.py"
+    p.write_text(APP_SRC)
+    yield str(p)
+    flowmod.clear_registry()
+    cli._LOADED_APPS.clear()
+
+
+def _run(spark, argv):
+    buf = io.StringIO()
+    rc = cli.main(argv, spark=spark, out=buf)
+    return rc, buf.getvalue()
+
+
+def test_specifier_grammar():
+    assert cli.parse_app_flow_specifier("myapp.py") == ("myapp.py", None)
+    assert cli.parse_app_flow_specifier("myapp.py:MyFlow") == (
+        "myapp.py", "MyFlow",
+    )
+    # empty flow part collapses to None (cli.py:46-47)
+    assert cli.parse_app_flow_specifier("myapp.py:") == ("myapp.py", None)
+    with pytest.raises(SystemExit):
+        cli.parse_app_flow_specifier(":MyFlow")
+    with pytest.raises(SystemExit):
+        cli.parse_app_flow_specifier("myapp.py:not-an-identifier")
+
+
+def test_ls_setup_update_evaluate_drop(spark, tmp_path, app_file):
+    state = str(tmp_path / "state")
+
+    # ls before setup: [?]
+    rc, out = _run(spark, ["--state-dir", state, "ls", app_file])
+    assert rc == 0 and out.strip() == "[?] DemoFlow"
+
+    # update without setup refuses (reference: setup required)
+    with pytest.raises(SystemExit, match="not set up"):
+        _run(spark, ["--state-dir", state, "update", f"{app_file}:DemoFlow"])
+
+    # setup, then ls shows [+]
+    rc, out = _run(spark, ["--state-dir", state, "setup", app_file])
+    assert "doc_stats" in out
+    rc, out = _run(spark, ["--state-dir", state, "ls", app_file])
+    assert out.strip() == "[+] DemoFlow"
+
+    # show prints the spec
+    rc, out = _run(
+        spark, ["--state-dir", state, "show", f"{app_file}:DemoFlow"]
+    )
+    spec = json.loads(out)
+    assert spec["name"] == "DemoFlow"
+    assert spec["exports"]["doc_stats"]["primary_key"] == ["doc_id"]
+    assert any(o.startswith("import") for o in spec["ops"])
+
+    # update merges into the parquet-state target; re-update idempotent
+    rc, out = _run(
+        spark, ["--state-dir", state, "update", f"{app_file}:DemoFlow"]
+    )
+    assert '"added": 2' in out and '"total": 2' in out
+    rc, out = _run(
+        spark, ["--state-dir", state, "update", f"{app_file}:DemoFlow"]
+    )
+    assert '"added": 0' in out and '"total": 2' in out
+
+    # evaluate dumps WITHOUT touching targets
+    ev_dir = str(tmp_path / "evalout")
+    rc, out = _run(
+        spark,
+        ["--state-dir", state, "evaluate", f"{app_file}:DemoFlow",
+         "-o", ev_dir],
+    )
+    dumped = json.load(open(os.path.join(ev_dir, "doc_stats.json")))
+    assert {r["doc_id"] for r in dumped} == {1, 2}
+
+    # drop refuses without --force, removes with it
+    with pytest.raises(SystemExit, match="--force"):
+        _run(spark, ["--state-dir", state, "drop", app_file])
+    rc, out = _run(
+        spark, ["--state-dir", state, "drop", app_file, "--force"]
+    )
+    assert "removed" in out
+    rc, out = _run(spark, ["--state-dir", state, "ls", app_file])
+    assert out.strip() == "[?] DemoFlow"
+
+
+def test_update_with_auto_setup(spark, tmp_path, app_file):
+    state = str(tmp_path / "state2")
+    rc, out = _run(
+        spark,
+        ["--state-dir", state, "update", f"{app_file}:DemoFlow", "--setup"],
+    )
+    assert rc == 0 and '"total": 2' in out
+    assert cli.is_set_up(state, "DemoFlow")
+
+
+def test_flow_def_registry_conflict(spark, app_file):
+    cli.load_user_app(app_file)
+    with pytest.raises(flowmod.FlowError, match="already registered"):
+        flowmod.flow_def(name="DemoFlow")(lambda fl, s: None)
