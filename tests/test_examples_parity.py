@@ -640,3 +640,72 @@ def test_custom_output_files_example_flow(spark, tmp_path):
     # target dropped from the flow → spec -> None teardown
     runner.drop()
     assert not os.path.isdir(out_dir)
+
+
+def test_live_updates_example_flow(spark, tmp_path):
+    """examples/live_updates/main.py: LocalFile source with
+    refresh_interval → collect(filename, content) → Postgres-shape
+    keyed target, driven by FlowLiveUpdater. Here each poll tick is
+    one IncrementalRunner.update over the directory listing (key =
+    path, ordinal = mtime µs): adds process, no-ops skip, content
+    edits re-process, deletions propagate to the target — the full
+    live-update decision matrix on a REAL directory."""
+    import os
+    import time
+
+    from cocoindex_data_ingestion_spark.plans.incremental import (
+        BucketedParquetState, IncrementalRunner,
+    )
+
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "a.txt").write_text("alpha")
+    (data / "b.txt").write_text("beta")
+
+    runner = IncrementalRunner(
+        spark, str(tmp_path / "state"), "live-updates-v1",
+        key_col="path", ordinal_col="ordinal",
+    )
+    target = BucketedParquetState(
+        spark, str(tmp_path / "state/target"),
+        "_key string, filename string, content string",
+        key_col="_key",
+    )
+
+    def listing():
+        return read_local_files(spark, str(data), binary=False).select(
+            "path", "filename",
+            F.col("content_text").alias("content"), "ordinal",
+        )
+
+    def transform(df):
+        return df.select(
+            F.col("path").alias("_key"), "filename", "content"
+        )
+
+    # poll 1: everything new
+    s1 = runner.update(listing(), ["content"], transform, target)
+    assert s1["processed"] == 2 and s1["deleted"] == 0
+    assert target.read().count() == 2
+
+    # poll 2: nothing changed → all skipped, transform untouched
+    s2 = runner.update(listing(), ["content"], transform, target)
+    assert s2["skipped"] == 2 and s2["processed"] == 0
+
+    # poll 3: one new file, one edited file (newer mtime + content)
+    time.sleep(0.02)
+    (data / "c.txt").write_text("gamma")
+    (data / "a.txt").write_text("alpha-v2")
+    os.utime(data / "a.txt")
+    s3 = runner.update(listing(), ["content"], transform, target)
+    assert s3["processed"] == 2 and s3["skipped"] == 1
+    rows = {r["filename"]: r["content"] for r in target.read().collect()}
+    assert rows == {"a.txt": "alpha-v2", "b.txt": "beta", "c.txt": "gamma"}
+
+    # poll 4: a file disappears → target delete
+    (data / "b.txt").unlink()
+    s4 = runner.update(listing(), ["content"], transform, target)
+    assert s4["deleted"] == 1
+    assert {r["filename"] for r in target.read().collect()} == {
+        "a.txt", "c.txt",
+    }
