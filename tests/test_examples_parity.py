@@ -709,3 +709,59 @@ def test_live_updates_example_flow(spark, tmp_path):
     assert {r["filename"] for r in target.read().collect()} == {
         "a.txt", "c.txt",
     }
+
+
+def test_code_embedding_example_flow(spark, tmp_path):
+    """examples/code_embedding/main.py: LocalFile over a code tree →
+    extension extract per row → SplitRecursively with
+    language=file["extension"] (per-row separator-stack dispatch) →
+    embed → PK (filename, location) vector export."""
+    src = tmp_path / "repo"
+    src.mkdir()
+    (src / "mod.py").write_text(
+        "def a():\n    return 1\n\n\ndef b():\n    return 2\n"
+    )
+    (src / "lib.rs").write_text(
+        "fn a() -> i32 {\n    1\n}\n\nfn b() -> i32 {\n    2\n}\n"
+    )
+    (src / "README.md").write_text("# Readme\n\nUsage notes here.\n")
+
+    files = read_local_files(spark, str(src), binary=False).select(
+        "path", "filename", F.col("content_text").alias("text"),
+        # file["extension"] = filename.transform(extract_extension)
+        F.regexp_extract("filename", r"(\.[^.]+)$", 1).alias("extension"),
+    )
+    chunks = chunking.chunk_recursive_dp(
+        files, chunk_size=60, min_chunk_size=10, chunk_overlap=0,
+        id_col="path", text_col="text", language_col="extension",
+    )
+    out = chunks.join(files.select("path", "filename"), "path").select(
+        "filename",
+        F.col("location_start").alias("location"),
+        F.col("chunk_text").alias("code"),
+        hash_embedder(DIM)(F.col("chunk_text")).alias("embedding"),
+    )
+    sink = VectorSink(
+        spark, str(tmp_path / "code_embeddings"),
+        key_cols=["filename", "location"],
+        schema_ddl=(
+            "filename string, location long, code string, "
+            "embedding array<float>"
+        ),
+        vector_cols={"embedding": DIM},
+    )
+    sink.merge(out)
+    stored = sink.read()
+    assert {
+        r["filename"] for r in stored.select("filename").distinct().collect()
+    } == {"mod.py", "lib.rs", "README.md"}
+    # chunk bound holds and per-language splitting produced >1 chunk
+    # for the code files
+    assert stored.filter(F.length("code") > 60).count() == 0
+    per_file = {
+        r["filename"]: r["n"]
+        for r in stored.groupBy("filename").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert per_file["mod.py"] >= 1 and per_file["lib.rs"] >= 1
