@@ -282,3 +282,52 @@ def clear_registry() -> None:
     """Test/app-reload hook: forget every registered flow."""
     _FLOW_BUILDERS.clear()
     _FLOW_CACHE.clear()
+
+
+# -- app namespace + default target naming (python/cocoindex/setting.py:14-34,
+# utils.py:5-16) ---------------------------------------------------------------
+
+_app_namespace = ""
+
+
+def set_app_namespace(app_namespace: str) -> None:
+    """Process-wide app namespace; empty clears it. Validated as an
+    identifier ≤64 chars (validation.py:89-95)."""
+    global _app_namespace
+    if app_namespace:
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            check_identifier,
+        )
+
+        check_identifier(
+            app_namespace, "app namespace", allow_dots=False, max_length=64
+        )
+    _app_namespace = app_namespace
+
+
+def get_app_namespace(*, trailing_delimiter: str | None = None) -> str:
+    if _app_namespace == "" or trailing_delimiter is None:
+        return _app_namespace
+    return f"{_app_namespace}{trailing_delimiter}"
+
+
+def split_app_namespace(full_name: str, delimiter: str) -> tuple[str, str]:
+    parts = full_name.split(delimiter, 1)
+    if len(parts) == 1:
+        return "", parts[0]
+    return (parts[0], parts[1])
+
+
+def get_target_default_name(
+    flow: Flow, target_name: str, delimiter: str = "__"
+) -> str:
+    """The default physical name (table/collection) for an export
+    target: ``[namespace__]FlowName__target_name`` — what
+    ``cocoindex.utils.get_target_default_name`` hands the example
+    programs' SQL."""
+    return (
+        get_app_namespace(trailing_delimiter=delimiter)
+        + flow.name
+        + delimiter
+        + target_name
+    )

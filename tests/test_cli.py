@@ -133,3 +133,34 @@ def test_flow_def_registry_conflict(spark, app_file):
     cli.load_user_app(app_file)
     with pytest.raises(flowmod.FlowError, match="already registered"):
         flowmod.flow_def(name="DemoFlow")(lambda fl, s: None)
+
+
+def test_target_default_name_and_namespace(spark):
+    from cocoindex_data_ingestion_spark.plans.flow import (
+        Flow, get_app_namespace, get_target_default_name,
+        set_app_namespace, split_app_namespace,
+    )
+
+    fl = Flow("TextEmbedding")
+    try:
+        set_app_namespace("")
+        assert get_target_default_name(fl, "doc_embeddings") == \
+            "TextEmbedding__doc_embeddings"
+        set_app_namespace("staging")
+        assert get_app_namespace() == "staging"
+        assert get_app_namespace(trailing_delimiter=".") == "staging."
+        assert get_target_default_name(fl, "doc_embeddings") == \
+            "staging__TextEmbedding__doc_embeddings"
+        assert split_app_namespace(
+            "staging__TextEmbedding__doc_embeddings", "__"
+        ) == ("staging", "TextEmbedding__doc_embeddings")
+        assert split_app_namespace("plain", "__") == ("", "plain")
+        import pytest as _pytest
+
+        from cocoindex_data_ingestion_spark.functions.validation import (
+            NamingError,
+        )
+        with _pytest.raises(NamingError):
+            set_app_namespace("not a valid name!")
+    finally:
+        set_app_namespace("")
