@@ -19,10 +19,11 @@ Semantics mirrored from the reference commands:
 - ``show`` — the flow spec: ops, collectors, exports (cli.py:207+).
 - ``setup``— create target state + write the setup manifest,
   idempotent (cli.py:287-306).
-- ``update`` — one-shot incremental apply: MERGE every export's
-  collector rows into its keyed parquet-state target; ``--setup``
-  sets up first (cli.py:379-450; --live is the Structured Streaming
-  deployment, out of one-shot scope).
+- ``update`` — incremental apply: MERGE every export's collector
+  rows into its keyed parquet-state target; ``--setup`` sets up
+  first; ``--live`` runs the FlowLiveUpdater poll loop (rebuild flow
+  → fresh source listings → MERGE, every --refresh-interval seconds,
+  bounded by --max-ticks for tests) (cli.py:379-450).
 - ``evaluate`` — run transformations WITHOUT updating targets, dump
   per-collector JSON to ``eval_<FlowName>_<ts>`` or ``-o`` dir
   (cli.py:453-496; dump mechanism = plans.dumper).
@@ -175,12 +176,35 @@ def cmd_setup(spark, args, out) -> int:
     return 0
 
 
-def cmd_update(spark, args, out) -> int:
+def _update_once(spark, args, name, fl, out) -> None:
     from cocoindex_data_ingestion_spark.sinks import TableSink
 
+    stats = {}
+    for target, meta in fl.exports().items():
+        rows = fl.collector(meta["collector"])
+        ddl = ", ".join(f"{c} {t}" for c, t in rows.dtypes)
+        sink = TableSink(
+            spark, _state_dir(args.state_dir, name, target),
+            key_cols=meta["primary_key"], schema_ddl=ddl,
+        )
+        before = sink.read().count()
+        sink.merge(rows)
+        after = sink.read().count()
+        stats[target] = {
+            "rows": rows.count(),
+            "added": after - before,
+            "total": after,
+        }
+    if not args.quiet:
+        print(f"update {name}: " + json.dumps(stats, sort_keys=True),
+              file=out)
+
+
+def cmd_update(spark, args, out) -> int:
     app_ref, flow_name = parse_app_flow_specifier(args.app_flow_specifier)
     load_user_app(app_ref)
-    for name, fl in _select_flows(spark, flow_name).items():
+    flows = _select_flows(spark, flow_name)
+    for name, fl in flows.items():
         if not is_set_up(args.state_dir, name):
             if args.setup:
                 _setup_flow(args.state_dir, fl)
@@ -189,27 +213,29 @@ def cmd_update(spark, args, out) -> int:
                     f"flow '{name}' is not set up — run setup first or "
                     "pass --setup"
                 )
-        stats = {}
-        for target, meta in fl.exports().items():
-            rows = fl.collector(meta["collector"])
-            ddl = ", ".join(
-                f"{c} {t}" for c, t in rows.dtypes
-            )
-            sink = TableSink(
-                spark, _state_dir(args.state_dir, name, target),
-                key_cols=meta["primary_key"], schema_ddl=ddl,
-            )
-            before = sink.read().count()
-            sink.merge(rows)
-            after = sink.read().count()
-            stats[target] = {
-                "rows": rows.count(),
-                "added": after - before,
-                "total": after,
-            }
-        print(f"update {name}: "
-              + json.dumps(stats, sort_keys=True), file=out)
-    return 0
+    if not args.live:
+        for name, fl in flows.items():
+            _update_once(spark, args, name, fl, out)
+        return 0
+    # --live: the FlowLiveUpdater poll loop (cli.py:383-389 + the
+    # live_updates example). Spark pins a file source's listing at
+    # DataFrame creation, so each tick REBUILDS the flow (fresh
+    # source listings — the reference updater re-lists per refresh
+    # interval) and MERGEs the collectors again. --max-ticks bounds
+    # the loop for tests/one-shot sweeps (0 = run until interrupted,
+    # the reference's updater.wait()).
+    from cocoindex_data_ingestion_spark.plans import flow as flowmod
+
+    tick = 0
+    while True:
+        for name in list(flows):
+            flowmod.invalidate_flow(name)
+            fl = flowmod.flow_by_name(name, spark)
+            _update_once(spark, args, name, fl, out)
+        tick += 1
+        if args.max_ticks and tick >= args.max_ticks:
+            return 0
+        time.sleep(args.refresh_interval)
 
 
 def cmd_evaluate(spark, args, out) -> int:
@@ -269,10 +295,18 @@ def build_parser() -> argparse.ArgumentParser:
     setup.add_argument("app_target")
     setup.add_argument("-f", "--force", action="store_true")
 
-    upd = sub.add_parser("update", help="one-shot incremental update")
+    upd = sub.add_parser("update", help="incremental update (one-shot "
+                                        "or --live poll loop)")
     upd.add_argument("app_flow_specifier")
     upd.add_argument("--setup", action="store_true",
                      help="set up automatically if needed")
+    upd.add_argument("-L", "--live", action="store_true",
+                     help="keep polling sources and applying changes")
+    upd.add_argument("--refresh-interval", type=float, default=5.0,
+                     help="seconds between live polls")
+    upd.add_argument("--max-ticks", type=int, default=0,
+                     help="stop the live loop after N polls (0 = run "
+                          "until interrupted)")
     upd.add_argument("-q", "--quiet", action="store_true")
 
     ev = sub.add_parser("evaluate",

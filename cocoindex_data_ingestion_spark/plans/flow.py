@@ -331,3 +331,11 @@ def get_target_default_name(
         + delimiter
         + target_name
     )
+
+
+def invalidate_flow(name: str) -> None:
+    """Drop a cached flow instance so the next ``flow_by_name``
+    re-runs its builder — fresh source DataFrames, fresh file
+    listings (Spark pins a file source's listing at DataFrame
+    creation; a live updater must re-list per tick)."""
+    _FLOW_CACHE.pop(name, None)

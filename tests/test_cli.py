@@ -164,3 +164,70 @@ def test_target_default_name_and_namespace(spark):
             set_app_namespace("not a valid name!")
     finally:
         set_app_namespace("")
+
+
+LIVE_APP_SRC = '''
+from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.plans.flow import flow_def
+from cocoindex_data_ingestion_spark.sources.localfile import read_local_files
+
+DATA_DIR = "%s"
+
+
+@flow_def(name="LiveFlow")
+def live_flow(flow, spark):
+    files = read_local_files(spark, DATA_DIR, binary=False)
+    scope = flow.add_source("documents", files, key_cols=["path"])
+    scope.collect(
+        "documents_index",
+        {"filename": "filename", "content": "content_text"},
+    )
+    flow.export("documents_index", "documents_index",
+                primary_key=["filename"])
+'''
+
+
+def test_update_live_picks_up_new_files(spark, tmp_path):
+    """update --live: collectors are lazy, so each poll re-reads the
+    source — a file added between ticks lands in the target (the
+    live_updates example's updater loop)."""
+    import threading
+
+    flowmod.clear_registry()
+    cli._LOADED_APPS.clear()
+    data = tmp_path / "data"
+    data.mkdir()
+    (data / "one.txt").write_text("first")
+    app = tmp_path / "liveapp.py"
+    app.write_text(LIVE_APP_SRC % str(data))
+    state = str(tmp_path / "state")
+
+    # drop a new file midway through the live loop
+    def _add_later():
+        import time as _t
+        _t.sleep(1.0)
+        (data / "two.txt").write_text("second")
+
+    t = threading.Thread(target=_add_later)
+    t.start()
+    rc, out = _run(
+        spark,
+        ["--state-dir", state, "update", f"{app}:LiveFlow", "--setup",
+         "--live", "--refresh-interval", "0.7", "--max-ticks", "4"],
+    )
+    t.join()
+    assert rc == 0
+    assert out.count("update LiveFlow") == 4
+
+    from cocoindex_data_ingestion_spark.sinks import TableSink
+
+    sink = TableSink(
+        spark, os.path.join(state, "LiveFlow", "documents_index"),
+        key_cols=["filename"],
+        schema_ddl="filename string, content string",
+    )
+    rows = {r["filename"]: r["content"] for r in sink.read().collect()}
+    assert rows == {"one.txt": "first", "two.txt": "second"}
+    flowmod.clear_registry()
+    cli._LOADED_APPS.clear()
