@@ -119,10 +119,20 @@ def cmd_ls(spark, args, out) -> int:
     if args.app_target:
         app_ref, _ = parse_app_flow_specifier(args.app_target)
         load_user_app(app_ref)
-    # reference legend: [+] set up, [?] not set up (cli.py:186-205)
-    for name in flowmod.flow_names():
-        marker = "[+]" if is_set_up(args.state_dir, name) else "[?]"
-        print(f"{marker} {name}", file=out)
+        # reference legend: [+] set up, [?] not set up (cli.py:186-205)
+        for name in flowmod.flow_names():
+            marker = "[+]" if is_set_up(args.state_dir, name) else "[?]"
+            print(f"{marker} {name}", file=out)
+        return 0
+    # no app: list flows persisted in the backend (the reference's
+    # ls-without-app reads the setup metadata tables, cli.py:159-185)
+    names = sorted(
+        d for d in (os.listdir(args.state_dir)
+                    if os.path.isdir(args.state_dir) else [])
+        if is_set_up(args.state_dir, d)
+    )
+    for name in names:
+        print(f"[+] {name}", file=out)
     return 0
 
 
@@ -146,6 +156,10 @@ def cmd_show(spark, args, out) -> int:
 
 
 def _setup_flow(base: str, fl) -> dict:
+    """Idempotent setup with drift detection (the reference setup
+    computes a spec delta and applies only changes, cli.py:287-306 +
+    setup.py): outcome is created / unchanged / updated (flow logic
+    fingerprint or export set differs from the stored manifest)."""
     created = []
     for target, meta in fl.exports().items():
         d = _state_dir(base, fl.name, target)
@@ -160,10 +174,16 @@ def _setup_flow(base: str, fl) -> dict:
         },
         "fingerprint": fl.logic_fingerprint(),
     }
+    outcome = "created"
+    mp = _manifest_path(base, fl.name)
+    if os.path.isfile(mp):
+        with open(mp) as f:
+            prev = json.load(f)
+        outcome = "unchanged" if prev == manifest else "updated"
     os.makedirs(_state_dir(base, fl.name), exist_ok=True)
-    with open(_manifest_path(base, fl.name), "w") as f:
+    with open(mp, "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
-    return {"created": created}
+    return {"created": created, "outcome": outcome}
 
 
 def cmd_setup(spark, args, out) -> int:
@@ -171,7 +191,8 @@ def cmd_setup(spark, args, out) -> int:
     load_user_app(app_ref)
     for name, fl in _select_flows(spark, flow_name).items():
         r = _setup_flow(args.state_dir, fl)
-        print(f"setup {name}: targets={sorted(fl.exports())} "
+        print(f"setup {name} [{r['outcome']}]: "
+              f"targets={sorted(fl.exports())} "
               f"created={r['created']}", file=out)
     return 0
 

@@ -231,3 +231,18 @@ def test_update_live_picks_up_new_files(spark, tmp_path):
     assert rows == {"one.txt": "first", "two.txt": "second"}
     flowmod.clear_registry()
     cli._LOADED_APPS.clear()
+
+
+def test_ls_without_app_lists_persisted_flows(spark, tmp_path, app_file):
+    state = str(tmp_path / "state3")
+    _run(spark, ["--state-dir", state, "setup", app_file])
+    rc, out = _run(spark, ["--state-dir", state, "ls"])
+    assert out.strip() == "[+] DemoFlow"
+
+
+def test_setup_outcome_drift(spark, tmp_path, app_file):
+    state = str(tmp_path / "state4")
+    rc, out = _run(spark, ["--state-dir", state, "setup", app_file])
+    assert "[created]" in out
+    rc, out = _run(spark, ["--state-dir", state, "setup", app_file])
+    assert "[unchanged]" in out
