@@ -1923,12 +1923,87 @@ def _q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_minhash_fast", None)
+def _minhash_fast_sql() -> str:
+    """The xxhash64 minhash-LSH pipeline restated in DuckDB — Spark's
+    XxHash64 (hashInt/hashLong/XXH64-bytes with chained seeding)
+    reimplemented as HUGEINT arithmetic (functions/xxhash_sql.py,
+    validated bit-for-bit against Spark). Valid on this corpus
+    because bm25 tokens are 3-8 single-byte ASCII chars (asserted in
+    test_xxhash_sql) — below XXH64's 32-byte stripe loop. Every hash
+    step is its own MATERIALIZED CTE layer: DuckDB inlines lateral
+    aliases by substitution, and a 21-step chain whose steps
+    reference operands twice would otherwise explode exponentially."""
+    from cocoindex_data_ingestion_spark.functions import xxhash_sql as xs
+
+    n, bands = _MINHASH_HASHES, _MINHASH_BANDS
+    rpb = n // bands
+
+    # per-(id, token) hashes: shared byte contributions + n seeded
+    # chains, interleaved so each layer advances every chain one step
+    tok_steps = list(xs.shared_token_steps("t"))
+    tok_steps += xs.interleave(
+        [xs.token_hash_steps(f"m{i}", xs.hash_int(i)) for i in range(n)]
+    )
+    tok_base = (
+        f"SELECT doc_id AS id, unnest(list_distinct({_BM25_TOKS_SQL})) AS t "
+        "FROM documents"
+    )
+    tok_ctes, tok_last, _ = xs.layered_cte_sql(
+        tok_base, "xxt", tok_steps, [], "SELECT 1 FROM {last}",
+        layer_size=2 * n,
+    )
+
+    mins = ", ".join(
+        f"min({xs.signed_sql(f'm{i}_f')}) AS mh_{i}" for i in range(n)
+    )
+    sig_cte = f"xxsig AS MATERIALIZED (SELECT id, {mins} FROM {tok_last} GROUP BY id)"
+
+    # band keys: xxhash64(lit(b), mh_{b*rpb}..mh_{b*rpb+rpb-1}) —
+    # hashInt(b, 42) is a Python-computed literal seed, each long in
+    # the chain re-seeds the next; 4 bands advance in parallel layers
+    band_chains = []
+    for b in range(bands):
+        chain: list[tuple[str, str]] = []
+        for r in range(rpb):
+            idx = b * rpb + r
+            chain.append((f"u{idx}", xs.unsigned_sql(f"mh_{idx}")))
+            chain += xs.hash_long_steps(
+                f"bd{b}_{r}", f"u{idx}",
+                xs.hash_int(b) if r == 0 else f"bd{b}_{r - 1}_f",
+            )
+        chain.append((f"band_{b}", xs.signed_sql(f"bd{b}_{rpb - 1}_f")))
+        band_chains.append(chain)
+    band_ctes, band_last, _ = xs.layered_cte_sql(
+        "SELECT * FROM xxsig", "xxb", xs.interleave(band_chains), [],
+        "SELECT 1 FROM {last}", layer_size=2 * bands,
+    )
+
+    bucket_union = "\n    UNION ALL\n    ".join(
+        f"SELECT id, band_{b} AS bucket FROM {band_last}"
+        for b in range(bands)
+    )
+    return f"""
+WITH {tok_ctes},
+{sig_cte},
+{band_ctes},
+xxbuckets AS (
+    {bucket_union}
+),
+xxstar AS (
+  SELECT id, min(id) OVER (PARTITION BY bucket) AS id_a FROM xxbuckets
+)
+SELECT DISTINCT id_a, id AS id_b FROM xxstar WHERE id_a <> id
+"""
+
+
+@_register("dedup_minhash_fast", _minhash_fast_sql())
 def _q_minhash_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production minhash: xxhash64 signatures (64-bit long compare,
     ~10× cheaper per token than md5 hex strings; identical LSH
-    statistics). Rows-only — DuckDB has no xxhash64 twin; component
-    equivalence to the md5 variant is tested in test_operators."""
+    statistics). Fully oracled since r7: Spark's XxHash64 is
+    reimplemented in DuckDB HUGEINT arithmetic (_minhash_fast_sql /
+    functions/xxhash_sql.py) — formerly the registry's only
+    hash-availability rows-only slot."""
     docs = _t(spark, sf_dir, "documents")
     from cocoindex_data_ingestion_spark.functions.text import bm25_tokens
 
