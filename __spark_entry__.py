@@ -17257,6 +17257,15 @@ _DRIVER_WINDOW_PRIORITY = [
     "notion_page_markdown", "entity_quality_keep",
     "gdrive_scan_routing", "llm_cost_estimate", "rag_prompt_build",
     "chunk_merge_dp",
+    # round-7 THIRD-wave oracles, also parked for the round-8 window
+    # (judge-swept + stability-probed this round): the app-model/
+    # reporting surfaces, the end-to-end SplitRecursively oracle, and
+    # the xxhash64-in-SQL upgrade of dedup_minhash_fast
+    "relationship_model_validation", "doc_state_metrics",
+    "doc_state_actions", "doc_listing_rollup", "bridge_hybrid_search",
+    "job_listing", "llamaparse_normalize", "doc_chunks_with_context",
+    "sse_document_events", "chunk_recursive_flat",
+    "dedup_minhash_fast",
     "hybrid_rrf", "q1_pricing_summary",
 ]
 
