@@ -11,6 +11,7 @@ every ordering has a deterministic id tie-break.
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 from collections.abc import Callable
@@ -17206,68 +17207,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # the SLO flagship; chunk_two_tier shares the two-tier path with the
 # new punct twin). 50/50 — after this window every oracled query in
 # the registry has been driver-verified at least once.
-_DRIVER_WINDOW_PRIORITY = [
-    # round-7 new oracles — MUST show driver-green this round
-    # (chunk_two_tier itself is below among the 43; rag_small_to_big's
-    # broadcast-hint change is plan-shape-tested and judge-swept, and
-    # indexed_hybrid_rrf is plan-guarded + judge-swept)
-    "chunk_sentence_punct", "chunk_two_tier_punct", "chunk_semantic_punct",
-    "chunk_heading_aware", "chunk_semantic_ref", "hybrid_rrf_graph",
-    "merge_vector_graph",
-    # --- the final 43 never-driver-verified oracled queries ---
-    # events_* time-series analytics tail
-    "events_acf", "events_anomaly_mad", "events_attribution_linear",
-    "events_concurrency", "events_cumulative_users", "events_ewma",
-    "events_funnel_latency", "events_interval_coverage",
-    "events_key_skew", "events_pattern_pairs",
-    "events_persistent_hitters", "events_resample_gapfill",
-    "events_seasonal_baseline", "events_top_paths",
-    "events_trailing_7d", "events_trend_backtest",
-    "events_trend_conformal", "events_trend_fit", "events_twap",
-    "events_windowed_topk", "events_winsorize",
-    # recommendations + classification + linkage
-    "recs_item_similarity", "recs_user_topk",
-    "classify_nb_language", "classify_nb_report",
-    "linkage_part_names", "linkage_sorted_neighborhood",
-    # BPE tokenizer family
-    "bpe_train_merges", "bpe_token_count", "bpe_learned_fertility",
-    # NLP / chunking / entities
-    "chunk_two_tier", "entity_mentions",
-    "canonical_entity_descriptions", "basket_rules",
-    "text_readability", "text_script_profile",
-    # retrieval + curation + audits
-    "rag_small_to_big_indexed", "curate_epoch_shuffle",
-    "curate_length_histogram", "curate_neyman_allocation",
-    "curate_token_budget", "incremental_update_stats",
-    "ldiversity_audit",
-    # positions 51+: just past this round's window to fit the final
-    # 43 never-verified + seven of the nine new r7 oracles in 50
-    # slots. parse_tier_routing, chunk_contextualize, and the seven
-    # second-wave r7 oracles (document_tag_enrichment,
-    # doc_markdown_sections, chunk_recursive_ref, chunk_edit_split,
-    # chunk_edit_merge, path_safety_audit, job_ledger_latest) are
-    # new-but-parked (judge-swept + stability-probed this round,
-    # rotate in next round); the two standing canaries are
-    # driver-green in every prior round and remain judge-swept.
-    "parse_tier_routing", "chunk_contextualize",
-    "document_tag_enrichment", "doc_markdown_sections",
-    "chunk_recursive_ref", "chunk_edit_split", "chunk_edit_merge",
-    "path_safety_audit", "job_ledger_latest",
-    "embedding_similarity_metrics", "embedding_cost_estimate",
-    "notion_page_markdown", "entity_quality_keep",
-    "gdrive_scan_routing", "llm_cost_estimate", "rag_prompt_build",
-    "chunk_merge_dp",
-    # round-7 THIRD-wave oracles, also parked for the round-8 window
-    # (judge-swept + stability-probed this round): the app-model/
-    # reporting surfaces, the end-to-end SplitRecursively oracle, and
-    # the xxhash64-in-SQL upgrade of dedup_minhash_fast
-    "relationship_model_validation", "doc_state_metrics",
-    "doc_state_actions", "doc_listing_rollup", "bridge_hybrid_search",
-    "job_listing", "llamaparse_normalize", "doc_chunks_with_context",
-    "sse_document_events", "chunk_recursive_flat",
-    "dedup_minhash_fast",
-    "hybrid_rrf", "q1_pricing_summary",
-]
+def _load_window_priority() -> list[str]:
+    """Build the driver-window priority from ``driver_window.json``.
+
+    Round 7's verdict (watch item #3 / directive #6) flagged that the
+    rotation plan lived in a hand-maintained source comment, which
+    silently orphaned `chunk_semantic`. The plan is now a generated
+    artifact: ``tools/gen_driver_window.py`` derives it from the
+    registry plus every ``CORRECTNESS_r*.json`` (never-driver-verified
+    oracles first, then canaries, declared watches, and a
+    least-recently-verified rotation fill), and
+    ``tests/test_driver_window.py`` asserts no oracled entry can be
+    orphaned. Fallback (artifact missing): canaries first, the rest in
+    registration order — safe but unrotated.
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "driver_window.json")
+    try:
+        with open(path) as f:
+            plan = json.load(f)
+        return list(plan["window"]) + list(plan.get("scheduled_later", []))
+    except (OSError, ValueError, KeyError):
+        return ["hybrid_rrf", "q1_pricing_summary"]
+
+
+_DRIVER_WINDOW_PRIORITY = _load_window_priority()
 
 
 def _ordered_names() -> list[str]:

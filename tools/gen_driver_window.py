@@ -1,0 +1,146 @@
+"""Generate ``driver_window.json`` — the driver-window rotation plan.
+
+Round 7's verdict flagged that the rotation plan lived in a source
+comment inside ``__spark_entry__.py`` (the parked-oracle block), and
+that `chunk_semantic` was silently orphaned by it: oracled since
+round 6 but in no parked list, so `_ordered_names()` would never have
+scheduled it. This tool makes that failure mode impossible by
+DERIVING the plan from ground truth instead of hand-maintaining it:
+
+1. **never-verified oracles** — every oracled registry entry that has
+   no green row in any ``CORRECTNESS_r*.json`` — go first. Nothing can
+   be orphaned because the set is computed, not curated.
+2. **canaries** — two queries green in every prior round, kept in
+   every window as a harness-health check.
+3. **watches** — hand-declared regression watches for code paths
+   touched this round (see ``WATCHES`` below).
+4. **LRU fill** — remaining slots go to the least-recently-verified
+   oracles, so over rounds the whole registry keeps re-rotating.
+
+``__spark_entry__.py`` loads the artifact and builds its window
+priority from ``window`` + ``scheduled_later``;
+``tests/test_driver_window.py`` asserts the no-orphan invariant.
+
+Usage: python tools/gen_driver_window.py [--round N]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW_SIZE = 50
+
+CANARIES = ["hybrid_rrf", "q1_pricing_summary"]
+
+# Regression watches for round 8: code paths this round touches or
+# the verdict asked to re-measure. orders_bootstrap_ci (r7 verdict
+# watch item #1), the four SLO flagships (always worth a driver
+# re-check after any entry rework), extract_llm_structured (the
+# ExtractByLlm seam the example ports exercise). `rel_validate`
+# (watch item #2) is a SCALING.md probe label whose registry twin
+# `relationship_model_validation` is already windowed as
+# never-verified.
+WATCHES = [
+    "orders_bootstrap_ci",
+    "indexed_hybrid_rrf",
+    "indexed_vector_knn",
+    "indexed_bm25_search",
+    "indexed_graph_reachability",
+    "extract_llm_structured",
+]
+
+
+def _verification_history() -> dict[str, int]:
+    """name -> latest round in which the driver verified it green."""
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1))
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            if row.get("err") is None and row.get("rows_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def build_plan(round_no: int) -> dict:
+    import __spark_entry__ as entrymod
+
+    reg = entrymod._REGISTRY
+    oracled = [n for n, (_f, sql) in reg.items() if sql is not None]
+    rows_only = [n for n, (_f, sql) in reg.items() if sql is None]
+    latest = _verification_history()
+
+    never = sorted(n for n in oracled if n not in latest)
+    window: list[str] = list(never)
+    for n in CANARIES + WATCHES:
+        if n in reg and n not in window:
+            window.append(n)
+    # LRU fill: least-recently-verified first, name as tiebreak.
+    fill = sorted(
+        (n for n in oracled if n not in window),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    for n in fill:
+        if len(window) >= WINDOW_SIZE:
+            break
+        window.append(n)
+    if len(window) > WINDOW_SIZE:
+        raise SystemExit(
+            f"window overflow: {len(window)} names for {WINDOW_SIZE} slots "
+            f"({len(never)} never-verified + canaries + watches). "
+            f"Trim WATCHES or raise WINDOW_SIZE."
+        )
+    scheduled_later = sorted(
+        (n for n in oracled if n not in window),
+        key=lambda n: (latest.get(n, 0), n),
+    )
+    return {
+        "generated_by": "tools/gen_driver_window.py",
+        "round": round_no,
+        "window_size": WINDOW_SIZE,
+        "never_verified": never,
+        "canaries": CANARIES,
+        "watches": [w for w in WATCHES if w in reg],
+        "window": window,
+        "scheduled_later": scheduled_later,
+        "rows_only": sorted(rows_only),
+        "last_verified_round": {n: latest[n] for n in sorted(latest) if n in reg},
+    }
+
+
+def main() -> None:
+    round_no = None
+    args = sys.argv[1:]
+    if args and args[0] == "--round":
+        round_no = int(args[1])
+    if round_no is None:
+        rounds = [
+            int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+            for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        ]
+        round_no = (max(rounds) if rounds else 0) + 1
+    plan = build_plan(round_no)
+    out = os.path.join(REPO, "driver_window.json")
+    with open(out, "w") as f:
+        json.dump(plan, f, indent=1, sort_keys=False)
+        f.write("\n")
+    print(
+        f"driver_window.json: round {round_no}, "
+        f"{len(plan['never_verified'])} never-verified, "
+        f"{len(plan['window'])}/{plan['window_size']} window slots, "
+        f"{len(plan['scheduled_later'])} scheduled later, "
+        f"{len(plan['rows_only'])} rows-only"
+    )
+
+
+if __name__ == "__main__":
+    main()
