@@ -432,10 +432,17 @@ def bootstrap_mean_ci(
     lo_rn = max(1, math.ceil(alpha * b))
     hi_rn = min(b, math.ceil((1.0 - alpha) * b))
 
+    # The b× explode plus per-(row, replica) md5 is the expensive part
+    # and runs MAP-SIDE — on exactly as many tasks as the scan has
+    # splits. A single small parquet file means one thread does all
+    # b×n hashes (measured: the whole 5 s of the sf0.1 bench row).
+    # Redistribute the narrow (value, id) base first: shuffling n
+    # tiny rows buys full-cluster parallelism for the b×n fan-out and
+    # evens out skewed/few input splits at any scale.
     rep = df.select(
         F.col(value_col).alias("_x"),
         F.col(id_col).cast("string").alias("_id"),
-    ).select(
+    ).repartition(df.sparkSession.sparkContext.defaultParallelism, "_id").select(
         "_x",
         "_id",
         F.explode(F.array(*[F.lit(i) for i in range(b)])).alias("_b"),
