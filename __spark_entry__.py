@@ -13124,18 +13124,149 @@ def _q_ivm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("embedding_pca_project", None)
+def _pca_power_sql(
+    d: int = 64, k: int = 2, rounds: int = 8, squarings: int = 6,
+    s1: int = 10_000, s2: int = 1_000_000,
+    wscale: int = 10**9, cscale: int = 10**12,
+) -> str:
+    """DuckDB twin of vector_search.pca_power_fit/pca_power_project:
+    exact HUGEINT covariance, then per component ``squarings`` exact
+    matrix-squaring steps (near-isotropic spectrum — see the spec in
+    vector_search.py) and ``rounds`` power rounds, all as ONE
+    recursive CTE over (component, iteration) carrying the v vector,
+    the original C (for deflation) and the squared working matrix as
+    list state. Every step is integer or scalar-IEEE arithmetic, so
+    it replays Spark bit-for-bit."""
+    g = f"generate_series(1, {d})"
+    v0 = f"list_transform({g}, x -> CAST({s2} AS BIGINT))"
+    tot = squarings + rounds
+    # per-row intermediates bind ONCE through chained derived tables
+    # so the 64×64 matvec / 64³ square isn't textually re-inlined
+    # (measured 53 s → ~2 s on the sf0.01 gate; LATERAL would read
+    # nicer but DuckDB's binder rejects lateral-correlated columns
+    # inside nested lambdas)
+    VNEW = f"""CASE WHEN ns = 0 THEN v ELSE
+      list_transform(wr, x -> CAST(floor(
+        CAST(x AS DOUBLE) * {float(s2)} / sqrt(CAST(ns AS DOUBLE)) + 0.5
+      ) AS BIGINT)) END"""
+    CMSQ = "list_transform(sq2, row -> list_transform(row, c -> c // r2))"
+    STEP_INNER = f"""(
+    SELECT *, list_sum(list_transform(wr, x -> x * x)) AS ns,
+           list_max(list_transform(flatten(sq2), y -> abs(y)))
+             // {cscale} + 1 AS r2
+    FROM (
+      SELECT *, list_transform(w, x ->
+               x // (list_max(list_transform(w, y -> abs(y)))
+                     // {wscale} + 1)) AS wr
+      FROM (
+        SELECT comp, iter, v, cmo, cmw, u1,
+               list_transform({g}, i -> list_sum(list_transform({g},
+                 j -> cmw[i][j] * CAST(v[j] AS HUGEINT)))) AS w,
+               CASE WHEN iter < {squarings} THEN
+                 list_transform({g}, i -> list_transform({g}, j ->
+                   list_sum(list_transform({g}, x ->
+                     cmw[i][x] * cmw[x][j]))))
+               END AS sq2
+        FROM it WHERE iter < {tot} OR comp < {k}
+      )
+    )
+  )"""
+    # deflation at the component switch: λq = tdiv(vᵀ·C_orig·v, vᵀv);
+    # C_orig ← C_orig − tdiv(λq·v_i·v_j, s2²)  (// truncates toward
+    # zero, the semantics _tdiv mirrors)
+    NUM = (
+        f"list_sum(list_transform({g}, i -> CAST(v[i] AS HUGEINT) * "
+        f"list_sum(list_transform({g}, j -> cmo[i][j] * CAST(v[j] AS HUGEINT)))))"
+    )
+    DEN = "list_sum(list_transform(v, x -> CAST(x AS HUGEINT) * x))"
+    LAM = f"({NUM} // {DEN})"
+    CM2 = (
+        f"list_transform({g}, i -> list_transform({g}, j -> "
+        f"cmo[i][j] - ({LAM} * v[i] * v[j]) // CAST({s2}::HUGEINT * {s2} AS HUGEINT)))"
+    )
+    den = float(s1) * float(s2)
+    pj = (
+        "list_sum(list_transform({g}, j -> CAST(q.q[j] AS HUGEINT) "
+        "* fin.{u}[j]))"
+    )
+    pmj = (
+        "list_sum(list_transform({g}, j -> CAST(ml.ml[j] AS HUGEINT) "
+        "* fin.{u}[j]))"
+    )
+    out_cols = ",\n       ".join(
+        _R(
+            f"CAST(CAST(nn.n AS HUGEINT) * {pj.format(g=g, u=f'u{c}')} "
+            f"- {pmj.format(g=g, u=f'u{c}')} AS DOUBLE) "
+            f"/ ({den} * nn.n)",
+            6,
+        )
+        + f" AS pc{c}"
+        for c in range(1, k + 1)
+    )
+    return f"""
+WITH RECURSIVE
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {float(s1)} + 0.5) AS BIGINT)) AS q
+  FROM embeddings WHERE vec_id <> 0),
+ex AS (
+  SELECT vec_id, unnest(q) AS qe, unnest({g}) AS i FROM qv),
+nn AS (SELECT count(*) AS n FROM qv),
+mm AS (SELECT i, sum(qe) AS m FROM ex GROUP BY i),
+ml AS (SELECT list(m ORDER BY i) AS ml FROM mm),
+gg AS (
+  SELECT a.i AS i, b.i AS j, sum(a.qe * b.qe) AS gv
+  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+cc AS (
+  SELECT g0.i, g0.j,
+         CAST(nn.n AS HUGEINT) * g0.gv
+           - CAST(ma.m AS HUGEINT) * mb.m AS c
+  FROM gg g0 JOIN mm ma ON ma.i = g0.i JOIN mm mb ON mb.i = g0.j, nn),
+cmat AS (
+  SELECT list(cl ORDER BY i) AS cm
+  FROM (SELECT i, list(c ORDER BY j) AS cl FROM cc GROUP BY i)),
+it AS (
+  SELECT 1 AS comp, 0 AS iter, {v0} AS v, cm AS cmo, cm AS cmw,
+         CAST(NULL AS BIGINT[]) AS u1
+  FROM cmat
+  UNION ALL
+  SELECT CASE WHEN iter < {tot} THEN comp ELSE comp + 1 END,
+         CASE WHEN iter < {tot} THEN iter + 1 ELSE 0 END,
+         CASE WHEN iter < {squarings} THEN v
+              WHEN iter < {tot} THEN {VNEW}
+              ELSE {v0} END,
+         CASE WHEN iter < {tot} THEN cmo ELSE {CM2} END,
+         CASE WHEN iter < {squarings} THEN {CMSQ}
+              WHEN iter < {tot} THEN cmw
+              ELSE {CM2} END,
+         CASE WHEN iter = {tot} AND comp = 1 THEN v ELSE u1 END
+  FROM {STEP_INNER}),
+fin AS (SELECT u1, v AS u2 FROM it WHERE comp = {k} AND iter = {tot})
+SELECT q.vec_id,
+       {out_cols}
+FROM qv q, fin, nn, ml
+ORDER BY vec_id
+"""
+
+
+@_register("embedding_pca_project", _pca_power_sql())
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCA projection of the embedding corpus onto its top-8
-    principal axes: distributed (count, Σx, XᵀX) reduction via
-    Arrow-batched BLAS, driver-side eigh over the dim-bounded
-    covariance, BLAS projection back over the corpus
-    (vector_search.pca_fit/pca_project). Rows-only: DuckDB has no
-    eigendecomposition — the model is pinned against numpy's full
-    PCA in tests/test_operators.py."""
+    """PCA projection of the embedding corpus — FULLY ORACLED via the
+    engine-exact fixed-point power iteration (r7 directive #5: the
+    BPE/xxhash unroll precedent applied to an iterative numeric
+    algorithm). One distributed integer moment pass (n, Σq, Σqqᵀ —
+    dim-bounded driver state), a 24-round × 2-component quantized
+    power iteration that DuckDB replays as a recursive CTE, then an
+    integer-exact distributed projection (vector_search.pca_power_*).
+    Fidelity vs numpy eigh is pytest-pinned; the production top-8
+    eigh path (pca_fit/pca_project) remains for callers that want
+    full rank."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-    mean, comps, _ = vector_search.pca_fit(emb, q=8)
-    return vector_search.pca_project(emb, mean, comps)
+    n, m, comps = vector_search.pca_power_fit(emb, k=2)
+    return vector_search.pca_power_project(emb, n, m, comps).orderBy(
+        "vec_id"
+    )
 
 
 # -- distributed Naive Bayes text classifier (classifier.py) ------------------

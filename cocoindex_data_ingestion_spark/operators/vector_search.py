@@ -1126,6 +1126,212 @@ def pca_project(
     return out.withColumnRenamed("id", id_col)
 
 
+# -- engine-exact PCA via fixed-point power iteration --------------------------
+#
+# ``pca_fit`` is the production path (one distributed moment pass +
+# driver-side eigh). It cannot be cross-engine ORACLED: eigh is not
+# SQL-expressible and float covariance sums are accumulation-order-
+# dependent. This variant trades the eigensolver for a FIXED-ROUND
+# power iteration over an EXACT integer covariance, every step of
+# which is deterministic integer/IEEE-scalar arithmetic — so a DuckDB
+# recursive CTE replays it bit-for-bit (the xxhash64/BPE unroll
+# precedent). Fidelity vs true PCA is pytest-pinned against numpy's
+# eigh (cosine > 0.999 on the sf corpus).
+#
+# Engine-exact spec (mirrored in the entry's SQL twin):
+#   q_j   = floor(x_j * S1 + 0.5)                    (int)
+#   m_j   = Σ q_j ; G_ij = Σ q_i q_j ; C = n·G − m mᵀ (exact ints)
+#   per component:
+#     square the working matrix SQ times (power iteration converges
+#     at (λ2/λ1)^t — the synthetic corpus is near-isotropic with
+#     λ2/λ1 ≈ 0.99, so plain iteration stalls; 6 exact squarings
+#     raise the effective ratio to (λ2/λ1)^64 per round), each
+#     followed by the deterministic rescale
+#       A ← tdiv(A·A, max|A·A| // CSCALE + 1)
+#     then ROUNDS power rounds on the squared matrix:
+#       w   = A · v                                   (exact int)
+#       R   = max|w| // WSCALE + 1 ; wr = tdiv(w, R)  (trunc toward 0,
+#                                                      DuckDB's `//`)
+#       ns  = Σ wr² ; norm = sqrt(double(ns))
+#       v'  = floor(wr_i · S2 / norm + 0.5)  (ns = 0 → keep v)
+#     deflate the ORIGINAL C (shared eigvecs, true eigenvalue):
+#       λq = tdiv(vᵀ C v, vᵀ v);  C ← C − tdiv(λq·v_i·v_j, S2²)
+#   pc_k  = (n · (q·u_k) − m·u_k) / (S1 · S2 · n)    (int64 until the
+#                                                     final division)
+#
+# Overflow headroom: distributed sums are int64 (per-term q² ≤ S1²·x²;
+# exact up to ~10¹¹ rows at |x| ≤ 3); driver state is Python int
+# (arbitrary precision), matching DuckDB's HUGEINT.
+
+_PCA_POW_S1 = 10_000
+_PCA_POW_S2 = 1_000_000
+_PCA_POW_ROUNDS = 8
+_PCA_POW_SQUARINGS = 6
+_PCA_POW_WSCALE = 1_000_000_000
+_PCA_POW_CSCALE = 10**12
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — DuckDB's ``//``."""
+    q = abs(a) // abs(b)
+    return -q if (a < 0) != (b < 0) else q
+
+
+def pca_power_fit(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 2,
+    rounds: int = _PCA_POW_ROUNDS,
+    s1: int = _PCA_POW_S1,
+    s2: int = _PCA_POW_S2,
+):
+    """Fit the engine-exact power-iteration PCA model.
+
+    Distributed part: ONE scan reducing to (n, Σq, Σ qqᵀ) — int64
+    partial sums inside ``mapInPandas`` (numpy integer matmul is
+    exact), exploded to (index, value) and groupBy-summed JVM-side
+    (d + d² + 1 accumulators, map-side combinable; driver state is
+    dim-bounded, never corpus-bounded). Driver part: the fixed-round
+    iteration above in pure Python ints.
+
+    Returns (n, m: list[int], comps: list[list[int]]) — quantized at
+    scale ``s2``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    def _acc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * s1 + 0.5).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(Q)],
+                    "s": [Q.sum(axis=0).tolist()],
+                    "ss": [(Q.T @ Q).ravel().tolist()],
+                }
+            )
+
+    parts = emb.select(vec_col).mapInPandas(
+        _acc, "n long, s array<long>, ss array<long>"
+    )
+    flat = parts.select(
+        F.posexplode(
+            F.concat(F.array(F.col("n")), "s", "ss")
+        ).alias("i", "v")
+    )
+    sums = flat.groupBy("i").agg(F.sum("v").alias("v")).orderBy("i").collect()
+    vals = [int(r["v"]) for r in sums]
+    n = vals[0]
+    d = int(round((-1 + (1 + 4 * (len(vals) - 1)) ** 0.5) / 2))
+    m = vals[1 : 1 + d]
+    G = vals[1 + d :]
+    C = [
+        [n * G[i * d + j] - m[i] * m[j] for j in range(d)]
+        for i in range(d)
+    ]
+
+    def _square(cm: list[list[int]]) -> list[list[int]]:
+        sq = [
+            [
+                sum(cm[i][x] * cm[x][j] for x in range(d))
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+        mx = max(abs(c) for row in sq for c in row)
+        r = mx // _PCA_POW_CSCALE + 1
+        return [[_tdiv(c, r) for c in row] for row in sq]
+
+    def _iterate(cm: list[list[int]]) -> list[int]:
+        for _ in range(_PCA_POW_SQUARINGS):
+            cm = _square(cm)
+        v = [s2] * d
+        for _ in range(rounds):
+            w = [sum(cm[i][j] * v[j] for j in range(d)) for i in range(d)]
+            r = max(abs(x) for x in w) // _PCA_POW_WSCALE + 1
+            wr = [_tdiv(x, r) for x in w]
+            ns = sum(x * x for x in wr)
+            if ns == 0:
+                continue
+            norm = math.sqrt(float(ns))
+            v = [math.floor(float(x) * s2 / norm + 0.5) for x in wr]
+        return v
+
+    comps: list[list[int]] = []
+    cm = C
+    for _ in range(k):
+        u = _iterate(cm)
+        comps.append(u)
+        num = sum(u[i] * cm[i][j] * u[j] for i in range(d) for j in range(d))
+        den = sum(x * x for x in u)
+        lam_q = _tdiv(num, den)
+        cm = [
+            [
+                cm[i][j] - _tdiv(lam_q * u[i] * u[j], s2 * s2)
+                for j in range(d)
+            ]
+            for i in range(d)
+        ]
+    return n, m, comps
+
+
+def pca_power_project(
+    emb: DataFrame,
+    n: int,
+    m: list,
+    comps: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    s1: int = _PCA_POW_S1,
+    s2: int = _PCA_POW_S2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Project onto the quantized power-iteration basis. Per-vector
+    work is an int64 dot product per component (numpy, Arrow-batched,
+    zero shuffles); everything stays integer-exact until the single
+    final division, then ``stable_round`` — so the DuckDB twin agrees
+    bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.compare import stable_round
+
+    U = np.asarray(comps, dtype=np.int64)  # (k, d)
+    k = U.shape[0]
+    pm = [sum(int(mi) * int(ui) for mi, ui in zip(m, U[c])) for c in range(k)]
+
+    def _proj(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * s1 + 0.5).astype(np.int64)
+            P = Q @ U.T  # (rows, k) exact int64
+            out = {"id": pdf[id_col].to_numpy()}
+            for c in range(k):
+                out[f"p{c + 1}"] = P[:, c]
+            yield pd.DataFrame(out)
+
+    schema = "id long, " + ", ".join(f"p{c + 1} long" for c in range(k))
+    raw = emb.select(id_col, vec_col).mapInPandas(_proj, schema)
+    den = float(s1) * float(s2) * float(n)
+    cols = [F.col("id").alias(id_col)]
+    for c in range(k):
+        exact = F.col(f"p{c + 1}") * F.lit(n).cast("long") - F.lit(
+            pm[c]
+        ).cast("long")
+        cols.append(
+            stable_round(exact.cast("double") / F.lit(den), round_to).alias(
+                f"pc{c + 1}"
+            )
+        )
+    return raw.select(*cols)
+
+
 def knn_batch(
     emb: DataFrame,
     queries: DataFrame,
