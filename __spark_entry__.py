@@ -4379,28 +4379,6 @@ def _q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("chunk_recursive_lang", None)
-def _q_chunk_recursive_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SplitRecursively with per-language separator stacks
-    (split_recursively.rs:96-236 language dispatch, regex tier —
-    tree-sitter not in env). Rows-only like chunk_recursive; language
-    resolution + per-language consistency grid are covered in
-    tests/test_split_dp.py. Assigns a deterministic language per doc
-    (round-robin over the builtin table by doc_id) to exercise the
-    per-row ``language_col`` path in one mixed-corpus pass."""
-    langs = ["markdown", "python", "rust", "go", "sql", "yaml", "javascript"]
-    docs = _t(spark, sf_dir, "documents").withColumn(
-        "lang",
-        F.element_at(
-            F.array(*[F.lit(x) for x in langs]),
-            (F.col("doc_id") % len(langs) + 1).cast("int"),
-        ),
-    )
-    return chunking.chunk_recursive_dp(
-        docs, chunk_size=400, chunk_overlap=60, language_col="lang"
-    )
-
-
 # -- prebuilt-index variants (production path; identical results/oracles) ----
 
 _INDEX_CACHE: dict[str, str] = {}
@@ -5148,13 +5126,16 @@ _DP_CS, _DP_MN, _DP_W = 100, 40, 24
 
 
 def _merge_dp_sql(
-    atoms_cte: str | None = None, cs: int = _DP_CS, mn: int = _DP_MN
+    atoms_cte: str | None = None, cs: int = _DP_CS, mn: int = _DP_MN,
+    docs_sql: str | None = None,
 ) -> str:
     """The merge-DP recursive CTE, parameterized over the atom
     source. ``atoms_cte`` must define CTEs ``atoms(doc_id, idx, s,
     e, bs, il, bl)`` and ``with_sentinel`` (atoms + the terminal
     sentinel) over the ``docs`` CTE; None uses the synthetic
-    stride-window atoms of ``chunk_merge_dp``."""
+    stride-window atoms of ``chunk_merge_dp``. ``docs_sql`` overrides
+    the ``docs(doc_id, text, n)`` source (default: the sf documents
+    table; the language oracle feeds a VALUES micro-corpus)."""
     from cocoindex_data_ingestion_spark.functions.split_recursively import (
         DOUBLE_NEWLINE,
         INLINE,
@@ -5222,10 +5203,14 @@ with_sentinel AS (
          0, {INLINE}, {DOUBLE_NEWLINE}
   FROM docs
 )"""
+    if docs_sql is None:
+        docs_sql = (
+            "SELECT doc_id, text, length(text) AS n FROM documents\n"
+            "  WHERE length(text) > 0"
+        )
     return f"""
 WITH RECURSIVE docs AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE length(text) > 0
+  {docs_sql}
 ),
 {atoms_cte},
 meta AS (
@@ -5387,6 +5372,198 @@ def _q_chunk_recursive_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_size=_FLAT_CS,
         min_chunk_size=_FLAT_MN,
         chunk_overlap=0,
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "location_start",
+        "location_end",
+        "chunk_text",
+    )
+
+
+# -- SplitRecursively language dispatch, fully oracled -------------------------
+# A literal micro-corpus where the per-language separator stacks
+# actually FIRE (r7 directive #5): each doc's newlines are all
+# prefixed by that language's tier keywords, so the atomizer output
+# follows a closed-form two-level identity — split at the level-1
+# keyword boundary (depth d1), pieces over min_chunk_size split again
+# at the level-2 boundary (depth d2; '' = every newline, for stacks
+# whose custom tiers don't match and the \n tier catches all), pieces
+# still over the limit split to word atoms (depth wd = stack length).
+# Level-1 pieces AT or UNDER the limit keep embedded newlines whole
+# (internal line-break level 1 — doc 10 pins that branch). The
+# (kw1, d1, kw2, d2, wd) constants per doc encode the PUBLIC stack
+# shapes of functions/split_recursively.py; the identity — constructed
+# atoms == the real atomizer's on this corpus — is asserted per doc in
+# tests/test_round8_ops.py. Docs 1-3 share ONE text under three
+# languages (python / 'rs' alias / unknown→default fallback) and
+# produce three different atom sets — two different chunkings — so a
+# dispatch bug cannot pass. Spark runs the REAL regex machinery
+# (chunk_recursive_dp, language_col); only DuckDB uses the identity.
+
+_LANG_CS, _LANG_MN = 60, 20
+_LANG_SHARED = (
+    "def abc om ps\nclass abc abcd abcde rho\nclass ab\n"
+    "def abcd sig ups abcde"
+)
+# (doc_id, language, kw1, d1, kw2, d2, wd, text)
+_LANG_CORPUS: list[tuple] = [
+    (1, "python", "class ", 1, "def ", 2, 6, _LANG_SHARED),
+    (2, "rs", None, 0, "", 3, 4, _LANG_SHARED),
+    (3, "textile-x", None, 0, "", 2, 3, _LANG_SHARED),
+    (4, "Markdown", "# ", 1, "## ", 2, 8,
+     "# alpha beta gamma delta\n## tiny sub\n"
+     "# omega psi chi phi upsilon\n## end bit"),
+    (5, "javascript", "function ", 1, None, 0, 4,
+     "alpha beta gamma delta eps\nfunction tiny\n"
+     "function omega psi chi phi tau\nfunction end"),
+    (6, "go", "func ", 1, None, 0, 4,
+     "alpha beta gamma delta eps\nfunc tiny\n"
+     "func omega psi chi phi upsilon\nfunc end"),
+    (7, "SQL", "select ", 1, None, 0, 4,
+     "alpha beta gamma delta eps\nselect tiny\n"
+     "select omega psi chi phi tau\nselect end"),
+    (8, "yaml", "k: ", 2, None, 0, 6,
+     "alpha beta gamma delta eps\nk: tiny\n"
+     "k: omega psi chi phi upsilon tau\nk: end"),
+    (9, ".py", "def ", 2, None, 0, 6,
+     "def lead words open here now\ndef mid\n"
+     "def trailing part with many more words"),
+    (10, "python", "class ", 1, "def ", 2, 6,
+     "class ab\ndef om\nclass alpha beta gamma delta eps\n"
+     "def tail words here"),
+]
+
+
+def _recursive_lang_sql() -> str:
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DOUBLE_NEWLINE, INLINE,
+    )
+
+    def _lit(s):
+        return "NULL" if s is None else "'" + s + "'"
+
+    params = ", ".join(
+        f"({d}, {_lit(k1)}, {d1}, {_lit(k2)}, {d2}, {wd}, '{t}')"
+        for d, _lang, k1, d1, k2, d2, wd, t in _LANG_CORPUS
+    )
+    docs_sql = (
+        "SELECT doc_id, txt AS text, length(txt) AS n FROM (VALUES "
+        + ", ".join(
+            f"({d}, '{t}')" for d, *_rest, t in _LANG_CORPUS
+        )
+        + ") AS d(doc_id, txt)"
+    )
+    mn = _LANG_MN
+    atoms_cte = f"""params AS (
+  SELECT * FROM (VALUES {params})
+    AS t(doc_id, kw1, d1, kw2, d2, wd, txt)
+),
+l1 AS (
+  SELECT doc_id, kw1, d1, kw2, d2, wd,
+         unnest(string_split(m1, chr(1))) AS p1,
+         unnest(range(0, len(string_split(m1, chr(1))))) AS i1
+  FROM (SELECT *, CASE WHEN kw1 IS NULL THEN txt
+                       ELSE replace(txt, chr(10) || kw1, chr(1) || kw1)
+                  END AS m1
+        FROM params)
+),
+l1o AS (
+  SELECT *, CAST(COALESCE(sum(length(p1) + 1) OVER (
+      PARTITION BY doc_id ORDER BY i1
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s1
+  FROM l1
+),
+p1atoms AS (
+  SELECT doc_id, s1 AS s, s1 + length(p1) AS e, d1 AS bs,
+         CASE WHEN contains(p1, chr(10)) THEN 1 ELSE 0 END AS il,
+         CASE WHEN s1 = 0 THEN 0 ELSE 1 END AS bl
+  FROM l1o WHERE length(p1) <= {mn}
+),
+l2 AS (
+  SELECT doc_id, kw1, d1, d2, wd, i1, s1,
+         unnest(string_split(m2, chr(2))) AS p2,
+         unnest(range(0, len(string_split(m2, chr(2))))) AS i2
+  FROM (SELECT *, CASE WHEN kw2 IS NULL THEN p1
+                       WHEN kw2 = '' THEN replace(p1, chr(10), chr(2))
+                       ELSE replace(p1, chr(10) || kw2, chr(2) || kw2)
+                  END AS m2
+        FROM l1o WHERE length(p1) > {mn})
+),
+l2o AS (
+  SELECT *, s1 + CAST(COALESCE(sum(length(p2) + 1) OVER (
+      PARTITION BY doc_id, i1 ORDER BY i2
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s2,
+    CASE WHEN i2 = 0 AND kw1 IS NOT NULL THEN d1 ELSE d2 END AS bd
+  FROM l2
+),
+p2atoms AS (
+  SELECT doc_id, s2 AS s, s2 + length(p2) AS e, bd AS bs, 0 AS il,
+         CASE WHEN s2 = 0 THEN 0 ELSE 1 END AS bl
+  FROM l2o WHERE length(p2) <= {mn}
+),
+wsplit AS (
+  SELECT doc_id, bd, wd, i1, i2, s2,
+         unnest(string_split(p2, ' ')) AS w,
+         unnest(range(0, len(string_split(p2, ' ')))) AS wi
+  FROM l2o WHERE length(p2) > {mn}
+),
+watoms AS (
+  SELECT doc_id, s, s + length(w) AS e,
+         CASE WHEN wi = 0 THEN bd ELSE wd END AS bs, 0 AS il,
+         CASE WHEN wi = 0 AND s > 0 THEN 1 ELSE 0 END AS bl
+  FROM (
+    SELECT *, s2 + CAST(COALESCE(sum(length(w) + 1) OVER (
+        PARTITION BY doc_id, i1, i2 ORDER BY wi
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+    FROM wsplit)
+),
+allatoms AS (
+  SELECT doc_id, s, e, bs, il, bl FROM p1atoms
+  UNION ALL SELECT doc_id, s, e, bs, il, bl FROM p2atoms
+  UNION ALL SELECT doc_id, s, e, bs, il, bl FROM watoms
+),
+atoms AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1 AS idx,
+         s, e,
+         CASE WHEN row_number() OVER (PARTITION BY doc_id ORDER BY s) = 1
+              THEN 0 ELSE bs END AS bs,
+         il, bl
+  FROM allatoms
+),
+with_sentinel AS (
+  SELECT doc_id, idx, s, e, bs, il, bl FROM atoms
+  UNION ALL
+  SELECT doc_id, 1000000000, n, n, 0, {INLINE}, {DOUBLE_NEWLINE}
+  FROM docs
+)"""
+    return _merge_dp_sql(
+        atoms_cte, cs=_LANG_CS, mn=_LANG_MN, docs_sql=docs_sql
+    )
+
+
+@_register("chunk_recursive_lang", _recursive_lang_sql())
+def _q_chunk_recursive_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SplitRecursively per-language dispatch
+    (split_recursively.rs:96-236; regex tier — tree-sitter not in
+    env), now with a TRUE cross-engine oracle on the dispatch
+    micro-corpus above. Spark resolves the stack per ROW
+    (language_col) and runs the full regex atomizer + merge DP; the
+    DuckDB twin derives atoms from the two-level boundary identity
+    and replays the same DP CTE. The per-language consistency grid
+    stays in tests/test_split_dp.py."""
+    docs = _local_df(
+        spark,
+        [(d, lang, t) for d, lang, _k1, _d1, _k2, _d2, _wd, t in _LANG_CORPUS],
+        "doc_id long, lang string, text string",
+    )
+    return chunking.chunk_recursive_dp(
+        docs,
+        chunk_size=_LANG_CS,
+        min_chunk_size=_LANG_MN,
+        chunk_overlap=0,
+        language_col="lang",
     ).select(
         "doc_id",
         F.col("chunk_index").cast("long").alias("chunk_index"),

@@ -106,3 +106,119 @@ def test_projection_deterministic_across_partitioning(spark, sf_dir):
     # the fit itself is partition-invariant too (exact integer sums)
     n2, m2, comps2 = vector_search.pca_power_fit(emb.repartition(7), k=2)
     assert (n2, m2, comps2) == (n, m, comps)
+
+
+# -- chunk_recursive_lang dispatch-oracle identity -----------------------------
+#
+# The DuckDB twin derives atoms from the two-level boundary identity
+# encoded by each corpus row's (kw1, d1, kw2, d2, wd) constants. These
+# tests pin that identity against the REAL atomizer (the oracle
+# assumption), and that the shared-text trio actually discriminates
+# languages (a dispatch bug cannot pass the oracle).
+
+import __spark_entry__ as entrymod
+from cocoindex_data_ingestion_spark.functions.split_recursively import (
+    RecursiveChunker,
+    _AtomCollector,
+    resolve_separators,
+)
+
+
+def _l1_pieces(text, kw1):
+    if kw1 is None:
+        return [(0, text)]
+    marker = "\n" + kw1
+    idxs = []
+    i = text.find(marker)
+    while i >= 0:
+        idxs.append(i)
+        i = text.find(marker, i + 1)
+    starts = [0] + [i + 1 for i in idxs]
+    ends = idxs + [len(text)]
+    return [(s, text[s:e]) for s, e in zip(starts, ends)]
+
+
+def _l2_pieces(off, piece, kw2):
+    if kw2 is None:
+        return [(off, piece)]
+    marker = "\n" + kw2 if kw2 else "\n"
+    idxs = []
+    i = piece.find(marker)
+    while i >= 0:
+        idxs.append(i)
+        i = piece.find(marker, i + 1)
+    starts = [0] + [i + 1 for i in idxs]
+    ends = idxs + [len(piece)]
+    return [(off + s, piece[s:e]) for s, e in zip(starts, ends)]
+
+
+def _constructed_atoms(text, kw1, d1, kw2, d2, wd, mn):
+    atoms = []
+    first = True
+    for p1off, p1 in _l1_pieces(text, kw1):
+        if len(p1) <= mn:
+            atoms.append(
+                (p1off, p1off + len(p1), 0 if first else d1,
+                 1 if "\n" in p1 else 0, 0 if p1off == 0 else 1)
+            )
+            first = False
+            continue
+        for i2, (p2off, p2) in enumerate(_l2_pieces(p1off, p1, kw2)):
+            bd = d1 if (i2 == 0 and kw1 is not None) else d2
+            if len(p2) <= mn:
+                atoms.append(
+                    (p2off, p2off + len(p2), 0 if first else bd, 0,
+                     0 if p2off == 0 else 1)
+                )
+                first = False
+            else:
+                wpos = p2off
+                for wi, w in enumerate(p2.split(" ")):
+                    bs = 0 if first else (bd if wi == 0 else wd)
+                    atoms.append(
+                        (wpos, wpos + len(w), bs, 0,
+                         1 if (wi == 0 and wpos > 0) else 0)
+                    )
+                    first = False
+                    wpos += len(w) + 1
+    n = len(text)
+    atoms.append((n, n, 0, 0, 2))
+    return atoms
+
+
+def test_lang_corpus_atom_identity():
+    mn, cs = entrymod._LANG_MN, entrymod._LANG_CS
+    for did, lang, kw1, d1, kw2, d2, wd, text in entrymod._LANG_CORPUS:
+        ch = RecursiveChunker(text, cs, mn, 0, resolve_separators(lang))
+        col = _AtomCollector(text)
+        ch._collect(0, len(text), 0, col)
+        real = [
+            (a.start, a.end, a.boundary_syntax_level,
+             a.internal_lb_level, a.boundary_lb_level)
+            for a in col.finish()
+        ]
+        want = _constructed_atoms(text, kw1, d1, kw2, d2, wd, mn)
+        assert real == want, f"doc {did} ({lang}): atom identity broken"
+
+
+def test_lang_corpus_discriminates_dispatch():
+    mn, cs = entrymod._LANG_MN, entrymod._LANG_CS
+    trio = [r for r in entrymod._LANG_CORPUS if r[0] in (1, 2, 3)]
+    assert len({r[7] for r in trio}) == 1, "docs 1-3 must share one text"
+    outs = {}
+    for did, lang, *_rest, text in trio:
+        ch = RecursiveChunker(text, cs, mn, 0, resolve_separators(lang))
+        outs[lang] = tuple((s, e) for s, e, _t in ch.split())
+    assert len(set(outs.values())) >= 2, (
+        "shared-text trio no longer discriminates language dispatch: "
+        f"{outs}"
+    )
+
+
+def test_lang_corpus_embedded_newline_atom():
+    # doc 10 pins the L1-small-piece branch: an atom containing an
+    # embedded newline with internal_lb_level 1
+    row = next(r for r in entrymod._LANG_CORPUS if r[0] == 10)
+    _did, lang, kw1, d1, kw2, d2, wd, text = row
+    atoms = _constructed_atoms(text, kw1, d1, kw2, d2, wd, entrymod._LANG_MN)
+    assert any(il == 1 for (_s, _e, _bs, il, _bl) in atoms)
