@@ -4368,14 +4368,75 @@ def _q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunking.semantic_chunks(_t(spark, sf_dir, "documents"))
 
 
-@_register("chunk_recursive", None)
+_REC_OV_CS, _REC_OV_OV, _REC_OV_MN = 400, 60, 200  # mn = cs // 2 default
+
+
+def _recursive_overlap_sql() -> str:
+    """chunk_recursive's oracle: the word-atom identity (the corpus is
+    single-line single-spaced words, max word 8 ≤ mn — asserted in
+    test_round7_ops — so the default stack degenerates to word atoms;
+    docs AT or UNDER min_chunk_size collapse to one whole-doc atom at
+    level 0) feeding the merge-DP CTE with the OVERLAP cost model
+    enabled (ov=60). Defined lazily because _merge_dp_sql appears
+    later in this file; resolved by _finalize_deferred_sql()."""
+    from cocoindex_data_ingestion_spark.functions.split_recursively import (
+        DOUBLE_NEWLINE, INLINE,
+    )
+
+    mn = _REC_OV_MN
+    atoms_cte = f"""toks AS (
+  SELECT doc_id, n,
+         unnest(string_split(text, ' ')) AS w,
+         unnest(range(0, len(string_split(text, ' ')))) AS i
+  FROM docs WHERE n > {mn}
+),
+offs AS (
+  SELECT doc_id, n, w, i,
+         CAST(COALESCE(sum(length(w) + 1) OVER (
+           PARTITION BY doc_id ORDER BY i
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS s
+  FROM toks
+),
+atoms AS (
+  SELECT doc_id, i AS idx, s, s + length(w) AS e,
+         CASE WHEN i = 0 THEN 0 ELSE 3 END AS bs, 0 AS il, 0 AS bl
+  FROM offs
+  UNION ALL
+  SELECT doc_id, 0 AS idx, CAST(0 AS BIGINT) AS s, CAST(n AS BIGINT) AS e,
+         0 AS bs, 0 AS il, 0 AS bl
+  FROM docs WHERE n <= {mn}
+),
+with_sentinel AS (
+  SELECT doc_id, idx, s, e, bs, il, bl FROM atoms
+  UNION ALL
+  SELECT doc_id, 1000000000, n, n, 0, {INLINE}, {DOUBLE_NEWLINE}
+  FROM docs
+)"""
+    return _merge_dp_sql(
+        atoms_cte, cs=_REC_OV_CS, mn=_REC_OV_MN, ov=_REC_OV_OV
+    )
+
+
+@_register("chunk_recursive", "__DEFERRED__:_recursive_overlap_sql")
 def _q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference SplitRecursively cost-model port (merge DP with the
     SYNTAX/LINE_BREAK/TOO_SMALL/OVERLAP costs, split_recursively.rs:
-    27-30,597-743). Rows-only: the DP is not SQL-expressible; the
-    reference's own test grid is ported in tests/test_split_dp.py."""
+    27-30,597-743) at its registered parameterization (cs=400,
+    overlap=60, mn=cs/2) — now FULLY ORACLED: the overlap path's
+    max-heap previous-plan selection replays as an exact argmin over
+    the overlap window inside the merge-DP recursive CTE (see
+    _merge_dp_sql ov>0 and _recursive_overlap_sql). The reference's
+    own test grid stays ported in tests/test_split_dp.py."""
     return chunking.chunk_recursive_dp(
-        _t(spark, sf_dir, "documents"), chunk_size=400, chunk_overlap=60
+        _t(spark, sf_dir, "documents"), chunk_size=_REC_OV_CS,
+        chunk_overlap=_REC_OV_OV,
+    ).select(
+        "doc_id",
+        F.col("chunk_index").cast("long").alias("chunk_index"),
+        "location_start",
+        "location_end",
+        "chunk_text",
     )
 
 
@@ -5127,7 +5188,7 @@ _DP_CS, _DP_MN, _DP_W = 100, 40, 24
 
 def _merge_dp_sql(
     atoms_cte: str | None = None, cs: int = _DP_CS, mn: int = _DP_MN,
-    docs_sql: str | None = None,
+    docs_sql: str | None = None, ov: int = 0,
 ) -> str:
     """The merge-DP recursive CTE, parameterized over the atom
     source. ``atoms_cte`` must define CTEs ``atoms(doc_id, idx, s,
@@ -5135,7 +5196,22 @@ def _merge_dp_sql(
     sentinel) over the ``docs`` CTE; None uses the synthetic
     stride-window atoms of ``chunk_merge_dp``. ``docs_sql`` overrides
     the ``docs(doc_id, text, n)`` source (default: the sf documents
-    table; the language oracle feeds a VALUES micro-corpus)."""
+    table; the language oracle feeds a VALUES micro-corpus).
+
+    ``ov`` > 0 enables the reference's OVERLAP cost model
+    (split_recursively.rs:616-700 heap path): each plan carries an
+    overlap-cost base ``(n − chunk_end)·512 // ov`` (a static
+    per-atom array here), the previous plan is chosen by a max-heap
+    over the overlap window — replayed exactly as an argmin over
+    ``(cost + base, −idx)`` across candidates valid at the current
+    scan position (the heap's lazy deletion is exact because validity
+    is monotone in the scan direction, plus the always-eligible
+    freshly-pushed start itself) — and the admissible cost adds
+    ``512 + min(0, base[prev] − base(start))`` instead of the
+    overlap-0 constant. Unlike ov=0, prev ≠ start, so the plans
+    arrays diverge and the backtrack follows ``prevs`` while chunk
+    starts come from ``starts`` — exactly the reference's
+    (start_idx, prev_plan) pairs."""
     from cocoindex_data_ingestion_spark.functions.split_recursively import (
         DOUBLE_NEWLINE,
         INLINE,
@@ -5150,14 +5226,22 @@ def _merge_dp_sql(
         hs.append(hs[-1] + SYNTAX_LEVEL_GAP_COST // k)
     hs_sql = "[" + ", ".join(map(str, hs)) + "]"
     big = 10**9
-    isyn = (
+    # per-candidate internal min-syntax / max-linebreak levels,
+    # precomputed ONCE per dp row as arrays indexed by sx (the gaps
+    # expression references them ~6x per candidate; inlined slices
+    # made the overlap oracle O(atoms^3) per row)
+    isyn_arr = (
+        "list_transform(generate_series(0, i), sx -> "
         "coalesce(list_min(list_transform(a[sx + 2 : i + 1], "
-        f"x -> x.bs)), {big})"
+        f"x -> x.bs)), {big}))"
     )
-    ilb = (
+    ilb_arr = (
+        "list_transform(generate_series(0, i), sx -> "
         "coalesce(list_max(list_transform(a[sx + 2 : i + 1], "
-        "x -> x.il)), 0)"
+        "x -> x.il)), 0))"
     )
+    isyn = "isyn_a[sx + 1]"
+    ilb = "ilb_a[sx + 1]"
     gaps = f"""(
   CASE WHEN a[sx + 1].bs > {isyn}
        THEN {hs_sql}[a[sx + 1].bs - {isyn} + 1] ELSE 0 END
@@ -5171,18 +5255,48 @@ def _merge_dp_sql(
 )"""
     adm = f"(a[i + 1].e - a[sx + 1].s) <= {cs}"
     half = MISSING_OVERLAP_COST // 2
+    moc = MISSING_OVERLAP_COST
     # best candidate as one sortable struct: rank 0 = admissible (full
-    # cost incl. prev plan + the overlap-0 constant), rank 1 = the
-    # break-fallback at sx = i (no constant — faithful), rank 2 =
-    # never chosen; ties pick the LARGEST start (negst), mirroring
+    # cost incl. prev plan + the overlap constant/base terms), rank 1
+    # = the break-fallback at sx = i (no constant — faithful), rank 2
+    # = never chosen; ties pick the LARGEST start (negst), mirroring
     # the reference's strict-< downward scan
-    best = f"""list_sort(list_transform(generate_series(0, i), sx ->
+    if ov == 0:
+        best = f"""list_sort(list_transform(generate_series(0, i), sx ->
            struct_pack(
              r := CASE WHEN {adm} THEN 0 WHEN sx = i THEN 1 ELSE 2 END,
              c := CASE WHEN {adm} THEN {gaps} + costs[sx + 1] + {half}
                        WHEN sx = i THEN {gaps} + costs[sx + 1]
                        ELSE 0 END,
-             negst := -sx, st := sx)))[1]"""
+             negst := -sx, st := sx,
+             pv := sx)))[1]"""
+    else:
+        # prev plan per candidate start: argmin (cost+base, -idx) over
+        # {sx} ∪ {idx in (sx, i] valid in the overlap window at sx};
+        # bound ONCE per sx via the singleton-list lambda trick. The
+        # enumeration stops at sx + ov: non-empty non-overlapping
+        # atoms advance ≥ 1 char each, so any farther idx exceeds the
+        # overlap window and could only be bad=1 — identical argmin.
+        pv = f"""list_sort(list_transform(
+             generate_series(sx, least(i, sx + {ov})), x ->
+             struct_pack(
+               bad := CASE WHEN x = sx
+                           OR a[x + 1].e - a[sx + 1].s <= {ov}
+                           THEN 0 ELSE 1 END,
+               k := costs[x + 1] + bases[x + 1],
+               negx := -x, x := x)))[1].x"""
+        best = f"""list_sort(list_transform(generate_series(0, i), sx ->
+           list_transform([{pv}], p ->
+             struct_pack(
+               r := CASE WHEN {adm} THEN 0 WHEN sx = i THEN 1 ELSE 2 END,
+               c := CASE WHEN {adm} THEN {gaps} + costs[p + 1] + {moc}
+                          + least(CAST(0 AS BIGINT),
+                                  bases[p + 1]
+                                  - (n - a[sx + 1].s) * {moc} // {ov})
+                         WHEN sx = i THEN {gaps} + costs[sx + 1]
+                         ELSE 0 END,
+               negst := -sx, st := sx,
+               pv := CASE WHEN {adm} THEN p ELSE sx END))[1]))[1]"""
     if atoms_cte is None:
         atoms_cte = f"""idxs AS (
   SELECT doc_id, n,
@@ -5208,30 +5322,48 @@ with_sentinel AS (
             "SELECT doc_id, text, length(text) AS n FROM documents\n"
             "  WHERE length(text) > 0"
         )
+    if ov > 0:
+        meta_extra = f""",
+         CAST(d.n AS BIGINT) AS n,
+         list_prepend(CAST(d.n AS BIGINT) * {moc} // {ov},
+           list_transform(g.a[1 : g.na - 1],
+                          at -> (d.n - at.e) * {moc} // {ov})) AS bases"""
+        carry = ", n, bases"
+    else:
+        meta_extra = ""
+        carry = ""
     return f"""
 WITH RECURSIVE docs AS (
   {docs_sql}
 ),
 {atoms_cte},
 meta AS (
-  SELECT doc_id,
-         list(struct_pack(s := s, e := e, bs := bs, il := il, bl := bl)
-              ORDER BY idx) AS a,
-         count(*) AS na
-  FROM with_sentinel GROUP BY doc_id
+  SELECT g.doc_id, g.a, g.na{meta_extra}
+  FROM (
+    SELECT doc_id,
+           list(struct_pack(s := s, e := e, bs := bs, il := il, bl := bl)
+                ORDER BY idx) AS a,
+           count(*) AS na
+    FROM with_sentinel GROUP BY doc_id
+  ) g JOIN docs d USING (doc_id)
 ),
 dp AS (
-  SELECT doc_id, a, na, 0 AS i,
+  SELECT doc_id, a, na{carry}, 0 AS i,
          CAST([0] AS BIGINT[]) AS costs,
          CAST([0] AS BIGINT[]) AS prevs,
          CAST([0] AS BIGINT[]) AS starts
   FROM meta
   UNION ALL
-  SELECT doc_id, a, na, i + 1,
-         list_append(costs, {best}.c),
-         list_append(prevs, {best}.st),
-         list_append(starts, {best}.st)
-  FROM dp WHERE i < na - 1
+  SELECT doc_id, a, na{carry}, i + 1,
+         list_append(costs, b.c),
+         list_append(prevs, b.pv),
+         list_append(starts, b.st)
+  FROM (
+    SELECT *, {best} AS b FROM (
+      SELECT *, {isyn_arr} AS isyn_a, {ilb_arr} AS ilb_a
+      FROM dp WHERE i < na - 1
+    )
+  )
 ),
 final AS (
   SELECT doc_id, a, na, costs, prevs, starts FROM dp WHERE i = na - 1
@@ -5571,6 +5703,18 @@ def _q_chunk_recursive_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "location_end",
         "chunk_text",
     )
+
+
+def _finalize_deferred_sql() -> None:
+    """Resolve oracles registered before their SQL builder was
+    defined (file-order constraint): a sentinel ``__DEFERRED__:<fn>``
+    is replaced with ``<fn>()`` now that every builder exists."""
+    for name, (fn, sql) in list(_REGISTRY.items()):
+        if isinstance(sql, str) and sql.startswith("__DEFERRED__:"):
+            _REGISTRY[name] = (fn, globals()[sql.split(":", 1)[1]]())
+
+
+_finalize_deferred_sql()
 
 
 # -- chunk editing: split / merge with renumbering (api/chunks.py) ------------
