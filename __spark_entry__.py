@@ -7259,18 +7259,144 @@ def _q_embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- approximate sketches (rows-only: engine-specific algorithms) -------------
+# -- approximate sketches (deterministic cross-engine HLL + histogram) --------
 
 
-@_register("approx_sketches", None)
+def _det_hll_sql(
+    base_select: str, group_col: str, value_col: str, prefix: str,
+) -> tuple[str, str]:
+    """CTE chain computing the deterministic-HLL estimate of
+    ``count(distinct value_col)`` per ``group_col`` over
+    ``base_select`` (sketches.det_hll_cells/det_hll_estimate's twin):
+    xxhash64-in-HUGEINT registers (functions/xxhash_sql.py), exact
+    Σ2^(62−M) register sums, the same embedded alpha·m²·2^64/4
+    numerator and small-range ln branch. Returns (ctes, final_cte)
+    where final_cte has (g, est)."""
+    from cocoindex_data_ingestion_spark.functions import xxhash_sql as xs
+    from cocoindex_data_ingestion_spark.operators.sketches import (
+        DET_HLL_M, DET_HLL_NUM, DET_HLL_P,
+    )
+
+    sfx = 64 - DET_HLL_P
+    steps = xs.hash_long_steps("hh", f"CAST({value_col} AS HUGEINT)", 42)
+    ctes, last, _ = xs.layered_cte_sql(
+        base_select, f"{prefix}b", steps, [], "SELECT 1 FROM {last}",
+        layer_size=6,
+    )
+    two_sfx = 1 << sfx
+    rho = (
+        f"CASE WHEN hh_f % {two_sfx} = 0 THEN {sfx + 1} "
+        f"ELSE {sfx + 1} - length(bin(CAST(hh_f % {two_sfx} AS BIGINT))) END"
+    )
+    m = DET_HLL_M
+    est = f"""CASE WHEN {DET_HLL_NUM!r} / CAST(s62 + (CAST({m} AS HUGEINT) - nb)
+                       * CAST({1 << 62} AS HUGEINT) AS DOUBLE) <= {2.5 * m!r}
+                   AND nb < {m}
+              THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - nb AS DOUBLE))
+              ELSE {DET_HLL_NUM!r} / CAST(s62 + (CAST({m} AS HUGEINT) - nb)
+                       * CAST({1 << 62} AS HUGEINT) AS DOUBLE) END"""
+    more = f""",
+{prefix}_regs AS (
+  SELECT g, hh_f // {two_sfx} AS bucket, max({rho}) AS m_reg
+  FROM {last} GROUP BY 1, 2
+),
+{prefix}_agg AS (
+  SELECT g, count(*) AS nb,
+         sum(CAST(1 AS HUGEINT) << (62 - m_reg)) AS s62
+  FROM {prefix}_regs GROUP BY 1
+),
+{prefix}_est AS (
+  SELECT g, {est} AS est FROM {prefix}_agg
+)"""
+    return ctes + more, f"{prefix}_est"
+
+
+_HIST_W = 1000.0  # histogram-sketch bin width for l_extendedprice
+
+
+def _approx_sketches_sql() -> str:
+    ctes, est_cte = _det_hll_sql(
+        "SELECT l_returnflag AS g, l_partkey AS v FROM lineitem",
+        "g", "v", "hll",
+    )
+    return f"""
+WITH {ctes},
+hist AS (
+  SELECT l_returnflag AS g,
+         CAST(floor(l_extendedprice / {_HIST_W}) AS BIGINT) AS bin,
+         count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+med AS (
+  SELECT g,
+         CAST(min(CASE WHEN 2 * cw >= tw THEN bin END) AS DOUBLE)
+           * {_HIST_W} AS approx_median_price
+  FROM (
+    SELECT g, bin, sum(c) OVER (PARTITION BY g ORDER BY bin
+             ROWS UNBOUNDED PRECEDING) AS cw,
+           sum(c) OVER (PARTITION BY g) AS tw
+    FROM hist
+  ) GROUP BY g
+)
+SELECT e.g AS l_returnflag,
+       {_R("e.est", 4)} AS approx_parts,
+       m.approx_median_price
+FROM {est_cte} e JOIN med m USING (g)
+ORDER BY l_returnflag
+"""
+
+
+@_register("approx_sketches", _approx_sketches_sql())
 def _q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++) + approx percentiles — the
-    documented approximate path for 100 TB aggregations; algorithms
-    differ per engine so the driver records a rows-only check."""
+    """Approximate aggregation sketches, now FULLY ORACLED: distinct
+    parts per returnflag via the deterministic xxhash64-register HLL
+    (sketches.det_hll_cells/estimate — mergeable by MAX, the 100 TB
+    sketch-table discipline) and the approximate median via the
+    mergeable fixed-bin histogram sketch (lower edge of the bin where
+    the cumulative count crosses half). The engine-specific
+    DataSketches/percentile_approx production paths remain exercised
+    in tests/test_operators.py."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    cells = sketches.det_hll_cells(
+        li.select(F.col("l_returnflag").alias("g"), "l_partkey"),
+        ["g"], "l_partkey",
+    )
+    hll = sketches.det_hll_estimate(cells, ["g"], out_col="approx_parts")
+    from pyspark.sql import Window
+
+    hist = (
+        li.select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") / F.lit(_HIST_W))
+            .cast("long").alias("bin"),
+        )
+        .groupBy("g", "bin").agg(F.count("*").alias("c"))
+    )
+    wcum = Window.partitionBy("g").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("g")
+    med = (
+        hist.withColumn("cw", F.sum("c").over(wcum))
+        .withColumn("tw", F.sum("c").over(wtot))
+        .groupBy("g")
+        .agg(
+            (
+                F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("bin")))
+                .cast("double") * F.lit(_HIST_W)
+            ).alias("approx_median_price")
+        )
+    )
+    return (
+        hll.join(med, "g")
+        .select(
+            F.col("g").alias("l_returnflag"),
+            "approx_parts",
+            "approx_median_price",
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -12347,25 +12473,52 @@ def _q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -- mergeable sketch rollup (rows-only: DataSketches binary format) ----------
+# -- mergeable sketch rollup (deterministic cross-engine HLL cells) -----------
 
 
-@_register("sketch_rollup_distinct", None)
+def _sketch_rollup_sql() -> str:
+    ctes, est_cte = _det_hll_sql(
+        "SELECT event_type AS g, user_id AS v FROM events",
+        "g", "v", "srl",
+    )
+    # the day split is invariant under the rollup (max of per-day
+    # register maxima == the global register max), so the oracle
+    # collapses it — equality IS the mergeability contract
+    return f"""
+WITH {ctes}
+SELECT g AS event_type, {_R("est", 4)} AS approx_users
+FROM {est_cte}
+ORDER BY event_type
+"""
+
+
+@_register("sketch_rollup_distinct", _sketch_rollup_sql())
 def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event_type answered from a (event_type, day)
-    HLL sketch table by unioning day cells — the O(cells) sketch-table
-    pattern for 100 TB distinct counts. Rows-only: DuckDB has no
-    DataSketches-compatible HLL; the accuracy bound vs exact distinct
-    is pinned in tests/test_operators.py."""
+    """Distinct users per event_type answered from a (event_type,
+    day) register-cell sketch table by MAX-merging day cells — the
+    O(cells) sketch-table pattern for 100 TB distinct counts, now
+    FULLY ORACLED via the deterministic xxhash64 HLL: the oracle
+    computes the same registers without the day split, and equality
+    of the rollup with the single-pass estimate IS the mergeability
+    contract. The DataSketches binary path (sketch_table/
+    rollup_estimate) stays pinned in tests/test_operators.py."""
     from cocoindex_data_ingestion_spark.operators import sketches
 
     ev = _t(spark, sf_dir, "events")
-    cells = sketches.sketch_table(
-        ev.withColumn("day", F.to_date("ts")),
-        ["event_type", "day"],
+    cells = sketches.det_hll_cells(
+        ev.select(
+            F.col("event_type").alias("g"),
+            F.to_date("ts").alias("day"),
+            "user_id",
+        ),
+        ["g", "day"],
         "user_id",
     )
-    return sketches.rollup_estimate(cells, ["event_type"]).orderBy("event_type")
+    return (
+        sketches.det_hll_estimate(cells, ["g"], out_col="approx_users")
+        .select(F.col("g").alias("event_type"), "approx_users")
+        .orderBy("event_type")
+    )
 
 
 # -- §2.8 triangle counting on the capped co-supply graph ---------------------

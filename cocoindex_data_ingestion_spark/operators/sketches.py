@@ -224,3 +224,90 @@ def cms_estimate(
             .alias("cms_est")
         )
     )
+
+
+# -- deterministic cross-engine HLL (xxhash64 registers) ------------------------
+#
+# The DataSketches path above is the production default but its
+# binary format is engine-specific, which kept the sketch queries
+# rows-only. This variant is a textbook HLL whose EVERY step is
+# deterministic integer arithmetic on Spark's xxhash64 — so the
+# DuckDB oracle replays it exactly (functions/xxhash_sql.py provides
+# the hash twin): register = leading-zero rank of the hash suffix,
+# cell state = max per (cell, bucket) — mergeable by relational MAX,
+# so rollups stay O(cells) at 100 TB and incremental writes are
+# idempotent. Same design as Flajolet et al.'s HLL with the standard
+# small-range correction; alpha and the raw-estimate numerator are
+# Python-float literals embedded verbatim in both engines.
+
+DET_HLL_P = 12                      # 4096 buckets, ~1.6% rel. error
+DET_HLL_M = 1 << DET_HLL_P
+_SUFFIX = 64 - DET_HLL_P            # rank bits
+DET_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / DET_HLL_M)
+# raw-estimate numerator alpha·m²·2^64 / 4 (the 4 un-scales the
+# exact Σ 2^(62−M) register sum, which is kept ≤ 2^62 per term so the
+# Spark side sums exactly in decimal(38,0))
+DET_HLL_NUM = DET_HLL_ALPHA * DET_HLL_M * DET_HLL_M * (2.0 ** 64) / 4.0
+
+
+def det_hll_cells(
+    df: DataFrame, cell_cols: list[str], distinct_col: str
+) -> DataFrame:
+    """(cell..., bucket, m_reg) deterministic-HLL register table.
+
+    The value is forced to LONG so Spark's xxhash64 takes the
+    hashLong path (the oracle twin mirrors exactly that)."""
+    h = F.xxhash64(F.col(distinct_col).cast("long"))
+    bucket = F.shiftrightunsigned(h, _SUFFIX)
+    w = h.bitwiseAND(F.lit((1 << _SUFFIX) - 1))
+    rho = F.when(w == F.lit(0), F.lit(_SUFFIX + 1)).otherwise(
+        F.lit(_SUFFIX + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *[F.col(c) for c in cell_cols],
+            bucket.alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*cell_cols, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+
+
+def det_hll_estimate(
+    cells: DataFrame, group_cols: list[str],
+    out_col: str = "approx_distinct", round_to: int = 4,
+) -> DataFrame:
+    """Roll register cells up to ``group_cols`` (merge = MAX) and
+    estimate: exact-integer register sum, one double division, the
+    standard small-range linear-counting branch. Engine-exact up to
+    the documented ln() 1-ulp exposure (same acceptance as the NB
+    classifier's fixed-point log-priors)."""
+    from ..functions.compare import stable_round
+
+    m = DET_HLL_M
+    merged = (
+        cells.groupBy(*group_cols, "bucket")
+        .agg(F.max("m_reg").alias("m_reg"))
+    )
+    # shiftleft's bit-count arg must be a Column-free int in the
+    # classic API — route through expr for the per-row shift
+    term = F.expr("shiftleft(CAST(1 AS BIGINT), 62 - m_reg)").cast(
+        "decimal(38,0)"
+    )
+    agg = merged.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s62"), F.count("*").alias("_nb")
+    )
+    s_total = F.col("_s62") + (
+        (F.lit(m) - F.col("_nb")).cast("decimal(38,0)")
+        * F.lit(1 << 62).cast("decimal(38,0)")
+    )
+    e_raw = F.lit(DET_HLL_NUM) / s_total.cast("double")
+    zeros = (F.lit(m) - F.col("_nb")).cast("double")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (F.col("_nb") < F.lit(m)),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return agg.select(
+        *group_cols, stable_round(est, round_to).alias(out_col)
+    )

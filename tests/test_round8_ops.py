@@ -222,3 +222,53 @@ def test_lang_corpus_embedded_newline_atom():
     _did, lang, kw1, d1, kw2, d2, wd, text = row
     atoms = _constructed_atoms(text, kw1, d1, kw2, d2, wd, entrymod._LANG_MN)
     assert any(il == 1 for (_s, _e, _bs, il, _bl) in atoms)
+
+
+# -- deterministic cross-engine HLL accuracy -----------------------------------
+
+
+def test_det_hll_accuracy(spark, sf_dir):
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cells = sketches.det_hll_cells(
+        li.select(F.col("l_returnflag").alias("g"), "l_partkey"),
+        ["g"], "l_partkey",
+    )
+    est = {
+        r["g"]: r["approx_parts"]
+        for r in sketches.det_hll_estimate(
+            cells, ["g"], out_col="approx_parts"
+        ).collect()
+    }
+    exact = {
+        r["g"]: r["d"]
+        for r in li.groupBy(F.col("l_returnflag").alias("g"))
+        .agg(F.countDistinct("l_partkey").alias("d"))
+        .collect()
+    }
+    for g, d in exact.items():
+        assert abs(est[g] - d) / d < 0.05, (g, est[g], d)
+
+
+def test_det_hll_mergeability(spark, sf_dir):
+    """MAX-merging finer cells must give the identical estimate as a
+    single-pass sketch — the contract that makes the sketch table
+    O(cells) at rollup time."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        F.col("event_type").alias("g"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    fine = sketches.det_hll_cells(base, ["g", "day"], "user_id")
+    coarse = sketches.det_hll_cells(base, ["g"], "user_id")
+    a = sorted(
+        sketches.det_hll_estimate(fine, ["g"]).collect()
+    )
+    b = sorted(
+        sketches.det_hll_estimate(coarse, ["g"]).collect()
+    )
+    assert a == b
