@@ -10217,12 +10217,33 @@ def _q_extract_llm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- multimodal: video frame fan-out + audio metadata (rows-only) -------------
 
 
-@_register("media_frame_sample", None)
+_MEDIA_FRAMES_SQL = """
+WITH vids AS (
+  SELECT doc_id, sha256(text) AS h FROM documents
+),
+durs AS (
+  SELECT doc_id, h,
+         1000 + ('0x' || substr(h, 1, 6))::BIGINT % 600000 AS duration_ms
+  FROM vids
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_index,
+       duration_ms * i // 4 AS timestamp_ms,
+       sha256(h || ':' || CAST(i AS VARCHAR)) AS frame_sha256
+FROM durs, (SELECT unnest(range(0, 4)) AS i)
+"""
+
+
+@_register("media_frame_sample", _MEDIA_FRAMES_SQL)
 def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-column plumbing: opaque binary → uniform frame sample
     fan-out (one row per frame with timestamp + content id) — the
-    stage a frame-embedding pipeline feeds from. Deterministic fake
-    decoder (no codecs in env); schema/batching/fan-out are real."""
+    stage a frame-embedding pipeline feeds from. The codec itself is
+    env-blocked, but the deterministic fake decoder is sha256
+    arithmetic, so the WHOLE stage — binary schema, Arrow batching,
+    per-video fan-out, timestamp math — is now cross-engine ORACLED
+    (the last formerly rows-only entry). A real deployment swaps the
+    fake for ffmpeg extraction behind the same mapInPandas contract."""
     from cocoindex_data_ingestion_spark.operators.multimodal import (
         video_frame_sample_stage,
     )

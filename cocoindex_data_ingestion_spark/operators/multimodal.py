@@ -260,11 +260,14 @@ def video_frame_sample_stage(
         for pdf in batches:
             rows = []
             for vid, b in zip(pdf[id_col], pdf[binary_col]):
-                h = hashlib.sha256(b or b"").digest()
-                duration_ms = 1000 + int.from_bytes(h[:3], "big") % 600_000
+                # hex-string chaining (not raw-digest chaining) so the
+                # cross-engine oracle can replay it: DuckDB's sha256
+                # accepts VARCHAR only
+                h = hashlib.sha256(b or b"").hexdigest()
+                duration_ms = 1000 + int(h[:6], 16) % 600_000
                 for i in range(n_frames):
                     ts = duration_ms * i // n_frames
-                    fh = hashlib.sha256(h + i.to_bytes(4, "big")).hexdigest()
+                    fh = hashlib.sha256(f"{h}:{i}".encode()).hexdigest()
                     rows.append((vid, i, ts, fh))
             yield pd.DataFrame(
                 rows,
