@@ -1235,12 +1235,10 @@ def pca_power_fit(
     ]
 
     def _square(cm: list[list[int]]) -> list[list[int]]:
+        cols = list(zip(*cm))
         sq = [
-            [
-                sum(cm[i][x] * cm[x][j] for x in range(d))
-                for j in range(d)
-            ]
-            for i in range(d)
+            [sum(a * b for a, b in zip(row, col)) for col in cols]
+            for row in cm
         ]
         mx = max(abs(c) for row in sq for c in row)
         r = mx // _PCA_POW_CSCALE + 1
@@ -1251,7 +1249,7 @@ def pca_power_fit(
             cm = _square(cm)
         v = [s2] * d
         for _ in range(rounds):
-            w = [sum(cm[i][j] * v[j] for j in range(d)) for i in range(d)]
+            w = [sum(a * b for a, b in zip(row, v)) for row in cm]
             r = max(abs(x) for x in w) // _PCA_POW_WSCALE + 1
             wr = [_tdiv(x, r) for x in w]
             ns = sum(x * x for x in wr)
