@@ -376,6 +376,11 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     micro-batches per op, the file-stream analogue of a Kafka replay.
     Setup (split + write) is untimed; timing covers stream start →
     termination, with per-batch durations from StreamingQueryProgress.
+    Sinks are ``noop`` (r8): the earlier memory sink retained every
+    output row in driver heap, so repeated runs measured driver GC
+    pressure, not the operator — at sf0.1 the upsert pushed ~500k
+    rows into the driver, exactly the collect-shaped anti-pattern the
+    100 TB design forbids.
 
     Each stateful op is run TWICE (r5 judge directive #4): untuned
     (session defaults — 32 shuffle partitions, HDFS-backed state
@@ -469,8 +474,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         q = (
             se.ordinal_upsert_stream(stream())
             .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("bench_upsert" + suffix)
+            .format("noop")
             .option("checkpointLocation",
                     os.path.join(tmp, "ckpt_upsert" + suffix))
             .trigger(availableNow=True)
@@ -509,8 +513,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             se.interval_join(purchases, clicks, lookback="30 minutes")
             .select("event_id", "r_event_id")
             .writeStream.outputMode("append")
-            .format("memory")
-            .queryName("bench_attrib" + suffix)
+            .format("noop")
             .option("checkpointLocation",
                     os.path.join(tmp, "ckpt_join" + suffix))
             .trigger(availableNow=True)
@@ -519,17 +522,36 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         done = q.awaitTermination(600)
         finish("interval_join" + suffix, q, t0, 2 * n_src, finished=done)
 
-    for run, tuned in ((run_upsert, TUNED_PY), (run_ivm, TUNED_PY),
-                       (run_join, TUNED_JOIN)):
-        run("")  # untuned: session defaults
+    def best_of(run, base: str, suffix: str, reps: int = 2) -> None:
+        # streaming rows are single 10-micro-batch replays and swing
+        # ±35% run-to-run on a shared host (they triggered false
+        # ">25% regression" flags in two consecutive rounds) — apply
+        # the SAME min-of-reps rule the batch rows use; the minimum
+        # is the reproducible engine cost
+        recs = []
+        for rep in range(reps):
+            tag = f"{suffix}_rep{rep}"
+            run(tag)
+            recs.append(results.pop(base + tag))
+        ok = [r for r in recs if not r.get("timed_out")]
+        results[base + suffix] = min(
+            ok or recs, key=lambda r: r["wall_sec"]
+        )
+
+    for run, base, tuned in (
+        (run_upsert, "ordinal_upsert_stream", TUNED_PY),
+        (run_ivm, "foreach_batch_ivm", TUNED_PY),
+        (run_join, "interval_join", TUNED_JOIN),
+    ):
+        best_of(run, base, "")  # untuned: session defaults
         try:
-            with_conf(tuned, lambda: run("_tuned"))
+            with_conf(tuned, lambda: best_of(run, base, "_tuned"))
         except Exception:
             # RocksDB provider not in this JVM — tune partitions only
             with_conf(
                 {**tuned,
                  "spark.sql.streaming.stateStore.providerClass": HDFS},
-                lambda: run("_tuned"),
+                lambda: best_of(run, base, "_tuned"),
             )
 
     shutil.rmtree(tmp, ignore_errors=True)
