@@ -57,12 +57,20 @@ WATCHES = [
 ]
 
 
-def _verification_history() -> dict[str, int]:
-    """name -> latest round in which the driver verified it green."""
+def _verification_history(before_round: int | None = None) -> dict[str, int]:
+    """name -> latest round in which the driver verified it green.
+
+    ``before_round`` bounds the history to rounds strictly below it —
+    build_plan(N) must be reproducible from rounds < N even after the
+    driver writes CORRECTNESS_rN.json mid-round (otherwise the
+    in-sync test would go red the moment the round's own artifact
+    lands, before anyone can regenerate)."""
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1))
+        if before_round is not None and rnd >= before_round:
+            continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
@@ -77,7 +85,7 @@ def build_plan(round_no: int) -> dict:
     reg = entrymod._REGISTRY
     oracled = [n for n, (_f, sql) in reg.items() if sql is not None]
     rows_only = [n for n, (_f, sql) in reg.items() if sql is None]
-    latest = _verification_history()
+    latest = _verification_history(before_round=round_no)
 
     never = sorted(n for n in oracled if n not in latest)
     window: list[str] = list(never)
