@@ -7262,23 +7262,27 @@ def _q_embedding_cost_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- approximate sketches (deterministic cross-engine HLL + histogram) --------
 
 
-def _det_hll_sql(
-    base_select: str, group_col: str, value_col: str, prefix: str,
-) -> tuple[str, str]:
+def _det_hll_sql(base_select: str, value_col: str, prefix: str) -> tuple[str, str]:
     """CTE chain computing the deterministic-HLL estimate of
-    ``count(distinct value_col)`` per ``group_col`` over
-    ``base_select`` (sketches.det_hll_cells/det_hll_estimate's twin):
-    xxhash64-in-HUGEINT registers (functions/xxhash_sql.py), exact
-    Σ2^(62−M) register sums, the same embedded alpha·m²·2^64/4
-    numerator and small-range ln branch. Returns (ctes, final_cte)
-    where final_cte has (g, est)."""
+    ``count(distinct value_col)`` per group over ``base_select``
+    (sketches.det_hll_cells/det_hll_estimate's twin): xxhash64-in-
+    HUGEINT registers (functions/xxhash_sql.py), exact Σ2^(62−M)
+    register sums, the same embedded alpha·m²·2^64/4 numerator and
+    small-range ln branch. ``base_select`` MUST alias its group
+    column to ``g`` (the CTE bodies reference it by that name).
+    Returns (ctes, final_cte) where final_cte has (g, est)."""
     from cocoindex_data_ingestion_spark.functions import xxhash_sql as xs
     from cocoindex_data_ingestion_spark.operators.sketches import (
         DET_HLL_M, DET_HLL_NUM, DET_HLL_P,
     )
 
     sfx = 64 - DET_HLL_P
-    steps = xs.hash_long_steps("hh", f"CAST({value_col} AS HUGEINT)", 42)
+    # hash_long_steps requires an UNSIGNED 64-bit expression —
+    # unsigned_sql maps negative BIGINTs to their two's-complement
+    # value exactly like Spark's hashLong bit pattern (today's value
+    # columns are positive keys, but the twin must not diverge the
+    # day a signed column is hashed)
+    steps = xs.hash_long_steps("hh", xs.unsigned_sql(value_col), 42)
     ctes, last, _ = xs.layered_cte_sql(
         base_select, f"{prefix}b", steps, [], "SELECT 1 FROM {last}",
         layer_size=6,
@@ -7317,7 +7321,7 @@ _HIST_W = 1000.0  # histogram-sketch bin width for l_extendedprice
 def _approx_sketches_sql() -> str:
     ctes, est_cte = _det_hll_sql(
         "SELECT l_returnflag AS g, l_partkey AS v FROM lineitem",
-        "g", "v", "hll",
+        "v", "hll",
     )
     return f"""
 WITH {ctes},
@@ -12500,7 +12504,7 @@ def _q_ivm_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sketch_rollup_sql() -> str:
     ctes, est_cte = _det_hll_sql(
         "SELECT event_type AS g, user_id AS v FROM events",
-        "g", "v", "srl",
+        "v", "srl",
     )
     # the day split is invariant under the rollup (max of per-day
     # register maxima == the global register max), so the oracle
@@ -17857,6 +17861,18 @@ def _load_window_priority() -> list[str]:
 
 
 _DRIVER_WINDOW_PRIORITY = _load_window_priority()
+
+# a '__DEFERRED__:<fn>' oracle registered AFTER _finalize_deferred_sql's
+# call point would silently ship the sentinel string as its SQL — fail
+# at import instead of as a confusing DuckDB syntax error in the gate
+_unresolved = [
+    n for n, (_f, _sql) in _REGISTRY.items()
+    if isinstance(_sql, str) and _sql.startswith("__DEFERRED__:")
+]
+assert not _unresolved, (
+    f"deferred oracle SQL never resolved (registered after "
+    f"_finalize_deferred_sql?): {_unresolved}"
+)
 
 
 def _ordered_names() -> list[str]:

@@ -1319,9 +1319,15 @@ def pca_power_project(
     den = float(s1) * float(s2) * float(n)
     cols = [F.col("id").alias(id_col)]
     for c in range(k):
-        exact = F.col(f"p{c + 1}") * F.lit(n).cast("long") - F.lit(
-            pm[c]
-        ).cast("long")
+        # exact stage in decimal(38,0), NOT long: p ≈ d·s1·s2 ≈ 2e12,
+        # so p·n wraps int64 around n ≈ 5e6 rows (and pm ∝ n overflows
+        # a long literal) while the DuckDB twin's HUGEINT stays exact.
+        # decimal keeps the Spark side exact to ~1e25 rows; pm rides
+        # in as a string literal since Python ints above 2^63 can't
+        # be F.lit'd directly.
+        exact = F.col(f"p{c + 1}").cast("decimal(38,0)") * F.lit(n).cast(
+            "decimal(38,0)"
+        ) - F.lit(str(pm[c])).cast("decimal(38,0)")
         cols.append(
             stable_round(exact.cast("double") / F.lit(den), round_to).alias(
                 f"pc{c + 1}"

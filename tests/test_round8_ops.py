@@ -272,3 +272,39 @@ def test_det_hll_mergeability(spark, sf_dir):
         sketches.det_hll_estimate(coarse, ["g"]).collect()
     )
     assert a == b
+
+
+def test_det_hll_negative_keys_cross_engine(spark):
+    """The oracle's hash twin must track Spark's two's-complement
+    hashLong for NEGATIVE keys too (unsigned_sql wrapping — latent
+    until a signed column is hashed)."""
+    import duckdb
+
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    vals = [-5, -4, -3, -2, -1, 1, 2, 3, 7, 1 << 40, -(1 << 40)]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals] + [("b", -v) for v in vals],
+        "g string, v long",
+    )
+    cells = sketches.det_hll_cells(df, ["g"], "v")
+    got = {
+        r["g"]: r["approx_distinct"]
+        for r in sketches.det_hll_estimate(cells, ["g"]).collect()
+    }
+
+    import __spark_entry__ as em
+
+    values = ", ".join(
+        f"('a', {v})" for v in vals
+    ) + ", " + ", ".join(f"('b', {-v})" for v in vals)
+    ctes, est = em._det_hll_sql(
+        f"SELECT g, v FROM (VALUES {values}) AS t(g, v)", "v", "neg"
+    )
+    from cocoindex_data_ingestion_spark.functions.compare import (
+        stable_round_sql,
+    )
+
+    sql = f"WITH {ctes} SELECT g, {stable_round_sql('est', 4)} AS e FROM {est}"
+    want = {g: e for g, e in duckdb.sql(sql).fetchall()}
+    assert got == want

@@ -68,13 +68,24 @@ def _verification_history(before_round: int | None = None) -> dict[str, int]:
     latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m is None:  # stray file matching the glob but not the shape
+            continue
         rnd = int(m.group(1))
         if before_round is not None and rnd >= before_round:
             continue
         with open(path) as f:
             data = json.load(f)
         for name, row in data.items():
-            if row.get("err") is None and row.get("rows_match"):
+            # verified = the CONTENT check passed: err clean, rows
+            # matched, and hash_match not False (rows_match alone is
+            # only the count — r01/r03 recorded rows_match=True,
+            # hash_match=False value-wrong rows, which must stay
+            # never-verified or the orphan guard is hollow)
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("hash_match") is not False
+            ):
                 latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
@@ -129,11 +140,14 @@ def main() -> None:
     round_no = None
     args = sys.argv[1:]
     if args and args[0] == "--round":
+        if len(args) < 2:
+            raise SystemExit("usage: gen_driver_window.py [--round N]")
         round_no = int(args[1])
     if round_no is None:
         rounds = [
-            int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+            int(m.group(1))
             for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
         ]
         round_no = (max(rounds) if rounds else 0) + 1
     plan = build_plan(round_no)

@@ -91,6 +91,7 @@ def main() -> None:
 
             timed(pca_fit)  # warmup discarded
             t_fit = timed(pca_fit)
+            timed(pca_proj)  # warmup discarded
             t_proj = timed(pca_proj)
             timed(hll)
             t_hll = timed(hll)
