@@ -80,6 +80,35 @@ def test_rows_only_documented():
     assert set(plan["rows_only"]) == rows_only
 
 
+def test_staleness_bound():
+    """No oracled entry goes more than MAX_STALENESS_ROUNDS rounds
+    without driver verification (r8 verdict directive #3).
+
+    Two layers: (a) the committed artifact's window contains every
+    entry at-or-past the bound relative to the plan's round — so a
+    stale artifact can't hide an overdue entry; (b) build_plan()
+    raises on violation (exercised by calling it fresh), so watch/
+    canary growth can only fail loudly at generation time, never
+    silently starve the LRU fill (the r7 chunk_semantic failure
+    mode)."""
+    plan = _load()
+    k = plan["max_staleness_rounds"]
+    assert k <= 8, "bound loosened past the documented LRU cycle"
+    round_no = plan["round"]
+    latest = _verification_history(before_round=round_no)
+    windowed = set(plan["window"])
+    oracled = {n for n, (_f, sql) in entrymod._REGISTRY.items() if sql is not None}
+    overdue = sorted(
+        n
+        for n in oracled
+        if round_no - latest.get(n, round_no) >= k and n not in windowed
+    )
+    assert not overdue, f"entries past the staleness bound, unscheduled: {overdue}"
+    # (b) generation-time guard is live: build_plan for this round
+    # succeeds (it would SystemExit on violation).
+    build_plan(round_no)
+
+
 def test_correctness_history_parses():
     files = glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
     assert files, "no CORRECTNESS artifacts found"

@@ -39,22 +39,31 @@ WINDOW_SIZE = 50
 
 CANARIES = ["hybrid_rrf", "q1_pricing_summary"]
 
-# Regression watches for round 8: code paths this round touches or
-# the verdict asked to re-measure. orders_bootstrap_ci (r7 verdict
-# watch item #1), the four SLO flagships (always worth a driver
-# re-check after any entry rework), extract_llm_structured (the
-# ExtractByLlm seam the example ports exercise). `rel_validate`
-# (watch item #2) is a SCALING.md probe label whose registry twin
-# `relationship_model_validation` is already windowed as
-# never-verified.
+# Regression watches for round 9: the four SLO flagships (always
+# worth a driver re-check after any entry rework) plus the two
+# bench-drift rows the r8 verdict ordered root-caused
+# (graph_reachability_cte +0.65 s, corpus_qq_table +0.32 s) — any
+# fix or re-baseline this round touches their code paths, so the
+# driver gate should re-verify their values too.
 WATCHES = [
-    "orders_bootstrap_ci",
     "indexed_hybrid_rrf",
     "indexed_vector_knn",
     "indexed_bm25_search",
     "indexed_graph_reachability",
-    "extract_llm_structured",
+    "graph_reachability_cte",
+    "corpus_qq_table",
 ]
+
+# Staleness bound (r8 verdict directive #3): no oracled entry may go
+# more than MAX_STALENESS_ROUNDS rounds without driver verification.
+# Steady-state LRU cycle = ceil((|registry| - |canaries|) / fill
+# slots) ≈ ceil(304 / 42) = 8 rounds at the current registry size
+# (306) and window (50 - 2 canaries - 6 watches), so 8 is the
+# tightest enforceable bound. build_plan() FAILS LOUDLY if watch/
+# canary growth ever starves the LRU fill past it — the failure mode
+# that silently orphaned chunk_semantic in r7 can now only manifest
+# as a generation error, never as a stale artifact.
+MAX_STALENESS_ROUNDS = 8
 
 
 def _verification_history(before_round: int | None = None) -> dict[str, int]:
@@ -122,10 +131,31 @@ def build_plan(round_no: int) -> dict:
         (n for n in oracled if n not in window),
         key=lambda n: (latest.get(n, 0), n),
     )
+    # Staleness invariant: any oracled entry whose verification would
+    # reach MAX_STALENESS_ROUNDS rounds old this round MUST be in the
+    # window. (Never-verified entries are already forced first, so
+    # only the latest-round check is needed here.) The LRU fill
+    # naturally schedules these first; this guard exists so that
+    # future growth of WATCHES/CANARIES can never starve it silently.
+    overdue = sorted(
+        n
+        for n in oracled
+        if n in latest
+        and round_no - latest[n] >= MAX_STALENESS_ROUNDS
+        and n not in window
+    )
+    if overdue:
+        raise SystemExit(
+            f"staleness bound violated: {len(overdue)} oracled entries "
+            f"last verified >= {MAX_STALENESS_ROUNDS} rounds ago are not "
+            f"in the round-{round_no} window: {overdue}. Trim WATCHES/"
+            f"CANARIES or raise WINDOW_SIZE."
+        )
     return {
         "generated_by": "tools/gen_driver_window.py",
         "round": round_no,
         "window_size": WINDOW_SIZE,
+        "max_staleness_rounds": MAX_STALENESS_ROUNDS,
         "never_verified": never,
         "canaries": CANARIES,
         "watches": [w for w in WATCHES if w in reg],
