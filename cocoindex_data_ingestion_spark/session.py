@@ -61,6 +61,24 @@ def get_spark(
         # the driver's events table is written with TIMESTAMP(NANOS);
         # read as long nanos and convert in the loader
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # RocksDB state store as the STREAMING DEFAULT (r8 verdict
+        # directive #5): the provider + its JNI jar ship with Spark
+        # 4.x, transformWithState requires it, and for every stateful
+        # operator here it keeps state off the JVM heap with
+        # incremental (changelog) checkpoints — at 100 TB of keyed
+        # state the HDFS-backed provider's full-snapshot-per-commit
+        # and heap residency are the failure mode. Measured locally
+        # (bench.py streaming rows): the interval join's per-batch
+        # floor drops ~2x from the provider alone. The other half of
+        # the old "tuned" delta — shuffle/state partition COUNT — is
+        # workload sizing (state volume per partition), deliberately
+        # NOT promoted: 4 partitions helps a sf0.1 replay and would
+        # strangle a real cluster.
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
