@@ -13177,6 +13177,99 @@ def _q_dedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+# -- boilerplate-paragraph STRIPPING (RefinedWeb cleaning transform) ----------
+
+# The synthetic corpus has no naturally repeated paragraphs (every
+# fixture paragraph is unique — verified max cross-doc fingerprint
+# count = 1 at sf0.01), so the query synthesizes the boilerplate it
+# strips, the _PII_TEXT_SQL precedent: a per-source navigation header
+# on every doc and a mirror footer on even doc_ids, built identically
+# in both engines from (source, doc_id). The strip must remove
+# exactly those and reassemble every surviving original paragraph
+# byte-identically (md5 witness).
+_BOILER_MIN_DOCS = 3
+
+_BOILER_SQL = f"""
+WITH aug AS (
+  SELECT doc_id, source,
+         'Header: site ' || source || ' navigation' || chr(10) || chr(10)
+           || text ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || chr(10) || 'Footer: mirrored from ' || source
+              ELSE '' END AS text
+  FROM documents
+),
+raw AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(text, '\\n{{2,}}')) AS para,
+         unnest(range(0, len(regexp_split_to_array(text, '\\n{{2,}}'))))
+           AS idx
+  FROM aug
+),
+paras AS (
+  SELECT doc_id, source, idx, para,
+         md5(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS ph
+  FROM raw
+  WHERE length(trim(regexp_replace(para, '\\s+', ' ', 'g'))) > 0
+),
+common AS (
+  SELECT source, ph FROM paras GROUP BY source, ph
+  HAVING count(DISTINCT doc_id) >= {_BOILER_MIN_DOCS}
+),
+marked AS (
+  SELECT p.doc_id, p.idx, p.para,
+         CASE WHEN c.ph IS NULL THEN 0 ELSE 1 END AS b
+  FROM paras p LEFT JOIN common c
+    ON c.source = p.source AND c.ph = p.ph
+)
+SELECT doc_id,
+       count(*) AS n_paras,
+       CAST(sum(b) AS BIGINT) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN b = 0 THEN para END,
+                               chr(10) || chr(10) ORDER BY idx), ''))
+         AS clean_md5
+FROM marked GROUP BY doc_id
+"""
+
+
+@_register("curate_boilerplate_strip", _BOILER_SQL)
+def _q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-paragraph stripping (curation.boilerplate_strip —
+    the RefinedWeb/C4 cleaning TRANSFORM, where dedup_paragraph is
+    only the accounting): paragraphs fingerprint-shared by >=
+    {_BOILER_MIN_DOCS} distinct docs of the same source are removed
+    and each doc is reassembled from its surviving paragraphs in
+    original order (md5 of the rebuilt text is the compared
+    witness). Three bounded exchanges: (source, fingerprint)
+    distinct-doc agg, the boilerplate-key join left UNHINTED for AQE
+    (broadcasts while the filtered key set is small, shuffle join
+    when it isn't), doc-id rebuild whose per-group state is one
+    document's own paragraphs."""
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("Header: site "),
+            F.col("source"),
+            F.lit(" navigation\n\n"),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("\n\nFooter: mirrored from "), F.col("source")
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = curation.boilerplate_strip(aug, min_docs=_BOILER_MIN_DOCS)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_paras",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    )
+
+
 # -- line-level boilerplate audit (C4/RefinedWeb line rules) ------------------
 
 _LINE_RULES_SQL = """

@@ -100,6 +100,7 @@ HEADLINE = [
     "quality_bigram_logprob",
     "events_pit_enrich",
     "curate_pii_redact",
+    "curate_boilerplate_strip",
     "phrase_search",
     "events_sequence_funnel",
     "embedding_centroids",

@@ -575,6 +575,80 @@ def pii_redact(
     return out.withColumn(f"{text_col}_redacted", red)
 
 
+def boilerplate_strip(
+    docs: DataFrame,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    scope_col: str = "source",
+) -> DataFrame:
+    """Boilerplate-paragraph STRIPPING (the transform companion to
+    ``dedup.paragraph_dedup_stats``'s accounting): a paragraph whose
+    whitespace-normalized fingerprint appears in >= ``min_docs``
+    DISTINCT documents of the same ``scope_col`` (source/domain —
+    where navboxes, headers, and license footers repeat) is removed,
+    and each document is reassembled from its surviving paragraphs in
+    original order. The RefinedWeb/C4 cleaning step that runs between
+    dedup and tokenization.
+
+    Plan (three exchanges at any corpus size, all on bounded keys):
+    paragraph explode stays in the scan stage; (scope, fingerprint)
+    distinct-doc counts are a map-side-combinable aggregate; the
+    boilerplate-key table joins back UNHINTED — it is corpus-derived,
+    so the size call is left to AQE, which broadcasts it when the
+    filtered key set turns out small (the usual case: boilerplate
+    keys ≪ paragraphs) and falls back to a shuffle join when a
+    pathological corpus makes it large; the rebuild is one groupBy on
+    the doc id whose per-group state is that document's own
+    paragraphs (bounded by document length, never corpus size).
+    Reassembly normalizes inter-paragraph whitespace to exactly one
+    blank line — documented semantics, identical in the DuckDB twin.
+
+    Returns (id, n_paras, n_removed, clean_text), empty-normalized
+    paragraphs dropped; a fully-boilerplate document keeps its row
+    with clean_text = ''.
+    """
+    paras = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.col(scope_col).alias("scope"),
+            F.posexplode(F.split(F.col(text_col), r"\n{2,}")).alias(
+                "idx", "para"
+            ),
+        )
+        .withColumn(
+            "pnorm", F.trim(F.regexp_replace("para", r"\s+", " "))
+        )
+        .filter(F.length("pnorm") > 0)
+        .select("id", "scope", "idx", "para", F.md5("pnorm").alias("ph"))
+    )
+    common = (
+        paras.groupBy("scope", "ph")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("scope", "ph", F.lit(1).alias("_boiler"))
+    )
+    marked = paras.join(common, ["scope", "ph"], "left").withColumn(
+        "b", F.coalesce(F.col("_boiler"), F.lit(0))
+    )
+    return marked.groupBy("id").agg(
+        F.count("*").alias("n_paras"),
+        F.sum("b").alias("n_removed"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("idx", "para", "b"))
+                    ),
+                    lambda x: x["b"] == 0,
+                ),
+                lambda x: x["para"],
+            ),
+        ).alias("clean_text"),
+    )
+
+
 def negative_samples(
     docs: DataFrame,
     k: int = 3,

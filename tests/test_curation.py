@@ -296,3 +296,38 @@ def test_expectations_split_and_nulls(spark):
     assert flags == {2: (False, True), 3: (False, False), 4: (True, False)}
     s = expectations.summarize(df, rules).collect()[0]
     assert (s.n_rows, s.bad_qty_pos, s.bad_qty_cap, s.n_valid) == (4, 2, 2, 1)
+
+
+def test_boilerplate_strip_semantics(spark):
+    """The RefinedWeb cleaning transform: a paragraph shared by >=
+    min_docs distinct docs of the SAME source is stripped; unique
+    paragraphs survive byte-identically in original order; a doc
+    that is all boilerplate keeps its row with clean_text=''; the
+    same paragraph under a different source is NOT stripped (scope
+    is per-source); repeats within one doc count that doc once."""
+    nav = "Home | About | Contact"
+    rows = [
+        # source A: nav appears in 3 distinct docs -> boilerplate
+        (1, "A", f"{nav}\n\nalpha body one\n\nmore alpha"),
+        (2, "A", f"{nav}\n\nbeta body two"),
+        # doc 3 repeats nav twice: still ONE distinct doc, and both
+        # copies are stripped leaving an all-boilerplate doc
+        (3, "A", f"{nav}\n\n{nav}"),
+        # source B has nav only once -> kept there
+        (4, "B", f"{nav}\n\ngamma body"),
+        (5, "B", "delta body"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+    out = {
+        r["id"]: r
+        for r in curation.boilerplate_strip(docs, min_docs=3).collect()
+    }
+    assert out[1]["clean_text"] == "alpha body one\n\nmore alpha"
+    assert (out[1]["n_paras"], out[1]["n_removed"]) == (3, 1)
+    assert out[2]["clean_text"] == "beta body two"
+    assert out[3]["clean_text"] == "" and out[3]["n_removed"] == 2
+    assert out[4]["clean_text"] == f"{nav}\n\ngamma body"  # scope!
+    assert out[4]["n_removed"] == 0
+    assert out[5]["clean_text"] == "delta body"
