@@ -67,13 +67,15 @@ def get_spark(
         # operator here it keeps state off the JVM heap with
         # incremental (changelog) checkpoints — at 100 TB of keyed
         # state the HDFS-backed provider's full-snapshot-per-commit
-        # and heap residency are the failure mode. Measured locally
-        # (bench.py streaming rows): the interval join's per-batch
-        # floor drops ~2x from the provider alone. The other half of
-        # the old "tuned" delta — shuffle/state partition COUNT — is
+        # and heap residency are the failure mode. Measured honestly
+        # (BENCH r9 vs r8 untuned rows): at this replay's tiny
+        # per-batch state the provider is LATENCY-NEUTRAL
+        # (interval_join 25.1 s RocksDB vs 25.0 s HDFS) — the whole
+        # untuned/tuned gap is state partition COUNT, which is
         # workload sizing (state volume per partition), deliberately
         # NOT promoted: 4 partitions helps a sf0.1 replay and would
-        # strangle a real cluster.
+        # strangle a real cluster. RocksDB is the default for the
+        # state-scale failure modes, not for local latency.
         .config(
             "spark.sql.streaming.stateStore.providerClass",
             "org.apache.spark.sql.execution.streaming.state."
