@@ -12546,6 +12546,78 @@ def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- mergeable quantile sketch rollup (deterministic log2/16 cells) -----------
+
+# exact double->cents quantization: floor(x*100 + 0.5) is the
+# documented portable idiom (raw CAST(double AS BIGINT) truncates in
+# Spark but rounds half-even in DuckDB)
+_QSK_V = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def _qsk_rollup_sql() -> str:
+    from cocoindex_data_ingestion_spark.operators.sketches import (
+        _qsk_bucket_expr, _qsk_rep_expr,
+    )
+
+    sel_cols = []
+    out_cols = []
+    for q in (0.5, 0.95, 0.99):
+        p = f"p{int(round(q * 100))}"
+        sel_cols.append(
+            f"MIN(CASE WHEN cum >= greatest(CAST(1 AS BIGINT), "
+            f"CAST(ceil({q} * n) AS BIGINT)) THEN bucket END) AS b{p}"
+        )
+        out_cols.append(f"{_qsk_rep_expr('b' + p)} AS {p}_cents")
+    # the linestatus split is invariant under the rollup (SUM of
+    # per-sub-cell counts == the global bucket counts), so the oracle
+    # collapses it — equality IS the mergeability contract, the same
+    # shape as sketch_rollup_distinct's MAX-merge argument
+    return f"""
+WITH v AS (SELECT l_returnflag AS g, {_QSK_V} AS v FROM lineitem),
+cells AS (SELECT g, {_qsk_bucket_expr("v")} AS bucket, count(*) AS cnt
+          FROM v GROUP BY 1, 2),
+cum AS (SELECT g, bucket,
+               sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+               sum(cnt) OVER (PARTITION BY g) AS n
+        FROM cells),
+sel AS (SELECT g, MAX(n) AS n, {", ".join(sel_cols)} FROM cum GROUP BY g)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, {", ".join(out_cols)}
+FROM sel
+ORDER BY l_returnflag
+"""
+
+
+@_register("quantile_sketch_rollup", _qsk_rollup_sql())
+def _q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 of l_extendedprice (cents) per return flag answered
+    from a (returnflag, linestatus) quantile-sketch CELL table by
+    SUM-merging sub-cells — the DDSketch-style mergeable-quantile
+    pattern (sketches.qsketch_cells/qsketch_quantiles) with the
+    log-gamma bucket map replaced by a pure-integer log2/16 map
+    (relative half-width <= 1/32), so the DuckDB oracle replays every
+    step with zero float exposure beyond the q*n rank products. The
+    oracle computes the same buckets WITHOUT the linestatus split;
+    equality of the rollup with the single-pass histogram IS the
+    mergeability contract. At 100 TB: cells merge by relational SUM,
+    per-group state is the bucket list (hundreds), never rows."""
+    from cocoindex_data_ingestion_spark.operators import sketches
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_linestatus").alias("sub"),
+        F.expr(_QSK_V).alias("v"),
+    )
+    cells = sketches.qsketch_cells(li, ["g", "sub"], "v")
+    out = sketches.qsketch_quantiles(cells, ["g"], qs=(0.5, 0.95, 0.99))
+    return out.select(
+        F.col("g").alias("l_returnflag"),
+        F.col("n").cast("long").alias("n"),
+        F.col("p50").alias("p50_cents"),
+        F.col("p95").alias("p95_cents"),
+        F.col("p99").alias("p99_cents"),
+    ).orderBy("l_returnflag")
+
+
 # -- §2.8 triangle counting on the capped co-supply graph ---------------------
 
 _TRIANGLE_SQL = f"""

@@ -101,6 +101,7 @@ HEADLINE = [
     "events_pit_enrich",
     "curate_pii_redact",
     "curate_boilerplate_strip",
+    "quantile_sketch_rollup",
     "phrase_search",
     "events_sequence_funnel",
     "embedding_centroids",

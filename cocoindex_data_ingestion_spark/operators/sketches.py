@@ -311,3 +311,113 @@ def det_hll_estimate(
     return agg.select(
         *group_cols, stable_round(est, round_to).alias(out_col)
     )
+
+
+# -- deterministic mergeable quantile sketch (log2/16 histogram) ---------------
+#
+# The quantile analogue of the deterministic HLL above: DDSketch-style
+# relative-error quantiles (Masson, Rim & Lee, "DDSketch: a fast and
+# fully-mergeable quantile sketch with relative-error guarantees",
+# VLDB 2019) with the log-gamma bucket map replaced by a PURE INTEGER
+# one so both engines compute identical cells with no float exposure
+# at all: a positive BIGINT value maps to its bit-length plus its 4
+# bits after the MSB (16 sub-buckets per octave -> relative
+# half-width <= 1/32 ~ 3.1%), values < 32 map to themselves exactly.
+# Cell state is (cell..., bucket, cnt) — mergeable by relational SUM,
+# so incremental ingest appends cells and rollups stay O(cells) at
+# 100 TB, exactly like the HLL register table. Quantile estimation is
+# an integer cumulative-count walk; the only doubles are the q*n rank
+# products, identical IEEE operations in both engines.
+
+QSK_SMALL = 32  # values below this are their own (exact) bucket
+
+
+def _qsk_bucket_expr(v: str) -> str:
+    """SQL bucket map, valid verbatim in Spark SQL and DuckDB:
+    bit_length*16 + top-4-bits-after-MSB, identity below QSK_SMALL.
+    (bin() is minimal-length in both engines; >> and & are portable
+    on BIGINT.)"""
+    return (
+        f"CASE WHEN {v} < {QSK_SMALL} THEN {v} "
+        f"ELSE length(bin({v})) * 16 "
+        f"+ ((({v} >> (length(bin({v})) - 5))) & 15) END"
+    )
+
+
+def _qsk_rep_expr(b: str) -> str:
+    """SQL inverse map: the representative (midpoint) value of bucket
+    ``b`` — exact identity below QSK_SMALL, else lo + half where
+    lo = (16 + b%16) << (b//16 - 5) and half = 1 << (b//16 - 6).
+    The octave division goes through floor() BEFORE the BIGINT cast:
+    a raw CAST(double AS BIGINT) truncates in Spark but rounds
+    half-even in DuckDB (diverges at b=105); floor of the in-range
+    double is exact and portable, and casting an integral double is
+    then exact in both engines."""
+    oct_ = f"CAST(floor({b} / 16.0) AS BIGINT)"  # b >= 96 in ELSE arm
+    return (
+        f"CASE WHEN {b} < {QSK_SMALL} THEN {b} "
+        f"ELSE ((16 + ({b} % 16)) << ({oct_} - 5)) "
+        f"+ (CAST(1 AS BIGINT) << ({oct_} - 6)) END"
+    )
+
+
+def qsketch_cells(
+    df: DataFrame, cell_cols: list[str], value_col: str
+) -> DataFrame:
+    """(cell..., bucket, cnt) quantile-sketch cell table over a
+    POSITIVE BIGINT value column (quantize exactly before calling —
+    e.g. decimal cents via CAST(price*100 AS BIGINT)). One map-side-
+    combinable exchange; cells merge downstream by SUM(cnt)."""
+    return (
+        df.select(
+            *[F.col(c) for c in cell_cols],
+            F.expr(_qsk_bucket_expr(value_col)).alias("bucket"),
+        )
+        .groupBy(*cell_cols, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def qsketch_quantiles(
+    cells: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+) -> DataFrame:
+    """Merge cells up to ``group_cols`` (SUM) and estimate each
+    quantile in ``qs``: rank k = max(1, ceil(q*n)) (the q*n double
+    product is the same IEEE operation in both engines), answer = the
+    representative of the first bucket whose cumulative count reaches
+    k. Output columns: group..., n, p<q> (BIGINT representatives in
+    the value's quantized unit). State per group is the bucket list
+    (<= ~16 per octave of value range — hundreds, never rows)."""
+    from pyspark.sql import Window
+
+    merged = (
+        cells.groupBy(*group_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cum = merged.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    rep = F.expr(_qsk_rep_expr("bucket"))
+    aggs = [F.max("n").alias("n")]
+    for q in qs:
+        k = F.greatest(
+            F.lit(1).cast("long"),
+            F.ceil(F.lit(q) * F.col("n").cast("double")).cast("long"),
+        )
+        aggs.append(
+            F.min(F.when(F.col("cum") >= k, rep)).alias(
+                f"p{int(round(q * 100))}"
+            )
+        )
+    return cum.groupBy(*group_cols).agg(*aggs)
