@@ -12554,7 +12554,11 @@ def _q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QSK_V = "CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
 
 
-def _qsk_rollup_sql() -> str:
+def _qsk_quantile_sql(v_cte: str, group_out: str) -> str:
+    """Shared oracle body for the quantile-sketch queries: ``v_cte``
+    must yield (g, v) with v a positive BIGINT; emits per-g n +
+    p50/p95/p99 representatives via the pure-integer log2/16 recipe
+    (sketches._qsk_bucket_expr/_qsk_rep_expr)."""
     from cocoindex_data_ingestion_spark.operators.sketches import (
         _qsk_bucket_expr, _qsk_rep_expr,
     )
@@ -12568,12 +12572,8 @@ def _qsk_rollup_sql() -> str:
             f"CAST(ceil({q} * n) AS BIGINT)) THEN bucket END) AS b{p}"
         )
         out_cols.append(f"{_qsk_rep_expr('b' + p)} AS {p}_cents")
-    # the linestatus split is invariant under the rollup (SUM of
-    # per-sub-cell counts == the global bucket counts), so the oracle
-    # collapses it — equality IS the mergeability contract, the same
-    # shape as sketch_rollup_distinct's MAX-merge argument
     return f"""
-WITH v AS (SELECT l_returnflag AS g, {_QSK_V} AS v FROM lineitem),
+WITH v AS ({v_cte}),
 cells AS (SELECT g, {_qsk_bucket_expr("v")} AS bucket, count(*) AS cnt
           FROM v GROUP BY 1, 2),
 cum AS (SELECT g, bucket,
@@ -12581,10 +12581,21 @@ cum AS (SELECT g, bucket,
                sum(cnt) OVER (PARTITION BY g) AS n
         FROM cells),
 sel AS (SELECT g, MAX(n) AS n, {", ".join(sel_cols)} FROM cum GROUP BY g)
-SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, {", ".join(out_cols)}
+SELECT g AS {group_out}, CAST(n AS BIGINT) AS n, {", ".join(out_cols)}
 FROM sel
-ORDER BY l_returnflag
+ORDER BY {group_out}
 """
+
+
+def _qsk_rollup_sql() -> str:
+    # the linestatus split is invariant under the rollup (SUM of
+    # per-sub-cell counts == the global bucket counts), so the oracle
+    # collapses it — equality IS the mergeability contract, the same
+    # shape as sketch_rollup_distinct's MAX-merge argument
+    return _qsk_quantile_sql(
+        f"SELECT l_returnflag AS g, {_QSK_V} AS v FROM lineitem",
+        "l_returnflag",
+    )
 
 
 @_register("quantile_sketch_rollup", _qsk_rollup_sql())
@@ -12616,6 +12627,60 @@ def _q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p95").alias("p95_cents"),
         F.col("p99").alias("p99_cents"),
     ).orderBy("l_returnflag")
+
+
+# -- IVM quantile view (incremental percentile monitoring) --------------------
+
+_EV_CENTS = "CAST(floor(value * 100.0 + 0.5) AS BIGINT)"
+
+
+def _ivm_qsk_sql() -> str:
+    # oracle = one-shot quantile-sketch recipe over the FINAL row set
+    # (the ivm_* contract: incremental refreshes must land exactly
+    # where a from-scratch computation lands)
+    return _qsk_quantile_sql(
+        f"SELECT event_type AS g, {_EV_CENTS} AS v FROM events "
+        f"WHERE event_id % 5 <> 0",
+        "event_type",
+    )
+
+
+@_register("ivm_quantile_sketch", _ivm_qsk_sql())
+def _q_ivm_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type p50/p95/p99 of the value column (cents)
+    maintained INCREMENTALLY (plans/ivm.py::MaterializedQuantile):
+    two insert batches then a delete batch (event_id % 5) folded as
+    signed (group, bucket) cell counts — deletes are EXACT because
+    the sketch's only state is counts (a rank-based KLL/t-digest
+    would need a rebuild), the same argument as MaterializedDistinct's
+    support multiset. Refresh cost O(|delta| + touched buckets);
+    the quantile read scans only the cell table. Oracle = the
+    one-shot sketch recipe over the final surviving rows."""
+    import tempfile
+
+    from cocoindex_data_ingestion_spark.plans.ivm import (
+        MaterializedQuantile,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.expr(_EV_CENTS).alias("v")
+    )
+    view = MaterializedQuantile(
+        spark,
+        tempfile.mkdtemp(prefix="ivm_qsk_"),
+        group_col="event_type",
+        value_col="v",
+    )
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))
+    view.refresh(deletes=ev.filter(F.col("event_id") % 5 == 0))
+    return view.read_quantiles().select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("p50").alias("p50_cents"),
+        F.col("p95").alias("p95_cents"),
+        F.col("p99").alias("p99_cents"),
+    ).orderBy("event_type")
 
 
 # -- §2.8 triangle counting on the capped co-supply graph ---------------------

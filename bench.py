@@ -102,6 +102,7 @@ HEADLINE = [
     "curate_pii_redact",
     "curate_boilerplate_strip",
     "quantile_sketch_rollup",
+    "ivm_quantile_sketch",
     "phrase_search",
     "events_sequence_funnel",
     "embedding_centroids",

@@ -520,3 +520,118 @@ class MaterializedEWMA:
             walk, schema="g string, day long, n long, ewma double"
         )
         new_rows.write.mode("append").parquet(self._curve)
+
+
+class MaterializedQuantile:
+    """Per-group approximate quantiles maintained incrementally via
+    the deterministic mergeable quantile sketch
+    (operators/sketches.py::qsketch_*, DDSketch contract with the
+    pure-integer log2/16 bucket map).
+
+    State is the CELL table — one row per (group, bucket) with a
+    SIGNED count. Because the sketch's only state is counts, deletes
+    are EXACT (fold −1s), which rank-based quantile sketches
+    (KLL, t-digest) cannot do without rebuilding; this is the same
+    reason MaterializedDistinct keeps a support multiset. A refresh
+    aggregates the delta to signed per-(group, bucket) counts and
+    bucket-prune-merges them; rows whose count reaches 0 are
+    dropped. Cost per refresh O(|delta| + touched buckets);
+    ``read_quantiles`` scans only the cell table (groups × occupied
+    buckets — hundreds of rows), never the base relation.
+
+    ``value_col`` must be a positive BIGINT (quantize exactly
+    upstream, e.g. ``CAST(floor(x*100 + 0.5) AS BIGINT)``).
+    """
+
+    _SEP = "\x1f"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        group_col: str,
+        value_col: str,
+        n_buckets: int = 32,
+    ):
+        self.group_col = group_col
+        self.value_col = value_col
+        schema = f"k string, {group_col} string, bucket bigint, cnt bigint"
+        self.state = BucketedParquetState(
+            spark, path, schema, key_col="k", n_buckets=n_buckets
+        )
+
+    def _partials(self, delta: DataFrame, sign: int) -> DataFrame:
+        from cocoindex_data_ingestion_spark.operators.sketches import (
+            _qsk_bucket_expr,
+        )
+
+        g = self.group_col
+        return (
+            delta.select(
+                F.col(g).cast("string").alias(g),
+                F.col(self.value_col).alias("_v"),
+            )
+            .filter(F.col("_v").isNotNull())
+            .select(g, F.expr(_qsk_bucket_expr("_v")).alias("bucket"))
+            .groupBy(g, "bucket")
+            .agg((F.lit(sign) * F.count("*")).cast("bigint").alias("cnt"))
+        )
+
+    def refresh(
+        self,
+        inserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+    ) -> None:
+        parts = []
+        if inserts is not None:
+            parts.append(self._partials(inserts, +1))
+        if deletes is not None:
+            parts.append(self._partials(deletes, -1))
+        if not parts:
+            return
+        g = self.group_col
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = (
+            delta.groupBy(g, "bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+            .withColumn(
+                "k",
+                F.concat_ws(self._SEP, F.col(g), F.col("bucket")),
+            )
+        )
+        # bounded delta (groups × touched buckets), checkpointed once
+        # — the MaterializedAgg/Distinct job-count rationale
+        delta = delta.localCheckpoint(eager=True)
+
+        def fold(joined: DataFrame) -> DataFrame:
+            return joined.select(
+                "k",
+                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
+                F.coalesce(F.col("c.bucket"), F.col("d.bucket")).alias(
+                    "bucket"
+                ),
+                (
+                    F.coalesce(F.col("c.cnt"), F.lit(0))
+                    + F.coalesce(F.col("d.cnt"), F.lit(0))
+                ).alias("cnt"),
+            )
+
+        self.state.fold_merge(delta, fold, keep=F.col("cnt") > 0)
+
+    def read_cells(self) -> DataFrame:
+        return self.state.read()
+
+    def read_quantiles(
+        self, qs: tuple[float, ...] = (0.5, 0.95, 0.99)
+    ) -> DataFrame:
+        from cocoindex_data_ingestion_spark.operators.sketches import (
+            qsketch_quantiles,
+        )
+
+        return qsketch_quantiles(
+            self.state.read().select(self.group_col, "bucket", "cnt"),
+            [self.group_col],
+            qs,
+        )

@@ -76,3 +76,35 @@ def test_qsketch_small_values_exact(spark):
     vals = [1, 2, 3, 4, 5, 20, 31]
     assert est["p50"] == _exact_quantile(vals, 0.5) == 4
     assert est["p99"] == _exact_quantile(vals, 0.99) == 31
+
+
+def test_materialized_quantile_matches_recompute(spark, tmp_path):
+    """IVM contract: insert/insert/delete refreshes land exactly where
+    a from-scratch sketch over the surviving rows lands; deletes are
+    exact (signed counts), and emptied cells leave the state."""
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedQuantile
+
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_id", "event_type",
+        F.expr("CAST(floor(value * 100.0 + 0.5) AS BIGINT)").alias("v"),
+    )
+    view = MaterializedQuantile(
+        spark, str(tmp_path / "qsk"), group_col="event_type", value_col="v"
+    )
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
+    view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))
+    view.refresh(deletes=ev.filter(F.col("event_id") % 5 == 0))
+
+    survivors = ev.filter(F.col("event_id") % 5 != 0).withColumn(
+        "g", F.col("event_type")
+    )
+    direct = sketches.qsketch_quantiles(
+        sketches.qsketch_cells(survivors, ["g"], "v"), ["g"]
+    )
+    a = {r["event_type"]: (r["n"], r["p50"], r["p95"], r["p99"])
+         for r in view.read_quantiles().collect()}
+    b = {r["g"]: (r["n"], r["p50"], r["p95"], r["p99"])
+         for r in direct.collect()}
+    assert a == b
+    # no zero-count cells linger after the delete fold
+    assert view.read_cells().filter("cnt <= 0").count() == 0
