@@ -327,7 +327,11 @@ def det_hll_estimate(
 # so incremental ingest appends cells and rollups stay O(cells) at
 # 100 TB, exactly like the HLL register table. Quantile estimation is
 # an integer cumulative-count walk; the only doubles are the q*n rank
-# products, identical IEEE operations in both engines.
+# products, and the oracle twins CAST their q literals to DOUBLE so
+# the multiply is the same IEEE operation in both engines structurally
+# (DuckDB would otherwise parse a bare 0.95 as DECIMAL and compute
+# the rank exactly — coincident for these quantiles, but a different
+# operation).
 
 QSK_SMALL = 32  # values below this are their own (exact) bucket
 
@@ -365,13 +369,36 @@ def qsketch_cells(
     df: DataFrame, cell_cols: list[str], value_col: str
 ) -> DataFrame:
     """(cell..., bucket, cnt) quantile-sketch cell table over a
-    POSITIVE BIGINT value column (quantize exactly before calling —
-    e.g. decimal cents via CAST(price*100 AS BIGINT)). One map-side-
-    combinable exchange; cells merge downstream by SUM(cnt)."""
+    NON-NEGATIVE BIGINT value column (quantize exactly before calling
+    — e.g. decimal cents via CAST(floor(price*100 + 0.5) AS BIGINT)).
+    One map-side-combinable exchange; cells merge downstream by
+    SUM(cnt).
+
+    The value contract is ENFORCED, not assumed (r9 advisor): NULLs
+    are dropped (SQL-aggregate semantics — and Spark windows sort
+    NULL buckets first while DuckDB sorts them last, so a NULL
+    slipping into the cells would silently diverge from any oracle
+    twin), and a negative value raises (``bin()`` of a negative
+    BIGINT is its 64-bit two's complement — the bucket map would be
+    garbage). 0..QSK_SMALL-1 are their own exact buckets, so 0 is
+    fine."""
     return (
-        df.select(
+        df.filter(F.col(value_col).isNotNull())
+        .select(
             *[F.col(c) for c in cell_cols],
-            F.expr(_qsk_bucket_expr(value_col)).alias("bucket"),
+            F.coalesce(
+                # assert_true yields NULL when the predicate holds and
+                # raises otherwise, so the coalesce is an in-plan guard
+                # with one comparison per row and no extra action
+                F.assert_true(
+                    F.col(value_col) >= 0,
+                    F.lit(
+                        "qsketch_cells: value_col must be a"
+                        " non-negative BIGINT (quantize upstream)"
+                    ),
+                ).cast("bigint"),
+                F.expr(_qsk_bucket_expr(value_col)),
+            ).alias("bucket"),
         )
         .groupBy(*cell_cols, "bucket")
         .agg(F.count("*").alias("cnt"))

@@ -635,3 +635,252 @@ class MaterializedQuantile:
             [self.group_col],
             qs,
         )
+
+
+class MaterializedJoin:
+    """An equi-join view ``A ⋈ B`` maintained under insert AND delete
+    batches on EITHER side via the standard delta rule with
+    signed-count multiplicity:
+
+        ``Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB``
+
+    (``A_new = A_old + ΔA`` absorbs the ``ΔA ⋈ ΔB`` cross term, so
+    each batch's contribution is counted exactly once). Deltas are
+    signed multisets — inserts +1, deletes −1 — and view-row
+    multiplicities are products of side multiplicities, so deletes
+    are EXACT folds (the MaterializedQuantile/Distinct signed-count
+    argument, one level up: bag-join multiplicity is a sum of
+    products of counts, and counts subtract).
+
+    This is the one classic IVM operator a 100 TB pipeline needs to
+    keep a two-table exported view fresh without recompute — e.g. the
+    chunks ⋈ document-metadata join every publish-on-approval export
+    performs (reference: app/tasks/document_tasks.py:1587-1737 always
+    re-joins; the engine's incremental machinery skips unchanged ROWS
+    — src/execution/row_indexer.rs:506-587 content-hash skip,
+    src/execution/memoization.rs function cache — but maintains no
+    joined VIEW).
+
+    State = three bucketed tables under ``path``:
+
+    - ``a`` / ``b`` — the side multisets, one row per distinct
+      (key, payload...) with multiplicity ``m``, BUCKETED BY THE JOIN
+      KEY so the delta rule's cross reads (current B rows for ΔA's
+      keys, current A rows for ΔB's keys) are bucket-pruned
+      ``read_keys`` lookups — O(touched keys), never O(side).
+    - ``view`` — one row per distinct joined row keyed by the full
+      row composite, fold-merged with the signed view delta; rows
+      whose multiplicity reaches 0 disappear.
+
+    Cost per refresh: O(|delta| + matching rows of the other side +
+    touched buckets). Join keys are cast to string (the family
+    convention); NULL keys are dropped (SQL inner-join semantics).
+    Payload columns must have disjoint names across the two sides
+    (beyond the shared key) and simple (string-castable) types.
+    """
+
+    _SEP = "\x1f"
+    _NULL = "\x00"  # composite-key sentinel for NULL payload values
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        a_schema: str,
+        b_schema: str,
+        n_buckets: int = 32,
+    ):
+        """``a_schema`` / ``b_schema``: DDL fragments for the payload
+        columns of each side (the join key is held separately), e.g.
+        ``"o_orderkey bigint, total_cents bigint"``."""
+        import os
+
+        self.spark = spark
+        self.key_col = key_col
+        # parse payload column names via Spark's DDL parser (robust to
+        # nested types that a text split on ',' would break)
+        self.a_cols = spark.createDataFrame([], a_schema).columns
+        self.b_cols = spark.createDataFrame([], b_schema).columns
+        dup = set(self.a_cols) & set(self.b_cols)
+        if dup or key_col in self.a_cols or key_col in self.b_cols:
+            raise ValueError(
+                f"MaterializedJoin: payload columns must be disjoint"
+                f" and not shadow the key ({sorted(dup)})"
+            )
+        reserved = {"k", "m"} & ({key_col} | set(self.a_cols) | set(self.b_cols))
+        if reserved:
+            raise ValueError(
+                f"MaterializedJoin: column names {sorted(reserved)} are"
+                f" reserved (composite key 'k', multiplicity 'm')"
+            )
+        self.a_state = BucketedParquetState(
+            spark, os.path.join(path, "a"),
+            f"{key_col} string, {a_schema}, m bigint",
+            key_col=key_col, n_buckets=n_buckets,
+        )
+        self.b_state = BucketedParquetState(
+            spark, os.path.join(path, "b"),
+            f"{key_col} string, {b_schema}, m bigint",
+            key_col=key_col, n_buckets=n_buckets,
+        )
+        self.view_state = BucketedParquetState(
+            spark, os.path.join(path, "view"),
+            f"k string, {key_col} string, {a_schema}, {b_schema},"
+            f" m bigint",
+            key_col="k", n_buckets=n_buckets,
+        )
+
+    # -- signed side deltas ------------------------------------------------
+
+    def _signed(
+        self,
+        inserts: DataFrame | None,
+        deletes: DataFrame | None,
+        cols: list[str],
+    ) -> DataFrame | None:
+        k = self.key_col
+        parts = []
+        for df, sign in ((inserts, +1), (deletes, -1)):
+            if df is None:
+                continue
+            parts.append(
+                df.select(
+                    F.col(k).cast("string").alias(k), *cols
+                )
+                .filter(F.col(k).isNotNull())
+                .groupBy(k, *cols)
+                .agg((F.lit(sign) * F.count("*")).cast("bigint").alias("m"))
+            )
+        if not parts:
+            return None
+        delta = parts[0]
+        for p in parts[1:]:
+            delta = delta.unionByName(p)
+        delta = (
+            delta.groupBy(k, *cols)
+            .agg(F.sum("m").cast("bigint").alias("m"))
+            .filter(F.col("m") != 0)
+        )
+        # bounded (distinct delta rows), read several times below —
+        # the MaterializedAgg checkpoint rationale
+        return delta.localCheckpoint(eager=True)
+
+    def _apply_side(
+        self, state: BucketedParquetState, delta: DataFrame, cols: list[str]
+    ) -> None:
+        """Fold a signed delta into a side multiset: full replacement
+        of the touched keys' rows (read_keys returns exactly those),
+        rows folding to m<=0 dropped, keys left empty deleted."""
+        k = self.key_col
+        cur = state.read_keys(delta.select(k))
+        new = (
+            cur.unionByName(delta)
+            .groupBy(k, *cols)
+            .agg(F.sum("m").cast("bigint").alias("m"))
+            .filter(F.col("m") > 0)
+            .localCheckpoint(eager=True)  # bounded: touched keys' rows
+        )
+        gone = (
+            delta.select(k).distinct()
+            .join(new.select(k).distinct(), k, "left_anti")
+        )
+        state.merge(new, delete_keys=gone)
+
+    # -- refresh -----------------------------------------------------------
+
+    def refresh(
+        self,
+        a_inserts: DataFrame | None = None,
+        a_deletes: DataFrame | None = None,
+        b_inserts: DataFrame | None = None,
+        b_deletes: DataFrame | None = None,
+    ) -> None:
+        """Fold one batch of side deltas into the view. Evaluation
+        order is load-bearing: ``ΔA ⋈ B`` reads B BEFORE ΔB is
+        applied, ``ΔB ⋈ A`` reads A AFTER ΔA is applied — that
+        asymmetry is what makes the ``ΔA ⋈ ΔB`` cross term appear
+        exactly once."""
+        k = self.key_col
+        da = self._signed(a_inserts, a_deletes, self.a_cols)
+        db = self._signed(b_inserts, b_deletes, self.b_cols)
+        if da is None and db is None:
+            return
+
+        dv_parts = []
+        if da is not None:
+            b_old = self.b_state.read_keys(da.select(k))
+            dv_parts.append(
+                da.alias("x")
+                .join(b_old.alias("y"), k)
+                .select(
+                    F.col(k), *self.a_cols, *self.b_cols,
+                    (F.col("x.m") * F.col("y.m")).alias("m"),
+                )
+            )
+            self._apply_side(self.a_state, da, self.a_cols)
+        if db is not None:
+            a_new = self.a_state.read_keys(db.select(k))
+            dv_parts.append(
+                a_new.alias("x")
+                .join(db.alias("y"), k)
+                .select(
+                    F.col(k), *self.a_cols, *self.b_cols,
+                    (F.col("x.m") * F.col("y.m")).alias("m"),
+                )
+            )
+            self._apply_side(self.b_state, db, self.b_cols)
+
+        dv = dv_parts[0]
+        for p in dv_parts[1:]:
+            dv = dv.unionByName(p)
+        payload = self.a_cols + self.b_cols
+        dv = (
+            dv.groupBy(k, *payload)
+            .agg(F.sum("m").cast("bigint").alias("m"))
+            .filter(F.col("m") != 0)
+            .withColumn(
+                "k",
+                F.concat_ws(
+                    self._SEP,
+                    F.col(k),
+                    # NULL-vs-missing disambiguation: concat_ws SKIPS
+                    # nulls, which would collide (x, NULL, y) with
+                    # (x, y, NULL) — coalesce each payload to a
+                    # reserved sentinel instead
+                    *[
+                        F.coalesce(
+                            F.col(c).cast("string"), F.lit(self._NULL)
+                        )
+                        for c in payload
+                    ],
+                ),
+            )
+            .localCheckpoint(eager=True)  # bounded view delta
+        )
+
+        g = self.key_col
+
+        def fold(joined: DataFrame) -> DataFrame:
+            return joined.select(
+                "k",
+                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
+                *[
+                    F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
+                    for c in payload
+                ],
+                (
+                    F.coalesce(F.col("c.m"), F.lit(0))
+                    + F.coalesce(F.col("d.m"), F.lit(0))
+                ).alias("m"),
+            )
+
+        self.view_state.fold_merge(dv, fold, keep=F.col("m") > 0)
+
+    def read(self) -> DataFrame:
+        """The maintained view: one row per distinct joined row with
+        its bag multiplicity ``m`` (== the from-scratch join's
+        ``GROUP BY *`` count over the final side states)."""
+        return self.view_state.read().select(
+            self.key_col, *self.a_cols, *self.b_cols, "m"
+        )

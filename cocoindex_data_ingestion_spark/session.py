@@ -90,3 +90,67 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def streaming_conf(
+    expected_state_rows: int,
+    bytes_per_row: int,
+    target_mb_per_partition: int = 64,
+    parallelism_floor: int = 1,
+    ceiling: int | None = None,
+) -> dict[str, str]:
+    """State-partition sizing rule as an API (r9 verdict directive
+    #4): the number of shuffle/state partitions a stateful streaming
+    query should run with is a WORKLOAD property — state volume over
+    target per-partition state — not a global default, which is why
+    ``get_spark`` deliberately never sets it below the core count
+    (4 partitions fits a sf0.1 replay and would strangle a cluster).
+
+        partitions = clamp(ceil(rows * bytes / target),
+                           parallelism_floor, ceiling)
+
+    - ``expected_state_rows`` × ``bytes_per_row`` — the keyed-state
+      volume the operator holds at steady state (for a windowed/
+      interval op: rows within the watermark horizon; for a keyed
+      upsert: one row per live key).
+    - ``target_mb_per_partition`` — how much state one RocksDB store
+      instance should own. 64 MB default: big enough that per-commit
+      overhead (changelog upload, snapshot) amortizes, small enough
+      that a lost executor replays quickly.
+    - ``parallelism_floor`` — partition count also caps TASK
+      parallelism, so pipelines whose per-batch work is CPU-bound
+      (e.g. an Arrow/pandas-UDF stage) pass the worker count they
+      want even when state is tiny. State sizing and compute sizing
+      are different masters; the floor makes the second one explicit
+      instead of hand-carried (bench.py's old TUNED_* literals).
+    - ``ceiling`` — optional hard cap (e.g. cores × a small factor on
+      a fixed-size cluster).
+
+    Returns a conf dict for ``get_spark(extra_conf=...)`` /
+    ``spark.conf.set`` — ``spark.sql.shuffle.partitions`` governs
+    the state-store instance count of a NEW streaming query (it is
+    pinned into the checkpoint at first start)."""
+    import math
+
+    if expected_state_rows < 0 or bytes_per_row <= 0:
+        raise ValueError(
+            "streaming_conf: expected_state_rows must be >= 0 and"
+            " bytes_per_row > 0"
+        )
+    if target_mb_per_partition <= 0 or parallelism_floor < 1:
+        raise ValueError(
+            "streaming_conf: target_mb_per_partition must be > 0 and"
+            " parallelism_floor >= 1"
+        )
+    sized = math.ceil(
+        expected_state_rows * bytes_per_row
+        / (target_mb_per_partition * 1024 * 1024)
+    )
+    parts = max(parallelism_floor, sized, 1)
+    if ceiling is not None:
+        if ceiling < parallelism_floor:
+            raise ValueError(
+                "streaming_conf: ceiling must be >= parallelism_floor"
+            )
+        parts = min(parts, ceiling)
+    return {"spark.sql.shuffle.partitions": str(parts)}

@@ -43,6 +43,14 @@ def patterns_to_glob(patterns: list[str]) -> str:
     ``{*.md,*.txt}`` — selection happens at LISTING time (never a
     post-scan filter), which at 100 TB is the difference between
     listing matching keys and reading every object."""
+    if not patterns:
+        # '{}' (the naive join) is a degenerate glob matching nothing
+        # intelligible — fail loudly instead of silently listing zero
+        # files (callers wanting everything pass the ['*'] default)
+        raise ValueError(
+            "patterns_to_glob: empty patterns list (use ['*'] to match"
+            " everything)"
+        )
     if len(patterns) == 1:
         return patterns[0]
     return "{" + ",".join(patterns) + "}"
