@@ -103,6 +103,9 @@ HEADLINE = [
     "curate_boilerplate_strip",
     "quantile_sketch_rollup",
     "ivm_quantile_sketch",
+    # round-10 additions: delta-join IVM + sketch-backed SLO stats
+    "ivm_join_view",
+    "percentile_stats_sketch",
     "phrase_search",
     "events_sequence_funnel",
     "embedding_centroids",
@@ -366,6 +369,9 @@ SMALL_RESULT = {
     # substring/context expressions (sse_document_events stays
     # count()-measured — its change filter keeps the window pass)
     "doc_chunks_with_context",
+    # round-10: 5-row grouped sketch output (ivm_join_view stays
+    # count()-measured — its view read is a state-table scan)
+    "percentile_stats_sketch",
 }
 
 
@@ -401,6 +407,9 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 
     import cocoindex_data_ingestion_spark.streaming.events as se
     from cocoindex_data_ingestion_spark.plans.ivm import MaterializedAgg
+    from cocoindex_data_ingestion_spark.session import (
+        streaming_conf as se_conf,
+    )
     from cocoindex_data_ingestion_spark.sources.tables import load_table
 
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
@@ -443,18 +452,33 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     def stream():
         return se.read_events_stream(spark, src, max_files_per_trigger=1)
 
-    # Per-op tuned confs. r9: the RocksDB state-store provider — the
-    # promotable half of the old tuned delta — is now the SESSION
-    # DEFAULT (session.py, r8 verdict directive #5), so untuned rows
-    # inherit it and the _tuned rows isolate exactly the part that is
-    # NOT a safe default: shuffle/state partition COUNT. 4 partitions
-    # fits this replay's per-batch state (thousands of rows — 32
-    # store instances × batches is pure commit overhead) but is
-    # workload sizing: at 100 TB event volume the wide untuned shape
-    # is the right one. The upsert/IVM rows keep 16 for
-    # python-worker parallelism (Arrow-stage-bound).
-    TUNED_JOIN = {"spark.sql.shuffle.partitions": "4"}
-    TUNED_PY = {"spark.sql.shuffle.partitions": "16"}
+    # Per-op tuned confs — DERIVED via session.streaming_conf (r9
+    # verdict directive #4), not hand-carried literals. r9 context:
+    # the RocksDB state-store provider is the SESSION DEFAULT, so
+    # untuned rows inherit it and the _tuned rows isolate exactly the
+    # part that is NOT a safe default: shuffle/state partition COUNT
+    # (workload sizing — at 100 TB event volume the wide untuned
+    # shape is the right one).
+    #
+    # - interval join: per-batch state is the rows buffered inside
+    #   the 30-min lookback until the watermark passes them — about
+    #   one micro-batch of purchases+clicks (~4k rows × ~100 B ≈
+    #   0.4 MB), so the size rule gives 1 partition. Measured parity
+    #   vs the old hand-tuned 4 (isolated sf0.1 A/B, min of 2 reps:
+    #   1 part → 9.47 s, 2 → 9.48, 4 → 10.66): the derived conf is
+    #   at parity or slightly better — store-instance commit
+    #   overhead, not parallelism, dominates at this state size.
+    # - upsert/IVM: state is equally tiny, but their per-batch work
+    #   is Arrow/python-stage-bound, so the PARALLELISM FLOOR (16
+    #   workers — the r5-r9 tuned value) dominates the size rule;
+    #   the helper makes that second master explicit.
+    TUNED_JOIN = se_conf(
+        expected_state_rows=4_000, bytes_per_row=100
+    )
+    TUNED_PY = se_conf(
+        expected_state_rows=4_000, bytes_per_row=100,
+        parallelism_floor=16,
+    )
 
     def with_conf(conf: dict, fn):
         saved = {k: spark.conf.get(k, None) for k in conf}
@@ -534,9 +558,15 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             run(tag)
             recs.append(results.pop(base + tag))
         ok = [r for r in recs if not r.get("timed_out")]
-        results[base + suffix] = min(
-            ok or recs, key=lambda r: r["wall_sec"]
-        )
+        chosen = dict(min(ok or recs, key=lambda r: r["wall_sec"]))
+        # keep the rep spread (r9 directive #3 — same rationale as the
+        # batch rows' rep_spread)
+        chosen["wall_spread"] = {
+            "min": min(r["wall_sec"] for r in recs),
+            "max": max(r["wall_sec"] for r in recs),
+            "n_reps": len(recs),
+        }
+        results[base + suffix] = chosen
 
     for run, base, tuned in (
         (run_upsert, "ordinal_upsert_stream", TUNED_PY),
@@ -600,9 +630,16 @@ def main() -> None:
     # is hostage to transient host noise (observed 2-3x swings on the
     # shared box with identical plans); the minimum is the
     # reproducible engine cost. Every rep executes the complete plan.
+    # The spread the min throws away is KEPT per row (r9 verdict
+    # directive #3): the variance protocol (SCALING.md Round-9
+    # postscript) labels a slow row "host window" vs "regression" by
+    # whether its NEIGHBOR reps/rows were also inflated — rep_spread
+    # + rep_summary put that evidence in the artifact itself.
     N_REPS = 3
-    times: dict[str, float] = {}
+    rep_times: dict[str, list[float]] = {}
+    rep_totals: list[float] = []
     for rep in range(N_REPS):
+        t_rep = time.time()
         for name in HEADLINE:
             fn = qs[name]
             t0 = time.time()
@@ -611,9 +648,11 @@ def main() -> None:
                 df.collect()
             else:
                 df.count()
-            el = round(time.time() - t0, 3)
-            if name not in times or el < times[name]:
-                times[name] = el
+            rep_times.setdefault(name, []).append(
+                round(time.time() - t0, 3)
+            )
+        rep_totals.append(round(time.time() - t_rep, 3))
+    times: dict[str, float] = {n: min(v) for n, v in rep_times.items()}
 
     # Dual-path PCA visibility (r8 verdict directive #6): since r8
     # the registry row `embedding_pca_project` prices the
@@ -632,10 +671,32 @@ def main() -> None:
         t0 = time.time()
         mean, comps, _eig = _vs.pca_fit(emb_pca, q=2)
         _vs.pca_project(emb_pca, mean, comps).count()
-        el = round(time.time() - t0, 3)
-        name = "embedding_pca_project_prod"
-        if name not in times or el < times[name]:
-            times[name] = el
+        rep_times.setdefault("embedding_pca_project_prod", []).append(
+            round(time.time() - t0, 3)
+        )
+    times["embedding_pca_project_prod"] = min(
+        rep_times["embedding_pca_project_prod"]
+    )
+
+    # Per-row rep spread + a run-level summary of the max/min ratios:
+    # a future round reading a slow row checks `rep_spread[row]` (was
+    # the row's own fast rep also slow?) and `rep_summary` (were MANY
+    # rows inflated this run → host window; one row across all reps →
+    # real regression) without re-measuring.
+    rep_spread = {
+        n: {"min": min(v), "max": max(v), "n_reps": len(v)}
+        for n, v in rep_times.items()
+    }
+    ratios = sorted(
+        s["max"] / s["min"] for s in rep_spread.values() if s["min"] > 0
+    )
+    rep_summary = {
+        "rep_totals": rep_totals,
+        "ratio_p50": round(ratios[len(ratios) // 2], 3) if ratios else None,
+        "ratio_p90": round(ratios[(len(ratios) * 9) // 10], 3)
+        if ratios else None,
+        "rows_over_1p5x": sum(r > 1.5 for r in ratios),
+    }
 
     # streaming surface: rows/sec + per-batch latency (one pass, not
     # min-over-reps — stream replay is already a 10-batch average).
@@ -682,6 +743,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "rep_spread": rep_spread,
+        "rep_summary": rep_summary,
         "streaming": streaming,
         "leg_builds": leg_builds,
         "cold": cold,

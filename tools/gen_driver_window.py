@@ -39,19 +39,21 @@ WINDOW_SIZE = 50
 
 CANARIES = ["hybrid_rrf", "q1_pricing_summary"]
 
-# Regression watches for round 9: the four SLO flagships (always
+# Regression watches for round 10: the four SLO flagships (always
 # worth a driver re-check after any entry rework) plus the two
-# bench-drift rows the r8 verdict ordered root-caused
-# (graph_reachability_cte +0.65 s, corpus_qq_table +0.32 s) — any
-# fix or re-baseline this round touches their code paths, so the
-# driver gate should re-verify their values too.
+# quantile-sketch rows whose shared oracle body changed this round
+# (the q-literal CAST-to-DOUBLE fix in `_qsk_quantile_sql` and the
+# value-contract guard in qsketch_cells touch both their Spark and
+# DuckDB sides). The r9 bench-drift watches (graph_reachability_cte,
+# corpus_qq_table) are dropped: both were re-verified green in r9 and
+# the drift was root-caused to a host window, not their code.
 WATCHES = [
     "indexed_hybrid_rrf",
     "indexed_vector_knn",
     "indexed_bm25_search",
     "indexed_graph_reachability",
-    "graph_reachability_cte",
-    "corpus_qq_table",
+    "quantile_sketch_rollup",
+    "ivm_quantile_sketch",
 ]
 
 # Staleness bound (r8 verdict directive #3): no oracled entry may go
