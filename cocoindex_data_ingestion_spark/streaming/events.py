@@ -385,6 +385,55 @@ def foreach_batch_drift(monitor, applied_path: str | None = None):
     return _sink
 
 
+def foreach_batch_join_cdc(
+    view,
+    side: str,
+    op_col: str = "_op",
+    applied_path: str | None = None,
+):
+    """Streaming maintenance of a :class:`..plans.ivm.MaterializedJoin`
+    from a CDC stream of ONE side: each micro-batch carries rows
+    tagged ``op_col`` = ``'insert'`` or ``'delete'`` (a Debezium-style
+    changefeed), which the sink splits into the side's signed deltas
+    and folds via the delta rule — the joined export view stays fresh
+    without ever re-running the join (reference
+    app/tasks/document_tasks.py:1587-1737 re-joins on every publish).
+
+    Join deltas are NOT idempotent (a re-delivered batch would
+    double-apply its signed counts), so exactly-once comes from the
+    same per-side batchId fence as :func:`foreach_batch_ivm`: Spark
+    replays a failed batch with the SAME batchId, which the fence
+    turns into a no-op after the first successful apply. Two CDC
+    streams (one per side) each use their OWN fence file."""
+    import os
+
+    if side not in ("a", "b"):
+        raise ValueError("foreach_batch_join_cdc: side must be 'a' or 'b'")
+    path = applied_path or os.path.join(
+        view.view_state.path, f"_LAST_BATCH_{side}"
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        try:
+            with open(path) as f:
+                last = int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            last = -1
+        if batch_id <= last:
+            return
+        ops = F.col(op_col)
+        view.refresh(**{
+            f"{side}_inserts": batch_df.filter(ops == "insert").drop(op_col),
+            f"{side}_deletes": batch_df.filter(ops == "delete").drop(op_col),
+        })
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, path)
+
+    return _sink
+
+
 # -- SSE change-event stream, true streaming form (app/api/sse.py:81-162) ------
 
 _SSE_OUT_SCHEMA = "doc_id long, seq long, status string, event_type string"

@@ -106,6 +106,47 @@ def test_materialized_join_matrix(spark, tmp_path):
     check()
 
 
+def test_foreach_batch_join_cdc_exactly_once(spark, tmp_path):
+    """CDC hook contract: tagged insert/delete micro-batches maintain
+    the join view, and a REPLAYED batchId (Spark's failed-batch
+    retry) is a no-op — the per-side fence makes the non-idempotent
+    signed fold exactly-once."""
+    from cocoindex_data_ingestion_spark.plans.ivm import MaterializedJoin
+    from cocoindex_data_ingestion_spark.streaming.events import (
+        foreach_batch_join_cdc,
+    )
+
+    view = MaterializedJoin(
+        spark, str(tmp_path / "cdc"), key_col="ck",
+        a_schema="aid long", b_schema="bv string",
+    )
+    view.refresh(
+        b_inserts=spark.createDataFrame(
+            [("1", "b1"), ("2", "b2")], B_SCHEMA
+        )
+    )
+    sink = foreach_batch_join_cdc(view, side="a")
+    cdc = "ck string, aid long, _op string"
+    b0 = spark.createDataFrame(
+        [("1", 10, "insert"), ("1", 11, "insert"), ("2", 20, "insert")],
+        cdc,
+    )
+    b1 = spark.createDataFrame(
+        [("1", 10, "delete"), ("2", 21, "insert")], cdc
+    )
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b1, 1)  # replayed batch: must not double-apply
+    got = {
+        (r["ck"], r["aid"], r["bv"]): r["m"] for r in view.read().collect()
+    }
+    assert got == {
+        ("1", 11, "b1"): 1,
+        ("2", 20, "b2"): 1,
+        ("2", 21, "b2"): 1,
+    }
+
+
 def test_materialized_join_validates_columns(spark, tmp_path):
     from cocoindex_data_ingestion_spark.plans.ivm import MaterializedJoin
 
