@@ -11177,6 +11177,31 @@ def _q_curate_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.decontaminate(train, bench, "doc_id", "text", n=_DECON_N)
 
 
+@_register("curate_decontaminate_bloom", _DECON_SQL)
+def _q_curate_decon_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination behind a deterministic Bloom pre-filter
+    (curation.decontaminate_bloom, r10): the SAME answer as
+    `curate_decontaminate` — no false negatives, false positives
+    killed by the exact verify join — which is why the ORACLE is the
+    same exact SQL; what changes is the plan's scale regime. The
+    plain recipe broadcasts the eval gram hashes and dies when a
+    combined benchmark suite reaches 1e8-1e9 distinct n-grams (~3-30
+    GB — over any broadcast bound, forcing a full shuffle of the
+    100 TB training gram stream); the Bloom version broadcasts an
+    m-bit bitset instead (128 MB covers 1e8 grams at ~2% FP), drops
+    non-matching grams MAP-SIDE via pure Column bit arithmetic
+    (xxhash64 probes + bit_or bitset + broadcast word join), and
+    shuffles only |matches| + fp*|grams| into the unhinted verify
+    join. Equality-with-plain plus a forced-false-positive variant
+    are pinned in tests/test_round10_ops.py."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % _DECON_MOD == 0)
+    train = docs.filter(F.col("doc_id") % _DECON_MOD != 0)
+    return curation.decontaminate_bloom(
+        train, bench, "doc_id", "text", n=_DECON_N
+    )
+
+
 # -- per-source corpus profile (mixture monitoring) ---------------------------
 
 _SOURCE_PROFILE_SQL = f"""

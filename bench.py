@@ -103,9 +103,13 @@ HEADLINE = [
     "curate_boilerplate_strip",
     "quantile_sketch_rollup",
     "ivm_quantile_sketch",
-    # round-10 additions: delta-join IVM + sketch-backed SLO stats
+    # round-10 additions: delta-join IVM + sketch-backed SLO stats +
+    # Bloom-prefiltered decontamination (companion to
+    # curate_decontaminate — same answer, the too-big-to-broadcast
+    # eval-set plan; both rows stay visible like the PCA dual-path)
     "ivm_join_view",
     "percentile_stats_sketch",
+    "curate_decontaminate_bloom",
     "phrase_search",
     "events_sequence_funnel",
     "embedding_centroids",

@@ -182,6 +182,48 @@ CASE WHEN len({toks}) >= {n}
 """
 
 
+def _bench_gram_hashes(benchmark: DataFrame, text_col: str, n: int) -> DataFrame:
+    return (
+        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+        .select(F.md5("gram").alias("gram_h"))
+    )
+
+
+def _train_gram_hashes(
+    train: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, gram_h) stream for the 100 TB training side — shared by
+    :func:`decontaminate` and :func:`decontaminate_bloom`.
+
+    Uses posexplode + lead-window n-gram construction instead of the
+    array-lambda form: Spark's higher-order transform/slice runs in
+    the interpreted evaluator (measured ~5-10x slower at 250k grams),
+    while lead() windows and concat_ws stay in whole-stage codegen.
+    Same strings, so the same distinct-gram multiset as
+    :func:`word_ngrams` (equivalence asserted in tests) and the
+    DuckDB twin.
+
+    (Repartitioning the DOC rows by id before exploding — to
+    pre-satisfy the window's distribution with a ~500x smaller
+    exchange — was measured a net loss here: AQE coalesces the
+    byte-tiny doc exchange to few partitions and the explode then
+    runs with no parallelism. The token-level exchange is the right
+    trade while docs-per-core is low; at true corpus scale flip to
+    the doc-level repartition with AQE coalescing capped.)"""
+    w = Window.partitionBy(id_col).orderBy("pos")
+    toks = train.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
+    )
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        toks.withColumn("gram", F.concat_ws(" ", *parts))
+        .withColumn("_last", parts[-1])
+        .filter(F.col("_last").isNotNull())
+        .select(id_col, F.md5("gram").alias("gram_h"))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     benchmark: DataFrame,
@@ -200,36 +242,8 @@ def decontaminate(
     scan + explode with no shuffle; the final per-doc count shuffles
     only the matched (tiny) subset.
     """
-    bench_grams = (
-        benchmark.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
-        .distinct()
-        .select(F.md5("gram").alias("gram_h"))
-    )
-    # Train side uses posexplode + lead-window n-gram construction
-    # instead of the array-lambda form: Spark's higher-order
-    # transform/slice runs in the interpreted evaluator (measured
-    # ~5-10x slower at 250k grams), while lead() windows and concat_ws
-    # stay in whole-stage codegen. Same strings, so the same
-    # distinct-gram multiset as :func:`word_ngrams` (equivalence
-    # asserted in tests) and the DuckDB twin.
-    w = Window.partitionBy(id_col).orderBy("pos")
-    # (Repartitioning the DOC rows by id before exploding — to
-    # pre-satisfy the window's distribution with a ~500x smaller
-    # exchange — was measured a net loss here: AQE coalesces the
-    # byte-tiny doc exchange to few partitions and the explode then
-    # runs with no parallelism. The token-level exchange is the
-    # right trade while docs-per-core is low; at true corpus scale
-    # flip to the doc-level repartition with AQE coalescing capped.)
-    toks = train.select(
-        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "token")
-    )
-    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
-    train_grams = (
-        toks.withColumn("gram", F.concat_ws(" ", *parts))
-        .withColumn("_last", parts[-1])
-        .filter(F.col("_last").isNotNull())
-        .select(id_col, F.md5("gram").alias("gram_h"))
-    )
+    bench_grams = _bench_gram_hashes(benchmark, text_col, n)
+    train_grams = _train_gram_hashes(train, id_col, text_col, n)
     # distinct AFTER the broadcast join: the join is shuffle-free and
     # filters the 100 TB gram stream down to the matched (tiny)
     # subset, so deduplicating (id, gram) there costs a shuffle of
@@ -237,6 +251,103 @@ def decontaminate(
     # (count of DISTINCT shared grams per doc).
     return (
         train_grams.join(F.broadcast(bench_grams), "gram_h")
+        .select(id_col, "gram_h")
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`decontaminate` behind a deterministic Bloom pre-filter
+    — SAME answer (the Bloom has no false negatives and its false
+    positives are removed by an exact verify join), different plan
+    for the regime :func:`decontaminate` cannot reach: an eval gram
+    set too large to broadcast as md5 strings. A combined benchmark
+    suite at 1e8-1e9 distinct n-grams is ~3-30 GB of hashes — far
+    over any broadcast threshold, forcing the plain recipe to
+    SHUFFLE the full 100 TB training gram stream into a sort-merge
+    join. The Bloom version broadcasts an ``m_bits``-bit bitset
+    (2^30 bits = 128 MB covers 1e8 grams at k=4 with ~2% FP) and
+    drops non-matching grams MAP-SIDE; only survivors — true matches
+    plus the FP-rate sliver — reach the exact verify join, whose
+    shuffle volume is |matches| + fp_rate * |grams|, not |grams|.
+
+    Construction is pure Column arithmetic, no UDFs: positions are
+    ``pmod(xxhash64(gram_h, seed_i), m_bits)``, the bitset is a
+    (word, bits) table built with ``bit_or(shiftleft(1, pos % 64))``
+    — m_bits/64 rows (16 KB of longs per 2^20 bits), broadcast-
+    joined against the train side's k exploded positions; a gram
+    passes iff all k probes find their bit set. The verify join is
+    deliberately left UNHINTED: AQE broadcasts the (small) true
+    bench set at fixture scale and falls back to shuffle at
+    too-big-to-broadcast scale — the boilerplate_strip precedent.
+
+    The k-way position explode amplifies the map-side gram stream
+    k-fold BEFORE any exchange — narrow rows through a broadcast
+    hash probe, the classic bandwidth-for-shuffle trade.
+    """
+    bench_grams = _bench_gram_hashes(benchmark, text_col, n)
+
+    def positions(col: Column) -> list[Column]:
+        # k independent probes from one 64-bit hash family:
+        # xxhash64(gram_h, seed_i) — seed folded in as a column so
+        # every probe is a distinct deterministic function
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(k)
+        ]
+
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(_p % 64 AS INT))")
+    bitset = (
+        bench_grams.select(
+            F.explode(F.array(*positions(F.col("gram_h")))).alias("_p")
+        )
+        .select(F.expr("_p DIV 64").alias("word"), mask.alias("_m"))
+        .groupBy("word")
+        .agg(F.bit_or("_m").alias("bits"))
+    )
+
+    train_grams = _train_gram_hashes(train, id_col, text_col, n)
+    probes = train_grams.select(
+        id_col,
+        "gram_h",
+        F.explode(F.array(*positions(F.col("gram_h")))).alias("_p"),
+    ).select(
+        id_col, "gram_h", F.expr("_p DIV 64").alias("word"), mask.alias("_m")
+    )
+    # inner join + bit test: a probe whose word row is absent or
+    # whose bit is 0 disappears. A gram occurring t times in a doc
+    # contributes t*k probe rows (the stream is NOT per-doc-distinct
+    # — deduplicating it first would cost exactly the full-gram
+    # shuffle this operator exists to avoid), and all t occurrences
+    # probe identically, so the surviving count is t*s where s = set
+    # probes. The pass test must be >= k, not == k: a true bench
+    # gram has s == k, hence count t*k >= k for any t (NO false
+    # negatives); a partial-hit repeated gram (s < k, t >= 2) can
+    # reach t*s >= k and sneak through — a false positive, which the
+    # exact verify below removes like any other.
+    survivors = (
+        probes.join(F.broadcast(bitset), "word")
+        .filter((F.col("bits").bitwiseAND(F.col("_m"))) != 0)
+        .groupBy(id_col, "gram_h")
+        .agg(F.count("*").alias("_k_set"))
+        .filter(F.col("_k_set") >= k)
+        .select(id_col, "gram_h")
+    )
+    # exact verify (kills Bloom false positives): unhinted join — at
+    # fixture scale AQE broadcasts bench_grams, at 1e9-gram scale it
+    # shuffles ONLY the survivor sliver
+    return (
+        survivors.join(bench_grams, "gram_h")
         .select(id_col, "gram_h")
         .distinct()
         .groupBy(id_col)

@@ -181,6 +181,41 @@ def test_qsketch_cells_drops_nulls_and_rejects_negative(spark):
         sketches.qsketch_cells(bad, ["g"], "v").collect()
 
 
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom pre-filter is answer-preserving: same (doc, n_hits)
+    as the plain broadcast recipe on real fixture docs, and STILL
+    equal with a deliberately tiny bitset (m_bits=256 forces heavy
+    false positives — the exact verify join must remove all of
+    them)."""
+    from cocoindex_data_ingestion_spark.operators import curation
+    from cocoindex_data_ingestion_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    exact = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate(
+            train, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert exact  # fixture must actually produce contamination hits
+    bloom = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate_bloom(
+            train, bench, "doc_id", "text", n=3
+        ).collect()
+    }
+    assert bloom == exact
+    fp_heavy = {
+        (r["doc_id"], r["n_hits"])
+        for r in curation.decontaminate_bloom(
+            train, bench, "doc_id", "text", n=3, m_bits=256, k=2
+        ).collect()
+    }
+    assert fp_heavy == exact
+
+
 def test_patterns_to_glob_rejects_empty():
     from cocoindex_data_ingestion_spark.sources.cloud_specs import (
         patterns_to_glob,
