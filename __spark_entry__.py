@@ -12767,15 +12767,26 @@ def _q_percentile_stats_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORD_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
 
+# custkey % 3 restricts BOTH sides to a third of the key space: the
+# maintenance semantics are unchanged (every batch/delete/cross-term
+# path still runs) while the bench row prices the REFRESH CONTRACT,
+# not three full-table OCC bulk loads — unrestricted, the row costs
+# 21.7 s warm at sf0.1 (3x the heaviest ivm_* harness row) with zero
+# extra coverage; the bulk-load slope has its own probe
+# (tools/scaling_probe_r10b.py).
+_IVM_JOIN_KEYS = "% 3 = 0"
+
 # oracle = the from-scratch join over the FINAL side states (the
 # established ivm_* contract), with the bag multiplicity made explicit
 # via GROUP BY * + count(*)
 _IVM_JOIN_SQL = f"""
 WITH a AS (SELECT CAST(o_custkey AS VARCHAR) AS custkey, o_orderkey,
                   {_ORD_CENTS} AS total_cents
-           FROM orders WHERE o_orderkey % 5 <> 0),
+           FROM orders
+           WHERE o_custkey {_IVM_JOIN_KEYS} AND o_orderkey % 5 <> 0),
 b AS (SELECT CAST(c_custkey AS VARCHAR) AS custkey, c_mktsegment
-      FROM customer WHERE c_custkey % 7 <> 0)
+      FROM customer
+      WHERE c_custkey {_IVM_JOIN_KEYS} AND c_custkey % 7 <> 0)
 SELECT a.custkey, a.o_orderkey, a.total_cents, b.c_mktsegment,
        count(*) AS m
 FROM a JOIN b ON a.custkey = b.custkey
@@ -12804,13 +12815,19 @@ def _q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cocoindex_data_ingestion_spark.plans.ivm import MaterializedJoin
 
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("custkey"),
-        "o_orderkey",
-        F.expr(_ORD_CENTS).alias("total_cents"),
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.expr(f"o_custkey {_IVM_JOIN_KEYS}"))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            "o_orderkey",
+            F.expr(_ORD_CENTS).alias("total_cents"),
+        )
     )
-    c = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.expr(f"c_custkey {_IVM_JOIN_KEYS}"))
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
     )
     view = MaterializedJoin(
         spark,
@@ -12818,6 +12835,12 @@ def _q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_col="custkey",
         a_schema="o_orderkey bigint, total_cents bigint",
         b_schema="c_mktsegment string",
+        # fixture-scale state sizing (the foreach_batch_ivm bench
+        # precedent): 8 buckets keeps the 9 OCC generation writes (3
+        # refreshes x 3 state tables) from fanning out into 32-way
+        # partitioned micro-files; at 100 TB you size buckets to
+        # state volume exactly like shuffle partitions
+        n_buckets=8,
     )
     view.refresh(
         a_inserts=o.filter("o_orderkey % 3 = 1"), b_inserts=c

@@ -257,6 +257,11 @@ class BucketedParquetState:
     def read_keys(self, keys: DataFrame) -> DataFrame:
         """Current rows for the given keys: bucket-pruned read +
         semi-join (O(touched buckets), not O(state))."""
+        if not self._manifest()["buckets"]:
+            # empty state: skip the bucket-collect job entirely (a
+            # first IVM batch otherwise pays a full scan of `keys`
+            # just to learn there is nothing to read)
+            return self.spark.createDataFrame([], self.schema_ddl)
         buckets = [
             r["b"]
             for r in keys.select(
@@ -312,6 +317,7 @@ class BucketedParquetState:
         fold,
         keep: F.Column,
         max_retries: int = 10,
+        join_on: list[str] | None = None,
     ) -> list[int]:
         """MERGE with computed updates in ONE state pass per attempt.
 
@@ -335,7 +341,22 @@ class BucketedParquetState:
         (``localCheckpoint``): it is evaluated once for the touched-
         bucket set and once per attempt for the join. Measured on the
         streaming IVM bench: one state read+listing per batch instead
-        of two (profile in SCALING.md `foreach_batch_ivm floor`)."""
+        of two (profile in SCALING.md `foreach_batch_ivm floor`).
+
+        ``join_on`` (default ``[key_col]``): the full_outer join
+        columns. States whose rows are NOT unique per ``key_col``
+        (e.g. a join-side multiset bucketed by join key with one row
+        per (key, payload)) pass the full uniqueness tuple here —
+        bucket pruning still runs on ``key_col`` alone, so the state
+        keeps its pruned-read property while the fold stays a
+        one-pass merge (r10: MaterializedJoin's side states, which
+        previously paid the read_keys + checkpoint + merge + gone
+        five-action path per side per batch). The multi-column join
+        is NULL-SAFE (``<=>``) so NULL payload values unify the way
+        a groupBy would — which means the fold receives QUALIFIED
+        ``c.``/``d.`` copies of the join columns and must coalesce
+        them itself (unlike the default name join, whose output is
+        USING-coalesced)."""
         key = self.key_col
         touched = sorted(
             r["b"]
@@ -351,7 +372,22 @@ class BucketedParquetState:
             # full_outer cannot build a broadcast side — both inputs
             # here are small (touched buckets + checkpointed delta),
             # so the single shuffle is the honest plan
-            joined = cur.alias("c").join(delta.alias("d"), key, "full_outer")
+            if join_on is None:
+                joined = cur.alias("c").join(delta.alias("d"), key,
+                                             "full_outer")
+            else:
+                import functools
+
+                cond = functools.reduce(
+                    lambda a, b: a & b,
+                    [
+                        F.col(f"c.{n}").eqNullSafe(F.col(f"d.{n}"))
+                        for n in join_on
+                    ],
+                )
+                joined = cur.alias("c").join(
+                    delta.alias("d"), cond, "full_outer"
+                )
             return fold(joined).filter(keep)
 
         return self._occ_write(touched, build_out, max_retries,
@@ -375,7 +411,15 @@ class BucketedParquetState:
             gen = f"gen_{snapshot['seq'] + 1}_{uuid.uuid4().hex[:8]}"
             gen_dir = os.path.join(self.path, gen)
             (
-                out.repartition("_bucket")
+                # task width pinned to the TOUCHED bucket count, not
+                # spark.sql.shuffle.partitions: each task owns ~one
+                # bucket and writes one file into its partition dir —
+                # a 32-task repartition for an 8-bucket state is 3/4
+                # empty tasks per generation write, pure scheduling
+                # overhead on the small-batch IVM path (r10 profile),
+                # while at scale bucket count IS the natural write
+                # parallelism
+                out.repartition(max(len(touched), 1), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(gen_dir)

@@ -769,23 +769,35 @@ class MaterializedJoin:
     def _apply_side(
         self, state: BucketedParquetState, delta: DataFrame, cols: list[str]
     ) -> None:
-        """Fold a signed delta into a side multiset: full replacement
-        of the touched keys' rows (read_keys returns exactly those),
-        rows folding to m<=0 dropped, keys left empty deleted."""
+        """Fold a signed delta into a side multiset in ONE state pass:
+        ``fold_merge`` full_outer-joins the touched buckets with the
+        delta on the full (key, payload...) uniqueness tuple (bucket
+        pruning still runs on the join key alone), sums signed
+        multiplicities, and drops rows folding to m<=0 — emptied keys
+        disappear by their bucket being rewritten without them. (The
+        earlier read_keys + checkpoint + merge + gone-anti-join path
+        cost five driver actions per side per batch; this is two.)"""
         k = self.key_col
-        cur = state.read_keys(delta.select(k))
-        new = (
-            cur.unionByName(delta)
-            .groupBy(k, *cols)
-            .agg(F.sum("m").cast("bigint").alias("m"))
-            .filter(F.col("m") > 0)
-            .localCheckpoint(eager=True)  # bounded: touched keys' rows
+
+        def fold(joined: DataFrame) -> DataFrame:
+            # join_on is null-safe, so matched rows agree on every
+            # join column (NULLs included) — coalesce picks whichever
+            # side is present
+            return joined.select(
+                F.coalesce(F.col(f"c.{k}"), F.col(f"d.{k}")).alias(k),
+                *[
+                    F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
+                    for c in cols
+                ],
+                (
+                    F.coalesce(F.col("c.m"), F.lit(0))
+                    + F.coalesce(F.col("d.m"), F.lit(0))
+                ).alias("m"),
+            )
+
+        state.fold_merge(
+            delta, fold, keep=F.col("m") > 0, join_on=[k, *cols]
         )
-        gone = (
-            delta.select(k).distinct()
-            .join(new.select(k).distinct(), k, "left_anti")
-        )
-        state.merge(new, delete_keys=gone)
 
     # -- refresh -----------------------------------------------------------
 
