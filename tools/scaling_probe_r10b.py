@@ -1,16 +1,22 @@
 """MaterializedJoin refresh-cost probe: grow the BASE relation
 1×/10×/50× while holding the delta batch FIXED, and measure (a) the
-bulk load and (b) a small mixed insert+delete refresh. The 100 TB
-claim under test is the IVM contract itself — refresh cost is
-O(|delta| + matching other-side rows + touched buckets), NOT
-O(view): the delta-refresh row should stay ~flat as the base grows
-50×, while the bulk load is allowed to grow linearly (it IS the
-data).
+bulk load, (b) a KEY-SPREAD small refresh (2,000 distinct join keys
+— touches essentially every bucket), and (c) a KEY-LOCAL small
+refresh (20 distinct join keys — touches <=20 of 256 buckets). The
+claim under test is the refresh contract's REAL shape: cost is
+O(|delta| + Σ size of touched buckets). A delta whose keys spread
+across every bucket degenerates to a full-state rewrite — the same
+copy-on-write granularity cost Delta/Iceberg pay without deletion
+vectors — while a key-local delta rewrites only its buckets and
+stays ~flat as the base grows 50×. The sizing rule this probe
+demonstrates: bucket count must be large relative to per-batch
+distinct keys (so rewrite volume ≈ keys × bucket_size, independent
+of state), exactly like shuffle-partition sizing.
 
 Methodology follows tools/scaling_probe_r10.py (flat materialized
-parquet per factor, warm repeat: two structurally identical small
-deltas are applied and the SECOND one is reported — the first also
-absorbs JVM/codegen warmup for the refresh path).
+parquet per factor, warm repeat: structurally identical deltas are
+applied and the SECOND timing is reported — the first also absorbs
+JVM/codegen warmup for the refresh path).
 
 Usage: python tools/scaling_probe_r10b.py
 """
@@ -48,8 +54,11 @@ def main() -> None:
     cust = load_table(spark, "customer", SF_DIR).select(
         F.col("c_custkey").alias("custkey"), "c_mktsegment"
     )
-    print("| factor | base orders | bulk load (s) | fixed-delta refresh (s) |")
-    print("|---|---|---|---|")
+    print(
+        "| factor | base orders | bulk load (s) |"
+        " spread-delta refresh (s) | local-delta refresh (s) |"
+    )
+    print("|---|---|---|---|---|")
     try:
         for factor in FACTORS:
             fdir = f"{base_dir}/f{factor}"
@@ -62,22 +71,28 @@ def main() -> None:
                 spark, f"{fdir}/view", key_col="custkey",
                 a_schema="o_orderkey bigint, total_cents bigint",
                 b_schema="c_mktsegment string",
+                n_buckets=256,
             )
             t_bulk = timed(
                 lambda: view.refresh(a_inserts=a, b_inserts=cust)
             )
 
-            def delta_refresh(shift: int):
-                ins = orders0.limit(DELTA_ROWS).withColumn(
+            def delta_refresh(shift: int, n_keys: int | None = None):
+                ins = orders0
+                if n_keys is not None:
+                    ins = ins.filter(F.col("custkey") % 750 == 0)
+                ins = ins.limit(DELTA_ROWS).withColumn(
                     "o_orderkey", F.col("o_orderkey") + shift
                 )
-                dels = a.limit(DELTA_ROWS // 2)
-                view.refresh(a_inserts=ins, a_deletes=dels)
+                view.refresh(a_inserts=ins)
 
             timed(lambda: delta_refresh(900_000_000))  # warm, discarded
-            t_delta = timed(lambda: delta_refresh(950_000_000))
+            t_spread = timed(lambda: delta_refresh(950_000_000))
+            timed(lambda: delta_refresh(960_000_000, n_keys=20))
+            t_local = timed(lambda: delta_refresh(970_000_000, n_keys=20))
             print(
-                f"| {factor} | {n} | {t_bulk} | {t_delta} |", flush=True
+                f"| {factor} | {n} | {t_bulk} | {t_spread} | {t_local} |",
+                flush=True,
             )
             shutil.rmtree(fdir, ignore_errors=True)
     finally:
