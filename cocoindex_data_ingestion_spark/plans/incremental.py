@@ -254,20 +254,29 @@ class BucketedParquetState:
             return self.spark.createDataFrame([], self.schema_ddl)
         return self.spark.read.parquet(*paths)
 
-    def read_keys(self, keys: DataFrame) -> DataFrame:
+    def read_keys(
+        self, keys: DataFrame, buckets: list[int] | None = None
+    ) -> DataFrame:
         """Current rows for the given keys: bucket-pruned read +
-        semi-join (O(touched buckets), not O(state))."""
+        semi-join (O(touched buckets), not O(state)).
+
+        ``buckets``: the keys' pre-computed bucket ids (r10: callers
+        that already collected the bucket set of a checkpointed delta
+        — e.g. MaterializedJoin, whose side states share key + bucket
+        count — pass it here to skip a redundant distinct+collect
+        job)."""
         if not self._manifest()["buckets"]:
             # empty state: skip the bucket-collect job entirely (a
             # first IVM batch otherwise pays a full scan of `keys`
             # just to learn there is nothing to read)
             return self.spark.createDataFrame([], self.schema_ddl)
-        buckets = [
-            r["b"]
-            for r in keys.select(
-                self._bucket_of(F.col(self.key_col)).alias("b")
-            ).distinct().collect()
-        ]
+        if buckets is None:
+            buckets = [
+                r["b"]
+                for r in keys.select(
+                    self._bucket_of(F.col(self.key_col)).alias("b")
+                ).distinct().collect()
+            ]
         return self.read(buckets).join(
             keys.select(self.key_col).distinct(), self.key_col, "left_semi"
         )
@@ -318,6 +327,7 @@ class BucketedParquetState:
         keep: F.Column,
         max_retries: int = 10,
         join_on: list[str] | None = None,
+        touched: list[int] | None = None,
     ) -> list[int]:
         """MERGE with computed updates in ONE state pass per attempt.
 
@@ -356,14 +366,22 @@ class BucketedParquetState:
         a groupBy would — which means the fold receives QUALIFIED
         ``c.``/``d.`` copies of the join columns and must coalesce
         them itself (unlike the default name join, whose output is
-        USING-coalesced)."""
+        USING-coalesced).
+
+        ``touched``: the delta's pre-computed bucket ids (r10: skips
+        this method's own distinct+collect job when the caller
+        already knows them — must be exactly the bucket set of
+        ``delta``'s keys, or buckets outside it keep stale rows)."""
         key = self.key_col
-        touched = sorted(
-            r["b"]
-            for r in delta.select(
-                self._bucket_of(F.col(key)).alias("b")
-            ).distinct().collect()
-        )
+        if touched is None:
+            touched = sorted(
+                r["b"]
+                for r in delta.select(
+                    self._bucket_of(F.col(key)).alias("b")
+                ).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
         if not touched:
             return []
 
@@ -392,6 +410,58 @@ class BucketedParquetState:
 
         return self._occ_write(touched, build_out, max_retries,
                                op="fold_merge")
+
+    def fold_merge_sum(
+        self,
+        delta: DataFrame,
+        on: list[str],
+        m_col: str = "m",
+        max_retries: int = 10,
+        touched: list[int] | None = None,
+    ) -> list[int]:
+        """:meth:`fold_merge` specialized to the signed-multiplicity
+        sum fold (the MaterializedJoin/Distinct state shape): rows
+        are unique per the ``on`` tuple, the only folded column is
+        ``m_col`` (summed; rows folding to <= 0 disappear). A plain
+        ``union + groupBy`` computes that fold with ONE exchange
+        where the generic path's full_outer join needs two-sided
+        shuffles — and groupBy's NULL-grouping already matches the
+        null-safe join semantics. ``on`` must be the full uniqueness
+        tuple (every non-``m_col`` column); ``touched`` as in
+        fold_merge."""
+        key = self.key_col
+        if touched is None:
+            touched = sorted(
+                r["b"]
+                for r in delta.select(
+                    self._bucket_of(F.col(key)).alias("b")
+                ).distinct().collect()
+            )
+        else:
+            touched = sorted(touched)
+        if not touched:
+            return []
+        cols = [c for c in self.spark.createDataFrame(
+            [], self.schema_ddl
+        ).columns if c != m_col]
+        if set(on) != set(cols):
+            raise ValueError(
+                f"fold_merge_sum: `on` must cover every non-{m_col}"
+                f" column ({cols})"
+            )
+
+        def build_out():
+            cur = self.read(touched).select(*cols, m_col)
+            return (
+                cur.unionByName(delta.select(*cols, m_col))
+                .groupBy(*on)
+                .agg(F.sum(m_col).cast("bigint").alias(m_col))
+                .filter(F.col(m_col) > 0)
+                .select(*cols, m_col)
+            )
+
+        return self._occ_write(touched, build_out, max_retries,
+                               op="fold_merge_sum")
 
     def _occ_write(
         self, touched: list[int], build_out, max_retries: int, op: str

@@ -738,7 +738,7 @@ class MaterializedJoin:
         inserts: DataFrame | None,
         deletes: DataFrame | None,
         cols: list[str],
-    ) -> DataFrame | None:
+    ) -> tuple[DataFrame, list[int]] | None:
         k = self.key_col
         parts = []
         for df, sign in ((inserts, +1), (deletes, -1)):
@@ -764,10 +764,26 @@ class MaterializedJoin:
         )
         # bounded (distinct delta rows), read several times below —
         # the MaterializedAgg checkpoint rationale
-        return delta.localCheckpoint(eager=True)
+        delta = delta.localCheckpoint(eager=True)
+        # the delta's key-bucket set, collected ONCE over the
+        # checkpointed rows (r10): both side states share key +
+        # bucket count, so this one list serves the delta's own
+        # fold_merge AND the other side's pruned read — previously
+        # each of those ran its own distinct+collect job
+        buckets = sorted(
+            r["b"]
+            for r in delta.select(
+                self.a_state._bucket_of(F.col(k)).alias("b")
+            ).distinct().collect()
+        )
+        return delta, buckets
 
     def _apply_side(
-        self, state: BucketedParquetState, delta: DataFrame, cols: list[str]
+        self,
+        state: BucketedParquetState,
+        delta: DataFrame,
+        cols: list[str],
+        touched: list[int] | None = None,
     ) -> None:
         """Fold a signed delta into a side multiset in ONE state pass:
         ``fold_merge`` full_outer-joins the touched buckets with the
@@ -796,7 +812,8 @@ class MaterializedJoin:
             )
 
         state.fold_merge(
-            delta, fold, keep=F.col("m") > 0, join_on=[k, *cols]
+            delta, fold, keep=F.col("m") > 0, join_on=[k, *cols],
+            touched=touched,
         )
 
     # -- refresh -----------------------------------------------------------
@@ -808,86 +825,149 @@ class MaterializedJoin:
         b_inserts: DataFrame | None = None,
         b_deletes: DataFrame | None = None,
     ) -> None:
-        """Fold one batch of side deltas into the view. Evaluation
-        order is load-bearing: ``ΔA ⋈ B`` reads B BEFORE ΔB is
-        applied, ``ΔB ⋈ A`` reads A AFTER ΔA is applied — that
-        asymmetry is what makes the ``ΔA ⋈ ΔB`` cross term appear
-        exactly once."""
+        """Fold one batch of side deltas into the view, using the
+        symmetric form of the delta rule
+
+            ``Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB``
+
+        (algebraically identical to the asymmetric
+        ``ΔA⋈B_old ∪ A_new⋈ΔB`` — ``A_new = A_old + ΔA`` just
+        distributes over the join — but every term now reads only the
+        PRE-batch snapshots plus the checkpointed deltas, so the view
+        delta no longer waits for the ΔA side fold to commit).
+
+        That unlocks full overlap of the round's driver actions
+        (guide §2.6 — each of these jobs is small and leaves the
+        cluster mostly idle): the two side-delta checkpoints run
+        concurrently, then the ΔA fold, the ΔB fold and the
+        view-delta/view-fold chain — three writes to three disjoint
+        state directories — run concurrently. ``read_keys`` pins
+        concrete generation paths at call time and retained
+        generations are never GC'd mid-refresh, so the *_old reads
+        stay pre-batch snapshots regardless of commit timing."""
+        from concurrent.futures import ThreadPoolExecutor
+
         k = self.key_col
-        da = self._signed(a_inserts, a_deletes, self.a_cols)
-        db = self._signed(b_inserts, b_deletes, self.b_cols)
-        if da is None and db is None:
-            return
-
-        dv_parts = []
-        if da is not None:
-            b_old = self.b_state.read_keys(da.select(k))
-            dv_parts.append(
-                da.alias("x")
-                .join(b_old.alias("y"), k)
-                .select(
-                    F.col(k), *self.a_cols, *self.b_cols,
-                    (F.col("x.m") * F.col("y.m")).alias("m"),
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            if (a_inserts is not None or a_deletes is not None) and (
+                b_inserts is not None or b_deletes is not None
+            ):
+                fa = pool.submit(
+                    self._signed, a_inserts, a_deletes, self.a_cols
                 )
-            )
-            self._apply_side(self.a_state, da, self.a_cols)
-        if db is not None:
-            a_new = self.a_state.read_keys(db.select(k))
-            dv_parts.append(
-                a_new.alias("x")
-                .join(db.alias("y"), k)
-                .select(
-                    F.col(k), *self.a_cols, *self.b_cols,
-                    (F.col("x.m") * F.col("y.m")).alias("m"),
+                fb = pool.submit(
+                    self._signed, b_inserts, b_deletes, self.b_cols
                 )
-            )
-            self._apply_side(self.b_state, db, self.b_cols)
+                da_t, db_t = fa.result(), fb.result()
+            else:
+                da_t = self._signed(a_inserts, a_deletes, self.a_cols)
+                db_t = self._signed(b_inserts, b_deletes, self.b_cols)
+            if da_t is None and db_t is None:
+                return
 
-        dv = dv_parts[0]
-        for p in dv_parts[1:]:
-            dv = dv.unionByName(p)
-        payload = self.a_cols + self.b_cols
-        dv = (
-            dv.groupBy(k, *payload)
-            .agg(F.sum("m").cast("bigint").alias("m"))
-            .filter(F.col("m") != 0)
-            .withColumn(
-                "k",
-                F.concat_ws(
-                    self._SEP,
-                    F.col(k),
-                    # NULL-vs-missing disambiguation: concat_ws SKIPS
-                    # nulls, which would collide (x, NULL, y) with
-                    # (x, y, NULL) — coalesce each payload to a
-                    # reserved sentinel instead
+            # Pin all pre-batch snapshot reads BEFORE any fold
+            # commits. Bucket-pruned read() only — read_keys' extra
+            # per-key semi-join would be redundant here: each *_old
+            # leg is immediately inner-joined on the key anyway.
+            dv_parts = []
+            if da_t is not None:
+                da, da_buckets = da_t
+                b_old = self.b_state.read(da_buckets)
+                dv_parts.append(
+                    da.alias("x")
+                    .join(b_old.alias("y"), k)
+                    .select(
+                        F.col(k), *self.a_cols, *self.b_cols,
+                        (F.col("x.m") * F.col("y.m")).alias("m"),
+                    )
+                )
+            if db_t is not None:
+                db, db_buckets = db_t
+                a_old = self.a_state.read(db_buckets)
+                dv_parts.append(
+                    a_old.alias("x")
+                    .join(db.alias("y"), k)
+                    .select(
+                        F.col(k), *self.a_cols, *self.b_cols,
+                        (F.col("x.m") * F.col("y.m")).alias("m"),
+                    )
+                )
+            if da_t is not None and db_t is not None:
+                # the ΔA⋈ΔB cross term, straight off the two
+                # checkpointed deltas
+                dv_parts.append(
+                    da.alias("x")
+                    .join(db.alias("y"), k)
+                    .select(
+                        F.col(k), *self.a_cols, *self.b_cols,
+                        (F.col("x.m") * F.col("y.m")).alias("m"),
+                    )
+                )
+
+            folds = []
+            if da_t is not None:
+                folds.append(pool.submit(
+                    self._apply_side, self.a_state, da, self.a_cols,
+                    da_buckets,
+                ))
+            if db_t is not None:
+                folds.append(pool.submit(
+                    self._apply_side, self.b_state, db, self.b_cols,
+                    db_buckets,
+                ))
+
+            dv = dv_parts[0]
+            for p in dv_parts[1:]:
+                dv = dv.unionByName(p)
+            payload = self.a_cols + self.b_cols
+            dv = (
+                dv.groupBy(k, *payload)
+                .agg(F.sum("m").cast("bigint").alias("m"))
+                .filter(F.col("m") != 0)
+                .withColumn(
+                    "k",
+                    F.concat_ws(
+                        self._SEP,
+                        F.col(k),
+                        # NULL-vs-missing disambiguation: concat_ws
+                        # SKIPS nulls, which would collide
+                        # (x, NULL, y) with (x, y, NULL) — coalesce
+                        # each payload to a reserved sentinel instead
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit(self._NULL)
+                            )
+                            for c in payload
+                        ],
+                    ),
+                )
+                .localCheckpoint(eager=True)  # bounded view delta
+            )
+
+            g = self.key_col
+
+            def fold(joined: DataFrame) -> DataFrame:
+                return joined.select(
+                    "k",
+                    F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
                     *[
-                        F.coalesce(
-                            F.col(c).cast("string"), F.lit(self._NULL)
-                        )
+                        F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
                         for c in payload
                     ],
-                ),
-            )
-            .localCheckpoint(eager=True)  # bounded view delta
-        )
+                    (
+                        F.coalesce(F.col("c.m"), F.lit(0))
+                        + F.coalesce(F.col("d.m"), F.lit(0))
+                    ).alias("m"),
+                )
 
-        g = self.key_col
-
-        def fold(joined: DataFrame) -> DataFrame:
-            return joined.select(
-                "k",
-                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
-                *[
-                    F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
-                    for c in payload
-                ],
-                (
-                    F.coalesce(F.col("c.m"), F.lit(0))
-                    + F.coalesce(F.col("d.m"), F.lit(0))
-                ).alias("m"),
-            )
-
-        self.view_state.fold_merge(dv, fold, keep=F.col("m") > 0)
+            # overlaps with the side folds still in flight — the
+            # view delta reads only pinned pre-batch generation paths
+            self.view_state.fold_merge(dv, fold, keep=F.col("m") > 0)
+            for f in folds:
+                f.result()
+        finally:
+            pool.shutdown(wait=True)
 
     def read(self) -> DataFrame:
         """The maintained view: one row per distinct joined row with

@@ -105,15 +105,33 @@ def _upsert_fn(
 ) -> Iterator[pd.DataFrame]:
     """Keep only rows with ordinal strictly newer than the state's
     max (SourceVersion::should_skip, row_indexer.rs:110-131);
-    last-writer-wins within the batch."""
+    last-writer-wins within the batch.
+
+    The surviving row is the (ordinal, event_id)-argmax of the batch
+    — if any row is fresh, the argmax row is fresh too (it carries
+    the batch-max ordinal) and it is exactly the row the old
+    sort-then-take-last picked. Computing the argmax directly on the
+    ordinal/event_id arrays replaces a whole-group sort + boolean
+    filter with two vector scans, which matters because this function
+    runs once per key per micro-batch (r10, guide §4.2)."""
     (max_ordinal,) = state.get if state.exists else (-1,)
-    rows = pd.concat(list(pdfs), ignore_index=True)
-    rows = rows.sort_values(["ordinal", "event_id"])
-    fresh = rows[rows["ordinal"] > max_ordinal]
-    if len(fresh):
-        last = fresh.iloc[[-1]]
-        state.update((int(fresh["ordinal"].max()),))
-        yield last[["user_id", "event_id", "ordinal", "event_type", "value"]]
+    chunks = list(pdfs)
+    rows = chunks[0] if len(chunks) == 1 else pd.concat(
+        chunks, ignore_index=True
+    )
+    o = rows["ordinal"].to_numpy()
+    mx = o.max()
+    if mx > max_ordinal:
+        cand = (o == mx).nonzero()[0]
+        if len(cand) > 1:
+            e = rows["event_id"].to_numpy()
+            win = cand[e[cand].argmax()]
+        else:
+            win = cand[0]
+        state.update((int(mx),))
+        yield rows.iloc[[win]][
+            ["user_id", "event_id", "ordinal", "event_type", "value"]
+        ]
 
 
 def ordinal_upsert_stream(events: DataFrame) -> DataFrame:
@@ -122,8 +140,15 @@ def ordinal_upsert_stream(events: DataFrame) -> DataFrame:
 
     State is (key → max ordinal); storage is Spark's state store —
     bounded by key cardinality, partitioned by key hash (scales to
-    any key count across executors)."""
-    with_ord = events.withColumn("ordinal", ts_us("ts"))
+    any key count across executors).
+
+    Only the five output columns cross the JVM→Python boundary
+    (guide §4.1): ``ts`` is already folded into ``ordinal`` and the
+    ``props`` JSON blob — the widest column of the stream — is never
+    used, so shipping it per row was pure Arrow/transpose cost."""
+    with_ord = events.withColumn("ordinal", ts_us("ts")).select(
+        "user_id", "event_id", "ordinal", "event_type", "value"
+    )
     return with_ord.groupBy("user_id").applyInPandasWithState(
         _upsert_fn,
         outputStructType=_UPSERT_OUT_SCHEMA,
