@@ -786,35 +786,16 @@ class MaterializedJoin:
         touched: list[int] | None = None,
     ) -> None:
         """Fold a signed delta into a side multiset in ONE state pass:
-        ``fold_merge`` full_outer-joins the touched buckets with the
-        delta on the full (key, payload...) uniqueness tuple (bucket
-        pruning still runs on the join key alone), sums signed
-        multiplicities, and drops rows folding to m<=0 — emptied keys
-        disappear by their bucket being rewritten without them. (The
-        earlier read_keys + checkpoint + merge + gone-anti-join path
-        cost five driver actions per side per batch; this is two.)"""
-        k = self.key_col
-
-        def fold(joined: DataFrame) -> DataFrame:
-            # join_on is null-safe, so matched rows agree on every
-            # join column (NULLs included) — coalesce picks whichever
-            # side is present
-            return joined.select(
-                F.coalesce(F.col(f"c.{k}"), F.col(f"d.{k}")).alias(k),
-                *[
-                    F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
-                    for c in cols
-                ],
-                (
-                    F.coalesce(F.col("c.m"), F.lit(0))
-                    + F.coalesce(F.col("d.m"), F.lit(0))
-                ).alias("m"),
-            )
-
-        state.fold_merge(
-            delta, fold, keep=F.col("m") > 0, join_on=[k, *cols],
-            touched=touched,
-        )
+        ``fold_merge_sum`` unions the touched buckets with the delta
+        and groupBy-sums signed multiplicities over the full (key,
+        payload...) uniqueness tuple (bucket pruning still runs on the
+        join key alone); rows folding to m<=0 disappear by their
+        bucket being rewritten without them. (The earlier read_keys +
+        checkpoint + merge + gone-anti-join path cost five driver
+        actions per side per batch; the generic fold_merge full_outer
+        join needed a two-sided shuffle where this is one exchange.)"""
+        state.fold_merge_sum(delta, on=[self.key_col, *cols],
+                             touched=touched)
 
     # -- refresh -----------------------------------------------------------
 
@@ -945,25 +926,14 @@ class MaterializedJoin:
                 .localCheckpoint(eager=True)  # bounded view delta
             )
 
-            g = self.key_col
-
-            def fold(joined: DataFrame) -> DataFrame:
-                return joined.select(
-                    "k",
-                    F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
-                    *[
-                        F.coalesce(F.col(f"c.{c}"), F.col(f"d.{c}")).alias(c)
-                        for c in payload
-                    ],
-                    (
-                        F.coalesce(F.col("c.m"), F.lit(0))
-                        + F.coalesce(F.col("d.m"), F.lit(0))
-                    ).alias("m"),
-                )
-
             # overlaps with the side folds still in flight — the
-            # view delta reads only pinned pre-batch generation paths
-            self.view_state.fold_merge(dv, fold, keep=F.col("m") > 0)
+            # view delta reads only pinned pre-batch generation paths.
+            # The view fold is the same signed-sum shape ('k' is a
+            # function of (key, payload), so grouping by the full
+            # column tuple groups exactly per view row).
+            self.view_state.fold_merge_sum(
+                dv, on=["k", self.key_col, *payload]
+            )
             for f in folds:
                 f.result()
         finally:
