@@ -12703,6 +12703,12 @@ def _q_ivm_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         tempfile.mkdtemp(prefix="ivm_qsk_"),
         group_col="event_type",
         value_col="v",
+        # the cell state is STRUCTURALLY bounded (groups × occupied
+        # log-buckets — hundreds of rows at ANY corpus scale), so 8
+        # state buckets is the honest sizing at 100 TB too; 32 made
+        # every generation write a 32-task job over a ~1.5k-row
+        # table (the ivm_join_view n_buckets=8 rationale, r10)
+        n_buckets=8,
     )
     view.refresh(inserts=ev.filter(F.col("event_id") % 3 != 0))
     view.refresh(inserts=ev.filter(F.col("event_id") % 3 == 0))

@@ -415,20 +415,24 @@ class BucketedParquetState:
         self,
         delta: DataFrame,
         on: list[str],
-        m_col: str = "m",
+        sum_cols: tuple[str, ...] = ("m",),
+        keep_col: str | None = None,
         max_retries: int = 10,
         touched: list[int] | None = None,
     ) -> list[int]:
-        """:meth:`fold_merge` specialized to the signed-multiplicity
-        sum fold (the MaterializedJoin/Distinct state shape): rows
-        are unique per the ``on`` tuple, the only folded column is
-        ``m_col`` (summed; rows folding to <= 0 disappear). A plain
-        ``union + groupBy`` computes that fold with ONE exchange
-        where the generic path's full_outer join needs two-sided
-        shuffles — and groupBy's NULL-grouping already matches the
-        null-safe join semantics. ``on`` must be the full uniqueness
-        tuple (every non-``m_col`` column); ``touched`` as in
-        fold_merge."""
+        """:meth:`fold_merge` specialized to the signed sum fold (the
+        MaterializedJoin/Distinct/Quantile/sum-Agg state shape): rows
+        are unique per the ``on`` tuple, every other column is summed
+        (``sum_cols``, integral columns kept bigint, doubles kept
+        double); rows whose ``keep_col`` (default ``sum_cols[0]``)
+        folds to <= 0 disappear. A plain ``union + groupBy`` computes
+        that fold with ONE exchange where the generic path's
+        full_outer join needs two-sided shuffles — and groupBy's
+        NULL-grouping already matches the null-safe join semantics.
+        The two-term add per group is order-independent for doubles
+        too (IEEE addition is commutative), so results are identical
+        to the coalesce-and-add fold. ``on`` + ``sum_cols`` must
+        cover every state column; ``touched`` as in fold_merge."""
         key = self.key_col
         if touched is None:
             touched = sorted(
@@ -441,23 +445,26 @@ class BucketedParquetState:
             touched = sorted(touched)
         if not touched:
             return []
-        cols = [c for c in self.spark.createDataFrame(
-            [], self.schema_ddl
-        ).columns if c != m_col]
+        empty = self.spark.createDataFrame([], self.schema_ddl)
+        cols = [c for c in empty.columns if c not in sum_cols]
         if set(on) != set(cols):
             raise ValueError(
-                f"fold_merge_sum: `on` must cover every non-{m_col}"
-                f" column ({cols})"
+                f"fold_merge_sum: `on` + sum_cols must cover every"
+                f" state column (non-summed: {cols})"
             )
+        types = dict(empty.dtypes)
+        keep_col = keep_col or sum_cols[0]
 
         def build_out():
-            cur = self.read(touched).select(*cols, m_col)
+            cur = self.read(touched).select(*cols, *sum_cols)
             return (
-                cur.unionByName(delta.select(*cols, m_col))
+                cur.unionByName(delta.select(*cols, *sum_cols))
                 .groupBy(*on)
-                .agg(F.sum(m_col).cast("bigint").alias(m_col))
-                .filter(F.col(m_col) > 0)
-                .select(*cols, m_col)
+                .agg(*[
+                    F.sum(c).cast(types[c]).alias(c) for c in sum_cols
+                ])
+                .filter(F.col(keep_col) > 0)
+                .select(*cols, *sum_cols)
             )
 
         return self._occ_write(touched, build_out, max_retries,

@@ -187,6 +187,15 @@ class MaterializedAgg:
                         ).otherwise(fresh)
                     mm_cols.append(fresh.alias(a))
 
+        # Pure count/sum views fold with the one-exchange signed-sum
+        # specialization (r10); only the minmax split strategy needs
+        # the generic join fold below.
+        if not self.minmax_cols:
+            self.state.fold_merge_sum(
+                delta, on=[g], sum_cols=("n", *sum_aliases),
+            )
+            return
+
         # fold_merge: the current-state read, the fold arithmetic, and
         # the generation rewrite happen in ONE pass over the touched
         # buckets (one bucket-pruned read + one write per batch —
@@ -302,18 +311,9 @@ class MaterializedDistinct:
         # single bucket-pruned state read + rewrite per batch)
         delta = delta.localCheckpoint(eager=True)
 
-        def fold(joined: DataFrame) -> DataFrame:
-            return joined.select(
-                "k",
-                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
-                F.coalesce(F.col(f"c.{v}"), F.col(f"d.{v}")).alias(v),
-                (
-                    F.coalesce(F.col("c.m"), F.lit(0))
-                    + F.coalesce(F.col("d.m"), F.lit(0))
-                ).alias("m"),
-            )
-
-        self.state.fold_merge(delta, fold, keep=F.col("m") > 0)
+        # signed-sum fold: one union+groupBy exchange instead of the
+        # generic full_outer join's two-sided shuffle (r10)
+        self.state.fold_merge_sum(delta, on=["k", g, v])
 
     def read_support(self) -> DataFrame:
         return self.state.read()
@@ -605,20 +605,11 @@ class MaterializedQuantile:
         # — the MaterializedAgg/Distinct job-count rationale
         delta = delta.localCheckpoint(eager=True)
 
-        def fold(joined: DataFrame) -> DataFrame:
-            return joined.select(
-                "k",
-                F.coalesce(F.col(f"c.{g}"), F.col(f"d.{g}")).alias(g),
-                F.coalesce(F.col("c.bucket"), F.col("d.bucket")).alias(
-                    "bucket"
-                ),
-                (
-                    F.coalesce(F.col("c.cnt"), F.lit(0))
-                    + F.coalesce(F.col("d.cnt"), F.lit(0))
-                ).alias("cnt"),
-            )
-
-        self.state.fold_merge(delta, fold, keep=F.col("cnt") > 0)
+        # signed-sum fold: one union+groupBy exchange instead of the
+        # generic full_outer join's two-sided shuffle (r10)
+        self.state.fold_merge_sum(
+            delta, on=["k", g, "bucket"], sum_cols=("cnt",)
+        )
 
     def read_cells(self) -> DataFrame:
         return self.state.read()
