@@ -496,7 +496,11 @@ def connected_components_star(
                 F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v")
             )
             .filter(F.col("u") != F.col("v"))
-            .distinct()
+            # NO distinct here (r10): duplicates cannot change smin's
+            # per-v min nor the round's edge SET — `small`'s distinct
+            # (which the fingerprint and the next round read) erases
+            # them — so deduping large bought nothing but a full
+            # extra exchange per round (one of three).
         )
         # small-star over the large-star output: for each u, neighbors
         # that are <= u (under (u<v) normalization that's the v-side
