@@ -70,8 +70,15 @@ def bm25_search(
     k1: float = K1,
     b: float = B,
     round_to: int = 4,
+    dls: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-IDF BM25 top-k for a bag of query terms.
+
+    ``dls`` — optional precomputed ``doc_lengths(...).filter(dl > 0)``
+    table: multi-leg callers (PRF) pass ONE checkpointed length table
+    so the corpus is not re-tokenized once per dls USE per leg (r10,
+    guide §1.4/§6 — the length table is (id, int), thousands of times
+    narrower than the text it derives from).
 
     idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )   [Robertson/Lucene]
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
@@ -95,7 +102,8 @@ def bm25_search(
         is_content_token, tokenize,
     )
 
-    dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
+    if dls is None:
+        dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
 
     # one broadcast scalar row instead of two separate ones
     stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
@@ -233,6 +241,7 @@ def bm25_search_weighted(
     k1: float = K1,
     b: float = B,
     round_to: int = 4,
+    dls: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with a *DataFrame* of (token, w) query terms — each
     term's contribution scaled by its weight. This is the shape a
@@ -245,7 +254,8 @@ def bm25_search_weighted(
         is_content_token, tokenize,
     )
 
-    dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
+    if dls is None:
+        dls = doc_lengths(docs, id_col, text_col).filter(F.col("dl") > 0)
     stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
         dls.select(F.avg("dl").alias("avgdl"))
     )
@@ -295,6 +305,7 @@ def prf_expansion_terms(
     beta: float = 0.5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    dls: DataFrame | None = None,
 ) -> DataFrame:
     """RM3-style pseudo-relevance feedback: run BM25 with the
     original terms, take the top ``fb_docs`` as the (pseudo-)relevant
@@ -312,7 +323,9 @@ def prf_expansion_terms(
     )
 
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
-    base = bm25_search(docs, qterms, k=fb_docs, id_col=id_col, text_col=text_col)
+    base = bm25_search(
+        docs, qterms, k=fb_docs, id_col=id_col, text_col=text_col, dls=dls
+    )
     fb_ids = base.select(id_col)
     expansion = (
         docs.join(F.broadcast(fb_ids), id_col)
