@@ -1634,13 +1634,27 @@ def spearman_corr(
     Half-integer ranks are exact in doubles, so both engines see
     identical coordinates.
     """
-    from ..functions.compare import stable_round, stable_sum
+    from ..functions.compare import stable_round
+
+    # Joint distribution FIRST (r10): one map-side-combinable groupBy
+    # reduces the row stream to distinct (x, y) pairs with counts, and
+    # everything downstream — both per-column marginals AND the rank
+    # joins — runs over pairs, never rows. The moment sums stay
+    # bit-identical because stable_sum quantizes each element BEFORE
+    # summing: every row of a pair contributes the identical long, so
+    # count*quantized == the row-level sum exactly.
+    pairs = (
+        df.select(col_x, col_y)
+        .groupBy(col_x, col_y)
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
 
     def avg_ranks(col: str, out: str) -> DataFrame:
         per = (
-            df.select(F.col(col).alias("_v"))
+            pairs.select(F.col(col).alias("_v"), "_c")
             .groupBy("_v")
-            .agg(F.count("*").alias("_m"))
+            .agg(F.sum("_c").alias("_m"))
             .localCheckpoint(eager=False)
         )
         ordered = (
@@ -1678,22 +1692,32 @@ def spearman_corr(
 
     n_df = df.agg(F.count("*").alias("_n"))
     joined = (
-        df.select(col_x, col_y)
+        pairs
         .join(avg_ranks(col_x, "_rx"), col_x)
         .join(avg_ranks(col_y, "_ry"), col_y)
         .crossJoin(F.broadcast(n_df))
         .select(
+            "_c",
             (F.col("_rx") / F.col("_n").cast("double")).alias("x"),
             (F.col("_ry") / F.col("_n").cast("double")).alias("y"),
         )
     )
+
+    # count-weighted stable_sum: quantize the pair's element once,
+    # multiply by its multiplicity in exact long arithmetic — equal
+    # term-by-term to the row-level stable_sum it replaces
+    def wsum(col: Column, n: int = 7) -> Column:
+        p = float(10**n)
+        q = F.floor(col * F.lit(p) + F.lit(0.5)).cast("long")
+        return F.sum(F.col("_c") * q) / F.lit(p)
+
     g = joined.agg(
-        F.count("*").cast("double").alias("n"),
-        stable_sum(F.col("x"), 7).alias("sx"),
-        stable_sum(F.col("y"), 7).alias("sy"),
-        stable_sum(F.col("x") * F.col("y"), 7).alias("sxy"),
-        stable_sum(F.col("x") * F.col("x"), 7).alias("sxx"),
-        stable_sum(F.col("y") * F.col("y"), 7).alias("syy"),
+        F.sum("_c").cast("double").alias("n"),
+        wsum(F.col("x")).alias("sx"),
+        wsum(F.col("y")).alias("sy"),
+        wsum(F.col("x") * F.col("y")).alias("sxy"),
+        wsum(F.col("x") * F.col("x")).alias("sxx"),
+        wsum(F.col("y") * F.col("y")).alias("syy"),
     )
     n = F.col("n")
     num = n * F.col("sxy") - F.col("sx") * F.col("sy")
