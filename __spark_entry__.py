@@ -6488,6 +6488,62 @@ def _notion_blocks_selects(dialect: str) -> list[str]:
     return out
 
 
+def _notion_blocks_single_select() -> str:
+    """Spark-side twin of the ``_notion_blocks_selects`` UNION: the
+    SAME per-slot expressions, but as ONE ``documents`` scan that
+    explodes an array of per-slot structs (r10, guide §6.1 — the
+    union form scanned the table once per slot, and the depth fold
+    consumes the block table twice, so the plan carried 56 scans).
+    ``__where`` slots become NULL structs dropped by the array
+    filter. The DuckDB oracle keeps the UNION ALL formulation, so
+    the equivalence is re-proven by the oracle on every run."""
+    s_type = "STRING"
+    null_of = {
+        "text": f"CAST(NULL AS {s_type})",
+        "checked": "CAST(NULL AS BOOLEAN)",
+        "language": f"CAST(NULL AS {s_type})",
+        "url": f"CAST(NULL AS {s_type})",
+        "ref_id": f"CAST(NULL AS {s_type})",
+        "title": f"CAST(NULL AS {s_type})",
+        "caption": f"CAST(NULL AS {s_type})",
+        "cells": f"CAST(NULL AS ARRAY<{s_type}>)",
+        "has_children": "CAST(NULL AS BOOLEAN)",
+    }
+    children = {p for _, p, _ in _NOTION_SLOTS if p is not None}
+    structs = []
+    for slot, parent, spec in _NOTION_SLOTS:
+        fields = [
+            ("page_id", "doc_id"),
+            ("block_id", f"'b_' || CAST(doc_id AS {{S}}) || '_{slot}'"),
+            ("parent_id",
+             f"'b_' || CAST(doc_id AS {{S}}) || '_{parent}'"
+             if parent is not None else f"CAST(NULL AS {s_type})"),
+            ("pos", str(slot)),
+        ]
+        for c in _NOTION_COLS:
+            if c == "cells" and "cells" in spec:
+                expr = "array(" + ", ".join(spec["cells"].split("|")) + ")"
+            elif c == "has_children" and c not in spec:
+                expr = "true" if slot in children else "false"
+            elif c in spec:
+                expr = spec[c]
+            else:
+                expr = null_of[c]
+            fields.append((c, expr))
+        st = "named_struct(" + ", ".join(
+            f"'{k}', {v}" for k, v in fields
+        ) + ")"
+        if "__where" in spec:
+            st = f"CASE WHEN {spec['__where']} THEN {st} ELSE NULL END"
+        structs.append(st)
+    sql = (
+        "SELECT b.* FROM (SELECT explode(filter(array("
+        + ", ".join(structs)
+        + "), s -> s IS NOT NULL)) AS b FROM documents)"
+    )
+    return sql.replace("{S}", s_type)
+
+
 def _notion_md_sql() -> str:
     """DuckDB twin of the bottom-up fold for the depth-2 synthesized
     tree: base templates → one child aggregation → page assembly."""
@@ -6622,12 +6678,9 @@ def _q_notion_page_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
-    parts = [
-        spark.sql(s) for s in _notion_blocks_selects("spark")
-    ]
-    blocks = parts[0]
-    for p in parts[1:]:
-        blocks = blocks.unionByName(p)
+    # one scan + per-slot struct explode instead of a 20-way UNION of
+    # per-slot table scans (r10; the oracle keeps the UNION form)
+    blocks = spark.sql(_notion_blocks_single_select())
     out = pages_markdown(blocks, max_depth=2)
     return out.select(
         F.col("page_id").cast("long").alias("page_id"),
