@@ -266,8 +266,9 @@ def cluster_quality(
     boundary; negative = probably mis-assigned.
 
     One broadcast of the k×dim model, one (vec_id, cluster) distance
-    shuffle (reused for a and b via a cheap self-aggregate), one
-    bounded output groupBy. Returns (cluster, n, avg_silhouette).
+    shuffle, then own/a/b extracted from ONE per-vector aggregation
+    (sorted k-element struct array — no self-joins), one bounded
+    output groupBy. Returns (cluster, n, avg_silhouette).
     """
     long = _long_form(emb, id_col, vec_col)
     cent = model.select("cluster", "dim", F.col("centroid").alias("c"))
@@ -276,22 +277,25 @@ def cluster_quality(
         long.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "cluster")
         .agg(stable_sum(diff * diff, dist_scale).alias("dist"))
-        .localCheckpoint(eager=False)  # consumed by own + b
     )
-    own = (
+    # ONE aggregation instead of own + b + two vec_id joins (r10):
+    # each vector has exactly k distance rows, so the sorted k-element
+    # struct array gives own/a at [0] (the same (dist, cluster)
+    # tie-break as min(struct)) and b at [1] (the smallest distance
+    # among the OTHER clusters — everything after [0] is another
+    # cluster, sorted by dist). Bounded at k elements per group.
+    per_vec = (
         d.groupBy("vec_id")
-        .agg(F.min(F.struct("dist", "cluster")).alias("m"))
-        .select(
-            "vec_id",
-            F.col("m.cluster").alias("own"),
-            F.col("m.dist").alias("a"),
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("dist", "cluster"))
+            ).alias("ds")
         )
-    )
-    b = (
-        d.join(own, "vec_id")
-        .filter(F.col("cluster") != F.col("own"))
-        .groupBy("vec_id")
-        .agg(F.min("dist").alias("b"))
+        .select(
+            F.col("ds")[0]["cluster"].alias("own"),
+            F.col("ds")[0]["dist"].alias("a"),
+            F.col("ds")[1]["dist"].alias("b"),
+        )
     )
     sa, sb = F.sqrt(F.col("a")), F.sqrt(F.col("b"))
     denom = F.greatest(sa, sb)
@@ -299,8 +303,7 @@ def cluster_quality(
     from cocoindex_data_ingestion_spark.functions.compare import stable_avg
 
     return (
-        own.join(b, "vec_id")
-        .select("own", s.alias("s"))
+        per_vec.select("own", s.alias("s"))
         .groupBy(F.col("own").alias("cluster"))
         .agg(
             F.count("*").alias("n"),
