@@ -573,13 +573,14 @@ def dsir_weights(
 
     ``target_pred`` marks the rows forming the target distribution
     (e.g. a trusted high-quality subset); the raw distribution is
-    the whole input. Scale shape: one token-level window pass builds
-    the gram stream (codegen, like decontaminate's), the bucket
-    statistics are a ``n_buckets``-row broadcast, and the per-doc
-    sum is an order-independent fixed-point aggregation — so the
-    whole thing is two scans + one groupBy shuffle on ``id_col``
-    regardless of corpus size. Sampling ∝ exp(w) then reduces to
-    the existing hash-rank filters.
+    the whole input. Scale shape: ONE token-level window pass builds
+    the gram stream (codegen, like decontaminate's) and is
+    immediately reduced to per-(doc, bucket) counts; the bucket
+    statistics are a ``n_buckets``-row broadcast derived from that
+    reduced table, and the per-doc sum is an order-independent
+    count-weighted fixed-point aggregation — one gram pass + one
+    groupBy shuffle regardless of corpus size. Sampling ∝ exp(w)
+    then reduces to the existing hash-rank filters.
     """
     w = Window.partitionBy(id_col).orderBy("pos")
     toks = docs.select(
@@ -612,37 +613,48 @@ def dsir_weights(
             F.lit(n_buckets),
         ).alias("bucket"),
     )
-    rc = grams.groupBy("bucket").agg(F.count("*").alias("c_r"))
-    tc = (
-        grams.filter(F.col("_is_target"))
-        .groupBy("bucket")
-        .agg(F.count("*").alias("c_t"))
+    # ONE pass over the gram stream (r10): reduce it to per-(doc,
+    # is_target, bucket) counts — at most 2·n_buckets rows per doc —
+    # and derive BOTH the bucket statistics and the per-doc score
+    # from the reduced table. The gram stream (tokenize + bigram
+    # window over the corpus) was previously recomputed by each of
+    # its four consumers (raw counts, target counts, totals, the
+    # scoring join): 16 parquet scans in the plan.
+    db = (
+        grams.groupBy(id_col, "_is_target", "bucket")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tots = grams.agg(
-        F.count("*").alias("tr"),
-        F.sum(F.col("_is_target").cast("long")).alias("tt"),
+    stats = db.groupBy("bucket").agg(
+        F.sum("c").alias("c_r"),
+        F.sum(
+            F.when(F.col("_is_target"), F.col("c")).otherwise(F.lit(0))
+        ).alias("c_t"),
     )
+    tots = stats.agg(F.sum("c_r").alias("tr"), F.sum("c_t").alias("tt"))
     b = float(n_buckets)
-    lr = (
-        rc.join(tc, "bucket", "left")
-        .crossJoin(F.broadcast(tots))
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("c_t"), F.lit(0)) + 1.0) / (F.col("tt") + b))
-                - F.log((F.col("c_r") + 1.0) / (F.col("tr") + b))
-            ).alias("logratio"),
-        )
+    lr = stats.crossJoin(F.broadcast(tots)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("tt") + b))
+            - F.log((F.col("c_r") + 1.0) / (F.col("tr") + b))
+        ).alias("logratio"),
     )
     from cocoindex_data_ingestion_spark.functions.compare import (
-        stable_round, stable_sum,
+        stable_round,
     )
 
+    # count-weighted stable_sum: quantize the bucket's logratio once
+    # and multiply by the doc's gram count in exact long arithmetic —
+    # term-identical to the gram-level stable_sum it replaces (every
+    # gram of the group contributed the same quantized long)
+    p = float(10**6)
+    q = F.floor(F.col("logratio") * F.lit(p) + F.lit(0.5)).cast("long")
     return (
-        grams.join(F.broadcast(lr), "bucket")
+        db.join(F.broadcast(lr), "bucket")
         .groupBy(id_col)
         .agg(
-            stable_round(stable_sum(F.col("logratio"), 6), round_to).alias(
+            stable_round(F.sum(F.col("c") * q) / F.lit(p), round_to).alias(
                 "dsir_weight"
             )
         )
