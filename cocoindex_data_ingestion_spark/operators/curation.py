@@ -801,10 +801,15 @@ def negative_samples(
     from cocoindex_data_ingestion_spark.operators import dedup
 
     nonempty = docs.filter(F.size(bm25_tokens(text_col)) > 0)
+    # materialized once (r10): both sides of the near-dup anti-filter
+    # probe this table, and recomputing it means re-running the whole
+    # MinHash pipeline (tokenize + num_hashes hash evaluations over
+    # every token) per side — the narrow (id, bucket) table is
+    # thousands of times smaller than that recompute
     buckets = dedup.minhash_buckets(
         nonempty, num_hashes=num_hashes, bands=bands,
         id_col=id_col, text_col=text_col,
-    )
+    ).localCheckpoint(eager=False)
     n = docs.agg(F.count("*").alias("n"))
     cand = (
         docs.select(id_col)
