@@ -14761,10 +14761,14 @@ def _q_ppr_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (graph.ppr_fixedpoint)."""
     li = _t(spark, sf_dir, "lineitem")
     edges = graph_ops.bipartite_edges(li, "l_suppkey", "l_partkey")
+    # drop_zero_ranks: the query only returns rank_fp > 0 rows, so
+    # the frontier-only iteration is result-identical while keeping
+    # every per-iteration join frontier-sized instead of graph-sized
     ranks = graph_ops.ppr_fixedpoint(
         edges.select("src", (F.col("dst") + 1000000).alias("dst")),
         seeds=list(_PPR_SEEDS),
         n_iter=3,
+        drop_zero_ranks=True,
     )
     return (
         ranks.filter(F.col("rank_fp") > 0)

@@ -282,6 +282,7 @@ def ppr_fixedpoint(
     damp_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    drop_zero_ranks: bool = False,
 ) -> DataFrame:
     """Personalized PageRank in exact fixed-point integer arithmetic
     → (node_id, rank_fp): the restart mass — and the dangling mass —
@@ -298,24 +299,89 @@ def ppr_fixedpoint(
     under any partitioning, verified against an unrolled-CTE DuckDB
     twin. Seeds are a literal list (bounded — the query's anchor
     entities), inlined as an IN predicate, not a join.
+
+    ``drop_zero_ranks=True`` iterates on the positive-rank FRONTIER
+    only and returns only ``rank_fp > 0`` rows — identical to
+    filtering the default output, because zero-rank rows are inert in
+    every term of the recurrence (``0 div out_deg`` contributes
+    nothing to any neighbor, a zero adds nothing to the dangling sum,
+    and a node re-enters the frontier the moment any neighbor sends
+    it mass, since candidates are rebuilt from ``contrib`` each
+    round). With a bounded seed set the frontier is the seeds'
+    ``n_iter``-hop neighborhood, so every per-iteration join carries
+    frontier-sized rows instead of corpus-sized ones (AQE broadcasts
+    the rank side) — the personalized variant never needs the
+    full-graph rank vector uniform PageRank must carry.
     """
     if not seeds:
         raise ValueError("seeds must be non-empty")
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node_id"))
-        .unionByName(e.select(F.col("dst").alias("node_id")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
     ns = len(seeds)
     seed_pred = "node_id IN (" + ",".join(str(s) for s in seeds) + ")"
     base = (scale - scale * damp_num // damp_den) // ns
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     e_deg = e.join(out_deg, "src").localCheckpoint(eager=True)
 
+    if drop_zero_ranks:
+        # seeds that exist in the graph (same membership rule as the
+        # full `nodes` table, with the IN predicate pushed to the scan)
+        seeds_df = (
+            e.select(F.col("src").alias("node_id"))
+            .unionByName(e.select(F.col("dst").alias("node_id")))
+            .where(F.expr(seed_pred))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        ranks = seeds_df.withColumn("r", F.lit(scale // ns))
+        for _ in range(n_iter):
+            contrib = (
+                e_deg.join(ranks, e_deg.src == ranks.node_id)
+                .select("dst", F.expr("r div out_deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("m"))
+            )
+            dangling = (
+                ranks.join(
+                    out_deg, ranks.node_id == out_deg.src, "left_anti"
+                ).agg(F.coalesce(F.sum("r"), F.lit(0)).alias("d"))
+            )
+            # seeds: base + dangling teleport + own contribution;
+            # non-seeds: damped contribution only — the default CASE
+            # expression restricted to the rows it can make positive
+            seed_next = (
+                seeds_df.join(
+                    contrib, seeds_df.node_id == contrib.dst, "left_outer"
+                )
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node_id",
+                    F.expr(
+                        f"{base}L + ({damp_num} * (coalesce(m, 0L)"
+                        f" + d div {ns}L)) div {damp_den}"
+                    ).alias("r"),
+                )
+            )
+            other_next = contrib.where(
+                ~F.expr(seed_pred.replace("node_id", "dst"))
+            ).select(
+                F.col("dst").alias("node_id"),
+                F.expr(f"({damp_num} * m) div {damp_den}").alias("r"),
+            )
+            ranks = (
+                seed_next.unionByName(other_next)
+                .where(F.col("r") > 0)
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select("node_id", F.col("r").alias("rank_fp"))
+
+    nodes = (
+        e.select(F.col("src").alias("node_id"))
+        .unionByName(e.select(F.col("dst").alias("node_id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn(
         "r",
         F.expr(f"CASE WHEN {seed_pred} THEN {scale // ns}L ELSE 0L END"),

@@ -259,3 +259,30 @@ def test_streaming_conf_arithmetic():
         streaming_conf(10, 10, parallelism_floor=0)
     with pytest.raises(ValueError):
         streaming_conf(10, 10, parallelism_floor=8, ceiling=4)
+
+
+def test_ppr_frontier_mode_equals_filtered_default(spark):
+    """drop_zero_ranks=True must return exactly the rank_fp > 0 rows
+    of the default full-vector iteration — on a graph that exercises
+    dangling mass (sinks), a disconnected component, re-entry of a
+    node into the frontier, and a seed missing from the graph."""
+    import random
+
+    from cocoindex_data_ingestion_spark.operators import graph as graph_ops
+
+    rng = random.Random(10)
+    e = list({(rng.randint(0, 40), rng.randint(0, 40)) for _ in range(120)})
+    edges = spark.createDataFrame(
+        [p for p in e if p[0] != p[1]] + [(100, 101), (101, 102)],
+        "src long, dst long",
+    )
+    for seeds in ([0, 3], [100], [7, 999]):
+        full = graph_ops.ppr_fixedpoint(edges, seeds=seeds, n_iter=3)
+        frontier = graph_ops.ppr_fixedpoint(
+            edges, seeds=seeds, n_iter=3, drop_zero_ranks=True
+        )
+        a = sorted(
+            map(tuple, full.filter(F.col("rank_fp") > 0).collect())
+        )
+        b = sorted(map(tuple, frontier.collect()))
+        assert a == b, f"seeds={seeds}"
