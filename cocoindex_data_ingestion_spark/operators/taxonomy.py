@@ -215,10 +215,21 @@ def taxonomy_tags(
         .withColumn("norm", F.trim(F.lower(F.col("tag"))))
         .filter(F.col("norm") != "")
     )
-    w_dedup = Window.partitionBy(*id_cols, "norm").orderBy("src", "pos")
+    # First-occurrence-per-norm via lag over ONE doc-keyed window:
+    # ordering by (norm, src, pos) groups each norm's rows
+    # contiguously, so "first occurrence in (src, pos) order" is
+    # exactly "norm differs from the previous row" — and both this
+    # window and the rank window below share the same partitioning
+    # key, so the whole pipeline runs on a single exchange
+    # (guide §2.4) instead of one exchange per window. Ordering is
+    # total within (doc, norm): (src, pos) is unique per candidate.
+    w_seq = Window.partitionBy(*id_cols).orderBy("norm", "src", "pos")
     kept = (
-        rows.withColumn("rn", F.row_number().over(w_dedup))
-        .filter(F.col("rn") == 1)
+        rows.withColumn("_prev_norm", F.lag("norm").over(w_seq))
+        .filter(
+            F.col("_prev_norm").isNull()
+            | (F.col("_prev_norm") != F.col("norm"))
+        )
         .withColumn(
             "out_tag",
             F.when(F.col("tag").rlike(_MODEL_CASE_RE), F.col("tag"))
