@@ -29,6 +29,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 DEFAULT_CHUNK_SIZE = 500  # app/processors/chunker.py:14
 DEFAULT_OVERLAP = 50  # app/processors/chunker.py:15
 
@@ -159,7 +161,9 @@ def sentence_chunks(
                 ],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def recursive_chunks(
@@ -232,7 +236,9 @@ def recursive_chunks(
                          "chunk_text"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def semantic_chunks(
@@ -319,7 +325,9 @@ def semantic_chunks(
                          "location_end", "chunk_text", "n_sentences"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def semantic_chunks_ref(
@@ -479,7 +487,9 @@ def semantic_chunks_ref(
                          "total_chunks", "previous_context", "next_context"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def chunk_recursive_dp(
@@ -552,7 +562,9 @@ def chunk_recursive_dp(
                          "location_end", "chunk_text"],
             )
 
-    return docs.select(*in_cols).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(*in_cols), id_col
+    ).mapInPandas(run, schema)
 
 
 REF_ABBREV_RES = (
@@ -679,7 +691,9 @@ def heading_aware_chunks(
                          "sentence_count", "token_count"],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def context_prompt(level_col, chunk_col, ctx_col, title_col) -> F.Column:
@@ -931,4 +945,4 @@ def merge_dp_over_atoms(
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return joined.mapInPandas(run, schema)
+    return spread_python_stage(joined, id_col).mapInPandas(run, schema)

@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 MAX_EVIDENCE_SNIPPETS = 6  # canonical_description_service.py:13
 MAX_DESCRIPTION_CHARS = 280
 
@@ -283,7 +285,9 @@ def metadata_udf_hook(
             meta.insert(0, id_col, pdf[id_col].values)
             yield meta
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema)
 
 
 # -- access-control metadata (app/api/query.py:29-47) -------------------------

@@ -34,6 +34,8 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
 from pyspark.sql.window import Window
 
 # document_processor.py:219 — the header pattern (re.match semantics:
@@ -223,4 +225,6 @@ def recursive_chunks_ref(
                 ],
             )
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    return spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, schema=schema)

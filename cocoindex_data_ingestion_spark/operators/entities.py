@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 MIN_CONFIDENCE = 0.25  # entity_extraction_runner_v2.py quality filter
 AUTO_MERGE_THRESHOLD = 0.95  # entity_deduplication.py:457-539
 REVIEW_THRESHOLD = 0.85
@@ -81,8 +83,9 @@ def extract_mentions_gazetteer(
                 ],
             )
 
-    return chunks.select(
-        F.col(id_col), F.col(doc_col), F.col(text_col)
+    return spread_python_stage(
+        chunks.select(F.col(id_col), F.col(doc_col), F.col(text_col)),
+        id_col,
     ).mapInPandas(run, _MENTION_SCHEMA)
 
 

@@ -26,6 +26,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 from cocoindex_data_ingestion_spark.functions.json_schema import (
     BuildJsonSchemaOutput, ToJsonSchemaOptions, build_json_schema,
     extract_structured, get_system_prompt,
@@ -71,7 +73,9 @@ def extract_by_llm(
                 }
             )
 
-    raw = docs.select(id_col, text_col).mapInPandas(run, raw_schema)
+    raw = spread_python_stage(
+        docs.select(id_col, text_col), id_col
+    ).mapInPandas(run, raw_schema)
     out = extract_structured(
         raw, "_raw_json", output_type, opts, out_col="extracted"
     )

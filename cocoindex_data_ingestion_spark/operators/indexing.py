@@ -30,6 +30,8 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 from cocoindex_data_ingestion_spark.functions.localrel import local_df
 
 from cocoindex_data_ingestion_spark.functions.compare import (
@@ -353,7 +355,9 @@ def _ivf_assign_numpy(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(_assign, schema)
+    return spread_python_stage(
+        df.select(id_col, vec_col), id_col
+    ).mapInPandas(_assign, schema)
 
 
 def indexed_bm25(

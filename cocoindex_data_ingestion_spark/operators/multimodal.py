@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 IMAGE_META_SCHEMA = (
     "width int, height int, format string, n_channels int"
 )
@@ -274,7 +276,9 @@ def video_frame_sample_stage(
                 columns=[id_col, "frame_index", "timestamp_ms", "frame_sha256"],
             )
 
-    return df.select(id_col, binary_col).mapInPandas(run, schema)
+    return spread_python_stage(
+        df.select(id_col, binary_col), id_col
+    ).mapInPandas(run, schema)
 
 
 def searchable_text(

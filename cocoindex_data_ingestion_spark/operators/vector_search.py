@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
+
 from cocoindex_data_ingestion_spark.functions.localrel import local_df
 
 from cocoindex_data_ingestion_spark.functions.compare import stable_round
@@ -171,7 +173,9 @@ def knn_numpy(
             s = (m @ q) / (norms * qn)
             yield pd.DataFrame({id_col: pdf[id_col], "score": s})
 
-    scored = df.select(id_col, vec_col).mapInPandas(score, schema)
+    scored = spread_python_stage(
+        df.select(id_col, vec_col), id_col
+    ).mapInPandas(score, schema)
     p = float(10**round_to)
     return (
         scored.withColumn("score", F.floor(F.col("score") * p + 0.5) / p)
@@ -213,7 +217,9 @@ def knn_maxsim_numpy(
                 out[i] = (q @ p.T).max(axis=1).sum()
             yield pd.DataFrame({id_col: pdf[id_col], "score": out})
 
-    scored = df.select(id_col, vecs_col).mapInPandas(score, schema)
+    scored = spread_python_stage(
+        df.select(id_col, vecs_col), id_col
+    ).mapInPandas(score, schema)
     pw = float(10**round_to)
     return (
         scored.withColumn("score", F.floor(F.col("score") * pw + 0.5) / pw)
@@ -611,9 +617,9 @@ def pq_encode_numpy(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
-        encode, schema=f"{id_col} long, subspace int, code int"
-    )
+    return spread_python_stage(
+        df.select(id_col, vec_col), id_col
+    ).mapInPandas(encode, schema=f"{id_col} long, subspace int, code int")
 
 
 def mmr_rerank(
@@ -824,7 +830,7 @@ def mmr_rerank_hierarchical(
                 out["cent_id"] = cent_ids[best]
                 yield out
 
-        assigned = pool.mapInPandas(
+        assigned = spread_python_stage(pool, "id").mapInPandas(
             assign_blas,
             schema=f"id long, v {pool_v_type}, rel double, cent_id long",
         )
@@ -1120,9 +1126,9 @@ def pca_project(
                 {"id": pdf[id_col].to_numpy(), "comps": list(map(list, P))}
             )
 
-    out = emb.select(id_col, vec_col).mapInPandas(
-        _proj, f"id long, comps array<double>"
-    )
+    out = spread_python_stage(
+        emb.select(id_col, vec_col), id_col
+    ).mapInPandas(_proj, f"id long, comps array<double>")
     return out.withColumnRenamed("id", id_col)
 
 
@@ -1315,7 +1321,9 @@ def pca_power_project(
             yield pd.DataFrame(out)
 
     schema = "id long, " + ", ".join(f"p{c + 1} long" for c in range(k))
-    raw = emb.select(id_col, vec_col).mapInPandas(_proj, schema)
+    raw = spread_python_stage(
+        emb.select(id_col, vec_col), id_col
+    ).mapInPandas(_proj, schema)
     den = float(s1) * float(s2) * float(n)
     cols = [F.col("id").alias(id_col)]
     for c in range(k):

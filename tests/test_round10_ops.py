@@ -286,3 +286,29 @@ def test_ppr_frontier_mode_equals_filtered_default(spark):
         )
         b = sorted(map(tuple, frontier.collect()))
         assert a == b, f"seeds={seeds}"
+
+
+def test_spread_python_stage_guard(spark):
+    """The Python-stage parallelism guard: repartitions a
+    single-split small frame to the session parallelism, is a no-op
+    on an already-parallel frame, and refuses to move a frame whose
+    optimizer size estimate exceeds the cheap-exchange bound."""
+    from cocoindex_data_ingestion_spark.functions import parallel as par
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(0, 1000).coalesce(1)
+    assert small.rdd.getNumPartitions() == 1
+    spread = par.spread_python_stage(small, "id")
+    assert spread.rdd.getNumPartitions() == target
+    # rows unchanged (same multiset)
+    assert sorted(r.id for r in spread.collect()) == list(range(1000))
+
+    wide = spark.range(0, 1000).repartition(max(target, 2), "id")
+    assert par.spread_python_stage(wide, "id") is wide
+
+    old = par.MAX_CHEAP_BYTES
+    try:
+        par.MAX_CHEAP_BYTES = 0  # everything is "too big to move"
+        assert par.spread_python_stage(small, "id") is small
+    finally:
+        par.MAX_CHEAP_BYTES = old
