@@ -31,31 +31,6 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Scan-parallelism guard (r10, guide §2.5 "input skew: one huge
-# unsplittable file … repartition immediately after the read"): a
-# parquet ROW GROUP is assigned to exactly one scan task, so a
-# single-row-group file can never split no matter how small
-# `spark.sql.files.maxPartitionBytes` is — and every one of this
-# bench's tables is written as one row group, which made every
-# pre-exchange map stage (tokenize, explode, hash, filter) run
-# single-threaded under a 32-core session. Tables at least
-# `_SPREAD_MIN_BYTES` big are hash-repartitioned by their natural key
-# to the session default parallelism when (and only when) the scan
-# yields fewer partitions than that — on any real-scale dataset the
-# scan has thousands of splits and this is a no-op; the keys are
-# deterministic row attributes (retry-safe, SPARK-38388) with far
-# more distinct values than partitions.
-_SPREAD_MIN_BYTES = 256 * 1024
-_SPREAD_KEYS: dict[str, tuple[str, ...]] = {
-    "customer": ("c_custkey",),
-    "part": ("p_partkey",),
-    "orders": ("o_orderkey",),
-    "lineitem": ("l_orderkey", "l_linenumber"),
-    "events": ("event_id",),
-    "documents": ("doc_id",),
-    "embeddings": ("vec_id",),
-}
-
 
 def ensure_session_confs(spark: SparkSession) -> None:
     """Defensive runtime confs for sessions we didn't build (the
@@ -109,18 +84,6 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif dtype == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    spread = _SPREAD_KEYS.get(name)
-    if spread is not None:
-        try:
-            big_enough = (
-                os.path.getsize(f"{sf_dir}/{name}.parquet")
-                >= _SPREAD_MIN_BYTES
-            )
-        except OSError:
-            big_enough = True  # directory dataset — size check n/a
-        target = spark.sparkContext.defaultParallelism
-        if big_enough and df.rdd.getNumPartitions() < target:
-            df = df.repartition(target, *[F.col(c) for c in spread])
     _TABLE_CACHE[key] = df
     return df
 
