@@ -18,6 +18,13 @@ input (a 100 TB scan has thousands of splits), so the guard is a
 no-op exactly where the exchange would be expensive, and the
 exchange it adds locally moves only the narrow projected columns
 once.
+
+The same guard applies to HEAVY JVM expression maps (minhash
+signature hashing, winnowing gram hashing): anywhere per-row map
+work far exceeds the cost of one bounded exchange of its input.
+It is deliberately NOT applied at plain scans or cheap maps — the
+blanket at-read variant was A/B-measured as a net loss
+(OPTIMIZATION_r10.md, load_table section).
 """
 
 from __future__ import annotations

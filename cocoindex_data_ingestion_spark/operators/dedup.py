@@ -249,10 +249,23 @@ def minhash_buckets(
       works for minhash). No DuckDB twin — equivalence to md5 is
       established on duplicate *components* (test_operators).
     """
+    from cocoindex_data_ingestion_spark.functions.parallel import (
+        spread_python_stage,
+    )
     from cocoindex_data_ingestion_spark.functions.text import (
         is_content_token, tokenize,
     )
 
+    # tokenize + explode + the map-side partial dedup all run BELOW
+    # the first exchange, i.e. with the scan's parallelism — on a
+    # single-split input that is one task doing the whole corpus's
+    # hashing feed (r10, guide §2.5). Same guarded spread as the
+    # Python stages: no-op on any multi-split real-scale scan. Only
+    # for the md5 family — the xxhash64 variant's per-token hashing
+    # is ~10x cheaper (docstring below), and there the one exchange
+    # measured as a net loss (A/B in OPTIMIZATION_r10.md).
+    if hash_fn == "md5":
+        docs = spread_python_stage(docs, id_col)
     rows_per_band = num_hashes // bands
     # explode-then-filter for codegen (see build_postings), then
     # per-doc dropDuplicates BEFORE hashing: min over the distinct
@@ -805,6 +818,14 @@ def winnow_fingerprints(
     """
     from pyspark.sql import Window
 
+    from cocoindex_data_ingestion_spark.functions.parallel import (
+        spread_python_stage,
+    )
+
+    # tokenize + posexplode feed the doc-keyed window exchange from
+    # the scan's partitioning — single-task on a one-row-group file;
+    # guarded spread parallelizes the gram feed (r10, guide §2.5).
+    docs = spread_python_stage(docs, id_col)
     pos = docs.select(
         F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos0", "token")
     ).select(id_col, (F.col("pos0") + 1).alias("pos"), "token")
