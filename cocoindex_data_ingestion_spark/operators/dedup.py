@@ -552,6 +552,45 @@ def connected_components_star(
         e = small
         if prev_fp == (fp["n"], fp["h"]):
             break
+        # Early fixpoint break (r10): under the (u < v) normalization
+        # the fixpoint is exactly "e is a disjoint union of stars
+        # rooted at their component minima", i.e. NO node appears as
+        # both a parent (u) and a child (v) — stars imply both halves
+        # of the next round reproduce e verbatim, and conversely any
+        # u∩v witness is an uncontracted path. Testing the round's
+        # checkpointed output directly saves the ONE FULL ROUND (two
+        # edge-list shuffles, two joins, explode, distinct,
+        # checkpoint) the fingerprint-equality rule pays to observe
+        # stability. The test is a single node-keyed aggregation
+        # (~1/3 of a round); this family's inputs are bucket-star
+        # edge lists that contract in 2-3 rounds (docstring above),
+        # so one test per round for one saved round is a win — for
+        # deep adversarial graphs the fingerprint equality above
+        # remains the backstop.
+        both = (
+            small.select(
+                F.explode(
+                    F.array(
+                        F.struct(
+                            F.col("u").alias("node"),
+                            F.lit(1).alias("pu"),
+                            F.lit(0).alias("pv"),
+                        ),
+                        F.struct(
+                            F.col("v").alias("node"),
+                            F.lit(0).alias("pu"),
+                            F.lit(1).alias("pv"),
+                        ),
+                    )
+                ).alias("x")
+            )
+            .groupBy("x.node")
+            .agg(F.max("x.pu").alias("pu"), F.max("x.pv").alias("pv"))
+            .agg(F.max(F.col("pu") * F.col("pv")).alias("b"))
+            .first()[0]
+        )
+        if not both:  # None (empty) or 0: no parent is also a child
+            break
         prev_fp = (fp["n"], fp["h"])
     else:
         # same contract as connected_components: silently wrong labels
