@@ -17346,16 +17346,27 @@ def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pk")
         .agg(F.count("*").alias("n_part"))
     )
-    pairs = (
-        baskets.select(F.explode("ps").alias("ante"), F.col("ps"))
-        .select(
-            "ante",
-            F.explode(F.expr("filter(ps, x -> x != ante)")).alias("cons"),
-        )
-        .groupBy("ante", "cons")
+    # co-occurrence is SYMMETRIC (baskets are sets), so aggregate
+    # undirected i<j pairs — half the explode rows and half the
+    # (ante, cons) shuffle bytes of the both-directions form — and
+    # mirror into the two directed rules only AFTER the support
+    # filter, where a handful of rows survive (r10, guide §2.3).
+    und = (
+        baskets.select(F.posexplode("ps").alias("i", "pa"), F.col("ps"))
+        .select("pa", F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count("*").alias("n_co"))
         .filter(F.col("n_co") >= _BASKET_MIN_CO)
     )
+    pairs = und.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("pa").alias("ante"), F.col("pb").alias("cons")),
+                F.struct(F.col("pb").alias("ante"), F.col("pa").alias("cons")),
+            )
+        ).alias("p"),
+        "n_co",
+    ).select("p.ante", "p.cons", "n_co")
     fa = pf.select(F.col("pk").alias("ante"), F.col("n_part").alias("na"))
     fb = pf.select(F.col("pk").alias("cons"), F.col("n_part").alias("nb"))
     conf = F.col("n_co").cast("double") / F.col("na").cast("double")
