@@ -1489,15 +1489,24 @@ def weighted_quantiles(
     column per requested quantile (``p25, p50, ...``), values on the
     cents scale.
     """
-    per = (
-        df.select(
-            F.col(group_col).alias("_g"),
-            value_cents.alias("_v"),
-            F.col(weight_col).alias("_w"),
-        )
-        .groupBy("_g", "_v")
-        .agg(F.sum("_w").alias("_w"))
+    sel = df.select(
+        F.col(group_col).alias("_g"),
+        value_cents.alias("_v"),
+        F.col(weight_col).alias("_w"),
     )
+    # The (group, value) partial aggregation produces ~|distinct
+    # pairs| groups — on a single-split scan that is one task
+    # building a near-row-count hash table (r10, guide §2.5). The
+    # guarded spread keys by exactly the groupBy columns at the
+    # session partition count, so the aggregation REUSES the
+    # exchange (guide §2.4) — distributed build, still one shuffle
+    # total; no-op on any multi-split real-scale input.
+    from cocoindex_data_ingestion_spark.functions.parallel import (
+        spread_python_stage,
+    )
+
+    sel = spread_python_stage(sel, "_g", "_v")
+    per = sel.groupBy("_g", "_v").agg(F.sum("_w").alias("_w"))
     w_cum = (
         Window.partitionBy("_g")
         .orderBy("_v")
