@@ -550,12 +550,16 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         done = q.awaitTermination(600)
         finish("interval_join" + suffix, q, t0, 2 * n_src, finished=done)
 
-    def best_of(run, base: str, suffix: str, reps: int = 2) -> None:
+    def best_of(run, base: str, suffix: str, reps: int = 3) -> None:
         # streaming rows are single 10-micro-batch replays and swing
         # ±35% run-to-run on a shared host (they triggered false
         # ">25% regression" flags in two consecutive rounds) — apply
         # the SAME min-of-reps rule the batch rows use; the minimum
-        # is the reproducible engine cost
+        # is the reproducible engine cost. reps=3 since r10 to match
+        # the batch rows' min-of-3 exactly (min-of-2 let one bad rep
+        # pair inflate the r10 upsert rows 23.5/26.1 vs isolated
+        # re-measures of 17.7/15.7 — wall_spread records n_reps, so
+        # artifacts stay self-describing).
         recs = []
         for rep in range(reps):
             tag = f"{suffix}_rep{rep}"
