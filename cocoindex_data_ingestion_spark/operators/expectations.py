@@ -93,7 +93,15 @@ def functional_dependency(
     from pyspark.sql import functions as F
 
     from ..functions.compare import stable_round
+    from ..functions.parallel import spread_python_stage
 
+    # Both aggregations below cluster by (a superset of) lhs, and
+    # HashPartitioning on lhs satisfies ClusteredDistribution for
+    # both — so the guarded lhs-keyed spread replaces the (lhs, rhs)
+    # partial build's single task on a one-split scan with a
+    # distributed build whose exchange BOTH groupBys reuse (r10,
+    # guide §2.4/§2.5; no-op on any multi-split real-scale input).
+    df = spread_python_stage(df.select(*lhs, rhs), *lhs)
     vals = (
         df.groupBy(*[F.col(c) for c in lhs], F.col(rhs))
         .agg(F.count("*").alias("_n"))
