@@ -1652,9 +1652,17 @@ def spearman_corr(
     # bit-identical because stable_sum quantizes each element BEFORE
     # summing: every row of a pair contributes the identical long, so
     # count*quantized == the row-level sum exactly.
+    sel = df.select(col_x, col_y)
+    # guarded spread keyed by exactly the groupBy columns: the pair
+    # build's partial aggregation (near-|distinct pairs| hash table)
+    # distributes instead of running on a one-split scan's single
+    # task, and the aggregation reuses the exchange (r10, guide
+    # §2.4/§2.5; no-op on multi-split inputs).
+    from ..functions.parallel import spread_python_stage
+
+    sel = spread_python_stage(sel, col_x, col_y)
     pairs = (
-        df.select(col_x, col_y)
-        .groupBy(col_x, col_y)
+        sel.groupBy(col_x, col_y)
         .agg(F.count("*").alias("_c"))
         .localCheckpoint(eager=False)
     )
