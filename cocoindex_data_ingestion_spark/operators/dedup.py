@@ -552,14 +552,26 @@ def connected_components_star(
         e = small
         if prev_fp == (fp["n"], fp["h"]):
             break
-        # Early fixpoint break (r10): under the (u < v) normalization
-        # the fixpoint is exactly "e is a disjoint union of stars
-        # rooted at their component minima", i.e. NO node appears as
-        # both a parent (u) and a child (v) — stars imply both halves
-        # of the next round reproduce e verbatim, and conversely any
-        # u∩v witness is an uncontracted path. Testing the round's
-        # checkpointed output directly saves the ONE FULL ROUND (two
-        # edge-list shuffles, two joins, explode, distinct,
+        # Early fixpoint break (r10, tightened r11): under the (u < v)
+        # normalization the fixpoint is exactly "e is a disjoint union
+        # of stars rooted at their component minima". The full star
+        # characterization needs BOTH witnesses absent:
+        #   (a) no node appears as both a parent (u) and a child (v)
+        #       — any u∩v witness is an uncontracted depth-≥2 path;
+        #   (b) every child v has exactly ONE distinct parent — a
+        #       child with two parents (neither itself a child, so it
+        #       passes (a)) means two star roots of one component are
+        #       still unmerged (repro: {(3,4),(3,5),(1,4),(2,5)} →
+        #       after one round {(1,3),(1,4),(2,3),(2,5)}: node 3 has
+        #       parents 1 and 2 but is never a parent itself).
+        # (a)∧(b) ⟺ e is a child→parent function forming depth-1
+        # trees, i.e. disjoint stars, on which both halves of the next
+        # round provably reproduce e verbatim. Because `small` is
+        # distinct, a node's distinct-parent count is simply its row
+        # count on the v side, so (b) folds into the same node-keyed
+        # aggregation as (a): sum(pv) ≥ 2 flags it. Testing the
+        # round's checkpointed output directly saves the ONE FULL
+        # ROUND (two edge-list shuffles, two joins, explode, distinct,
         # checkpoint) the fingerprint-equality rule pays to observe
         # stability. The test is a single node-keyed aggregation
         # (~1/3 of a round); this family's inputs are bucket-star
@@ -567,7 +579,7 @@ def connected_components_star(
         # so one test per round for one saved round is a win — for
         # deep adversarial graphs the fingerprint equality above
         # remains the backstop.
-        both = (
+        not_star = (
             small.select(
                 F.explode(
                     F.array(
@@ -585,11 +597,22 @@ def connected_components_star(
                 ).alias("x")
             )
             .groupBy("x.node")
-            .agg(F.max("x.pu").alias("pu"), F.max("x.pv").alias("pv"))
-            .agg(F.max(F.col("pu") * F.col("pv")).alias("b"))
+            .agg(
+                F.max("x.pu").alias("pu"),
+                F.max("x.pv").alias("pv"),
+                F.sum("x.pv").alias("np"),
+            )
+            .agg(
+                F.max(
+                    F.greatest(
+                        F.col("pu") * F.col("pv"),
+                        (F.col("np") >= F.lit(2)).cast("int"),
+                    )
+                ).alias("b")
+            )
             .first()[0]
         )
-        if not both:  # None (empty) or 0: no parent is also a child
+        if not not_star:  # None (empty) or 0: e is a disjoint star union
             break
         prev_fp = (fp["n"], fp["h"])
     else:

@@ -96,6 +96,25 @@ def test_connected_components_star_matches_propagation(spark):
     assert star == prop
 
 
+def test_connected_components_star_multi_parent_child(spark):
+    # Regression (r11): after one round of {(3,4),(3,5),(1,4),(2,5)}
+    # the edge set is {(1,3),(1,4),(2,3),(2,5)} — node 3 has two
+    # distinct parents (1 and 2) but is never itself a parent, so the
+    # r10 "no node is both parent and child" early break fired while
+    # the single component was still split across roots 1 and 2. The
+    # full star characterization also requires every child to have
+    # exactly one distinct parent.
+    edges = spark.createDataFrame(
+        [(3, 4), (3, 5), (1, 4), (2, 5)], "id_a long, id_b long"
+    )
+    star = {r.node_id: r.component for r in
+            dedup.connected_components_star(edges).collect()}
+    assert star == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    prop = {r.node_id: r.component for r in
+            dedup.connected_components(edges).collect()}
+    assert star == prop
+
+
 def test_exact_dedup_groups(spark):
     docs = spark.createDataFrame(
         [(1, "same text"), (2, "same text"), (3, "other")],
