@@ -594,6 +594,40 @@ def main() -> None:
     spark = get_spark("bench")
 
     qs = entrymod.queries()
+
+    # Pre-flight window canary (r11, VERDICT directive #2): the r9/r10
+    # artifacts were produced in host windows the repo's own variance
+    # gate (SCALING.md Round-9 postscript: ratio_p90 ≲ 1.6,
+    # rows_over_1p5x ≲ 35/234) would have rejected, which turned the
+    # driver's round-over-round comparison into 120 phantom
+    # regressions. Probe the window with a tiny fixed plan BEFORE the
+    # timed reps: if its max/min spread is already pathological, wait
+    # and re-probe (up to 2 retries) so a transient spike at start
+    # doesn't poison the run; the result is recorded either way, and
+    # the run-level `window_degraded` flag below is what PERF should
+    # key on (the canary probes only the start of the run; rep_summary
+    # covers the whole run). Timing rules for the measured rows are
+    # UNCHANGED.
+    def _preflight() -> dict:
+        probes: list[float] = []
+        retries = 0
+        while True:
+            probes = []
+            for _ in range(5):
+                t0 = time.time()
+                qs["q1_pricing_summary"](spark, sf_dir).collect()
+                probes.append(round(time.time() - t0, 3))
+            ratio = (max(probes) / min(probes)) if min(probes) > 0 else None
+            if ratio is not None and ratio <= 2.5:
+                return {"probe_sec": probes, "ratio": round(ratio, 3),
+                        "retries": retries}
+            if retries >= 2:
+                return {"probe_sec": probes,
+                        "ratio": round(ratio, 3) if ratio else None,
+                        "retries": retries, "degraded_at_start": True}
+            retries += 1
+            time.sleep(30)
+
     # warm the JVM (codegen, parquet reader, arrow paths) with the
     # same plans at the smallest SF — untimed; also build the search
     # index for the bench SF (index construction is amortized over
@@ -633,6 +667,10 @@ def main() -> None:
     from cocoindex_data_ingestion_spark.sources.tables import TABLES, load_table
     for t in TABLES:
         load_table(spark, t, sf_dir).count()
+
+    # window canary AFTER all warm-up (probes the host, not cold
+    # caches) and BEFORE the timed reps
+    preflight = _preflight()
 
     # Per-query time = min over N_REPS full executions: a single pass
     # is hostage to transient host noise (observed 2-3x swings on the
@@ -746,6 +784,18 @@ def main() -> None:
             except Exception:
                 cold[name + "_cold"] = None
 
+    # Run-level window-honesty flag (r11, VERDICT directive #2): true
+    # when THIS run fails the repo's own variance gate (SCALING.md
+    # Round-9 postscript thresholds) or the pre-flight canary never
+    # stabilized. A consumer comparing two benches should treat a
+    # degraded run's per-row deltas as host-window noise, exactly the
+    # way the r10 verdict had to reconstruct by hand.
+    window_degraded = bool(
+        (rep_summary["ratio_p90"] or 0) > 1.6
+        or rep_summary["rows_over_1p5x"] > 35
+        or preflight.get("degraded_at_start", False)
+    )
+
     out = {
         "metric": "headline query suite wall-clock",
         "value": round(sum(times.values()), 3),
@@ -753,6 +803,8 @@ def main() -> None:
         "queries": times,
         "rep_spread": rep_spread,
         "rep_summary": rep_summary,
+        "window_degraded": window_degraded,
+        "preflight": preflight,
         "streaming": streaming,
         "leg_builds": leg_builds,
         "cold": cold,
@@ -760,9 +812,27 @@ def main() -> None:
     }
     line = json.dumps(out)
     print(line)
-    # Durable copy: the driver captures stdout via tail, which has
-    # truncated this (long) line before (BENCH_r03 lost its parsed
-    # block). The file survives regardless.
+    # Trailing compact headline (r11, VERDICT directive #2): the
+    # driver captures stdout via a bounded tail that has truncated the
+    # full line before (BENCH_r03, BENCH_r09 lost their parsed
+    # blocks). Print a second, much shorter line AFTER the full one —
+    # deliberately CONTRACT-COMPLETE ({metric, value, unit, queries,
+    # sf} all present, with identical values) so a consumer that picks
+    # either line sees every query; it only drops the bulky per-row
+    # spread/streaming-detail maps that made the full line
+    # truncation-prone.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": times,
+        "rep_summary": rep_summary,
+        "window_degraded": window_degraded,
+        "sf": out["sf"],
+        "compact_headline": True,
+    }
+    print(json.dumps(compact))
+    # Durable copy of the FULL record: survives any stdout truncation.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "bench_out.json"), "w") as f:
         f.write(line + "\n")

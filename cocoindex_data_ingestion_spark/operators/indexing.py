@@ -177,7 +177,19 @@ def build_search_index(
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("token")
     ).filter(is_content_token("token"))
-    postings = toks.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
+    # ONE corpus tokenize pass (r11, guide §1.4/§6): the postings
+    # aggregate feeds FOUR consumers (doclens write, df table, the
+    # denormalized postings write, the avgdl scalar) across separate
+    # actions — without the checkpoint each action re-tokenized the
+    # corpus (ReuseExchange only dedups within one query). The
+    # checkpointed frame is the narrow (id, token, tf) projection,
+    # orders of magnitude smaller than the text it derives from —
+    # materializing it is exactly what the layout build writes anyway.
+    postings = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
 
     dls = postings.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dls.write.mode("overwrite").parquet(f"{index_dir}/doclens")
@@ -205,12 +217,16 @@ def build_search_index(
 
     from cocoindex_data_ingestion_spark.functions.similarity import l2_norm
 
+    # norm + LSH signature computed ONCE for both vector layouts
+    # (r11, §1.4): the two writes below are separate actions, so the
+    # un-checkpointed frame re-scanned embeddings and re-evaluated the
+    # signature per write.
     vectors = embeddings.select(
         F.col(vec_id_col),
         F.col(vec_col),
         l2_norm(vec_col).alias("norm"),
         lsh_signature(vec_col, lsh_bits).alias("sig"),
-    )
+    ).localCheckpoint(eager=True)
     # flat layout for exact scans (no small-files overhead) +
     # sig-partitioned layout for ANN partition pruning
     vectors.write.mode("overwrite").parquet(f"{index_dir}/vectors")
