@@ -613,21 +613,27 @@ def _q_bm25_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     production deployment runs both legs against the prebuilt
     postings index, where each is one bucket-pruned read."""
     docs = _t(spark, sf_dir, "documents")
-    # ONE tokenize pass for the length table, shared by both legs
-    # (r10): dls appears twice per leg (avgdl scalar + the scoring
-    # join), so inlining it re-tokenized the corpus four times; the
-    # checkpointed table is the narrow (id, int) projection.
+    # ONE tokenize pass for EVERYTHING (r11, guide §1.4/§6): the
+    # checkpointed content postings serve the base leg's query-term
+    # postings, the expansion-term frequencies, the weighted rescore's
+    # postings AND the doc-length table (dl = sum(tf) — provably the
+    # same count as size(bm25_tokens); all integer arithmetic, so
+    # scores are bit-identical). Before, each leg re-tokenized: four
+    # corpus passes per query.
+    postings = bm25_ops.content_postings(docs).localCheckpoint(eager=True)
     dls = (
-        bm25_ops.doc_lengths(docs)
-        .filter(F.col("dl") > 0)
-        .localCheckpoint(eager=True)
+        postings.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
     )
     wterms = bm25_ops.prf_expansion_terms(
         docs, QUERY_TERMS,
         fb_docs=_PRF_FB_DOCS, n_terms=_PRF_N_TERMS, beta=_PRF_BETA,
-        dls=dls,
+        dls=dls, postings=postings,
     )
-    return bm25_ops.bm25_search_weighted(docs, wterms, k=KNN_K, dls=dls)
+    return bm25_ops.bm25_search_weighted(
+        docs, wterms, k=KNN_K, dls=dls, postings=postings
+    )
 
 
 # -- §2.6 hybrid RRF (search_service.py:181-279, 370-423) ---------------------

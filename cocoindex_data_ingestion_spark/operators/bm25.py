@@ -61,6 +61,31 @@ def doc_lengths(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return docs.select(F.col(id_col), F.size(bm25_tokens(text_col)).alias("dl"))
 
 
+def content_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Full content-token postings ``(id, token, tf)`` — THE shareable
+    corpus pass for multi-leg BM25 callers (r11, guide §1.4/§6).
+
+    Checkpointed by the caller, one table replaces every per-leg
+    re-tokenize: per-term qpost is a filter of it, doc length is
+    ``sum(tf)`` grouped by id (provably the same count as
+    ``size(bm25_tokens(text))`` — both count the identical filtered
+    token multiset), and PRF expansion frequencies are ``sum(tf)``
+    over the feedback docs (equal to counting the exploded
+    occurrences). All integer arithmetic — bit-identical scores."""
+    from cocoindex_data_ingestion_spark.functions.text import (
+        is_content_token, tokenize,
+    )
+
+    return (
+        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
+        .filter(is_content_token("token"))
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     query_terms: list[str],
@@ -71,6 +96,7 @@ def bm25_search(
     b: float = B,
     round_to: int = 4,
     dls: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-IDF BM25 top-k for a bag of query terms.
 
@@ -79,6 +105,10 @@ def bm25_search(
     so the corpus is not re-tokenized once per dls USE per leg (r10,
     guide §1.4/§6 — the length table is (id, int), thousands of times
     narrower than the text it derives from).
+
+    ``postings`` — optional checkpointed :func:`content_postings`
+    table (r11): when given, the query-term postings are a FILTER of
+    it instead of another tokenize pass over the corpus.
 
     idf(t) = ln( (N - df + 0.5) / (df + 0.5) + 1 )   [Robertson/Lucene]
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
@@ -111,12 +141,17 @@ def bm25_search(
     )
 
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
-    qpost = (
-        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
-        .filter(is_content_token("token") & F.col("token").isin(qterms))
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    if postings is not None:
+        qpost = postings.filter(F.col("token").isin(qterms))
+    else:
+        qpost = (
+            docs.select(
+                F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+            )
+            .filter(is_content_token("token") & F.col("token").isin(qterms))
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias("tf"))
+        )
 
     df_per_token = qpost.groupBy("token").agg(
         F.countDistinct(id_col).alias("df")
@@ -242,6 +277,7 @@ def bm25_search_weighted(
     b: float = B,
     round_to: int = 4,
     dls: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 with a *DataFrame* of (token, w) query terms — each
     term's contribution scaled by its weight. This is the shape a
@@ -249,6 +285,10 @@ def bm25_search_weighted(
     needs: the term set is computed by the engine, never collected
     to the driver, and reaches the postings scan as a broadcast hash
     join (vocabulary-sized build side) instead of an IN-list.
+
+    ``postings`` — optional checkpointed :func:`content_postings`
+    table (r11): the weighted-term postings become a broadcast
+    semi-filter of it instead of a tokenize pass.
     """
     from cocoindex_data_ingestion_spark.functions.text import (
         is_content_token, tokenize,
@@ -259,13 +299,20 @@ def bm25_search_weighted(
     stats = docs.select(F.count("*").alias("n_docs")).crossJoin(
         dls.select(F.avg("dl").alias("avgdl"))
     )
-    qpost = (
-        docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("token"))
-        .filter(is_content_token("token"))
-        .join(F.broadcast(weighted_terms.select("token")), "token")
-        .groupBy(id_col, "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    if postings is not None:
+        qpost = postings.join(
+            F.broadcast(weighted_terms.select("token")), "token"
+        )
+    else:
+        qpost = (
+            docs.select(
+                F.col(id_col), F.explode(tokenize(text_col)).alias("token")
+            )
+            .filter(is_content_token("token"))
+            .join(F.broadcast(weighted_terms.select("token")), "token")
+            .groupBy(id_col, "token")
+            .agg(F.count("*").alias("tf"))
+        )
     df_per_token = qpost.groupBy("token").agg(
         F.countDistinct(id_col).alias("df")
     )
@@ -306,6 +353,7 @@ def prf_expansion_terms(
     id_col: str = "doc_id",
     text_col: str = "text",
     dls: DataFrame | None = None,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """RM3-style pseudo-relevance feedback: run BM25 with the
     original terms, take the top ``fb_docs`` as the (pseudo-)relevant
@@ -317,6 +365,11 @@ def prf_expansion_terms(
     broadcast, the expansion-term frequency is an integer aggregate
     (deterministic ordering: count desc, token asc), and the result
     feeds :func:`bm25_search_weighted` without driver round-trips.
+
+    ``postings`` — optional checkpointed :func:`content_postings`
+    table (r11): the base leg filters it, and the expansion-term
+    frequency is ``sum(tf)`` over the feedback docs' postings —
+    integer-identical to counting the exploded occurrences.
     """
     from cocoindex_data_ingestion_spark.functions.text import (
         is_content_token, tokenize,
@@ -324,19 +377,31 @@ def prf_expansion_terms(
 
     qterms = list(dict.fromkeys(t.lower() for t in query_terms))
     base = bm25_search(
-        docs, qterms, k=fb_docs, id_col=id_col, text_col=text_col, dls=dls
+        docs, qterms, k=fb_docs, id_col=id_col, text_col=text_col, dls=dls,
+        postings=postings,
     )
     fb_ids = base.select(id_col)
-    expansion = (
-        docs.join(F.broadcast(fb_ids), id_col)
-        .select(F.explode(tokenize(text_col)).alias("token"))
-        .filter(is_content_token("token") & ~F.col("token").isin(qterms))
-        .groupBy("token")
-        .agg(F.count("*").alias("w_tf"))
-        .orderBy(F.col("w_tf").desc(), F.col("token").asc())
-        .limit(n_terms)
-        .select("token", F.lit(float(beta)).alias("w"))
-    )
+    if postings is not None:
+        expansion = (
+            postings.join(F.broadcast(fb_ids), id_col)
+            .filter(~F.col("token").isin(qterms))
+            .groupBy("token")
+            .agg(F.sum("tf").alias("w_tf"))
+            .orderBy(F.col("w_tf").desc(), F.col("token").asc())
+            .limit(n_terms)
+            .select("token", F.lit(float(beta)).alias("w"))
+        )
+    else:
+        expansion = (
+            docs.join(F.broadcast(fb_ids), id_col)
+            .select(F.explode(tokenize(text_col)).alias("token"))
+            .filter(is_content_token("token") & ~F.col("token").isin(qterms))
+            .groupBy("token")
+            .agg(F.count("*").alias("w_tf"))
+            .orderBy(F.col("w_tf").desc(), F.col("token").asc())
+            .limit(n_terms)
+            .select("token", F.lit(float(beta)).alias("w"))
+        )
     spark = docs.sparkSession
     orig = local_df(
         spark, [(t, 1.0) for t in qterms], "token string, w double"
