@@ -161,9 +161,14 @@ def sentence_chunks(
                 ],
             )
 
-    return spread_python_stage(
-        docs.select(id_col, text_col), id_col
-    ).mapInPandas(run, schema)
+    # NO spread here (r11): the sentence regex split is trivial-Python
+    # per row — the guard's exchange cost exceeded the parallelism win
+    # on every caller (interleaved A/B, min-of-4: chunk_sentence
+    # 0.50→0.32 s, chunk_sentence_punct 1.07→0.68 s with the spread
+    # removed). Same per-site evidence rule that excluded
+    # dedup_minhash_fast in r10; at real scale the guard was a no-op
+    # on this path anyway (multi-split inputs).
+    return docs.select(id_col, text_col).mapInPandas(run, schema)
 
 
 def recursive_chunks(

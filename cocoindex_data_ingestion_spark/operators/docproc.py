@@ -35,7 +35,6 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
 from pyspark.sql.window import Window
 
 # document_processor.py:219 — the header pattern (re.match semantics:
@@ -225,6 +224,9 @@ def recursive_chunks_ref(
                 ],
             )
 
-    return spread_python_stage(
-        docs.select(id_col, text_col), id_col
-    ).mapInPandas(run, schema=schema)
+    # NO spread here (r11): the greedy cursor walk is linear and cheap
+    # per doc — interleaved A/B (min-of-4) showed the guard's exchange
+    # a net loss on its only caller (chunk_recursive_ref 0.59→0.48 s
+    # with the spread removed). The merge-DP chunker keeps its spread
+    # (chunking.chunk_recursive_dp — the measured 4.9× r10 win).
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

@@ -31,7 +31,6 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cocoindex_data_ingestion_spark.functions.parallel import spread_python_stage
 
 MIN_CONFIDENCE = 0.25  # entity_extraction_runner_v2.py quality filter
 AUTO_MERGE_THRESHOLD = 0.95  # entity_deduplication.py:457-539
@@ -83,9 +82,14 @@ def extract_mentions_gazetteer(
                 ],
             )
 
-    return spread_python_stage(
-        chunks.select(F.col(id_col), F.col(doc_col), F.col(text_col)),
-        id_col,
+    # NO spread here (r11): the compiled gazetteer regex scan is cheap
+    # per row — interleaved A/B (min-of-4) showed the guard's exchange
+    # a net loss on every benched caller (entity_extraction_compare
+    # 1.41→0.96 s, entity_type_confusion 1.52→0.94 s,
+    # entity_cooccurrence 1.11→0.85 s with the spread removed). Same
+    # per-site evidence rule as dedup_minhash_fast (r10).
+    return chunks.select(
+        F.col(id_col), F.col(doc_col), F.col(text_col)
     ).mapInPandas(run, _MENTION_SCHEMA)
 
 
