@@ -23,5 +23,5 @@ def sf_dir():
 
 def pytest_configure(config):
     config.addinivalue_line(
-        "markers", "slow: long-running test (still part of the default run)"
+        "markers", "slow: long-running matrix/probe test — EXCLUDED from the default run (pytest.ini addopts); run explicitly with -m slow"
     )

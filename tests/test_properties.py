@@ -7,6 +7,8 @@ their text (split_recursively.rs:1049-1071); duration parsing total
 
 import string
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from cocoindex_data_ingestion_spark.operators.chunking import _pack_sentences
@@ -57,6 +59,7 @@ def test_pack_sentences_bounds_and_order(sentences, chunk_size):
     )
 )
 @settings(max_examples=20, deadline=None)  # each example is a Spark job
+@pytest.mark.slow  # ~2 min hypothesis matrix: explicit-only (r11, driver budget)
 def test_duration_total_is_sum_of_parts(parts, spark):
     from cocoindex_data_ingestion_spark.functions.duration import (
         parse_duration_us,
@@ -104,6 +107,7 @@ def test_hash_embedder_series_properties():
     )
 )
 @settings(max_examples=8, deadline=None)  # each op is a Spark write
+@pytest.mark.slow  # ~1 min model-based matrix: explicit-only (r11, driver budget)
 def test_bucketed_state_model_based(spark, tmp_path_factory, ops):
     """Model check: an arbitrary upsert/delete sequence against
     BucketedParquetState must equal the same sequence applied to a
